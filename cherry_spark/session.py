@@ -1,0 +1,73 @@
+"""SparkSession construction + the runtime confs the engine needs.
+
+Two layers:
+
+- :func:`get_spark` builds a tuned local session (tests / bench).
+- :func:`ensure_runtime_confs` applies the *runtime-settable* confs to an
+  externally-provided session (the driver hands us its own session in
+  ``__spark_entry__.py``), so the engine works on any session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set on a live session.
+RUNTIME_CONFS: dict[str, str] = {
+    # the fixture `events` table stores timestamp[ns]; Spark's Parquet
+    # reader rejects TIMESTAMP(NANOS) unless read as raw long
+    # (converted back to TimestampType in sources/tables.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp<->date/string semantics regardless of host TZ
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: coalesce small shuffle partitions, skew-join
+    # splitting — essential at 100 TB, harmless locally
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for any pandas_udf / toPandas path
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONFS to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf may be non-settable on some builds; the engine
+            # degrades gracefully (events reader falls back, see tables.py)
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "cherry_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session sized to the host.
+
+    On a real cluster the user supplies their own session; everything in
+    the engine only relies on ``ensure_runtime_confs``.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("CHERRY_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_runtime_confs(spark)

@@ -1,0 +1,59 @@
+"""Fixture/Parquet table readers.
+
+The reference's source is a provider stream yielding a multi-table Arrow
+batch per iteration (reference src/cherry_etl/pipeline.py:111-120); here
+the batch abstraction is ``Dict[str, DataFrame]`` over Parquet scans, so
+Catalyst gets full predicate/projection pushdown on every table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cherry_spark.session import ensure_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; normalizes the ns-timestamp quirk.
+
+    ``events.ts`` is Parquet TIMESTAMP(NANOS); Spark reads it as long
+    (via nanosAsLong) and we convert with *integer* division — float
+    division on epoch-ns values loses precision past 2^53.
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load a multi-table batch: ``{name: DataFrame}``."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register every table as a temp view so ``spark.sql`` steps see the
+    same namespace the reference's DataFusion step sees
+    (reference src/cherry_etl/steps/datafusion_step.py:15-20)."""
+    for name, df in read_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
