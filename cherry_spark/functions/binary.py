@@ -1,0 +1,105 @@
+"""Column-level binary encodings + the uint256 policy.
+
+Hex encoding is native (`F.hex`, JVM-side, codegen). Base58 has no
+Spark builtin → vectorized pandas UDF over Arrow batches (the slow
+path, used only on address/signature columns, mirroring reference
+steps/base58_encode.py). uint256: Spark's DecimalType ceiling is 38
+digits vs the reference's decimal256(76,0) — policy per SURVEY §1.3:
+
+- canonical wire form: 32-byte big-endian BinaryType;
+- fast native converter covers values < 2^126 (fits decimal(38,0));
+  wider values -> null (caller opts into the pandas fallback if the
+  full range matters). The reference itself downcasts 256->128 with
+  allow_cast_fail for DuckDB (examples/erc20_custom.py:175-184).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, StringType
+from pyspark.sql.pandas.functions import pandas_udf
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def b58encode_bytes(raw: bytes) -> str:
+    """Pure-Python base58 (Bitcoin alphabet), driver- or executor-side."""
+    n = int.from_bytes(raw, "big")
+    out = []
+    while n > 0:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    # leading zero bytes encode as '1'
+    pad = 0
+    for b in raw:
+        if b == 0:
+            pad += 1
+        else:
+            break
+    return "1" * pad + "".join(reversed(out))
+
+
+def b58decode_str(s: str) -> bytes:
+    n = 0
+    for ch in s:
+        n = n * 58 + _B58_ALPHABET.index(ch)
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = 0
+    for ch in s:
+        if ch == "1":
+            pad += 1
+        else:
+            break
+    return b"\x00" * pad + raw
+
+
+@pandas_udf(StringType())
+def base58_encode_udf(col: pd.Series) -> pd.Series:
+    return col.map(lambda v: None if v is None else b58encode_bytes(bytes(v)))
+
+
+def hex_encode(col: Column, prefixed: bool = True) -> Column:
+    """Binary -> lowercase hex string, optionally 0x-prefixed
+    (reference steps/hex_encode.py kernels hex_encode/prefix_hex_encode)."""
+    h = F.lower(F.hex(col))
+    return F.concat(F.lit("0x"), h) if prefixed else h
+
+
+def hex_decode(col: Column) -> Column:
+    """Hex string (with or without 0x) -> binary."""
+    return F.unhex(F.regexp_replace(col, "^0x", ""))
+
+
+def u256_binary_to_decimal38(col: Column) -> Column:
+    """32-byte big-endian uint256 -> decimal(38,0); null when >= 2^126.
+
+    Native path (stays in whole-stage codegen): the top 16 bytes must be
+    zero, then value = hi64 * 2^64 + lo64 where hi64 < 2^62 keeps the
+    product inside decimal(38,0). `conv(hex, 16, 10)` is exact for
+    64-bit unsigned chunks.
+    """
+    hx = F.lower(F.hex(col))  # 64 hex chars
+    top = F.substring(hx, 1, 32)
+    hi = F.conv(F.substring(hx, 33, 16), 16, 10).cast(DecimalType(38, 0))
+    lo = F.conv(F.substring(hx, 49, 16), 16, 10).cast(DecimalType(38, 0))
+    value = (hi * F.lit(__import__("decimal").Decimal(2**64)).cast(DecimalType(38, 0)) + lo).cast(DecimalType(38, 0))
+    fits = (top == F.lit("0" * 32)) & (hi < F.lit(2**61))
+    return F.when(fits, value).otherwise(F.lit(None).cast(DecimalType(38, 0)))
+
+
+def decimal_to_u256_binary(col: Column) -> Column:
+    """decimal(38,0) -> 32-byte big-endian binary (reference
+    steps/u256_to_binary.py inverse direction).
+
+    Split into hi/lo 64-bit limbs with exact decimal arithmetic, then
+    hex-pad each limb. Covers the decimal(38,0) range (< 2^127).
+    """
+    two64 = F.lit(__import__("decimal").Decimal(2**64)).cast(DecimalType(38, 0))
+    v = col.cast(DecimalType(38, 0))
+    hi = F.floor(v / two64).cast("decimal(38,0)")
+    lo = (v - hi * two64).cast("decimal(38,0)")
+    hi_hex = F.lpad(F.lower(F.hex(hi.cast("long"))), 16, "0")
+    lo_hex = F.lpad(F.lower(F.hex(lo.cast("long"))), 16, "0")
+    return F.unhex(F.concat(F.lit("0" * 32), hi_hex, lo_hex))

@@ -1,0 +1,74 @@
+"""Block-data consistency validation.
+
+The reference declares EVM_VALIDATE_BLOCK_DATA but never dispatches it
+(reference src/cherry_etl/config.py:30,121-125, absent from
+pipeline.py:41-75; the kernel lives in its Rust core). Implemented here
+as distributed assertion queries:
+
+- block numbers unique;
+- parent-hash chain continuity (when hash/parent_hash columns exist),
+  via a lag window over block number;
+- referential integrity: every logs/transactions row points at a block
+  present in the batch.
+
+A violation raises ``BlockValidationError`` with per-check counts —
+mirroring the reference's validate-or-raise contract (README.md:21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cherry_spark.plans.config import Batch, EvmValidateBlockDataConfig
+
+
+class BlockValidationError(ValueError):
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(f"block data validation failed: {violations}")
+
+
+def evm_validate_block_data(batch: Batch, cfg: EvmValidateBlockDataConfig) -> Batch:
+    violations: dict[str, int] = {}
+
+    blocks = batch.get(cfg.blocks)
+    if blocks is not None:
+        dup = (
+            blocks.groupBy("number").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+        )
+        n_dup = dup.count()
+        if n_dup:
+            violations["duplicate_block_numbers"] = n_dup
+
+        if "hash" in blocks.columns and "parent_hash" in blocks.columns:
+            w = Window.orderBy("number")
+            chain = blocks.select(
+                "number",
+                "hash",
+                "parent_hash",
+                F.lag("hash").over(w).alias("prev_hash"),
+                F.lag("number").over(w).alias("prev_number"),
+            ).filter(
+                F.col("prev_hash").isNotNull()
+                & (F.col("prev_number") == F.col("number") - 1)
+                & (F.col("parent_hash") != F.col("prev_hash"))
+            )
+            n_broken = chain.count()
+            if n_broken:
+                violations["broken_parent_hash_chain"] = n_broken
+
+    for child_name, key in ((cfg.transactions, "block_number"), (cfg.logs, "block_number"), (cfg.traces, "block_number")):
+        child = batch.get(child_name)
+        if child is None or blocks is None or key not in child.columns:
+            continue
+        orphans = child.join(
+            blocks.select(F.col("number").alias(key)), on=key, how="left_anti"
+        )
+        n_orphans = orphans.count()
+        if n_orphans:
+            violations[f"orphan_rows_{child_name}"] = n_orphans
+
+    if violations:
+        raise BlockValidationError(violations)
+    return batch

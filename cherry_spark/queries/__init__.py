@@ -1,3 +1,4 @@
 """Import all query modules so their ``@query`` registrations run."""
 
 import cherry_spark.queries.relational  # noqa: F401
+import cherry_spark.queries.steps  # noqa: F401

@@ -1,0 +1,296 @@
+"""Step-library queries: each runs through the real pipeline machinery
+(process_steps over a Dict[str, DataFrame] batch) so the driver's
+correctness gate exercises the operators end-to-end (SURVEY §2.6/§2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_spark.catalog import query
+from cherry_spark.plans import (
+    CastByTypeConfig,
+    CastConfig,
+    EvmDecodeEventsConfig,
+    HexEncodeConfig,
+    SetChainIdConfig,
+    SqlStepConfig,
+    Step,
+    StepKind,
+    TransformStepConfig,
+    process_steps,
+)
+from cherry_spark.sources.tables import load_table
+
+_DEC = "decimal(18,2)"
+
+
+@query(
+    "cast_by_name",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS BIGINT) AS INTEGER) AS qty_int,
+           TRY_CAST(mixed AS INTEGER) AS maybe_int
+    FROM (
+        SELECT *,
+               CASE WHEN l_linenumber = 1 THEN 'x'
+                    ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END AS mixed
+        FROM lineitem
+    )
+    """,
+    doc="CAST step with per-column map + allow_cast_fail -> try_cast "
+    "null-on-failure (reference steps/cast.py:9-28).",
+)
+def cast_by_name(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "mixed",
+        F.when(F.col("l_linenumber") == 1, F.lit("x")).otherwise(
+            F.col("l_quantity").cast("long").cast("string")
+        ),
+    )
+    out = process_steps(
+        {"lineitem": li},
+        [
+            Step(
+                StepKind.CAST,
+                CastConfig(
+                    "lineitem",
+                    {"l_quantity": "int", "mixed": "int"},
+                    allow_cast_fail=True,
+                ),
+            )
+        ],
+    )
+    return out["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty_int"),
+        F.col("mixed").alias("maybe_int"),
+    )
+
+
+@query(
+    "cast_by_type",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice,
+           CAST(l_discount AS DECIMAL(18,2)) AS l_discount
+    FROM lineitem
+    """,
+    doc="CAST_BY_TYPE: every double column across the batch -> "
+    "decimal(18,2) (reference steps/cast_by_type.py:9-28; the "
+    "decimal256->decimal128 downcast shape, erc20_custom.py:176-184).",
+)
+def cast_by_type(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = process_steps(
+        {"lineitem": li},
+        [Step(StepKind.CAST_BY_TYPE, CastByTypeConfig("double", "decimal(18,2)"))],
+    )
+    return out["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+
+
+@query(
+    "hex_encode",
+    oracle="""
+    SELECT doc_id, concat('0x', sha256(text)) AS payload
+    FROM documents
+    """,
+    doc="HEX_ENCODE step: every binary column -> 0x-prefixed lowercase "
+    "hex, schema binary->string (reference steps/hex_encode.py:10-28). "
+    "Binary input synthesized as sha256(text) so DuckDB can reproduce it.",
+)
+def hex_encode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.sha2("text", 256)).alias("payload")
+    )
+    out = process_steps(
+        {"documents": docs}, [Step(StepKind.HEX_ENCODE, HexEncodeConfig(prefixed=True))]
+    )
+    return out["documents"]
+
+
+@query(
+    "set_constant_col",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, 8453 AS chain_id FROM customer
+    """,
+    doc="SET_CHAIN_ID: drop-and-append constant chain_id on every table "
+    "(reference steps/set_chain_id.py:7-23).",
+)
+def set_constant_col(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n = load_table(spark, sf_dir, "nation")
+    out = process_steps(
+        {"customer": c, "nation": n}, [Step(StepKind.SET_CHAIN_ID, SetChainIdConfig(8453))]
+    )
+    return out["customer"]
+
+
+@query(
+    "sql_step",
+    oracle=f"""
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS {_DEC})) AS DOUBLE) AS total_value
+    FROM events e
+    WHERE e.event_type IN ('purchase', 'click')
+    GROUP BY e.user_id
+    """,
+    doc="SQL escape hatch: batch tables registered as views, user SQL "
+    "runs over them — replaces the reference's DataFusion step "
+    "(steps/datafusion_step.py:8-29).",
+)
+def sql_step(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = process_steps(
+        {"events": ev},
+        [
+            Step(
+                StepKind.SQL,
+                SqlStepConfig(
+                    """
+                    SELECT user_id,
+                           COUNT(*) AS n_events,
+                           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+                    FROM events
+                    WHERE event_type IN ('purchase', 'click')
+                    GROUP BY user_id
+                    """,
+                    output_table="by_user",
+                ),
+            )
+        ],
+    )
+    return out["by_user"]
+
+
+@query(
+    "udf_transform_step",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_extendedprice * (1 - l_discount) > 90000
+    """,
+    doc="TRANSFORM escape hatch: user callback Batch -> Batch in native "
+    "PySpark — replaces the reference's Polars step "
+    "(steps/polars_step.py:8-21).",
+)
+def udf_transform_step(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def runner(batch, ctx):
+        df = batch["lineitem"].withColumn(
+            "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+        return {"result": df.filter(F.col("revenue") > ctx)}
+
+    out = process_steps(
+        {"lineitem": li},
+        [Step(StepKind.TRANSFORM, TransformStepConfig(runner, context=90000))],
+    )
+    return out["result"].select("l_orderkey", "l_linenumber", "revenue")
+
+
+@query(
+    "decode_fixedwidth",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           substr(sha256(CAST(l_orderkey AS VARCHAR)), 25, 40) AS from_hex,
+           substr(sha256(CAST(l_partkey AS VARCHAR)), 25, 40) AS to_hex,
+           CAST(l_quantity AS BIGINT) * 1000000 + l_linenumber AS amount
+    FROM lineitem
+    """,
+    doc="EVM_DECODE_EVENTS fixed-width path: synthesize Transfer-shaped "
+    "logs (32-byte topics + big-endian uint256 data word) from lineitem, "
+    "decode through the real pipeline step, hex the addresses. The "
+    "oracle recomputes the expected decode directly — a full "
+    "encode->decode inversion check (reference steps/evm_decode_events.py).",
+)
+def decode_fixedwidth(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (F.col("l_quantity").cast("long") * 1000000 + F.col("l_linenumber")).cast(
+        "long"
+    )
+    logs = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unhex(F.sha2(F.col("l_orderkey").cast("string"), 256)).alias("topic1"),
+        F.unhex(F.sha2(F.col("l_partkey").cast("string"), 256)).alias("topic2"),
+        F.lit(None).cast("binary").alias("topic3"),
+        F.lit(None).cast("binary").alias("topic0"),
+        F.unhex(F.lpad(F.hex(amount), 64, "0")).alias("data"),
+    )
+    out = process_steps(
+        {"logs": logs},
+        [
+            Step(
+                StepKind.EVM_DECODE_EVENTS,
+                EvmDecodeEventsConfig(
+                    "Transfer(address indexed from, address indexed to, uint256 amount)",
+                    allow_decode_fail=True,
+                ),
+            )
+        ],
+    )
+    return out["decoded_logs"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lower(F.hex("from")).alias("from_hex"),
+        F.lower(F.hex("to")).alias("to_hex"),
+        F.col("amount").cast("long").alias("amount"),
+    )
+
+
+@query(
+    "base58_encode",
+    oracle=None,  # DuckDB has no base58; unit-tested against known vectors
+    doc="BASE58_ENCODE step over synthesized binary (reference "
+    "steps/base58_encode.py); rows-only driver check + vector unit tests.",
+)
+def base58_encode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.sha2("text", 256)).alias("payload")
+    )
+    from cherry_spark.plans import Base58EncodeConfig
+
+    out = process_steps(
+        {"documents": docs}, [Step(StepKind.BASE58_ENCODE, Base58EncodeConfig())]
+    )
+    return out["documents"]
+
+
+@query(
+    "u256_binary_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           concat('0x', lpad(lower(hex(CAST(l_quantity AS BIGINT) * 1000000000000
+                                       + l_linenumber)), 64, '0')) AS amount_bin
+    FROM lineitem
+    """,
+    doc="U256_TO_BINARY step (decimal -> 32-byte big-endian) then "
+    "HEX_ENCODE; oracle reconstructs the padded hex directly "
+    "(reference steps/u256_to_binary.py:11-31 + uint256 policy §1.3).",
+)
+def u256_binary_roundtrip(spark, sf_dir):
+    from cherry_spark.plans import U256ToBinaryConfig
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity").cast("long") * F.lit(10**12) + F.col("l_linenumber"))
+        .cast("decimal(38,0)")
+        .alias("amount_bin"),
+    )
+    out = process_steps(
+        {"t": li},
+        [
+            Step(StepKind.U256_TO_BINARY, U256ToBinaryConfig()),
+            Step(StepKind.HEX_ENCODE, HexEncodeConfig(prefixed=True)),
+        ],
+    )
+    return out["t"]

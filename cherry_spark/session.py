@@ -11,8 +11,43 @@ Two layers:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``cherry_spark`` importable on executor Python workers.
+
+    Worker processes do not inherit the driver's sys.path, so any
+    pandas UDF whose closure references this package would fail to
+    unpickle (ModuleNotFoundError) when the driver runs from a foreign
+    cwd. ``addPyFile`` ships a zip of the package to every executor —
+    the same mechanism that deploys it on a real cluster.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PKG_SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"cherry_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "cherry_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _PKG_SHIPPED_APPS.add(app_id)
 
 # Confs that are safe (and required) to set on a live session.
 RUNTIME_CONFS: dict[str, str] = {
@@ -41,6 +76,10 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # a conf may be non-settable on some builds; the engine
             # degrades gracefully (events reader falls back, see tables.py)
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # e.g. Connect sessions without a SparkContext
     return spark
 
 

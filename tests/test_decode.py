@@ -1,0 +1,248 @@
+"""Decode compiler tests: differential against pure-Python expected
+values computed independently in the test (int.from_bytes etc.)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cherry_spark.operators.decode_svm import (
+    FixedArray,
+    InstructionSignature,
+    ParamInput,
+    instruction_signature_to_schema,
+)
+from cherry_spark.plans import Step, StepKind, process_steps
+from cherry_spark.plans.config import (
+    EvmDecodeEventsConfig,
+    EvmValidateBlockDataConfig,
+    GlaciersEventsConfig,
+    SvmDecodeInstructionsConfig,
+)
+from tests.blockchain_fixtures import (
+    EVM_BLOCKS_SCHEMA,
+    EVM_LOGS_SCHEMA,
+    JUP_DISCRIMINATOR,
+    SVM_INSTRUCTIONS_SCHEMA,
+    TRANSFER_SIG,
+    TRANSFER_TOPIC0,
+    evm_rows,
+    svm_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def evm_batch(spark):
+    blocks, logs, expected = evm_rows(100)
+    return {
+        "blocks": spark.createDataFrame(blocks, EVM_BLOCKS_SCHEMA),
+        "logs": spark.createDataFrame(logs, EVM_LOGS_SCHEMA),
+    }, logs, expected
+
+
+def test_evm_decode_transfer(spark, evm_batch):
+    batch, logs, expected = evm_batch
+    out = process_steps(
+        batch,
+        [
+            Step(
+                StepKind.EVM_DECODE_EVENTS,
+                EvmDecodeEventsConfig(TRANSFER_SIG, allow_decode_fail=True),
+            )
+        ],
+    )
+    decoded = out["decoded_logs"].orderBy("log_index").collect()
+    assert len(decoded) == len(logs)  # 1-row-in/1-row-out
+    for i, row in enumerate(decoded):
+        from_a, to_a, amount = expected[i]
+        is_transfer = bytes(logs[i][4]) == TRANSFER_TOPIC0
+        # decode is unconditional on payload shape; fail-path rows (non-
+        # transfer topic0) still decode since layout matches — semantics
+        # match the reference kernel, which decodes what it can.
+        assert bytes(row["from"]) == from_a
+        assert bytes(row["to"]) == to_a
+        assert int(row["amount"]) == amount
+        # hstack keeps originals
+        assert row["block_number"] == logs[i][0]
+        assert is_transfer == (bytes(row["topic0"]) == TRANSFER_TOPIC0)
+
+
+def test_evm_decode_null_on_missing_topic(spark):
+    rows = [(1, None, 0, b"\x00" * 20, TRANSFER_TOPIC0, None, None, None, b"\x00" * 32)]
+    batch = {"logs": spark.createDataFrame(rows, EVM_LOGS_SCHEMA)}
+    out = process_steps(
+        batch,
+        [
+            Step(
+                StepKind.EVM_DECODE_EVENTS,
+                EvmDecodeEventsConfig(TRANSFER_SIG, allow_decode_fail=True),
+            )
+        ],
+    )
+    row = out["decoded_logs"].first()
+    assert row["from"] is None and row["to"] is None and row["amount"] is None
+
+
+def test_evm_decode_raises_without_allow_fail(spark):
+    rows = [(1, None, 0, b"\x00" * 20, TRANSFER_TOPIC0, None, None, None, b"bad")]
+    batch = {"logs": spark.createDataFrame(rows, EVM_LOGS_SCHEMA)}
+    out = process_steps(
+        batch,
+        [
+            Step(
+                StepKind.EVM_DECODE_EVENTS,
+                EvmDecodeEventsConfig(TRANSFER_SIG, allow_decode_fail=False),
+            )
+        ],
+    )
+    with pytest.raises(Exception, match="undecodable|USER_RAISED"):
+        out["decoded_logs"].collect()
+
+
+def test_evm_decode_dynamic_string(spark):
+    # event Named(string name, uint256 id) — dynamic head/tail layout
+    name = b"cherry-spark"
+    head = (64).to_bytes(32, "big") + (7).to_bytes(32, "big")
+    tail = len(name).to_bytes(32, "big") + name + b"\x00" * (32 - len(name))
+    rows = [(1, None, 0, b"\x00" * 20, b"\x00" * 32, None, None, None, head + tail)]
+    batch = {"logs": spark.createDataFrame(rows, EVM_LOGS_SCHEMA)}
+    out = process_steps(
+        batch,
+        [
+            Step(
+                StepKind.EVM_DECODE_EVENTS,
+                EvmDecodeEventsConfig(
+                    "Named(string name, uint256 id)", allow_decode_fail=True
+                ),
+            )
+        ],
+    )
+    row = out["decoded_logs"].first()
+    assert row["name"] == "cherry-spark"
+    assert int(row["id"]) == 7
+
+
+JUP_SIG = InstructionSignature(
+    discriminator=JUP_DISCRIMINATOR,
+    params=[
+        ParamInput("amm", "pubkey"),
+        ParamInput("input_mint", "pubkey"),
+        ParamInput("input_amount", "u64"),
+        ParamInput("output_mint", "pubkey"),
+        ParamInput("output_amount", "u64"),
+    ],
+    accounts_names=["payer", "authority"],
+)
+
+
+def test_svm_decode_instructions(spark):
+    rows, expected = svm_rows(60)
+    batch = {"instructions": spark.createDataFrame(rows, SVM_INSTRUCTIONS_SCHEMA)}
+    out = process_steps(
+        batch,
+        [
+            Step(
+                StepKind.SVM_DECODE_INSTRUCTIONS,
+                SvmDecodeInstructionsConfig(JUP_SIG, allow_decode_fail=True),
+            )
+        ],
+    )
+    got = out["decoded_instructions"].orderBy("block_slot", "transaction_index").collect()
+    assert len(got) == len(rows)
+    for i, row in enumerate(got):
+        if expected[i] is None:
+            assert row["amm"] is None and row["input_amount"] is None
+        else:
+            amm, in_mint, in_amt, out_mint, out_amt = expected[i]
+            assert bytes(row["amm"]) == amm
+            assert bytes(row["input_mint"]) == in_mint
+            assert int(row["input_amount"]) == in_amt
+            assert bytes(row["output_mint"]) == out_mint
+            assert int(row["output_amount"]) == out_amt
+        # account renaming
+        assert bytes(row["payer"]) == bytes(rows[i][4])
+        assert bytes(row["authority"]) == bytes(rows[i][5])
+
+
+def test_svm_schema_compiler():
+    schema = instruction_signature_to_schema(JUP_SIG)
+    assert [f.name for f in schema.fields] == [
+        "amm", "input_mint", "input_amount", "output_mint", "output_amount",
+        "payer", "authority",
+    ]
+    assert schema["input_amount"].dataType.simpleString() == "decimal(20,0)"
+
+
+def test_svm_decode_variable_string(spark):
+    sig = InstructionSignature(
+        discriminator=b"\x01\x02",
+        params=[
+            ParamInput("tag", "u16"),
+            ParamInput("memo", "string"),
+            ParamInput("after", "u32"),
+        ],
+    )
+    memo = "hello solana"
+    payload = (
+        b"\x01\x02"
+        + (513).to_bytes(2, "little")
+        + len(memo).to_bytes(4, "little")
+        + memo.encode()
+        + (77).to_bytes(4, "little")
+    )
+    rows = [(1, 0, b"\x00" * 32, payload, *[None] * 10)]
+    batch = {"instructions": spark.createDataFrame(rows, SVM_INSTRUCTIONS_SCHEMA)}
+    out = process_steps(
+        batch,
+        [
+            Step(
+                StepKind.SVM_DECODE_INSTRUCTIONS,
+                SvmDecodeInstructionsConfig(sig, allow_decode_fail=True),
+            )
+        ],
+    )
+    row = out["decoded_instructions"].first()
+    assert row["tag"] == 513
+    assert row["memo"] == memo
+    assert row["after"] == 77
+
+
+def test_validate_block_data(spark, evm_batch):
+    batch, _, _ = evm_batch
+    out = process_steps(
+        batch,
+        [Step(StepKind.EVM_VALIDATE_BLOCK_DATA, EvmValidateBlockDataConfig())],
+    )
+    assert out is not None  # consistent batch passes
+
+    from cherry_spark.operators.validate import BlockValidationError
+
+    bad_logs = batch["logs"].withColumn(
+        "block_number", F.col("block_number") + F.lit(10**6)
+    )
+    with pytest.raises(BlockValidationError):
+        process_steps(
+            {"blocks": batch["blocks"], "logs": bad_logs},
+            [Step(StepKind.EVM_VALIDATE_BLOCK_DATA, EvmValidateBlockDataConfig())],
+        )
+
+
+def test_glaciers_multi_signature_decode(spark, evm_batch):
+    batch, logs, _ = evm_batch
+    abi_db = spark.createDataFrame(
+        [
+            (bytes(logs[0][3]), TRANSFER_TOPIC0, TRANSFER_SIG),
+            (bytes(logs[1][3]), TRANSFER_TOPIC0, TRANSFER_SIG),
+            (bytes(logs[2][3]), TRANSFER_TOPIC0, TRANSFER_SIG),
+        ],
+        "address binary, topic0 binary, event_signature string",
+    )
+    b = dict(batch)
+    b["abi_db"] = abi_db
+    out = process_steps(
+        b, [Step(StepKind.GLACIERS_EVENTS, GlaciersEventsConfig())]
+    )
+    decoded = out["decoded_logs"].collect()
+    assert len(decoded) > 0
+    assert all(r["event_signature"] == TRANSFER_SIG for r in decoded)
+    assert all(r["amount"] is not None for r in decoded)
