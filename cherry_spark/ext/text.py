@@ -1,0 +1,103 @@
+"""Text analysis for training-data curation: stats, quality scoring,
+language ID, token counting, fingerprinting — all native column
+expressions (no UDFs; every operator is one scan + optional group-by)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cherry_spark.ext.dedup import tokens_col
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic —
+# deterministic and SQL-expressible (real pipelines would broadcast a
+# bigger lexicon; the operator shape is identical)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "data"],
+    "de": ["der", "die", "und", "von", "daten"],
+    "es": ["el", "la", "de", "los", "datos"],
+    "fr": ["le", "la", "et", "de", "données"],
+    "zh": ["的", "和", "是", "数据", "值"],
+}
+
+
+def text_stats_columns(text: Column) -> dict[str, Column]:
+    """Length / word / punctuation / whitespace stats."""
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "alpha_ratio": F.round(n_alpha.cast("double") / n_chars, 6),
+        "digit_ratio": F.round(n_digit.cast("double") / n_chars, 6),
+        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+        "avg_word_len": F.round(
+            F.aggregate(
+                F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, v: a + v
+            ).cast("double")
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ),
+    }
+
+
+def token_count(text: Column, pattern: str = r"[A-Za-z0-9]+") -> Column:
+    """BPE-ish token proxy: count of alnum runs (regexp, JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    toks = tokens_col(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Heuristic quality in [0,1]: penalize very short docs, low alpha
+    ratio, and zero stopword presence (boilerplate/noise signals —
+    the C4/Gopher-style rule family, expressed as one column)."""
+    stats = text_stats_columns(text)
+    sw = stopwords or LANG_STOPWORDS["en"]
+    sw_ratio = stopword_hits(text, sw).cast("double") / F.greatest(
+        stats["n_words"], F.lit(1)
+    )
+    length_term = F.least(stats["n_words"].cast("double") / 64.0, F.lit(1.0))
+    score = (
+        0.4 * length_term
+        + 0.4 * stats["alpha_ratio"]
+        + 0.2 * F.least(sw_ratio * 5.0, F.lit(1.0))
+    )
+    return F.round(score, 6)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-hit argmax over the language lexicons; deterministic
+    alphabetical tiebreak; 'und' (undetermined) when no hits at all."""
+    langs = sorted(LANG_STOPWORDS)
+    hit_cols = {lang: stopword_hits(text, LANG_STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*[hit_cols[lang] for lang in langs])
+    expr = F.lit("und")
+    # reversed: earlier alphabetical languages win ties (last when wins)
+    for lang in reversed(langs):
+        expr = F.when((best > 0) & (hit_cols[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
+    """Order-sensitive document fingerprint: position-weighted word-hash
+    sum mod p (a rolling-hash family where the per-word hash is cheap
+    and SQL-portable: 31·len(w) + first-char code)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+    word_h = lambda i: (  # noqa: E731
+        F.lit(31).cast("long") * F.length(F.element_at(toks, i))
+        + F.ascii(F.element_at(toks, i))
+    )
+    weighted = F.transform(idx, lambda i: i.cast("long") * word_h(i))
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return F.when(n > 0, F.pmod(total, F.lit(modulus))).otherwise(F.lit(0).cast("long"))

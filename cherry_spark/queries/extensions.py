@@ -1,0 +1,329 @@
+"""Extension operator queries (SURVEY §2.10): dedup, similarity search,
+text analysis on the documents/embeddings fixtures.
+
+Oracle notes: everything except the xxhash64-based operators (MinHash
+LSH, SimHash, hyperplane ANN) has an exact DuckDB twin. The hash-based
+ones are deterministic (seeded xxhash64) but DuckDB has no xxhash64, so
+they get rows-only driver checks plus structural unit tests.
+
+Cross-engine float rule: cosine similarities are ROUND(·, 6) in both
+engines — the dot-product fold order differs between engines, so raw
+doubles can differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_spark.catalog import query
+from cherry_spark.ext.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from cherry_spark.ext.similarity import brute_force_topk, lsh_bucket_topk
+from cherry_spark.ext.text import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    text_stats_columns,
+    token_count,
+)
+from cherry_spark.sources.tables import load_table
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t != '')"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS}) AS n_words,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                 / length(text), 6) AS alpha_ratio,
+           round(list_sum(list_transform({_TOKS}, t -> length(t)))::DOUBLE
+                 / greatest(len({_TOKS}), 1), 6) AS avg_word_len
+    FROM documents
+    """,
+    doc="Per-document text statistics (length/word/alpha ratios) — "
+    "native regexp+array exprs, one scan.",
+)
+def text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_words"].alias("n_words"),
+        stats["alpha_ratio"].alias("alpha_ratio"),
+        stats["avg_word_len"].alias("avg_word_len"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+               AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Token counting (alnum-run regexp proxy for BPE) aggregated per "
+    "language label.",
+)
+def token_count_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, t -> list_contains([{words}], t)))"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS label,
+               {_lang_hits_sql('de')} AS h_de,
+               {_lang_hits_sql('en')} AS h_en,
+               {_lang_hits_sql('es')} AS h_es,
+               {_lang_hits_sql('fr')} AS h_fr,
+               {_lang_hits_sql('zh')} AS h_zh
+        FROM documents
+    )
+    SELECT doc_id, label,
+           CASE
+             WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+             WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+             WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+             WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+             WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+             ELSE 'zh'
+           END AS predicted
+    FROM scored
+    """,
+    doc="Language-ID heuristic: stopword-hit argmax with alphabetical "
+    "tiebreak (lexicons in ext/text.py).",
+)
+def lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        language_id(F.col("text")).alias("predicted"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN len({_TOKS}) > 0 THEN
+             list_sum(list_transform({_TOKS},
+                 (t, i) -> i::BIGINT * (31 * length(t) + ascii(t))))
+             % 1000000007
+           ELSE 0 END AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+    doc="Order-sensitive rolling document fingerprint: position-weighted "
+    "word-hash sum mod p (DuckDB list lambdas are 1-based, matching the "
+    "Spark sequence(1, n) form).",
+)
+def doc_fingerprint_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             0.4 * least(len({_TOKS})::DOUBLE / 64.0, 1.0)
+           + 0.4 * round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                         / length(text), 6)
+           + 0.2 * least(
+               (len(list_filter({_TOKS},
+                    t -> list_contains(['the','and','of','to','data'], t)))::DOUBLE
+                / greatest(len({_TOKS}), 1)) * 5.0, 1.0)
+           , 6) AS quality
+    FROM documents
+    """,
+    doc="Heuristic quality score (length + alpha-ratio + stopword terms, "
+    "C4/Gopher-rule family shape).",
+)
+def quality_score_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang, source ORDER BY n_chars DESC, doc_id
+        ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Exact dedup keep-best: one row per (lang, source) keeping the "
+    "longest doc — row_number window, single shuffle on the dedup key.",
+)
+def exact_dedup_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(
+        docs, ["lang", "source"], order_by=[F.col("n_chars").desc(), F.col("doc_id")]
+    ).select("lang", "source", "doc_id", "n_chars")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len(list_filter(string_split(text,' '), t -> t != '')) - 2, 0)),
+                   i -> concat_ws(' ',
+                        list_filter(string_split(text,' '), t -> t != '')[i+1],
+                        list_filter(string_split(text,' '), t -> t != '')[i+2],
+                        list_filter(string_split(text,' '), t -> t != '')[i+3])
+               )) AS sh
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    """,
+    doc="EXACT n-gram Jaccard near-dup pairs. Spark uses the scalable "
+    "inverted-shingle-index plan (explode + equi-join + count, never "
+    "n²); the oracle cross-joins the subset directly — same result, "
+    "which is the point: the distributed plan is a pure optimization.",
+)
+def ngram_jaccard_pairs_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@query(
+    "minhash_lsh_dedup",
+    oracle=None,  # xxhash64 hash family not available in DuckDB
+    doc="MinHash(128) + 32-band LSH candidates, verified with exact "
+    "shingle Jaccard >= 0.8. Deterministic (seeded xxhash64); rows-only "
+    "driver check + structural unit tests (LSH pairs are a subset of "
+    "exact pairs and recall is ~1 at 0.8).",
+)
+def minhash_lsh_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+
+
+@query(
+    "simhash_dedup",
+    oracle=None,  # xxhash64-based
+    doc="64-bit SimHash fingerprints + bucket sizes (near-dup texts "
+    "collide or differ in few bits; compare via bit_count(a^b)).",
+)
+def simhash_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", simhash64(F.col("text")).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("bucket_size"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("bucket_size") >= 1)
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               round(
+                 (SELECT SUM(e.embedding[i+1]::DOUBLE * q.qvec[i+1]::DOUBLE)
+                  FROM UNNEST(range(64)) AS r(i))
+                 / (sqrt((SELECT SUM(e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i)))
+                  * sqrt((SELECT SUM(q.qvec[i+1]::DOUBLE * q.qvec[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i))))
+               , 6) AS sim
+        FROM embeddings e, q
+    )
+    SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force cosine top-k vs the vec_id=0 query vector — "
+    "broadcast single-row query side, one corpus pass, TakeOrdered.",
+)
+def cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(emb, qdf, k=10).select("vec_id", "sim")
+
+
+@query(
+    "embed_neardup_pairs",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(
+                 (SELECT SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
+                  FROM UNNEST(range(64)) AS r(i))
+                 / (sqrt((SELECT SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i)))
+                  * sqrt((SELECT SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i))))
+               , 6) AS sim
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    )
+    SELECT id1, id2, sim FROM pairs WHERE sim >= 0.3
+    """,
+    doc="Embedding-cosine near-duplicate pairs (subset all-pairs at "
+    "fixture scale; the LSH-bucketed variant is the 100 TB path).",
+)
+def embed_neardup_pairs(spark, sf_dir):
+    from cherry_spark.ext.similarity import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=None,  # hyperplanes derive from xxhash64
+    doc="Approximate NN: random-hyperplane LSH bucket join then exact "
+    "cosine within the bucket — the scale path for similarity search.",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_bucket_topk(emb, qdf, dim=64, k=5, n_planes=8)

@@ -1,0 +1,91 @@
+"""Structural tests for the extension operators (dedup / similarity /
+text) — especially the xxhash64-based ones that have no DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_spark.ext.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from cherry_spark.ext.similarity import brute_force_topk, cosine_similarity, lsh_bucket
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different words about spark query engines and parquet files"
+    rows = [(0, base), (1, near), (2, other), (3, base)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()
+    found = {(r["id1"], r["id2"]) for r in pairs}
+    assert (0, 3) in found  # exact duplicate pair
+    assert (0, 1) in found or (1, 3) in found  # near-dup pair
+    assert all(p[0] != 2 and p[1] != 2 for p in found)  # unrelated doc excluded
+    for r in pairs:
+        if (r["id1"], r["id2"]) == (0, 3):
+            assert r["jaccard"] == 1.0
+
+
+def test_minhash_subset_of_exact(spark):
+    docs = _docs(spark)
+    lsh = {(r["id1"], r["id2"]) for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}
+    exact = {
+        (r["id1"], r["id2"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # verification guarantees precision
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark).select("doc_id", simhash64(F.col("text")).alias("fp"))
+    fps = {r["doc_id"]: r["fp"] for r in df.collect()}
+    assert fps[0] == fps[3]  # identical text -> identical fingerprint
+    ham_near = bin((fps[0] ^ fps[1]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((fps[0] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 9), (3, "b", 1)], "id long, k string, v long"
+    )
+    kept = exact_dedup(df, ["k"], order_by=[F.col("v").desc()]).collect()
+    by_k = {r["k"]: r["id"] for r in kept}
+    assert by_k == {"a": 2, "b": 3}
+    assert exact_dedup(df, ["k"]).count() == 2
+
+
+def test_cosine_similarity_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    sims = [r["s"] for r in df.select(F.round(cosine_similarity(F.col("a"), F.col("b")), 6).alias("s")).collect()]
+    assert sims[0] == 1.0 and sims[1] == 0.0 and abs(sims[2] - 0.707107) < 1e-6
+
+
+def test_brute_force_topk_self_first(spark, sf_dir):
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(7).alias("query_id"), F.col("embedding")
+    )
+    top = brute_force_topk(emb, q, k=3).orderBy(F.col("sim").desc()).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["sim"] == 1.0  # self is nearest
+    assert len(top) == 3
+
+
+def test_lsh_bucket_deterministic(spark, sf_dir):
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    b1 = emb.select("vec_id", lsh_bucket(F.col("embedding"), 64, 8).alias("b")).collect()
+    b2 = emb.select("vec_id", lsh_bucket(F.col("embedding"), 64, 8).alias("b")).collect()
+    assert {r["vec_id"]: r["b"] for r in b1} == {r["vec_id"]: r["b"] for r in b2}
