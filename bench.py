@@ -1,0 +1,90 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the noop sink (no
+collect/driver transfer in the timing). One warmup pass amortizes JVM
+and code-gen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+HEADLINE = [
+    # relational core
+    "flagship_revenue_by_nation",
+    "groupby_sum",
+    "join_inner_eq",
+    "semi_join_related",
+    "topk_orderby_limit",
+    "window_rownum_dedup",
+    "window_tumbling_agg",
+    "json_extract",
+    # step library
+    "decode_fixedwidth",
+    "hex_encode",
+    "cast_by_type",
+    # training-data extensions
+    "text_stats",
+    "token_count",
+    "exact_dedup_docs",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from cherry_spark.catalog import REGISTRY, all_queries
+    from cherry_spark.session import get_spark
+
+    queries = all_queries()
+    spark = get_spark("cherry_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + whole-stage codegen + parquet footer caches
+    materialize(REGISTRY["flagship_revenue_by_nation"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

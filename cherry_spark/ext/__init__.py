@@ -5,7 +5,7 @@ beyond the reference's surface, designed for 100 TB Spark execution."""
 from cherry_spark.ext.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
-    minhash_signature,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
 )

@@ -48,29 +48,31 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, shingle))
 
 
-def minhash_signature(
-    text: Column, n_hashes: int = 128, shingle_k: int = 3
-) -> Column:
-    """MinHash signature: array of n_hashes minima over shingle hashes.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature columns h0..h{n-1}.
 
-    Hash family h_i(s) = xxhash64(s, seed=i) — independent seeded
-    instances of the built-in 64-bit hash; min folds stay inside
-    whole-stage codegen.
+    Distributed shape: explode shingles into postings, hash each posting
+    under n seeded xxhash64 instances, groupBy(id) with n MIN aggregates
+    (map-side partial min -> one shuffle on id). The aggregation is also
+    an optimizer barrier: the shingle pipeline is evaluated exactly once
+    per document — a nested-array formulation gets inlined n× by
+    project-collapse and blows up the expression tree.
     """
-    sh = word_shingles(text, shingle_k)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(n_hashes)]
+    postings = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
     )
-
-
-def band_keys(signature: Column, bands: int, rows: int) -> Column:
-    """Split the signature into ``bands`` bands of ``rows`` values; each
-    band key is a hash of (band_index, band slice)."""
-    return F.array(
-        *[
-            F.xxhash64(F.lit(b), *[signature[b * rows + r] for r in range(rows)])
-            for b in range(bands)
-        ]
+    hashed = postings.select(
+        "id", *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
     )
 
 
@@ -86,18 +88,22 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: MinHash banding for candidates, exact
     shingle-set Jaccard verification of candidates only.
 
-    shuffle profile: explode(bands) -> self-join on band key (bounded
-    buckets) -> distinct pairs -> one join back for verification. The
-    n² compare never materializes.
+    shuffle profile: postings agg (one shuffle) -> explode(bands) ->
+    self-join on band key (bounded buckets) -> distinct pairs -> one
+    join back for verification. The n² compare never materializes.
     """
     rows = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-        minhash_signature(F.col(text_col), n_hashes, shingle_k).alias("sig"),
-    ).withColumn("bands", band_keys(F.col("sig"), bands, rows))
-
-    exploded = base.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    banded = sig.select(
+        "id",
+        F.array(
+            *[
+                F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+                for b in range(bands)
+            ]
+        ).alias("bands"),
+    )
+    exploded = banded.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
     a, b = exploded.alias("a"), exploded.alias("b")
     candidates = (
         a.join(
@@ -110,7 +116,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select("id", "shingles")
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    )
     verified = (
         candidates.join(sh.withColumnsRenamed({"id": "id1", "shingles": "sh1"}), "id1")
         .join(sh.withColumnsRenamed({"id": "id2", "shingles": "sh2"}), "id2")
@@ -171,36 +180,35 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column, shingle_k: int = 1) -> Column:
-    """64-bit SimHash fingerprint, fully native.
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash fingerprints: (id, fingerprint) DataFrame.
 
-    Per token: xxhash64 -> 64 sign contributions (+1/-1 per bit);
-    aggregate element-wise over tokens; fingerprint bit b set when the
-    summed contribution is positive. Near-dup texts differ in few bits
-    (compare with ``F.bit_count(a ^ b)``).
+    Distributed shape (same reasoning as minhash_signatures): explode
+    tokens, one xxhash64 per token row, 64 conditional-SUM aggregates
+    (sign contribution per bit, map-side partial sums -> one shuffle on
+    id), then pack bits whose sum is positive. Near-dup texts differ in
+    few bits — compare with ``F.bit_count(a ^ b)``.
     """
-    toks = word_shingles(text, shingle_k) if shingle_k > 1 else tokens_col(text)
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(64)])
-
-    def contrib(t: Column) -> Column:
-        h = F.xxhash64(t)
-        return F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
                 .cast("long")
-                for b in range(64)
-            ]
-        )
-
-    sums = F.aggregate(
-        toks, zero, lambda acc, t: F.zip_with(acc, contrib(t), lambda x, y: x + y)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
     )
     fingerprint = F.lit(0).cast("long")
     for b in range(64):
         # bit 63 is the sign bit: its set-form is Long.MIN_VALUE
         bit_val = F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
         fingerprint = fingerprint.bitwiseOR(
-            F.when(sums[b] > 0, bit_val).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"s{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
         )
-    return fingerprint
+    return sums.select("id", fingerprint.alias("fingerprint"))

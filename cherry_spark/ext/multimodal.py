@@ -1,0 +1,129 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata, with Arrow-batched decode/feature plumbing.
+
+Real in this module (and tested): the schema convention, the
+mapInPandas batch shape (iterator of pandas frames — constant memory
+per batch regardless of partition size), partition-count control for
+decode fan-out, and deterministic header parsing. Stubbed behind
+``CHERRY_FAKE_CODECS`` (this container has no image/audio libraries,
+so true pixel/sample decoding raises NotImplementedError; the fake
+codec derives deterministic features from the payload bytes instead —
+same schema, same batching, same scale behavior).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHERRY_FAKE_CODECS = True  # no PIL/ffmpeg in this environment
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def read_binary_files(spark, path: str, pattern: str = "*") -> DataFrame:
+    """Ingest raw media files as (path, modificationTime, length, content)
+    — Spark's binaryFile source; at scale, partitioned by directory
+    layout the same way parquet tables are."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+
+
+def _fake_image_decode(payload: bytes, dim: int = 8) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for pixel decoding: header-derived shape +
+    sha256-derived feature vector. Replace with PIL/torchvision on a
+    cluster with codecs installed."""
+    if len(payload) >= 8:
+        width = int.from_bytes(payload[0:4], "big") % 4096
+        height = int.from_bytes(payload[4:8], "big") % 4096
+    else:
+        width = height = 0
+    digest = hashlib.sha256(payload).digest()
+    feature = [b / 255.0 for b in digest[:dim]]
+    return width, height, 3, feature
+
+
+def decode_image_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """media rows -> image features via mapInPandas.
+
+    The UDF consumes an iterator of Arrow-backed pandas batches: memory
+    is bounded by spark.sql.execution.arrow.maxRecordsPerBatch, not by
+    partition size — the correct shape for 100 MB+ payload columns.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib  # re-import: runs on executors
+
+        def one(payload):
+            if payload is None:
+                return (None, None, None, None)
+            if not CHERRY_FAKE_CODECS:
+                raise NotImplementedError(
+                    "real image decoding requires PIL/torchvision on executors"
+                )
+            b = bytes(payload)
+            w = int.from_bytes(b[0:4], "big") % 4096 if len(b) >= 8 else 0
+            h = int.from_bytes(b[4:8], "big") % 4096 if len(b) >= 8 else 0
+            digest = _hashlib.sha256(b).digest()
+            return (w, h, 3, [x / 255.0 for x in digest[:feature_dim]])
+
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "feature": [d[3] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    index (the decode of each frame is the stubbed step). Demonstrates
+    the explode-based fan-out that keeps frame extraction distributed."""
+    n_frames = (F.coalesce(F.col("meta.n_bytes"), F.lit(0)) / 1024).cast("int")
+    frame_ids = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_nth)
+    )
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", F.explode(frame_ids).alias("frame_index")
+    )

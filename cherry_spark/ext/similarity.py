@@ -76,24 +76,48 @@ def brute_force_topk(
 
 
 def _hyperplane(plane_idx: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d in [-0.5, 0.5)
-    from xxhash64(plane_idx, d)."""
-    return F.array(
-        *[
-            (F.pmod(F.xxhash64(F.lit(plane_idx), F.lit(d)), F.lit(10**6)) / 1e6 - 0.5)
-            for d in range(dim)
-        ]
-    )
+    """Deterministic pseudo-random hyperplane baked in as a constant
+    array literal (sha256-derived components in [-0.5, 0.5)) — computed
+    once on the driver, constant-folded in the plan; per-row work is
+    only the dot product."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.sha256(f"cherry_plane:{plane_idx}:{d}".encode()).digest()
+        comps.append(int.from_bytes(h[:8], "big") % 10**6 / 1e6 - 0.5)
+    return F.array(*[F.lit(c) for c in comps])
+
+
+def _plane_components(plane_idx: int, dim: int) -> list[float]:
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.sha256(f"cherry_plane:{plane_idx}:{d}".encode()).digest()
+        comps.append(int.from_bytes(h[:8], "big") % 10**6 / 1e6 - 0.5)
+    return comps
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Random-hyperplane signature: bit p = sign(v · plane_p) packed
-    into a long — the ANN bucket key."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        bit = F.when(dot(vec, _hyperplane(p, dim)) > 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket.bitwiseOR(F.shiftleft(bit.cast("long"), p))
-    return bucket
+    """Random-hyperplane signature packed into a long — the ANN bucket
+    key. The plane matrix is ONE constant 2-D array literal and the
+    signature is a fold ``acc*2 + sign_bit`` over planes: the expression
+    tree stays small (a 512-term unrolled form costs seconds of JVM
+    codegen per stage it appears in), and plane data is constant-folded.
+    """
+    planes = F.array(
+        *[
+            F.array(*[F.lit(c) for c in _plane_components(p, dim)])
+            for p in range(n_planes)
+        ]
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_planes)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * 2
+        + F.when(dot(vec, F.element_at(planes, p.cast("int"))) > 0, 1).otherwise(0),
+    )
 
 
 def lsh_bucket_topk(

@@ -240,10 +240,10 @@ def minhash_lsh_dedup(spark, sf_dir):
 )
 def simhash_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", simhash64(F.col("text")).alias("fingerprint"))
+    fp = simhash64(docs)
     return (
         fp.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("bucket_size"), F.min("doc_id").alias("keep_doc_id"))
+        .agg(F.count(F.lit(1)).alias("bucket_size"), F.min("id").alias("keep_doc_id"))
         .filter(F.col("bucket_size") >= 1)
     )
 

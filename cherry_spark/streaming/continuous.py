@@ -1,0 +1,88 @@
+"""Continuous ingestion: the reference's unbounded loop
+(reference pipeline.py:110-126) in two Spark forms:
+
+- :func:`run_continuous` — batch-driven loop over a replay/provider
+  iterator with cursor-resume (exactly the reference's model: process a
+  micro-batch, write anchor-last, repeat; resume = MAX(cursor) read
+  back from the sink, reference examples/erc20_custom.py:41-50,90);
+- :func:`run_structured_stream` — native Structured Streaming: a
+  readStream source into foreachBatch, where each micro-batch runs the
+  same step chain and writer; checkpointLocation supersedes the manual
+  cursor when the source supports it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cherry_spark.plans.config import Batch, Pipeline
+from cherry_spark.plans.pipeline import process_steps
+
+
+def read_resume_cursor(
+    spark: SparkSession, anchor_path: str, cursor_col: str
+) -> int | None:
+    """MAX(cursor) from the anchor table's parquet output; None when the
+    sink is empty/absent (fresh start)."""
+    try:
+        df = spark.read.parquet(anchor_path)
+    except Exception:
+        return None
+    row = df.agg(F.max(cursor_col).alias("c")).first()
+    return None if row is None or row["c"] is None else int(row["c"])
+
+
+def run_continuous(
+    spark: SparkSession,
+    pipeline: Pipeline,
+    batches: Iterator[Batch],
+    on_batch=None,
+) -> int:
+    """Drain the batch iterator through steps + writer; returns the
+    number of batches processed. ``on_batch(i, processed)`` is the
+    progress hook (the reference logs min/max block per iteration,
+    examples/erc20_custom.py:58-65)."""
+    n = 0
+    for raw in batches:
+        if raw is None:
+            break
+        processed = process_steps(raw, pipeline.steps)
+        if pipeline.writer is not None:
+            pipeline.writer.push_data(processed)
+        if on_batch is not None:
+            on_batch(n, processed)
+        n += 1
+    return n
+
+
+def run_structured_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    pipeline: Pipeline,
+    table_name: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Structured Streaming driver: each micro-batch becomes a
+    single-table Batch run through the step chain, written anchor-last
+    inside foreachBatch (so ordering semantics match the batch path).
+
+    Returns the StreamingQuery; with availableNow the caller can
+    ``awaitTermination()`` for a bounded drain (the reference's
+    ``to_block`` case).
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        processed = process_steps({table_name: batch_df}, pipeline.steps)
+        if pipeline.writer is not None:
+            pipeline.writer.push_data(processed)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -43,8 +43,8 @@ def test_minhash_subset_of_exact(spark):
 
 
 def test_simhash_properties(spark):
-    df = _docs(spark).select("doc_id", simhash64(F.col("text")).alias("fp"))
-    fps = {r["doc_id"]: r["fp"] for r in df.collect()}
+    df = simhash64(_docs(spark))
+    fps = {r["id"]: r["fingerprint"] for r in df.collect()}
     assert fps[0] == fps[3]  # identical text -> identical fingerprint
     ham_near = bin((fps[0] ^ fps[1]) & ((1 << 64) - 1)).count("1")
     ham_far = bin((fps[0] ^ fps[2]) & ((1 << 64) - 1)).count("1")

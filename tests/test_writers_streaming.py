@@ -1,0 +1,135 @@
+"""Writers + continuous/streaming tests: anchor-last ordering, DuckDB
+transactional batch, parquet round-trip, replay-driven pipeline with
+cursor resume, structured streaming drain."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cherry_spark.plans import Pipeline, SetChainIdConfig, Step, StepKind
+from cherry_spark.streaming import range_batches, read_resume_cursor, run_continuous
+from cherry_spark.writers import (
+    DuckDbWriterConfig,
+    ParquetWriterConfig,
+    create_writer,
+)
+from cherry_spark.writers.clickhouse_writer import create_table_ddl, spark_type_to_clickhouse
+
+
+def test_parquet_writer_anchor_order(spark, tmp_path):
+    cfg = ParquetWriterConfig(path=str(tmp_path), anchor_table="blocks")
+    w = create_writer(cfg)
+    batch = {
+        "blocks": spark.createDataFrame([(1,)], "number long"),
+        "logs": spark.createDataFrame([(1, "x")], "block_number long, v string"),
+    }
+    assert w.anchor_last_order(batch) == ["logs", "blocks"]
+    w.push_data(batch)
+    assert spark.read.parquet(str(tmp_path / "logs")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "blocks")).count() == 1
+    # append semantics
+    w.push_data(batch)
+    assert spark.read.parquet(str(tmp_path / "blocks")).count() == 2
+
+
+def test_duckdb_writer_transactional(spark, tmp_path):
+    db = str(tmp_path / "out.duckdb")
+    w = create_writer(DuckDbWriterConfig(db_path=db, staging_dir=str(tmp_path / "stage")))
+    batch = {
+        "a": spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string"),
+        "b": spark.createDataFrame([(9.5,)], "val double"),
+    }
+    w.push_data(batch)
+    w.push_data(batch)  # second push must INSERT, not recreate
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM a").fetchone()[0] == 4
+    assert con.execute("SELECT count(*) FROM b").fetchone()[0] == 2
+    con.close()
+
+
+def test_clickhouse_ddl_compiler(spark):
+    df = spark.createDataFrame(
+        [(1, "x", b"\x00", 1.5)], "id long, name string, raw binary, score double"
+    )
+    ddl = create_table_ddl(
+        "t", df.schema, order_by=["id"], codecs={"raw": "ZSTD(3)"}
+    )
+    assert "`id` Nullable(Int64)" in ddl
+    assert "`raw` Nullable(String) CODEC(ZSTD(3))" in ddl
+    assert ddl.endswith("ENGINE = MergeTree() ORDER BY (id)")
+    from pyspark.sql import types as T
+
+    assert spark_type_to_clickhouse(T.DecimalType(38, 0)) == "Decimal(38, 0)"
+    assert (
+        spark_type_to_clickhouse(T.ArrayType(T.FloatType())) == "Array(Float32)"
+    )
+    assert (
+        spark_type_to_clickhouse(T.MapType(T.StringType(), T.LongType()))
+        == "Map(String, Int64)"
+    )
+
+
+def test_replay_pipeline_with_cursor_resume(spark, sf_dir, tmp_path):
+    """End-to-end continuous run: replay events in cursor windows through
+    a step chain into parquet, then resume from the written cursor."""
+    from cherry_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "batch_key", (F.col("event_id") / 100).cast("long")
+    )
+    out = str(tmp_path / "sink")
+    pipeline = Pipeline(
+        source=None,
+        steps=[Step(StepKind.SET_CHAIN_ID, SetChainIdConfig(1))],
+        writer=create_writer(ParquetWriterConfig(path=out, anchor_table="events")),
+    )
+    batches = range_batches(
+        spark, {"events": events}, {"events": "event_id"}, lo=0, hi=499, batch_size=250
+    )
+    n = run_continuous(spark, pipeline, batches)
+    assert n == 2
+    written = spark.read.parquet(os.path.join(out, "events"))
+    assert written.count() == 500
+    assert written.select(F.max("chain_id")).first()[0] == 1
+
+    cursor = read_resume_cursor(spark, os.path.join(out, "events"), "event_id")
+    assert cursor == 499
+    # resume: next window starts after the cursor
+    more = range_batches(
+        spark, {"events": events}, {"events": "event_id"}, lo=cursor + 1, hi=599, batch_size=100
+    )
+    assert run_continuous(spark, pipeline, more) == 1
+    assert spark.read.parquet(os.path.join(out, "events")).count() == 600
+    # fresh-start path
+    assert read_resume_cursor(spark, str(tmp_path / "missing"), "event_id") is None
+
+
+def test_structured_stream_drain(spark, sf_dir, tmp_path):
+    """Native Structured Streaming path: file source -> foreachBatch
+    running the step chain -> parquet sink, availableNow drain."""
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming import run_structured_stream
+
+    src_dir = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").drop("ts").write.parquet(src_dir)
+    stream_df = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+
+    out = str(tmp_path / "sink")
+    pipeline = Pipeline(
+        source=None,
+        steps=[Step(StepKind.SET_CHAIN_ID, SetChainIdConfig(42))],
+        writer=create_writer(ParquetWriterConfig(path=out)),
+    )
+    q = run_structured_stream(
+        spark, stream_df, pipeline, "events", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(os.path.join(out, "events"))
+    assert written.count() == load_table(spark, sf_dir, "events").count()
+    assert written.select(F.min("chain_id")).first()[0] == 42
