@@ -1,0 +1,245 @@
+"""Analytic surface beyond the reference: rollup/cube, set ops,
+pivot-style conditional aggregation, sessionization, range join,
+as-of join. These are Spark built-ins (or compositions) the reference
+could only reach through its escape hatches — here they are first-class
+and oracle-verified (SURVEY §2.4-2.5 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cherry_spark.catalog import query
+from cherry_spark.ext.asof import asof_join
+from cherry_spark.sources.tables import load_table
+
+_DEC = "decimal(18,2)"
+
+
+@query(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical totals via rollup (subtotal + grand-total rows; "
+    "null group keys canonicalize identically in both engines).",
+)
+def rollup_agg(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Full cube over two dimensions.",
+)
+def cube_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
+    )
+
+
+@query(
+    "intersect_keys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT (distinct) — customers with both open and filled orders.",
+)
+def intersect_keys(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersect(filled)
+
+
+@query(
+    "except_keys",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="EXCEPT (distinct) — customers who ordered but have no open "
+    "order; Spark plans a left-anti join.",
+)
+def except_keys(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    all_keys = o.select("o_custkey")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return all_keys.subtract(open_keys)  # EXCEPT DISTINCT (left-anti)
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Pivot as conditional aggregation (engine-portable form of "
+    "groupBy().pivot()).",
+)
+def pivot_status_counts(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+    ),
+    marked AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                         > 1800000000
+                     OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, us,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           (MAX(us) - MIN(us)) // 1000000 AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: 30-minute inactivity gap splits sessions — "
+    "lag + cumulative-sum windows, the batch twin of "
+    "F.session_window in streaming (SURVEY §2.9).",
+)
+def session_window_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    by_ts = Window.partitionBy("user_id").orderBy("us")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(by_ts) > 1_800_000_000, 1
+        ).when(F.lag("us").over(by_ts).isNull(), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_ts.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("duration_s"),
+    )
+
+
+@query(
+    "range_join_buckets",
+    oracle="""
+    WITH buckets(bucket_name, lo, hi) AS (
+        VALUES ('small', 0.0, 10.0), ('medium', 10.0, 35.0), ('large', 35.0, 51.0)
+    )
+    SELECT b.bucket_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM lineitem l JOIN buckets b
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket_name
+    """,
+    doc="Non-equi (range) join against a small bucket dim — broadcast "
+    "nested-loop on the tiny side; no shuffle of the fact table.",
+)
+def range_join_buckets(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = li.sparkSession.createDataFrame(
+        [("small", 0.0, 10.0), ("medium", 10.0, 35.0), ("large", 35.0, 51.0)],
+        "bucket_name string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("value"),
+        )
+    )
+
+
+@query(
+    "asof_join_latest_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, m.o_orderkey AS asof_orderkey
+    FROM events e
+    LEFT JOIN (
+        SELECT user_id, o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM (
+            SELECT o_custkey AS user_id, o_orderkey, o_orderdate FROM orders
+        )
+    ) m ON m.user_id = e.user_id AND m.rn = 1
+    """,
+    doc="As-of join (backward): each event picks the latest order of its "
+    "user with order_ts <= event_ts. Event timestamps (2024) postdate "
+    "every order, so the oracle reduces to latest-order-per-user — the "
+    "Spark side still exercises the general union+window as-of plan "
+    "(ext/asof.py: single shuffle, no range explosion).",
+)
+def asof_join_latest_order(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    joined = asof_join(
+        ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))),
+        orders.withColumn(
+            "ots_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ),
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts_us",
+        right_ts="ots_us",
+        value_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey")
+    )
