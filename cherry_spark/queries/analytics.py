@@ -200,6 +200,59 @@ def range_join_buckets(spark, sf_dir):
 
 
 @query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate >= TIMESTAMP '1998-01-01' AS late
+    FROM lineitem
+    """,
+    doc="DISTINCT projection (hash aggregate with map-side partial dedup).",
+)
+def distinct_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).alias("late"),
+    ).distinct()
+
+
+@query(
+    "null_group_agg",
+    oracle="""
+    SELECT NULLIF(o_orderstatus, 'P') AS status_or_null,
+           COUNT(*) AS n_rows,
+           COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonnull
+    FROM orders
+    GROUP BY NULLIF(o_orderstatus, 'P')
+    """,
+    doc="Null semantics: null group keys group together; COUNT(col) "
+    "skips nulls while COUNT(*) does not.",
+)
+def null_group_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null")
+    return o.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("P"))).alias("n_nonnull"),
+    )
+
+
+@query(
+    "approx_distinct",
+    oracle=None,  # HLL sketches differ across engines by design
+    doc="approx_count_distinct (HyperLogLog++) — the cardinality sketch "
+    "for 100 TB scale where exact distinct is a full shuffle; rows-only "
+    "check (sketch estimates are engine-specific).",
+)
+def approx_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@query(
     "asof_join_latest_order",
     oracle="""
     SELECT e.event_id, e.user_id, m.o_orderkey AS asof_orderkey

@@ -247,6 +247,64 @@ def decode_fixedwidth(spark, sf_dir):
 
 
 @query(
+    "borsh_decode_fixed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) * 1000000 + l_linenumber AS amount,
+           substr(sha256(CAST(l_suppkey AS VARCHAR)), 1, 64) AS supplier_hex
+    FROM lineitem
+    """,
+    doc="SVM_DECODE_INSTRUCTIONS fixed path: synthesize Borsh payloads "
+    "(8-byte discriminator + u64 little-endian amount + 32-byte pubkey) "
+    "from lineitem, decode through the real step (byte-swap hex "
+    "expressions), oracle recomputes expected values directly — an "
+    "encode->decode inversion check (reference steps/svm_decode_instructions.py).",
+)
+def borsh_decode_fixed(spark, sf_dir):
+    from cherry_spark.operators.decode_svm import InstructionSignature, ParamInput
+    from cherry_spark.plans.config import SvmDecodeInstructionsConfig
+
+    disc = bytes.fromhex("f8c69e91e17587c8")  # anchor discriminator for 'swap'
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (F.col("l_quantity").cast("long") * 1000000 + F.col("l_linenumber")).cast(
+        "long"
+    )
+    be_hex = F.lpad(F.lower(F.hex(amount)), 16, "0")
+    # little-endian = byte-reversed big-endian
+    le_hex = F.concat(*[F.substring(be_hex, 15 - 2 * i, 2) for i in range(8)])
+    payload = F.unhex(
+        F.concat(
+            F.lit(disc.hex()), le_hex, F.sha2(F.col("l_suppkey").cast("string"), 256)
+        )
+    )
+    instructions = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        payload.alias("data"),
+        *[F.lit(None).cast("binary").alias(f"a{i}") for i in range(10)],
+    )
+    sig = InstructionSignature(
+        discriminator=disc,
+        params=[ParamInput("amount", "u64"), ParamInput("supplier", "pubkey")],
+    )
+    out = process_steps(
+        {"instructions": instructions},
+        [
+            Step(
+                StepKind.SVM_DECODE_INSTRUCTIONS,
+                SvmDecodeInstructionsConfig(sig, allow_decode_fail=True),
+            )
+        ],
+    )
+    return out["decoded_instructions"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("amount").cast("long").alias("amount"),
+        F.lower(F.hex("supplier")).alias("supplier_hex"),
+    )
+
+
+@query(
     "base58_encode",
     oracle=None,  # DuckDB has no base58; unit-tested against known vectors
     doc="BASE58_ENCODE step over synthesized binary (reference "

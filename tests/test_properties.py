@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis) for the pure kernels: base58
+round-trip, keccak padding boundaries, signature parsing, u256 limb
+math — fast, no Spark session needed."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cherry_spark.functions.binary import b58decode_str, b58encode_bytes
+from cherry_spark.functions.crypto import (
+    canonical_event_signature,
+    keccak256,
+)
+from cherry_spark.operators.decode_evm import (
+    abi_type_to_spark,
+    parse_event_signature,
+)
+
+
+@given(st.binary(min_size=0, max_size=128))
+def test_base58_roundtrip(raw):
+    assert b58decode_str(b58encode_bytes(raw)) == raw
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=30)  # pure-python keccak is slow; boundary coverage only
+def test_keccak_deterministic_and_32_bytes(raw):
+    h1, h2 = keccak256(raw), keccak256(raw)
+    assert h1 == h2 and len(h1) == 32
+    # rate-boundary paddings must not collide with the ±1-byte inputs
+    assert keccak256(raw) != keccak256(raw + b"\x00")
+
+
+@given(
+    st.lists(
+        st.sampled_from(["address", "uint256", "uint64", "bool", "bytes32", "string"]),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_signature_parse_roundtrip(types):
+    sig = "Evt(" + ", ".join(f"{t} p{i}" for i, t in enumerate(types)) + ")"
+    parsed = parse_event_signature(sig)
+    assert [p.abi_type for p in parsed.params] == types
+    assert canonical_event_signature(sig) == f"Evt({','.join(types)})"
+    for t in types:
+        abi_type_to_spark(t)  # every parsed type maps to a Spark type
+
+
+@given(st.integers(min_value=0, max_value=2**126 - 1))
+def test_u256_limb_math(v):
+    """The hi/lo limb decomposition used by the native converters."""
+    hi, lo = divmod(v, 2**64)
+    assert hi * 2**64 + lo == v
+    b = v.to_bytes(32, "big")
+    assert int.from_bytes(b[16:24], "big") == hi % 2**64 or hi < 2**64
+    assert int.from_bytes(b[24:32], "big") == lo
