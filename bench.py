@@ -66,11 +66,17 @@ def main() -> None:
     materialize(REGISTRY["flagship_revenue_by_nation"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # second run: whole-stage-codegen compile amortized — the
+        # steady-state engine throughput a long-running cluster sees
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -80,6 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

@@ -1,0 +1,37 @@
+"""Curation pipeline integration test: stage invariants + end output."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_curation_pipeline(spark, sf_dir, tmp_path):
+    import examples.curation_pipeline as ex
+
+    out = str(tmp_path / "curated")
+    counts = ex.run(spark, sf_dir, out)
+    assert 0 < counts["curated"] <= counts["input"]
+
+    curated = spark.read.parquet(os.path.join(out, "curated"))
+    # partitioned by predicted language
+    assert any(
+        d.startswith("predicted_lang=") for d in os.listdir(os.path.join(out, "curated"))
+    )
+    # quality gate honored
+    assert curated.filter(F.col("quality") < 0.5).count() == 0
+    # exact dedup: no two docs share a fingerprint -> all texts distinct
+    assert (
+        curated.select("text").distinct().count() == curated.count()
+    )
+    # near-dup removal: no surviving pair with jaccard >= 0.85
+    from cherry_spark.ext.dedup import minhash_lsh_pairs
+
+    remaining_pairs = minhash_lsh_pairs(
+        curated, jaccard_threshold=0.85
+    ).count()
+    assert remaining_pairs == 0
+    # stats written last (anchor) and consistent
+    stats = spark.read.parquet(os.path.join(out, "stats"))
+    assert stats.agg(F.sum("n_docs")).first()[0] == counts["curated"]
