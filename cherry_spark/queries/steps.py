@@ -305,6 +305,61 @@ def borsh_decode_fixed(spark, sf_dir):
 
 
 @query(
+    "glaciers_decode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey % 2 = 0
+                THEN 'Transfer(address indexed from, address indexed to, uint256 amount)'
+                ELSE 'Approval(address indexed owner, address indexed spender, uint256 amount)'
+           END AS event_signature,
+           CAST(l_quantity AS BIGINT) AS amount
+    FROM lineitem
+    """,
+    doc="GLACIERS_EVENTS bulk decode: (address, topic0) broadcast-joined "
+    "ABI db routes each log slice to its signature's decoder, results "
+    "union (reference config.py:137-142, unwired there; wired here). "
+    "Oracle recomputes the synthesized expectation per signature.",
+)
+def glaciers_decode(spark, sf_dir):
+    from cherry_spark.functions.crypto import evm_signature_to_topic0
+    from cherry_spark.plans.config import GlaciersEventsConfig
+
+    sig_a = "Transfer(address indexed from, address indexed to, uint256 amount)"
+    sig_b = "Approval(address indexed owner, address indexed spender, uint256 amount)"
+    t0_a, t0_b = evm_signature_to_topic0(sig_a), evm_signature_to_topic0(sig_b)
+    addr_a, addr_b = b"\x11" * 20, b"\x22" * 20
+
+    li = load_table(spark, sf_dir, "lineitem")
+    even = F.col("l_orderkey") % 2 == 0
+    logs = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(even, F.lit(addr_a)).otherwise(F.lit(addr_b)).alias("address"),
+        F.when(even, F.lit(t0_a)).otherwise(F.lit(t0_b)).alias("topic0"),
+        F.unhex(F.sha2(F.col("l_orderkey").cast("string"), 256)).alias("topic1"),
+        F.unhex(F.sha2(F.col("l_partkey").cast("string"), 256)).alias("topic2"),
+        F.lit(None).cast("binary").alias("topic3"),
+        F.unhex(F.lpad(F.hex(F.col("l_quantity").cast("long")), 64, "0")).alias("data"),
+    )
+    abi_db = spark.createDataFrame(
+        [(addr_a, t0_a, sig_a), (addr_b, t0_b, sig_b)],
+        "address binary, topic0 binary, event_signature string",
+    )
+    out = process_steps(
+        {"logs": logs, "abi_db": abi_db},
+        [Step(StepKind.GLACIERS_EVENTS, GlaciersEventsConfig())],
+    )
+    decoded = out["decoded_logs"]
+    amount_col = F.coalesce(decoded["amount"], F.lit(None)).cast("long")
+    return decoded.select(
+        "l_orderkey",
+        "l_linenumber",
+        "event_signature",
+        amount_col.alias("amount"),
+    )
+
+
+@query(
     "base58_encode",
     oracle=None,  # DuckDB has no base58; unit-tested against known vectors
     doc="BASE58_ENCODE step over synthesized binary (reference "

@@ -227,6 +227,24 @@ def test_validate_block_data(spark, evm_batch):
         )
 
 
+def test_evm_decode_no_hstack(spark, evm_batch):
+    batch, logs, _ = evm_batch
+    out = process_steps(
+        batch,
+        [
+            Step(
+                StepKind.EVM_DECODE_EVENTS,
+                EvmDecodeEventsConfig(
+                    TRANSFER_SIG, allow_decode_fail=True, hstack=False,
+                    output_table="bare",
+                ),
+            )
+        ],
+    )
+    assert out["bare"].columns == ["from", "to", "amount"]
+    assert out["bare"].count() == len(logs)
+
+
 def test_glaciers_multi_signature_decode(spark, evm_batch):
     batch, logs, _ = evm_batch
     abi_db = spark.createDataFrame(
