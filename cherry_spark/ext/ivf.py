@@ -1,0 +1,126 @@
+"""IVF (inverted-file) approximate nearest neighbor: coarse k-means
+quantizer + probe-limited search — the other classic ANN scale path
+next to hyperplane LSH (ext/similarity.py).
+
+Fully deterministic (seed centroids are the lowest-id vectors, one
+Lloyd refinement pass) and fully DataFrame-native:
+
+- index: assign every vector to its nearest centroid — ONE column of
+  cluster ids; at 100 TB you'd write the corpus partitioned by it;
+- search: a query only scans the ``nprobe`` nearest clusters, i.e.
+  nprobe/n_centroids of the corpus, via an equi-join on cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cherry_spark.ext.similarity import cosine_similarity
+
+
+def _avg_vector(df: DataFrame, group_col: str, vec_col: str, out_col: str) -> DataFrame:
+    """Element-wise mean of array vectors per group (posexplode ->
+    per-dimension avg -> reassemble sorted)."""
+    exploded = df.select(group_col, F.posexplode(vec_col).alias("pos", "v"))
+    per_dim = exploded.groupBy(group_col, "pos").agg(F.avg("v").alias("v"))
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias(out_col)
+        )
+    )
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, centroid) — lowest-id seeds + one Lloyd pass."""
+    w = Window.orderBy(id_col)
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select("centroid_id", F.col(vec_col).alias("centroid"))
+    )
+    assigned = ivf_assign(vectors, seeds, id_col=id_col, vec_col=vec_col)
+    joined = assigned.join(vectors, on=id_col).select("centroid_id", vec_col)
+    return _avg_vector(joined, "centroid_id", vec_col, "centroid")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id): nearest centroid by cosine — broadcast the
+    (tiny) centroid table, per-row argmax via max_by."""
+    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.coalesce(sim, F.lit(-2.0)).alias("__sim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by("centroid_id", F.struct(F.col("__sim"), -F.col("centroid_id"))).alias(
+            "centroid_id"
+        )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe-limited exact search inside the nprobe nearest clusters."""
+    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    corpus = vectors.join(
+        ivf_assign(vectors, centroids, id_col, vec_col), on=id_col
+    )
+
+    # nprobe nearest centroids per query
+    qsim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    q_probe = (
+        query.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            "centroid_id",
+            F.coalesce(qsim, F.lit(-2.0)).alias("__csim"),
+        )
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__csim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("__rank") <= nprobe)
+        .select(query_id_col, "__qvec", "centroid_id")
+    )
+
+    scored = corpus.join(F.broadcast(q_probe), on="centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

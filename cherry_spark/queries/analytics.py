@@ -166,6 +166,55 @@ def session_window_agg(spark, sf_dir):
 
 
 @query(
+    "session_window_native",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+    ),
+    marked AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                         > 1800000000
+                     OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, us,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Built-in F.session_window (gap-merged sessions): window.start = "
+    "first event, window.end = last event + gap — the oracle derives the "
+    "same bounds from the manual lag/cumsum construction, proving the "
+    "two formulations equivalent.",
+)
+def session_window_native(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "range_join_buckets",
     oracle="""
     WITH buckets(bucket_name, lo, hi) AS (

@@ -316,6 +316,24 @@ def embed_neardup_pairs(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction (probe-limited search)
+    doc="IVF approximate NN: deterministic coarse k-means quantizer, "
+    "corpus partitioned by nearest-centroid id, queries probe only the "
+    "nprobe nearest clusters (ext/ivf.py) — the inverted-file scale "
+    "path next to hyperplane LSH.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    from cherry_spark.ext.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, qdf, k=5, n_centroids=16, nprobe=4)
+
+
+@query(
     "ann_lsh_topk",
     oracle=None,  # hyperplanes derive from xxhash64
     doc="Approximate NN: random-hyperplane LSH bucket join then exact "

@@ -1,0 +1,49 @@
+"""IVF ANN: determinism, self-retrieval, recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_spark.ext.ivf import ivf_assign, ivf_centroids, ivf_topk
+from cherry_spark.ext.similarity import brute_force_topk
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = {r["centroid_id"]: r["centroid"] for r in ivf_centroids(emb, 8).collect()}
+    c2 = {r["centroid_id"]: r["centroid"] for r in ivf_centroids(emb, 8).collect()}
+    assert c1.keys() == c2.keys() and len(c1) == 8
+    for cid in c1:
+        assert c1[cid] == c2[cid]
+
+
+def test_ivf_assign_covers_all(spark, sf_dir):
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("centroid_id").distinct().count() > 1
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 7, 42]
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4)
+
+    for qid in qids:
+        a_ids = {r["vec_id"] for r in approx.filter(F.col("query_id") == qid).collect()}
+        e_ids = {r["vec_id"] for r in exact.filter(F.col("query_id") == qid).collect()}
+        # probing half the clusters: the query's own vector must be found
+        # and recall should be substantial
+        assert qid in a_ids
+        assert len(a_ids & e_ids) >= 2, f"recall too low for query {qid}"
