@@ -43,6 +43,9 @@ HEADLINE = [
     "simhash_dedup",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "session_window_agg",
+    "asof_join_latest_order",
 ]
 
 
