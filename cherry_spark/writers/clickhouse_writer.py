@@ -94,6 +94,22 @@ class ClickHouseWriter(DataWriter):
         self.cfg = cfg
         self.anchor_table = cfg.anchor_table
 
+    def _execute_ddl(self, spark, ddl: str) -> None:
+        """CREATE TABLE through the JDBC driver on the Spark driver JVM
+        (the reference issues DDL on its own client connection the same
+        way, clickhouse.py:150-165). No-op failure if the driver jar is
+        absent — the jdbc write below raises a clear error then."""
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.cfg.url, self.cfg.user, self.cfg.password
+        )
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(ddl)
+            stmt.close()
+        finally:
+            conn.close()
+
     def push_data(self, batch: Batch) -> None:
         for name in self.anchor_last_order(batch):
             df = batch[name]
@@ -104,6 +120,7 @@ class ClickHouseWriter(DataWriter):
                 order_by=self.cfg.order_by.get(name),
                 codecs=self.cfg.codecs.get(name),
             )
+            self._execute_ddl(df.sparkSession, ddl)
             (
                 df.write.format("jdbc")
                 .mode("append")
@@ -111,7 +128,5 @@ class ClickHouseWriter(DataWriter):
                 .option("dbtable", name)
                 .option("user", self.cfg.user)
                 .option("password", self.cfg.password)
-                .option("createTableOptions", ddl.split("(", 1)[0])  # engine clause
-                .option("cherry.ddl", ddl)
                 .save()
             )

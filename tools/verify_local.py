@@ -72,12 +72,6 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def run_spark_query(spark, name: str, sf_dir: str):
-    df = REGISTRY[name].fn(spark, sf_dir)
-    tbl = df.toArrow()
-    return list(tbl.column_names), [tuple(r) for r in zip(*[c.to_pylist() for c in tbl.columns])] if tbl.num_rows else (list(tbl.column_names), [])
-
-
 def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     qd = REGISTRY[name]
     df = qd.fn(spark, sf_dir)
