@@ -80,12 +80,13 @@ def u256_binary_to_decimal38(col: Column) -> Column:
     product inside decimal(38,0). `conv(hex, 16, 10)` is exact for
     64-bit unsigned chunks.
     """
-    hx = F.lower(F.hex(col))  # 64 hex chars
-    top = F.substring(hx, 1, 32)
-    hi = F.conv(F.substring(hx, 33, 16), 16, 10).cast(DecimalType(38, 0))
-    lo = F.conv(F.substring(hx, 49, 16), 16, 10).cast(DecimalType(38, 0))
+    # binary-slice compare for the zero check and 8-byte hex slices for
+    # the limbs — avoids materializing a 64-char hex string per row
+    top_zero = F.substring(col, 1, 16) == F.lit(b"\x00" * 16)
+    hi = F.conv(F.hex(F.substring(col, 17, 8)), 16, 10).cast(DecimalType(38, 0))
+    lo = F.conv(F.hex(F.substring(col, 25, 8)), 16, 10).cast(DecimalType(38, 0))
     value = (hi * F.lit(__import__("decimal").Decimal(2**64)).cast(DecimalType(38, 0)) + lo).cast(DecimalType(38, 0))
-    fits = (top == F.lit("0" * 32)) & (hi < F.lit(2**61))
+    fits = top_zero & (hi < F.lit(2**61))
     return F.when(fits, value).otherwise(F.lit(None).cast(DecimalType(38, 0)))
 
 
