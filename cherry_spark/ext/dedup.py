@@ -40,12 +40,20 @@ def tokens_col(text: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of a text column (native array ops)."""
+    """Distinct word k-shingles of a text column (native array ops).
+
+    Docs with fewer than k tokens yield an empty array — the guard is
+    load-bearing: sequence(1, 0) is DESCENDING [1, 0], and slice(toks,
+    0, k) raises INVALID_PARAMETER_VALUE.START, so an unguarded version
+    crashes on any short/empty document.
+    """
     toks = tokens_col(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
     shingle = lambda i: F.concat_ws(" ", F.slice(toks, i, k))  # noqa: E731
-    return F.array_distinct(F.transform(idx, shingle))
+    shingles = F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), shingle)
+    return F.array_distinct(
+        F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
+    )
 
 
 def minhash_signatures(

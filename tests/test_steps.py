@@ -109,7 +109,9 @@ def test_u256_roundtrip(spark):
         u256_binary_to_decimal38,
     )
 
-    vals = [0, 1, 10**18, 2**64 + 12345, 2**100]
+    # 2^64-1 and 2^63 regress the decimal-division rounding bug (lo limb
+    # >= 2^63 used to bump hi by one); 2^126-1 regresses the fits check.
+    vals = [0, 1, 10**18, 2**63, 2**64 - 1, 2**64 + 12345, 2**100, 2**126 - 1]
     df = spark.createDataFrame([(Decimal(v),) for v in vals], "v decimal(38,0)")
     rt = df.select(
         F.col("v"),
