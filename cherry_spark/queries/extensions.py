@@ -200,7 +200,7 @@ def exact_dedup_docs(spark, sf_dir):
                         list_filter(string_split(text,' '), t -> t != '')[i+2],
                         list_filter(string_split(text,' '), t -> t != '')[i+3])
                )) AS sh
-        FROM documents WHERE doc_id % 5 = 0
+        FROM documents
     )
     SELECT a.doc_id AS id1, b.doc_id AS id2,
            len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -209,26 +209,31 @@ def exact_dedup_docs(spark, sf_dir):
     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
     """,
-    doc="EXACT n-gram Jaccard near-dup pairs. Spark uses the scalable "
-    "inverted-shingle-index plan (explode + equi-join + count, never "
-    "n²); the oracle cross-joins the subset directly — same result, "
-    "which is the point: the distributed plan is a pure optimization.",
+    doc="EXACT n-gram Jaccard near-dup pairs over the FULL corpus (the "
+    "round-1 doc_id%5 subset happened to exclude every planted near-dup "
+    "pair, making the driver check vacuous — 25 pairs at sf0.01 now). "
+    "Spark uses the scalable inverted-shingle-index plan (explode + "
+    "equi-join + count, never n²); the oracle cross-joins directly — "
+    "same result, which is the point: the distributed plan is a pure "
+    "optimization.",
 )
 def ngram_jaccard_pairs_query(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.6)
 
 
 @query(
     "minhash_lsh_dedup",
     oracle=None,  # xxhash64 hash family not available in DuckDB
-    doc="MinHash(128) + 32-band LSH candidates, verified with exact "
-    "shingle Jaccard >= 0.8. Deterministic (seeded xxhash64); rows-only "
-    "driver check + structural unit tests (LSH pairs are a subset of "
-    "exact pairs and recall is ~1 at 0.8).",
+    doc="MinHash(128) + 32-band LSH candidates over the FULL corpus, "
+    "verified with exact shingle Jaccard >= 0.8 (the round-1 doc_id%5 "
+    "subset excluded every planted near-dup; full corpus yields ~25 "
+    "pairs at sf0.01 so the row count carries signal). Deterministic "
+    "(seeded xxhash64); rows-only driver check + structural unit tests "
+    "(LSH pairs are a subset of exact pairs and recall is ~1 at 0.8).",
 )
 def minhash_lsh_dedup(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
 
 
