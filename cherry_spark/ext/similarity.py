@@ -75,6 +75,49 @@ def brute_force_topk(
     )
 
 
+def blocked_pairs_exact(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT cosine-threshold pair join via block-grid decomposition
+    (the 1-Bucket-Theta scheme of Okcan & Riedewald, "Processing
+    Theta-Joins using MapReduce", SIGMOD 2011).
+
+    An exact all-pairs similarity join is inherently O(n²) compares,
+    but a raw ``id1 < id2`` theta join executes as ONE
+    BroadcastNestedLoopJoin — a single-node scale-killer. Instead each
+    row is replicated to n_blocks grid cells with a narrow explode (no
+    join), and the n² work arrives through a composite-key EQUI-join on
+    (b1, b2): n_blocks² evenly-sized cells that Catalyst shuffles
+    across the cluster like any other join. Replication factor is
+    n_blocks per side (= sqrt(cells), the grid-optimal bound); at 100 TB
+    you size n_blocks ~ sqrt(total cores) and layer an LSH/IVF
+    prefilter on top when approximate recall is acceptable.
+
+    Pair (x, y) lands in exactly one cell — (block(x), block(y)) — so
+    no distinct is needed; ``id1 < id2`` keeps one orientation.
+    """
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    fan = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    left = vectors.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("__va"), block.alias("b1")
+    ).withColumn("b2", fan)
+    right = vectors.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("__vb"), block.alias("b2")
+    ).withColumn("b1", fan)
+    sim = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), round_digits)
+    return (
+        left.join(right, ["b1", "b2"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def _hyperplane(plane_idx: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane baked in as a constant
     array literal (sha256-derived components in [-0.5, 0.5)) — computed

@@ -300,24 +300,19 @@ def cosine_topk(spark, sf_dir):
     )
     SELECT id1, id2, sim FROM pairs WHERE sim >= 0.3
     """,
-    doc="Embedding-cosine near-duplicate pairs (subset all-pairs at "
-    "fixture scale; the LSH-bucketed variant is the 100 TB path).",
+    doc="Embedding-cosine near-duplicate pairs — EXACT result via "
+    "1-Bucket-Theta block-grid decomposition (ext/similarity.py:"
+    "blocked_pairs_exact): rows fan out to grid cells by narrow "
+    "explode, the n² compare arrives as a composite-key equi-join "
+    "on (b1, b2), never a nested-loop theta join. The oracle is the "
+    "plain all-pairs ground truth, so the match proves the blocked "
+    "plan is a pure physical optimization.",
 )
 def embed_neardup_pairs(spark, sf_dir):
-    from cherry_spark.ext.similarity import cosine_similarity
+    from cherry_spark.ext.similarity import blocked_pairs_exact
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .select(
-            "id1",
-            "id2",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.3)
-    )
+    return blocked_pairs_exact(emb, threshold=0.3, n_blocks=4)
 
 
 @query(

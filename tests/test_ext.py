@@ -73,6 +73,33 @@ def test_simhash_properties(spark):
     assert ham_near < ham_far  # near-dup closer than unrelated
 
 
+def test_blocked_pairs_exact_matches_allpairs(spark, sf_dir):
+    """1-Bucket-Theta block decomposition returns exactly the all-pairs
+    result (every pair lands in exactly one grid cell) and its plan has
+    no nested-loop/cartesian join."""
+    from cherry_spark.ext.similarity import blocked_pairs_exact, cosine_similarity
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    blocked = blocked_pairs_exact(emb, threshold=0.2, n_blocks=3)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
+    naive = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.2)
+    )
+    got = {(r["id1"], r["id2"], r["sim"]) for r in blocked.collect()}
+    want = {(r["id1"], r["id2"], r["sim"]) for r in naive.collect()}
+    assert got == want and len(want) > 0
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "a", 5), (2, "a", 9), (3, "b", 1)], "id long, k string, v long"
