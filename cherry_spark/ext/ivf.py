@@ -75,25 +75,71 @@ def ivf_assign(
     )
 
 
-def ivf_topk(
+def ivf_build_index(
     vectors: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the IVF index ONCE and persist it: the corpus is written
+    partitioned by ``centroid_id`` (probing nprobe clusters then reads
+    only those directories — partition pruning, the on-disk analogue of
+    an inverted file) plus a tiny centroid table.
+
+    Index build is a full corpus pass + write; search must NOT repeat
+    it (the round-1 shape rebuilt centroids + assignment per query —
+    a full corpus rewrite per lookup at scale).
+    """
+    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    corpus = vectors.join(ivf_assign(vectors, centroids, id_col, vec_col), on=id_col)
+    # co-locate each cluster into one write task -> one file per
+    # partition dir instead of (tasks x clusters) small files
+    corpus.repartition("centroid_id").write.partitionBy("centroid_id").mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/corpus")
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_index_exists(index_dir: str) -> bool:
+    import os
+
+    return os.path.exists(f"{index_dir}/centroids/_SUCCESS") and os.path.exists(
+        f"{index_dir}/corpus/_SUCCESS"
+    )
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
     query: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Probe-limited exact search inside the nprobe nearest clusters."""
-    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
-    corpus = vectors.join(
-        ivf_assign(vectors, centroids, id_col, vec_col), on=id_col
-    )
+    """Probe-limited search against a PREBUILT index: rank centroids
+    per query (broadcast of the tiny centroid table), then equi-join
+    the partitioned corpus on centroid_id — the broadcast side drives
+    dynamic partition pruning, so only nprobe/n_centroids of the
+    corpus files are scanned."""
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    corpus = spark.read.parquet(f"{index_dir}/corpus")
+    q_probe = _probe_centroids(query, centroids, nprobe, vec_col, query_id_col)
+    return _probe_scan_topk(corpus, q_probe, k, id_col, vec_col, query_id_col)
 
-    # nprobe nearest centroids per query
+
+def _probe_centroids(
+    query: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """nprobe nearest centroids per query row."""
     qsim = cosine_similarity(F.col(vec_col), F.col("centroid"))
-    q_probe = (
+    return (
         query.crossJoin(F.broadcast(centroids))
         .select(
             F.col(query_id_col),
@@ -113,6 +159,15 @@ def ivf_topk(
         .select(query_id_col, "__qvec", "centroid_id")
     )
 
+
+def _probe_scan_topk(
+    corpus: DataFrame,
+    q_probe: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
     scored = corpus.join(F.broadcast(q_probe), on="centroid_id").select(
         F.col(query_id_col),
         F.col(id_col),
@@ -124,3 +179,24 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """One-shot build + probe-limited search (ad-hoc/testing path; any
+    repeated-query workload should ivf_build_index once and ivf_search
+    the prebuilt index instead)."""
+    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    corpus = vectors.join(
+        ivf_assign(vectors, centroids, id_col, vec_col), on=id_col
+    )
+    q_probe = _probe_centroids(query, centroids, nprobe, vec_col, query_id_col)
+    return _probe_scan_topk(corpus, q_probe, k, id_col, vec_col, query_id_col)

@@ -318,19 +318,29 @@ def embed_neardup_pairs(spark, sf_dir):
 @query(
     "ann_ivf_topk",
     oracle=None,  # approximate by construction (probe-limited search)
-    doc="IVF approximate NN: deterministic coarse k-means quantizer, "
-    "corpus partitioned by nearest-centroid id, queries probe only the "
-    "nprobe nearest clusters (ext/ivf.py) — the inverted-file scale "
-    "path next to hyperplane LSH.",
+    doc="IVF approximate NN against a PREBUILT inverted-file index: "
+    "the corpus is written partitioned by nearest-centroid id ONCE "
+    "(ivf_build_index), and each query probes only the nprobe nearest "
+    "clusters via a broadcast join that drives partition pruning "
+    "(ext/ivf.py:ivf_search). Index build per lookup — the round-1 "
+    "shape — is a full corpus rewrite per query at scale.",
 )
 def ann_ivf_topk(spark, sf_dir):
-    from cherry_spark.ext.ivf import ivf_topk
+    import hashlib
+    import os
+    import tempfile
+
+    from cherry_spark.ext.ivf import ivf_build_index, ivf_index_exists, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"cherry_ivf_{key}")
+    if not ivf_index_exists(index_dir):
+        ivf_build_index(emb, index_dir, n_centroids=16)
     qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return ivf_topk(emb, qdf, k=5, n_centroids=16, nprobe=4)
+    return ivf_search(spark, index_dir, qdf, k=5, nprobe=4)
 
 
 @query(

@@ -29,6 +29,37 @@ def test_ivf_assign_covers_all(spark, sf_dir):
     assert assigned.select("centroid_id").distinct().count() > 1
 
 
+def test_ivf_prebuilt_index_reuse(spark, sf_dir, tmp_path):
+    """ivf_search against a prebuilt on-disk index returns the same
+    result as the one-shot path and does NOT rewrite the index."""
+    import os
+
+    from cherry_spark.ext.ivf import ivf_build_index, ivf_index_exists, ivf_search
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    assert not ivf_index_exists(idx)
+    ivf_build_index(emb, idx, n_centroids=8)
+    assert ivf_index_exists(idx)
+
+    q = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    one_shot = {
+        (r["query_id"], r["vec_id"], r["sim"])
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4).collect()
+    }
+    marker = os.path.getmtime(f"{idx}/corpus/_SUCCESS")
+    for _ in range(2):  # search twice — index must not be rebuilt
+        searched = {
+            (r["query_id"], r["vec_id"], r["sim"])
+            for r in ivf_search(spark, idx, q, k=5, nprobe=4).collect()
+        }
+        assert searched == one_shot
+    assert os.path.getmtime(f"{idx}/corpus/_SUCCESS") == marker
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     from cherry_spark.sources.tables import load_table
 
