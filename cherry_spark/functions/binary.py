@@ -91,6 +91,41 @@ def u256_binary_to_decimal38(col: Column) -> Column:
     return F.when(fits, value).otherwise(F.lit(None).cast(DecimalType(38, 0)))
 
 
+def i256_binary_to_decimal38(col: Column) -> Column:
+    """Sign-extended 32-byte big-endian two's-complement int -> decimal(38,0).
+
+    Covers |v| < 2^126 (null outside — same ceiling policy as the
+    unsigned converter). Works for any intN with 64 < N <= 256 because
+    the ABI sign-extends into the full word: positives have the top 16
+    bytes all 0x00, negatives all 0xFF. Negative magnitude is computed
+    limb-wise — m = 2^128 - u_low — without ever materializing 2^128
+    (39 digits, over the decimal ceiling): the borrow propagates as
+    A = (2^64-1) - hi and B = 2^64 - lo when lo > 0, else A = 2^64 - hi
+    and B = 0. All native expressions, whole-stage codegen.
+    """
+    from decimal import Decimal as _D
+
+    d38 = DecimalType(38, 0)
+    two64 = F.lit(_D(2**64)).cast(d38)
+    max64 = F.lit(_D(2**64 - 1)).cast(d38)
+    top = F.substring(col, 1, 16)
+    hi = F.conv(F.hex(F.substring(col, 17, 8)), 16, 10).cast(d38)
+    lo = F.conv(F.hex(F.substring(col, 25, 8)), 16, 10).cast(d38)
+    pos_val = (hi * two64 + lo).cast(d38)
+    pos_fits = (top == F.lit(b"\x00" * 16)) & (hi < F.lit(2**62))
+    a = F.when(lo > 0, max64 - hi).otherwise(two64 - hi)
+    b = F.when(lo > 0, two64 - lo).otherwise(F.lit(_D(0)).cast(d38))
+    # 0 - m, NOT unary minus: PySpark's Column.__neg__ loses decimal
+    # precision beyond ~34 digits (observed on 4.1); subtraction is exact
+    neg_val = (F.lit(_D(0)).cast(d38) - (a * two64 + b)).cast(d38)
+    neg_fits = (top == F.lit(b"\xff" * 16)) & (a < F.lit(2**62))
+    return (
+        F.when(pos_fits, pos_val)
+        .when(neg_fits, neg_val)
+        .otherwise(F.lit(None).cast(d38))
+    )
+
+
 def decimal_to_u256_binary(col: Column) -> Column:
     """decimal(38,0) -> 32-byte big-endian binary (reference
     steps/u256_to_binary.py inverse direction).

@@ -14,7 +14,6 @@ it runs on a handful of signature strings per pipeline, never on data.
 from __future__ import annotations
 
 import hashlib
-import re
 
 _M64 = (1 << 64) - 1
 
@@ -83,22 +82,17 @@ def keccak256(data: bytes) -> bytes:
     return out
 
 
-_SIG_PARAM_RE = re.compile(r"^\s*(?P<type>[a-z0-9\[\]]+)(\s+indexed)?(\s+\w+)?\s*$")
-
-
 def canonical_event_signature(signature: str) -> str:
     """'Transfer(address indexed from, address indexed to, uint256 amount)'
-    -> 'Transfer(address,address,uint256)' (types only, no names)."""
+    -> 'Transfer(address,address,uint256)' (types only, no names; tuple-
+    aware via the shared ABI type grammar in functions/abi_types.py)."""
+    from cherry_spark.functions.abi_types import parse_type, split_top_level
+
     name, _, rest = signature.partition("(")
-    params = rest.rstrip(")").strip()
-    if not params:
-        return f"{name.strip()}()"
-    types = []
-    for p in params.split(","):
-        m = _SIG_PARAM_RE.match(p)
-        if not m:
-            raise ValueError(f"cannot parse event param: {p!r}")
-        types.append(m.group("type"))
+    body = rest.strip()
+    if body.endswith(")"):
+        body = body[:-1]
+    types = [parse_type(p)[0] for p in split_top_level(body)]
     return f"{name.strip()}({','.join(types)})"
 
 

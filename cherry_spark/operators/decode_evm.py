@@ -3,19 +3,27 @@
 The reference delegates this to a Rust kernel
 (reference steps/evm_decode_events.py:19-22, schema from
 evm_event_signature_to_arrow_schema at :26). Here the event signature
-compiles to a Spark StructType + a set of column expressions:
+compiles to a Spark StructType + a set of column expressions covering
+the FULL public Solidity ABI head/tail layout — no UDF anywhere:
 
-- indexed params come from topic1..topic3 (one 32-byte word each);
-- non-indexed *static* params are consecutive 32-byte words of `data`
-  — pure substring/conv expressions, whole-stage codegen, no UDF;
-- dynamic params (string/bytes) go through an Arrow-vectorized pandas
-  UDF reading the ABI head/tail layout (the only non-native path).
+- indexed params come from topic1..topic3 (one 32-byte word each;
+  indexed dynamic/composite params are keccak hashes, kept as the raw
+  32-byte word per the ABI spec);
+- static params are consecutive 32-byte words of `data` — pure
+  substring/conv expressions, whole-stage codegen; static tuples and
+  fixed arrays inline recursively (head_words);
+- dynamic params (string/bytes/T[]/dynamic tuples, arbitrarily
+  nested) follow their head offsets with dynamic-position
+  ``Column.substr`` + ``transform(sequence(...))`` — still native
+  expressions, still codegen; malformed offsets/lengths null out.
 
-Layout rules are the public Solidity ABI spec. Type policy per
-SURVEY §1.3: address -> 20-byte binary, uint<=32 -> long,
-uint64 -> decimal(20,0), uint128/256 -> decimal(38,0) (null when the
-value exceeds 38 digits — the reference's own precedent is a lossy
-downcast with allow_cast_fail, examples/erc20_custom.py:175-184).
+Type policy per SURVEY §1.3: address -> 20-byte binary, int/uint<=63
+bits -> long, uint64 -> decimal(20,0), wider ints -> decimal(38,0)
+(null when |v| >= 2^126 — the reference's own precedent is a lossy
+downcast with allow_cast_fail, examples/erc20_custom.py:175-184);
+signed ints two's-complement-wrap at every width (functions/binary.py:
+i256_binary_to_decimal38 for >64-bit). Tuples surface as structs with
+fields f0..fn (canonical ABI tuples are positional).
 
 ``hstack=True`` appends every input column to the decoded output —
 1-row-in/1-row-out with nulls on failure, so it is a plain select, not
@@ -27,18 +35,22 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.pandas.functions import pandas_udf
 
-from cherry_spark.functions.binary import u256_binary_to_decimal38
-from cherry_spark.plans.config import Batch, EvmDecodeEventsConfig, GlaciersEventsConfig
-
-_PARAM_RE = re.compile(
-    r"^\s*(?P<type>[a-z]+[0-9]*(?:\[\d*\])?)\s*(?P<indexed>indexed\s+)?(?P<name>\w+)?\s*$"
+from cherry_spark.functions.abi_types import (
+    head_words,
+    is_dynamic,
+    parse_type,
+    split_top_level,
+    type_structure,
 )
+from cherry_spark.functions.binary import (
+    i256_binary_to_decimal38,
+    u256_binary_to_decimal38,
+)
+from cherry_spark.plans.config import Batch, EvmDecodeEventsConfig, GlaciersEventsConfig
 
 
 @dataclass
@@ -64,32 +76,41 @@ class EventSignature:
 
 def parse_event_signature(signature: str) -> EventSignature:
     name, _, rest = signature.partition("(")
-    body = rest.rstrip(")").strip()
+    body = rest.strip()
+    if body.endswith(")"):
+        body = body[:-1]
     params: list[EventParam] = []
-    if body:
-        for i, raw in enumerate(body.split(",")):
-            m = _PARAM_RE.match(raw.strip())
-            if not m:
-                raise ValueError(f"cannot parse event param {raw!r}")
-            params.append(
-                EventParam(
-                    name=m.group("name") or f"param{i}",
-                    abi_type=m.group("type"),
-                    indexed=bool(m.group("indexed")),
-                )
+    for i, raw in enumerate(split_top_level(body)):
+        abi_type, remainder = parse_type(raw)
+        tokens = remainder.split()
+        indexed = bool(tokens) and tokens[0] == "indexed"
+        if indexed:
+            tokens = tokens[1:]
+        params.append(
+            EventParam(
+                name=tokens[0] if tokens else f"param{i}",
+                abi_type=abi_type,
+                indexed=indexed,
             )
+        )
     return EventSignature(name=name.strip(), params=params)
 
 
 _INT_RE = re.compile(r"^(u?)int(\d+)?$")
 
-
-def _is_dynamic(abi_type: str) -> bool:
-    return abi_type in ("string", "bytes") or abi_type.endswith("[]")
+_is_dynamic = is_dynamic  # retained name for callers/tests
 
 
 def abi_type_to_spark(abi_type: str) -> T.DataType:
-    """ABI type -> Spark type under the SURVEY §1.3 widening policy."""
+    """ABI type -> Spark type under the SURVEY §1.3 widening policy
+    (recursive for arrays and tuples)."""
+    kind, inner, _size = type_structure(abi_type)
+    if kind == "array":
+        return T.ArrayType(abi_type_to_spark(inner), True)
+    if kind == "tuple":
+        return T.StructType(
+            [T.StructField(f"f{i}", abi_type_to_spark(m), True) for i, m in enumerate(inner)]
+        )
     if abi_type == "address":
         return T.BinaryType()
     if abi_type == "bool":
@@ -116,7 +137,13 @@ def event_signature_to_schema(signature: str, hstack_schema: T.StructType | None
     hstacked input columns) — the analog of the reference's
     evm_event_signature_to_arrow_schema."""
     sig = parse_event_signature(signature)
-    fields = [T.StructField(p.name, abi_type_to_spark(p.abi_type), True) for p in sig.params]
+    fields = []
+    for p in sig.params:
+        if p.indexed and (is_dynamic(p.abi_type) or type_structure(p.abi_type)[0] != "base"):
+            # indexed dynamic/composite values are keccak hashes on-chain
+            fields.append(T.StructField(p.name, T.BinaryType(), True))
+        else:
+            fields.append(T.StructField(p.name, abi_type_to_spark(p.abi_type), True))
     if hstack_schema is not None:
         fields.extend(hstack_schema.fields)
     return T.StructType(fields)
@@ -151,36 +178,93 @@ def _word_to_column(word: Column, abi_type: str) -> Column:
                 as_dec - F.lit(2**bits).cast(T.DecimalType(20, 0)),
             ).otherwise(as_dec)
             return wrapped.cast("long")
-        return u256_binary_to_decimal38(word)  # int128/256: positive range only
+        # signed int65..256: limb-wise two's complement (sign-extended word)
+        return i256_binary_to_decimal38(word)
     raise NotImplementedError(f"static decode not supported for {abi_type}")
 
 
-def _dynamic_param_udf(abi_type: str, param_index: int):
-    """Arrow-vectorized decoder for one dynamic param in the data section.
+_LONG = "long"
 
-    param_index is the position among *non-indexed* params (head slot)."""
-    want_str = abi_type == "string"
 
-    @pandas_udf(T.StringType() if want_str else T.BinaryType())
-    def decode(data: pd.Series) -> pd.Series:
-        def one(buf):
-            if buf is None:
-                return None
-            try:
-                b = bytes(buf)
-                head_off = 32 * param_index
-                offset = int.from_bytes(b[head_off : head_off + 32], "big")
-                length = int.from_bytes(b[offset : offset + 32], "big")
-                payload = b[offset + 32 : offset + 32 + length]
-                if len(payload) != length:
-                    return None
-                return payload.decode("utf-8", errors="replace") if want_str else payload
-            except Exception:
-                return None
+def _word_at(data: Column, pos: Column) -> Column:
+    """32-byte word at 1-based dynamic byte position ``pos``."""
+    return data.substr(pos.cast(_LONG), F.lit(32).cast(_LONG))
 
-        return data.map(one)
 
-    return decode
+def _u63_word(word: Column) -> Column:
+    """Offset/length word -> long (low 8 bytes). Garbage >= 2^63
+    try_casts to NULL, which propagates through position arithmetic and
+    the bounds guards so malformed rows null out instead of throwing
+    under ANSI mode."""
+    return F.conv(F.substring(F.hex(word), 49, 16), 16, 10).try_cast(_LONG)
+
+
+def _decode_at(data: Column, base: Column, head: Column, abi_type: str) -> Column:
+    """Decode one ABI value. ``base`` is the 1-based byte position of the
+    enclosing dynamic context (offsets are relative to it); ``head`` is
+    the 1-based position of this value's head word(s). Recursive over
+    the public ABI head/tail grammar; every path is a native expression.
+    """
+    kind, inner, size = type_structure(abi_type)
+    if kind == "base":
+        if abi_type in ("string", "bytes"):
+            tail = (base + _u63_word(_word_at(data, head))).cast(_LONG)
+            n = _u63_word(_word_at(data, tail))
+            payload = data.substr((tail + 32).cast(_LONG), n)
+            ok = (F.length(data) >= tail + 31) & (F.length(payload) == n)
+            val = payload.cast("string") if abi_type == "string" else payload
+            return F.when(ok, val)
+        return _word_to_column(_word_at(data, head), abi_type)
+    if kind == "tuple":
+        if is_dynamic(abi_type):
+            tail = (base + _u63_word(_word_at(data, head))).cast(_LONG)
+            mbase, mhead0 = tail, tail
+        else:
+            mbase, mhead0 = base, head
+        members = []
+        cum = 0
+        for i, mt in enumerate(inner):
+            mhead = (mhead0 + F.lit(32 * cum).cast(_LONG)).cast(_LONG)
+            members.append(_decode_at(data, mbase, mhead, mt).alias(f"f{i}"))
+            cum += head_words(mt)
+        return F.struct(*members)
+    # arrays
+    if size is not None and not is_dynamic(abi_type):
+        hw = head_words(inner)
+        return F.array(
+            *[
+                _decode_at(data, base, (head + F.lit(32 * hw * i).cast(_LONG)).cast(_LONG), inner)
+                for i in range(size)
+            ]
+        )
+    if size is not None:
+        # fixed-size array of dynamic elements: one offset to a block of
+        # k element offsets relative to the block start
+        tail = (base + _u63_word(_word_at(data, head))).cast(_LONG)
+        return F.array(
+            *[
+                _decode_at(data, tail, (tail + F.lit(32 * i).cast(_LONG)).cast(_LONG), inner)
+                for i in range(size)
+            ]
+        )
+    # dynamically-sized array: offset -> length word -> elements
+    tail = (base + _u63_word(_word_at(data, head))).cast(_LONG)
+    n = _u63_word(_word_at(data, tail))
+    elem_base = (tail + 32).cast(_LONG)
+    if is_dynamic(inner):
+        stride, ebase = 32, elem_base
+        ok = F.length(data) >= tail + 31
+    else:
+        stride, ebase = 32 * head_words(inner), elem_base
+        ok = F.length(data) >= tail + 31 + F.lit(stride) * n
+    arr = F.transform(
+        F.sequence(F.lit(0).cast(_LONG), (n - 1).cast(_LONG)),
+        lambda i: _decode_at(
+            data, ebase, (ebase + i * F.lit(stride).cast(_LONG)).cast(_LONG), inner
+        ),
+    )
+    empty = F.array().cast(abi_type_to_spark(abi_type))
+    return F.when(ok & (n > 0), arr).when(ok & (n == 0), empty)
 
 
 def compile_decode_columns(
@@ -190,40 +274,40 @@ def compile_decode_columns(
     allow_decode_fail: bool,
 ) -> list[Column]:
     """Build one output Column per event param."""
-    n_static_words = sum(1 for p in sig.data_params)  # head words (incl. offsets)
+    total_head_words = sum(head_words(p.abi_type) for p in sig.data_params)
     has_dynamic = any(_is_dynamic(p.abi_type) for p in sig.data_params)
 
     # validity: enough topics present; data section holds all head words
     valid = F.lit(True)
     for i, _ in enumerate(sig.indexed_params):
         valid = valid & F.col(topic_cols[i + 1]).isNotNull()
-    if n_static_words:
-        valid = valid & (F.length(F.col(data_col)) >= F.lit(32 * n_static_words))
+    if total_head_words:
+        valid = valid & (F.length(F.col(data_col)) >= F.lit(32 * total_head_words))
     if not has_dynamic:
         valid = valid & (
             F.length(F.coalesce(F.col(data_col), F.lit(b"")))
-            == F.lit(32 * n_static_words)
+            == F.lit(32 * total_head_words)
         )
 
+    data = F.col(data_col)
+    base = F.lit(1).cast(_LONG)  # offsets are relative to the data section
     out: list[Column] = []
     topic_i = 1
-    data_i = 0
+    head_cum = 0
     for p in sig.params:
         if p.indexed:
             word = F.col(topic_cols[topic_i])
             topic_i += 1
-            if _is_dynamic(p.abi_type):
-                # indexed dynamic params are keccak hashes: keep the word
+            if _is_dynamic(p.abi_type) or type_structure(p.abi_type)[0] != "base":
+                # indexed dynamic/composite params are keccak hashes:
+                # keep the raw 32-byte word (ABI spec)
                 raw = word
             else:
                 raw = _word_to_column(word, p.abi_type)
         else:
-            if _is_dynamic(p.abi_type):
-                raw = _dynamic_param_udf(p.abi_type, data_i)(F.col(data_col))
-            else:
-                word = F.substring(F.col(data_col), 1 + 32 * data_i, 32)
-                raw = _word_to_column(word, p.abi_type)
-            data_i += 1
+            head = F.lit(1 + 32 * head_cum).cast(_LONG)
+            raw = _decode_at(data, base, head, p.abi_type)
+            head_cum += head_words(p.abi_type)
         if allow_decode_fail:
             col = F.when(valid, raw).otherwise(F.lit(None))
         else:

@@ -255,6 +255,99 @@ def decode_fixedwidth(spark, sf_dir):
 
 
 @query(
+    "decode_dynamic_abi",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_transform(list_value(l_orderkey, l_partkey),
+                          x -> CAST(x AS BIGINT)) AS ids,
+           list_transform(list_value(CAST(l_quantity AS BIGINT) * 1000000
+                                       + l_linenumber, l_suppkey),
+                          x -> CAST(x AS BIGINT)) AS vals,
+           concat(l_returnflag, '-', l_linestatus, '-',
+                  CAST(l_orderkey AS VARCHAR)) AS memo,
+           CAST(l_quantity AS BIGINT) - 50 AS delta
+    FROM lineitem
+    """,
+    doc="FULL-ABI decode path (ERC-1155 TransferBatch shape + dynamic "
+    "string + signed int256): payloads are ABI-encoded with native "
+    "expressions (head offsets, length words, padded tails, "
+    "two's-complement negatives), decoded through the real "
+    "EVM_DECODE_EVENTS step — dynamic arrays via native "
+    "transform/sequence over offset words, no UDF "
+    "(operators/decode_evm.py:_decode_at). Oracle recomputes the "
+    "expectation directly: a complete encode->decode inversion check "
+    "(reference delegates this surface to its Rust core, "
+    "steps/evm_decode_events.py:19-26).",
+)
+def decode_dynamic_abi(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def word_u(col):  # unsigned 32-byte word from a long column
+        return F.lpad(F.lower(F.hex(col)), 64, "0")
+
+    def word_i(col):  # signed: F.hex(long) is already two's-complement
+        return F.when(
+            col < 0, F.concat(F.lit("f" * 48), F.lower(F.hex(col)))
+        ).otherwise(F.lpad(F.lower(F.hex(col)), 64, "0"))
+
+    val0 = (F.col("l_quantity").cast("long") * 1000000 + F.col("l_linenumber")).cast(
+        "long"
+    )
+    delta = (F.col("l_quantity").cast("long") - 50).cast("long")
+    memo = F.concat_ws(
+        "-", F.col("l_returnflag"), F.col("l_linestatus"), F.col("l_orderkey")
+    )
+    memo_raw = F.encode(memo, "utf-8")
+    memo_len = F.length(memo_raw)
+    memo_pad = F.rpad(memo_raw, ((memo_len + 31) / 32).cast("int") * 32, b"\x00")
+    # data params: ids uint256[], vals uint256[], memo string, delta int256
+    # head = 4 words; both arrays have 2 elements -> constant offsets
+    data_hex = F.concat(
+        word_u(F.lit(128)),  # offset ids
+        word_u(F.lit(224)),  # offset vals
+        word_u(F.lit(320)),  # offset memo
+        word_i(delta),
+        word_u(F.lit(2)),
+        word_u(F.col("l_orderkey")),
+        word_u(F.col("l_partkey")),
+        word_u(F.lit(2)),
+        word_u(val0),
+        word_u(F.col("l_suppkey")),
+        word_u(memo_len),
+    )
+    logs = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(None).cast("binary").alias("topic0"),
+        F.unhex(F.sha2(F.col("l_orderkey").cast("string"), 256)).alias("topic1"),
+        F.lit(None).cast("binary").alias("topic2"),
+        F.lit(None).cast("binary").alias("topic3"),
+        F.concat(F.unhex(data_hex), memo_pad).alias("data"),
+    )
+    out = process_steps(
+        {"logs": logs},
+        [
+            Step(
+                StepKind.EVM_DECODE_EVENTS,
+                EvmDecodeEventsConfig(
+                    "Batch(address indexed operator, uint256[] ids, "
+                    "uint256[] vals, string memo, int256 delta)",
+                    allow_decode_fail=True,
+                ),
+            )
+        ],
+    )
+    return out["decoded_logs"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.transform(F.col("ids"), lambda x: x.cast("long")).alias("ids"),
+        F.transform(F.col("vals"), lambda x: x.cast("long")).alias("vals"),
+        F.col("memo"),
+        F.col("delta").cast("long").alias("delta"),
+    )
+
+
+@query(
     "borsh_decode_fixed",
     oracle="""
     SELECT l_orderkey, l_linenumber,
