@@ -41,6 +41,20 @@ class LogRequest:
 
 
 @dataclass
+class TraceRequest:
+    """EVM call-trace filter (the public HyperSync trace query surface;
+    the reference declares the traces table in
+    EvmValidateBlockDataConfig, config.py:121-125)."""
+
+    from_address: list[bytes] = field(default_factory=list)
+    to_address: list[bytes] = field(default_factory=list)
+    call_type: list[str] = field(default_factory=list)
+    sighash: list[bytes] = field(default_factory=list)
+    include_blocks: bool = False
+    include_transactions: bool = False
+
+
+@dataclass
 class InstructionRequest:
     """SVM instruction filter (reference jup_swap.py:115-122)."""
 
@@ -51,10 +65,22 @@ class InstructionRequest:
 
 
 @dataclass
+class SvmLogRequest:
+    """SVM log filter (program + log kind; the reference's SVM log
+    family — SvmDecodeLogsConfig input table, config.py:155-160)."""
+
+    program_id: list[bytes] = field(default_factory=list)
+    kind: list[str] = field(default_factory=list)
+    include_blocks: bool = False
+    include_transactions: bool = False
+
+
+@dataclass
 class EvmQuery:
     from_block: int
     to_block: int | None = None  # inclusive (reference jup_swap.py:6,69)
     logs: list[LogRequest] = field(default_factory=list)
+    traces: list[TraceRequest] = field(default_factory=list)
     include_all_blocks: bool = False
     fields: dict[str, list[str]] = field(default_factory=dict)  # table -> cols
 
@@ -64,6 +90,7 @@ class SvmQuery:
     from_slot: int
     to_slot: int | None = None
     instructions: list[InstructionRequest] = field(default_factory=list)
+    logs: list[SvmLogRequest] = field(default_factory=list)
     include_all_blocks: bool = False
     fields: dict[str, list[str]] = field(default_factory=dict)
 
@@ -115,45 +142,103 @@ def _instruction_request_pred(req: InstructionRequest) -> Column:
     return pred
 
 
+def _trace_request_pred(req: TraceRequest) -> Column:
+    """AND across fields, OR within a field's value list."""
+    conjuncts = []
+    for fname, col in (
+        ("from_address", "from"),
+        ("to_address", "to"),
+        ("call_type", "call_type"),
+        ("sighash", "sighash"),
+    ):
+        c = _in_set(F.col(col), getattr(req, fname))
+        if c is not None:
+            conjuncts.append(c)
+    if not conjuncts:
+        return F.lit(True)
+    pred = conjuncts[0]
+    for c in conjuncts[1:]:
+        pred = pred & c
+    return pred
+
+
+def _svm_log_request_pred(req: SvmLogRequest) -> Column:
+    conjuncts = []
+    for fname, col in (("program_id", "program_id"), ("kind", "kind")):
+        c = _in_set(F.col(col), getattr(req, fname))
+        if c is not None:
+            conjuncts.append(c)
+    if not conjuncts:
+        return F.lit(True)
+    pred = conjuncts[0]
+    for c in conjuncts[1:]:
+        pred = pred & c
+    return pred
+
+
+def _or_requests(df: DataFrame, requests: list, pred_fn) -> DataFrame:
+    """OR across requests; no requests = match all."""
+    if not requests:
+        return df
+    pred = pred_fn(requests[0])
+    for req in requests[1:]:
+        pred = pred | pred_fn(req)
+    return df.filter(pred)
+
+
 def _project(df: DataFrame, cols: list[str] | None) -> DataFrame:
     return df.select(*cols) if cols else df
+
+
+def _semi_join_union(
+    parent: DataFrame, keys: list[str], children: list[DataFrame]
+) -> DataFrame:
+    """Semi-join ``parent`` against the union of child key sets."""
+    child_keys = children[0].select(*keys)
+    for c in children[1:]:
+        child_keys = child_keys.unionByName(c.select(*keys))
+    return parent.join(child_keys, on=keys, how="left_semi")
 
 
 def apply_evm_query(tables: Batch, query: EvmQuery) -> Batch:
     """Compile the query onto the batch: range + request filters +
     parent semi-joins + field projection. Everything lazy — the range
-    and in-set predicates land in the Parquet scan (PushedFilters)."""
+    and in-set predicates land in the Parquet scan (PushedFilters).
+    Child families: logs (LogRequest) and traces (TraceRequest —
+    reference declares the traces table in config.py:121-125)."""
     out: Batch = {}
     blocks = tables["blocks"]
-    logs = tables.get("logs")
     transactions = tables.get("transactions")
 
     blocks = blocks.filter(_range_pred(F.col("number"), query.from_block, query.to_block))
 
-    matched_logs = None
-    if logs is not None:
-        logs = logs.filter(
+    block_parents: list[DataFrame] = []  # matched children wanting blocks
+    tx_parents: list[DataFrame] = []  # matched children wanting transactions
+
+    for table, requests, pred_fn in (
+        ("logs", query.logs, _log_request_pred),
+        ("traces", query.traces, _trace_request_pred),
+    ):
+        child = tables.get(table)
+        if child is None:
+            continue
+        child = child.filter(
             _range_pred(F.col("block_number"), query.from_block, query.to_block)
         )
-        if query.logs:
-            pred = _log_request_pred(query.logs[0])
-            for req in query.logs[1:]:
-                pred = pred | _log_request_pred(req)  # OR across requests
-            matched_logs = logs.filter(pred)
-        else:
-            matched_logs = logs
-        out["logs"] = _project(matched_logs, query.fields.get("logs"))
+        matched = _or_requests(child, requests, pred_fn)
+        out[table] = _project(matched, query.fields.get(table))
+        if any(r.include_blocks for r in requests):
+            block_parents.append(matched.select(F.col("block_number").alias("number")))
+        if any(r.include_transactions for r in requests) and (
+            "transaction_index" in matched.columns
+        ):
+            tx_parents.append(matched)
 
-    want_parent_blocks = any(r.include_blocks for r in query.logs)
-    if query.include_all_blocks or not want_parent_blocks or matched_logs is None:
+    if query.include_all_blocks or not block_parents:
         out["blocks"] = _project(blocks, query.fields.get("blocks"))
     else:
         out["blocks"] = _project(
-            blocks.join(
-                matched_logs.select(F.col("block_number").alias("number")),
-                on="number",
-                how="left_semi",
-            ),
+            _semi_join_union(blocks, ["number"], block_parents),
             query.fields.get("blocks"),
         )
 
@@ -161,52 +246,49 @@ def apply_evm_query(tables: Batch, query: EvmQuery) -> Batch:
         tx = transactions.filter(
             _range_pred(F.col("block_number"), query.from_block, query.to_block)
         )
-        want_parent_tx = any(r.include_transactions for r in query.logs)
-        if (
-            want_parent_tx
-            and matched_logs is not None
-            and "transaction_index" in matched_logs.columns
-        ):
-            tx = tx.join(
-                matched_logs.select("block_number", "transaction_index"),
-                on=["block_number", "transaction_index"],
-                how="left_semi",
-            )
+        if tx_parents:
+            tx = _semi_join_union(tx, ["block_number", "transaction_index"], tx_parents)
         out["transactions"] = _project(tx, query.fields.get("transactions"))
 
     return out
 
 
 def apply_svm_query(tables: Batch, query: SvmQuery) -> Batch:
+    """SVM analogue; child families: instructions (InstructionRequest)
+    and logs (SvmLogRequest — the reference's SVM log family,
+    config.py:155-160)."""
     out: Batch = {}
     blocks = tables["blocks"].filter(
         _range_pred(F.col("slot"), query.from_slot, query.to_slot)
     )
-    instructions = tables.get("instructions")
-    matched = None
-    if instructions is not None:
-        instructions = instructions.filter(
+
+    block_parents: list[DataFrame] = []
+    tx_parents: list[DataFrame] = []
+
+    for table, requests, pred_fn in (
+        ("instructions", query.instructions, _instruction_request_pred),
+        ("logs", query.logs, _svm_log_request_pred),
+    ):
+        child = tables.get(table)
+        if child is None:
+            continue
+        child = child.filter(
             _range_pred(F.col("block_slot"), query.from_slot, query.to_slot)
         )
-        if query.instructions:
-            pred = _instruction_request_pred(query.instructions[0])
-            for req in query.instructions[1:]:
-                pred = pred | _instruction_request_pred(req)
-            matched = instructions.filter(pred)
-        else:
-            matched = instructions
-        out["instructions"] = _project(matched, query.fields.get("instructions"))
+        matched = _or_requests(child, requests, pred_fn)
+        out[table] = _project(matched, query.fields.get(table))
+        if any(r.include_blocks for r in requests):
+            block_parents.append(matched.select(F.col("block_slot").alias("slot")))
+        if any(r.include_transactions for r in requests) and (
+            "transaction_index" in matched.columns
+        ):
+            tx_parents.append(matched)
 
-    want_parent = any(r.include_blocks for r in query.instructions)
-    if query.include_all_blocks or not want_parent or matched is None:
+    if query.include_all_blocks or not block_parents:
         out["blocks"] = _project(blocks, query.fields.get("blocks"))
     else:
         out["blocks"] = _project(
-            blocks.join(
-                matched.select(F.col("block_slot").alias("slot")),
-                on="slot",
-                how="left_semi",
-            ),
+            _semi_join_union(blocks, ["slot"], block_parents),
             query.fields.get("blocks"),
         )
 
@@ -215,11 +297,7 @@ def apply_svm_query(tables: Batch, query: SvmQuery) -> Batch:
         tx = transactions.filter(
             _range_pred(F.col("block_slot"), query.from_slot, query.to_slot)
         )
-        if any(r.include_transactions for r in query.instructions) and matched is not None:
-            tx = tx.join(
-                matched.select("block_slot", "transaction_index"),
-                on=["block_slot", "transaction_index"],
-                how="left_semi",
-            )
+        if tx_parents:
+            tx = _semi_join_union(tx, ["block_slot", "transaction_index"], tx_parents)
         out["transactions"] = _project(tx, query.fields.get("transactions"))
     return out

@@ -117,6 +117,69 @@ def semi_join_related(spark, sf_dir):
 
 
 @query(
+    "trace_query_model",
+    oracle="""
+    SELECT o.o_orderkey AS block_number, o.o_custkey AS tx_value
+    FROM orders o
+    WHERE o.o_orderkey BETWEEN 64 AND 30000
+      AND EXISTS (
+        SELECT 1 FROM lineitem t
+        WHERE t.l_orderkey = o.o_orderkey
+          AND t.l_orderkey BETWEEN 64 AND 30000
+          AND t.l_partkey % 16 IN (3, 7)
+          AND t.l_linenumber % 3 IN (0, 1)
+      )
+    """,
+    doc="EVM traces family through the REAL query-model path "
+    "(model.py:apply_evm_query): TraceRequest sighash/call_type in-set "
+    "filter on a synthesized traces table, include_transactions "
+    "semi-joins the transactions parents. Reference declares the "
+    "traces table in EvmValidateBlockDataConfig (config.py:121-125); "
+    "the filter surface mirrors the public HyperSync trace query.",
+)
+def trace_query_model(spark, sf_dir):
+    from cherry_spark.model import EvmQuery, TraceRequest, apply_evm_query
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    traces = li.select(
+        F.col("l_orderkey").alias("block_number"),
+        F.lit(0).cast("long").alias("transaction_index"),
+        F.unhex(F.lpad(F.hex(F.col("l_suppkey")), 40, "0")).alias("from"),
+        F.unhex(F.lpad(F.hex(F.col("l_partkey")), 40, "0")).alias("to"),
+        F.when(F.col("l_linenumber") % 3 == 0, "call")
+        .when(F.col("l_linenumber") % 3 == 1, "delegatecall")
+        .otherwise("staticcall")
+        .alias("call_type"),
+        F.unhex(F.lpad(F.hex(F.pmod(F.col("l_partkey"), F.lit(16))), 8, "0")).alias(
+            "sighash"
+        ),
+    )
+    transactions = o.select(
+        F.col("o_orderkey").alias("block_number"),
+        F.lit(0).cast("long").alias("transaction_index"),
+        F.col("o_custkey").alias("tx_value"),
+    )
+    blocks = o.select(F.col("o_orderkey").alias("number"))
+    out = apply_evm_query(
+        {"blocks": blocks, "transactions": transactions, "traces": traces},
+        EvmQuery(
+            from_block=64,
+            to_block=30000,
+            traces=[
+                TraceRequest(
+                    sighash=[(3).to_bytes(4, "big"), (7).to_bytes(4, "big")],
+                    call_type=["call", "delegatecall"],
+                    include_transactions=True,
+                )
+            ],
+            fields={"transactions": ["block_number", "tx_value"]},
+        ),
+    )
+    return out["transactions"]
+
+
+@query(
     "join_inner_eq",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber,

@@ -145,3 +145,107 @@ def test_pushdown_reaches_scan(spark, tmp_path):
     plan = out["logs"]._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "block_number" in plan.split("PushedFilters")[1][:400]
+
+
+def test_evm_traces_filter_and_tx_semi_join(spark):
+    """TraceRequest: sighash/call_type in-set filter, include_transactions
+    semi-join against the matched trace set."""
+    import pyspark.sql.types as T
+
+    from cherry_spark.model import TraceRequest
+
+    traces_schema = T.StructType(
+        [
+            T.StructField("block_number", T.LongType()),
+            T.StructField("transaction_index", T.LongType()),
+            T.StructField("from", T.BinaryType()),
+            T.StructField("to", T.BinaryType()),
+            T.StructField("call_type", T.StringType()),
+            T.StructField("sighash", T.BinaryType()),
+        ]
+    )
+    tx_schema = T.StructType(
+        [
+            T.StructField("block_number", T.LongType()),
+            T.StructField("transaction_index", T.LongType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    blocks_schema = T.StructType([T.StructField("number", T.LongType())])
+    sig_a, sig_b = bytes([1, 2, 3, 4]), bytes([9, 9, 9, 9])
+    traces = [
+        (1000 + i, i % 3, bytes([i] * 20), bytes([i + 1] * 20),
+         "call" if i % 2 == 0 else "delegatecall",
+         sig_a if i % 4 == 0 else sig_b)
+        for i in range(20)
+    ]
+    txs = [(1000 + i, j, 100 * i + j) for i in range(20) for j in range(3)]
+    tables = {
+        "blocks": spark.createDataFrame([(1000 + i,) for i in range(20)], blocks_schema),
+        "transactions": spark.createDataFrame(txs, tx_schema),
+        "traces": spark.createDataFrame(traces, traces_schema),
+    }
+    q = EvmQuery(
+        from_block=1000,
+        to_block=1015,
+        traces=[
+            TraceRequest(
+                sighash=[sig_a], call_type=["call"],
+                include_blocks=True, include_transactions=True,
+            )
+        ],
+    )
+    out = apply_evm_query(tables, q)
+    matched = [
+        t for t in traces
+        if 1000 <= t[0] <= 1015 and t[5] == sig_a and t[4] == "call"
+    ]
+    got_traces = {(r["block_number"], r["transaction_index"]) for r in out["traces"].collect()}
+    assert got_traces == {(t[0], t[1]) for t in matched} and got_traces
+    got_blocks = {r["number"] for r in out["blocks"].collect()}
+    assert got_blocks == {t[0] for t in matched}
+    got_tx = {(r["block_number"], r["transaction_index"]) for r in out["transactions"].collect()}
+    assert got_tx == {(t[0], t[1]) for t in matched}
+
+
+def test_svm_logs_filter_and_block_semi_join(spark):
+    """SvmLogRequest: program_id/kind filter + include_blocks semi-join,
+    OR-combined with an instruction request's parents."""
+    import pyspark.sql.types as T
+
+    from cherry_spark.model import SvmLogRequest
+
+    logs_schema = T.StructType(
+        [
+            T.StructField("block_slot", T.LongType()),
+            T.StructField("transaction_index", T.LongType()),
+            T.StructField("program_id", T.BinaryType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("message", T.StringType()),
+        ]
+    )
+    blocks_schema = T.StructType([T.StructField("slot", T.LongType())])
+    prog = bytes([7] * 32)
+    logs = [
+        (2000 + i, i % 2, prog if i % 3 == 0 else bytes([i] * 32),
+         "error" if i % 5 == 0 else "info", f"m{i}")
+        for i in range(30)
+    ]
+    tables = {
+        "blocks": spark.createDataFrame([(2000 + i,) for i in range(30)], blocks_schema),
+        "logs": spark.createDataFrame(logs, logs_schema),
+    }
+    q = SvmQuery(
+        from_slot=2000,
+        to_slot=2025,
+        logs=[SvmLogRequest(program_id=[prog], kind=["error"], include_blocks=True)],
+    )
+    out = apply_svm_query(tables, q)
+    matched = [
+        r for r in logs
+        if 2000 <= r[0] <= 2025 and r[2] == prog and r[3] == "error"
+    ]
+    got = {(r["block_slot"], r["transaction_index"]) for r in out["logs"].collect()}
+    assert got == {(r[0], r[1]) for r in matched} and got
+    got_blocks = {r["slot"] for r in out["blocks"].collect()}
+    assert got_blocks == {r[0] for r in matched}
