@@ -332,41 +332,92 @@ def evm_decode_events(batch: Batch, cfg: EvmDecodeEventsConfig) -> Batch:
     return out
 
 
-def glaciers_events(batch: Batch, cfg: GlaciersEventsConfig) -> Batch:
-    """Bulk multi-contract decode: broadcast-join logs to an ABI lookup
-    table on (address, topic0), then decode each signature's slice and
-    union the results (reference GLACIERS_EVENTS, config.py:137-142 —
-    declared, unwired).
+def _stringify_decoded(col: Column, abi_type: str, indexed: bool) -> Column:
+    """Decoded value -> string for the generic event_values array
+    (binary -> 0x-hex, composites -> JSON, scalars -> cast)."""
+    spark_t = (
+        T.BinaryType()
+        if indexed and (is_dynamic(abi_type) or type_structure(abi_type)[0] != "base")
+        else abi_type_to_spark(abi_type)
+    )
+    if isinstance(spark_t, T.BinaryType):
+        return F.concat(F.lit("0x"), F.lower(F.hex(col)))
+    if isinstance(spark_t, (T.ArrayType, T.StructType)):
+        return F.to_json(col)
+    return col.cast("string")
 
-    The ABI db is a small dim (address: binary, topic0: binary,
-    event_signature: string) — collected driver-side to enumerate the
-    distinct signatures; each slice decodes natively.
+
+def glaciers_events(batch: Batch, cfg: GlaciersEventsConfig) -> Batch:
+    """Bulk multi-contract decode: ONE broadcast join of logs to the ABI
+    lookup table on (address, topic0), then one decode branch per
+    distinct *layout* (canonical type+indexed pattern), not per
+    signature — a real Glaciers ABI db has thousands of signatures but
+    only dozens of layouts (Transfer and Approval share one), so the
+    union fan-out and plan size are independent of ABI-db size.
+    (Reference GLACIERS_EVENTS, config.py:137-142 — declared, unwired.)
+
+    Output follows the public Glaciers contract of a FIXED generic
+    schema — event_signature, event_keys (param names), event_values
+    (stringified values) — plus the hstacked input columns, so every
+    branch unions cleanly. The only driver-side enumeration is the ABI
+    db's distinct signatures (a dim table, bounded by contract count,
+    never by data volume); per-signature param names become a small
+    broadcast map literal, not extra branches.
     """
     logs = batch[cfg.input_table]
     abi_db = batch[cfg.abi_db_table]
     sig_rows = abi_db.select("event_signature").distinct().collect()
-    slices: list[DataFrame] = []
+    by_layout: dict[tuple, list[EventSignature]] = {}
+    sig_text: dict[str, str] = {}
     for row in sig_rows:
-        signature = row["event_signature"]
-        keys = abi_db.filter(F.col("event_signature") == signature).select(
-            "address", "topic0"
-        )
-        matched = logs.join(F.broadcast(keys), on=["address", "topic0"], how="left_semi")
-        sub_batch = {cfg.input_table: matched}
-        sub_cfg = EvmDecodeEventsConfig(
-            event_signature=signature,
-            input_table=cfg.input_table,
-            output_table="out",
-            allow_decode_fail=True,
-            hstack=True,
-        )
-        decoded = evm_decode_events(sub_batch, sub_cfg)["out"]
-        slices.append(decoded.withColumn("event_signature", F.lit(signature)))
-    if not slices:
+        parsed = parse_event_signature(row["event_signature"])
+        key = tuple((p.abi_type, p.indexed) for p in parsed.params)
+        by_layout.setdefault(key, []).append(parsed)
+        sig_text[id(parsed)] = row["event_signature"]
+    if not by_layout:
         raise ValueError("glaciers_events: empty ABI db")
+
+    joined = logs.join(F.broadcast(abi_db), on=["address", "topic0"], how="inner")
+    topic_cols = ["topic0", "topic1", "topic2", "topic3"]
+    slices: list[DataFrame] = []
+    for layout, sigs in by_layout.items():
+        strs = [sig_text[id(s)] for s in sigs]
+        sl = joined.filter(F.col("event_signature").isin(strs))
+        positional = EventSignature(
+            name="",
+            params=[
+                EventParam(f"__p{i}", t, idx) for i, (t, idx) in enumerate(layout)
+            ],
+        )
+        decoded_cols = compile_decode_columns(
+            positional, topic_cols, "data", allow_decode_fail=True
+        )
+        values = F.array(
+            *[
+                _stringify_decoded(c, t, idx)
+                for c, (t, idx) in zip(decoded_cols, layout)
+            ]
+        )
+        keys_map = F.create_map(
+            *[
+                x
+                for s in sigs
+                for x in (
+                    F.lit(sig_text[id(s)]),
+                    F.array(*[F.lit(p.name) for p in s.params]),
+                )
+            ]
+        )
+        slices.append(
+            sl.select(
+                *[F.col(c) for c in joined.columns],
+                F.element_at(keys_map, F.col("event_signature")).alias("event_keys"),
+                values.alias("event_values"),
+            )
+        )
     result = slices[0]
     for s in slices[1:]:
-        result = result.unionByName(s, allowMissingColumns=True)
+        result = result.unionByName(s)
     out = dict(batch)
     out[cfg.output_table] = result
     return out

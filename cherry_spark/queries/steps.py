@@ -416,9 +416,11 @@ def borsh_decode_fixed(spark, sf_dir):
            CAST(l_quantity AS BIGINT) AS amount
     FROM lineitem
     """,
-    doc="GLACIERS_EVENTS bulk decode: (address, topic0) broadcast-joined "
-    "ABI db routes each log slice to its signature's decoder, results "
-    "union (reference config.py:137-142, unwired there; wired here). "
+    doc="GLACIERS_EVENTS bulk decode: one (address, topic0) broadcast "
+    "join routes logs to signatures, one decode branch per distinct "
+    "LAYOUT (not per signature — plan size independent of ABI-db size), "
+    "generic event_keys/event_values output per the public Glaciers "
+    "contract (reference config.py:137-142, unwired there; wired here). "
     "Oracle recomputes the synthesized expectation per signature.",
 )
 def glaciers_decode(spark, sf_dir):
@@ -451,7 +453,8 @@ def glaciers_decode(spark, sf_dir):
         [Step(StepKind.GLACIERS_EVENTS, GlaciersEventsConfig())],
     )
     decoded = out["decoded_logs"]
-    amount_col = F.coalesce(decoded["amount"], F.lit(None)).cast("long")
+    # Transfer and Approval share a layout; 'amount' is param 3 in both
+    amount_col = F.element_at(F.col("event_values"), 3).cast("long")
     return decoded.select(
         "l_orderkey",
         "l_linenumber",

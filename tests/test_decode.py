@@ -263,4 +263,37 @@ def test_glaciers_multi_signature_decode(spark, evm_batch):
     decoded = out["decoded_logs"].collect()
     assert len(decoded) > 0
     assert all(r["event_signature"] == TRANSFER_SIG for r in decoded)
-    assert all(r["amount"] is not None for r in decoded)
+    # generic Glaciers contract: param names + stringified values
+    assert all(list(r["event_keys"]) == ["from", "to", "amount"] for r in decoded)
+    assert all(r["event_values"][2] is not None for r in decoded)
+
+
+def test_glaciers_branch_count_independent_of_signatures(spark, evm_batch):
+    """N same-layout signatures must produce ONE decode branch (no
+    per-signature union fan-out) and still label rows correctly."""
+    batch, logs, _ = evm_batch
+    from cherry_spark.functions.crypto import evm_signature_to_topic0
+
+    sigs = [
+        f"Evt{i}(address indexed a{i}, address indexed b{i}, uint256 v{i})"
+        for i in range(12)
+    ]
+    rows = [
+        (bytes(logs[i % 3][3]), evm_signature_to_topic0(s), s)
+        for i, s in enumerate(sigs)
+    ] + [(bytes(logs[0][3]), TRANSFER_TOPIC0, TRANSFER_SIG)]
+    abi_db = spark.createDataFrame(
+        rows, "address binary, topic0 binary, event_signature string"
+    )
+    b = dict(batch)
+    b["abi_db"] = abi_db
+    out = process_steps(b, [Step(StepKind.GLACIERS_EVENTS, GlaciersEventsConfig())])
+    df = out["decoded_logs"]
+    # all 13 signatures share one layout -> exactly one branch, no Union
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    decoded = df.collect()
+    assert decoded and all(
+        r["event_keys"][2].startswith("v") or r["event_keys"][2] == "amount"
+        for r in decoded
+    )
