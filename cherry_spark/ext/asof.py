@@ -37,13 +37,20 @@ def asof_join(
     timestamps — the greatest tiebreak value wins, making the result
     deterministic when a key has several right rows at one timestamp.
     """
+    from pyspark.sql import types as T
+
+    # a SINGLE struct of the value columns is filled forward, so every
+    # output value comes from the same matched right row — filling each
+    # column independently would backfill a genuine NULL in one column
+    # from an OLDER right row, mixing columns across rows
+    vals_type = T.StructType([right.schema[c] for c in value_cols])
     l_tagged = left.select(
         F.col(left_key).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast("long").alias("__tie"),
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(vals_type).alias("__vals"),
     )
     r_tagged = right.select(
         F.col(right_key).alias("__key"),
@@ -53,7 +60,7 @@ def asof_join(
             "__tie"
         ),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -64,9 +71,10 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last("__vals", ignorenulls=True).over(w)
     filled = unioned.select(
         "__is_left",
         *[F.col(c) for c in left.columns],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[matched[c].alias(c) for c in value_cols],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")

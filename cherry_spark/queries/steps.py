@@ -465,13 +465,36 @@ def glaciers_decode(spark, sf_dir):
 
 @query(
     "base58_encode",
-    oracle=None,  # DuckDB has no base58; unit-tested against known vectors
-    doc="BASE58_ENCODE step over synthesized binary (reference "
-    "steps/base58_encode.py); rows-only driver check + vector unit tests.",
+    oracle="""
+    WITH RECURSIVE src AS (
+        SELECT doc_id, CAST(doc_id AS BIGINT) * 2654435761 + 7 AS v
+        FROM documents
+    ), digits AS (
+        SELECT doc_id, v, '' AS acc FROM src
+        UNION ALL
+        SELECT doc_id, v // 58,
+               substr('123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz',
+                      CAST(v % 58 AS INT) + 1, 1) || acc
+        FROM digits WHERE v > 0
+    )
+    SELECT d.doc_id,
+           repeat('1', 8 - CAST(ceil(log2(s.v + 1) / 8.0) AS INT)) || d.acc
+               AS payload
+    FROM digits d JOIN src s USING (doc_id)
+    WHERE d.v = 0
+    """,
+    doc="BASE58_ENCODE step over an 8-byte big-endian payload "
+    "(reference steps/base58_encode.py). DuckDB has no base58 builtin, "
+    "so the oracle re-derives it from the spec: recursive-CTE divmod-58 "
+    "digit extraction plus '1'-per-leading-zero-byte — a full "
+    "independent reimplementation, which upgrades the round-1 rows-only "
+    "check to a value-verified one. Vector unit tests still cover "
+    "arbitrary-width payloads.",
 )
 def base58_encode(spark, sf_dir):
+    v = (F.col("doc_id").cast("long") * F.lit(2654435761) + 7).cast("long")
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.unhex(F.sha2("text", 256)).alias("payload")
+        "doc_id", F.unhex(F.lpad(F.hex(v), 16, "0")).alias("payload")
     )
     from cherry_spark.plans import Base58EncodeConfig
 

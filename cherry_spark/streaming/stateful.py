@@ -74,3 +74,82 @@ def running_cursor_tracker(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def streaming_sessionizer(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization with custom state — the stateful twin of
+    the batch ``session_window_agg`` query (SURVEY §2.9).
+
+    The open session per key lives in the state store across
+    micro-batches: an arriving event either extends it (gap not
+    exceeded) or closes it — closed sessions are EMITTED, the open one
+    is retained. Events are processed in timestamp order within each
+    batch; state is O(1) per key (start/last/count/sum), never a row
+    buffer. Production pairs this with a watermark on the source and
+    GroupStateTimeout to flush idle sessions; the availableNow test
+    harness closes sessions with a sentinel event instead.
+    """
+
+    def sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (uid,) = key
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                ts = int(ts)
+                if start is None:
+                    start, last, n, total = ts, ts, 1, float(val)
+                elif ts - last > gap_seconds:
+                    closed.append((uid, start, last, n, total))
+                    start, last, n, total = ts, ts, 1, float(val)
+                else:
+                    last, n, total = ts, n + 1, total + float(val)
+        if start is not None:
+            state.update((start, last, n, total))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events", "sum_value",
+                ],
+            )
+
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        sessionize,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -41,3 +41,21 @@ def test_asof_tiebreak_greatest_wins(spark):
         value_cols=["val"], tiebreak="val",
     ).collect()
     assert out[0]["val"] == 9
+
+
+def test_asof_null_value_not_backfilled(spark):
+    """A genuine NULL in one value column of the matched right row must
+    stay NULL — not be backfilled from an older right row (all output
+    values must come from the SAME matched row)."""
+    from cherry_spark.ext.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 111, 500), (1, 90, None, 900)],
+        "k long, ts long, price int, size long",
+    )
+    out = asof_join(
+        left, right, "k", "k", "ts", "ts", value_cols=["price", "size"]
+    ).collect()[0]
+    # matched row is ts=90: price genuinely NULL, size 900
+    assert out["price"] is None and out["size"] == 900

@@ -54,3 +54,43 @@ def test_running_cursor_tracker(spark, sf_dir, tmp_path):
     # state genuinely spanned batches: some user saw >1 update row
     multi = updates.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_streaming_sessionizer(spark, tmp_path):
+    """Sessions spanning micro-batches close exactly at the gap; state
+    carries the open session across batches."""
+    from cherry_spark.streaming.stateful import streaming_sessionizer
+
+    src = str(tmp_path / "sess_src")
+    schema = "user_id long, ts_sec long, value double"
+    # batch 1: u1 has two close events; u2 one
+    b1 = [(1, 0, 1.0), (1, 100, 2.0), (2, 50, 5.0)]
+    # batch 2: u1 jumps past the gap (closes [0,100]); u2 stays inside
+    b2 = [(1, 5000, 3.0), (2, 1000, 7.0)]
+    # batch 3: sentinel far-future events close everything open
+    b3 = [(1, 10**9, 0.0), (2, 10**9, 0.0)]
+    for rows in (b1, b2, b3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    sessions = streaming_sessionizer(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert (1, 0, 100, 2, 3.0) in got
+    assert (1, 5000, 5000, 1, 3.0) in got
+    assert (2, 50, 1000, 2, 12.0) in got
