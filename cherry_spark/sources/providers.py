@@ -1,0 +1,164 @@
+"""Provider adapters: the reference's ``start_stream(provider, query)``
+contract (reference pipeline.py:106, examples/erc20_custom.py:93-103)
+re-expressed Spark-first.
+
+A provider takes a declarative query (EvmQuery / SvmQuery) and yields
+``Dict[str, DataFrame]`` batches covering consecutive cursor windows —
+exactly what the pipeline's step list consumes. Implementations:
+
+- :class:`LocalReplayProvider` — parquet-table replay through the real
+  query model (`apply_evm_query`/`apply_svm_query`): predicates land in
+  the scans, the same data-movement win the live providers get
+  server-side. This is the testable stand-in used everywhere here.
+- :class:`HyperSyncProvider` / :class:`SqdProvider` — the live-network
+  adapters. The sandbox has no network, so their ``fetch`` hook raises
+  unless the caller plugs in a transport (``fetch_fn``): the interface,
+  dispatch, and batch contract are real; only the HTTP layer is
+  intentionally absent (reference delegates it to cherry_core.ingest).
+
+Dispatch mirrors the reference: ``start_stream(provider_config, ...)``
+chooses the adapter by ``kind``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cherry_spark.model import (
+    EvmQuery,
+    SvmQuery,
+    apply_evm_query,
+    apply_svm_query,
+)
+
+Batch = dict[str, DataFrame]
+
+
+class ProviderKind(str, Enum):
+    HYPERSYNC = "hypersync"
+    SQD = "sqd"
+    LOCAL_REPLAY = "local_replay"
+
+
+@dataclass
+class ProviderConfig:
+    """Reference ProviderConfig parity (kind + url + free-form options;
+    examples/erc20_custom.py:93-96)."""
+
+    kind: ProviderKind
+    url: str | None = None
+    options: dict = field(default_factory=dict)
+    # pluggable transport for the live adapters: (url, query, lo, hi) ->
+    # Dict[str, DataFrame]. Absent in the sandbox; a real deployment
+    # injects an HTTP/Arrow-Flight client here.
+    fetch_fn: Callable[..., Batch] | None = None
+
+
+class Provider:
+    """Query in, cursor-windowed Dict[str, DataFrame] batches out."""
+
+    def start_stream(
+        self,
+        spark: SparkSession,
+        query: EvmQuery | SvmQuery,
+        batch_size: int = 1000,
+    ) -> Iterator[Batch]:
+        raise NotImplementedError
+
+
+class LocalReplayProvider(Provider):
+    """Replay parquet tables through the real query model.
+
+    ``cursor_cols`` maps table -> cursor column (defaults cover the
+    EVM/SVM block/slot families)."""
+
+    def __init__(self, tables: Batch, cursor_cols: dict[str, str] | None = None):
+        self.tables = tables
+        self.cursor_cols = cursor_cols
+
+    def _defaults(self, query) -> tuple[dict[str, str], int, int | None]:
+        if isinstance(query, EvmQuery):
+            cols = {
+                "blocks": "number",
+                "transactions": "block_number",
+                "logs": "block_number",
+                "traces": "block_number",
+            }
+            return cols, query.from_block, query.to_block
+        cols = {
+            "blocks": "slot",
+            "transactions": "block_slot",
+            "instructions": "block_slot",
+            "logs": "block_slot",
+        }
+        return cols, query.from_slot, query.to_slot
+
+    def start_stream(self, spark, query, batch_size=1000):
+        from cherry_spark.streaming.replay import range_batches
+
+        cursor_cols, lo, hi = self._defaults(query)
+        if self.cursor_cols is not None:
+            cursor_cols = self.cursor_cols
+        if hi is None:
+            raise ValueError("LocalReplayProvider needs a bounded query (to_block)")
+        apply = apply_evm_query if isinstance(query, EvmQuery) else apply_svm_query
+        filtered = apply(self.tables, query)
+        yield from range_batches(
+            spark, filtered, cursor_cols, lo, hi, batch_size
+        )
+
+
+class _NetworkProvider(Provider):
+    """Shared shape of the live adapters: window the cursor range, call
+    the injected transport per window. Without a transport the adapter
+    fails loudly — no fake network data."""
+
+    def __init__(self, config: ProviderConfig):
+        self.config = config
+
+    def start_stream(self, spark, query, batch_size=1000):
+        if self.config.fetch_fn is None:
+            raise RuntimeError(
+                f"{type(self).__name__}: no transport available in this "
+                "environment; inject ProviderConfig.fetch_fn to go live"
+            )
+        if isinstance(query, EvmQuery):
+            lo, hi = query.from_block, query.to_block
+        else:
+            lo, hi = query.from_slot, query.to_slot
+        if hi is None:
+            raise ValueError("bounded query required (streaming tip-follow TBD)")
+        start = lo
+        while start <= hi:
+            end = min(start + batch_size - 1, hi)
+            yield self.config.fetch_fn(self.config.url, query, start, end)
+            start = end + 1
+
+
+class HyperSyncProvider(_NetworkProvider):
+    """HyperSync adapter (reference ProviderKind.HYPERSYNC)."""
+
+
+class SqdProvider(_NetworkProvider):
+    """SQD portal adapter (reference ProviderKind.SQD)."""
+
+
+def start_stream(
+    config: ProviderConfig,
+    spark: SparkSession,
+    query: EvmQuery | SvmQuery,
+    batch_size: int = 1000,
+    tables: Batch | None = None,
+) -> Iterator[Batch]:
+    """Reference-parity dispatch (pipeline.py:106): pick the adapter by
+    kind and stream batches."""
+    if config.kind == ProviderKind.LOCAL_REPLAY:
+        if tables is None:
+            raise ValueError("local_replay needs tables")
+        return LocalReplayProvider(tables).start_stream(spark, query, batch_size)
+    cls = HyperSyncProvider if config.kind == ProviderKind.HYPERSYNC else SqdProvider
+    return cls(config).start_stream(spark, query, batch_size)
