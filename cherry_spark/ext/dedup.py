@@ -56,6 +56,32 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def shingle_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) posting rows. Tokenizes ONCE per document
+    (posexplode) and assembles k-shingles with lead() windows — the
+    array-``transform`` formulation re-runs the tokenizer per element
+    after CollapseProject inlining (measured 2x the stage at sf0.1).
+    Shingle strings are identical to word_shingles' (concat_ws of k
+    consecutive tokens), so DuckDB oracles stay in lockstep."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, k)]
+    sh = toks.select("id", "t0", *leads).filter(F.col(f"t{k - 1}").isNotNull())
+    out = sh.select(
+        "id", F.concat_ws(" ", *[f"t{j}" for j in range(k)]).alias("shingle")
+    )
+    return out.distinct() if distinct else out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -65,19 +91,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature columns h0..h{n-1}.
 
-    Distributed shape: explode shingles into postings, hash each posting
-    under n seeded xxhash64 instances, groupBy(id) with n MIN aggregates
-    (map-side partial min -> one shuffle on id). The aggregation is also
-    an optimizer barrier: the shingle pipeline is evaluated exactly once
-    per document — a nested-array formulation gets inlined n× by
-    project-collapse and blows up the expression tree.
+    Distributed shape, tuned so every expensive step runs exactly once
+    per unit of data:
+
+    - tokenize ONCE per document (posexplode of the token array — a
+      shingle-array ``transform`` would re-evaluate the tokenizer per
+      element after CollapseProject inlining, measured 2x the stage);
+    - assemble k-shingles with ``lead()`` windows over (id, pos) —
+      one shuffle, no token-array duplication across posting rows;
+    - hash each shingle ONCE (xxhash64 over the k tokens), then derive
+      the n-hash family from that single 64-bit value with fixed-width
+      rehashes ``xxhash64(h, i)`` — 1 variable-width + n fixed-width
+      hashes per posting instead of n string hashes;
+    - groupBy(id) with n MIN aggregates (map-side partial min -> one
+      shuffle on id). Duplicate shingles don't affect MIN, so no
+      distinct pass is needed.
     """
-    postings = df.select(
+    toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "t0"),
     )
-    hashed = postings.select(
-        "id", *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, shingle_k)]
+    sh = toks.select("id", "t0", *lead_cols).filter(
+        F.col(f"t{shingle_k - 1}").isNotNull()
+    )
+    base = sh.select(
+        "id", F.xxhash64(*[f"t{j}" for j in range(shingle_k)]).alias("h")
+    )
+    hashed = base.select(
+        "id", *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
@@ -98,7 +141,10 @@ def minhash_lsh_pairs(
 
     shuffle profile: postings agg (one shuffle) -> explode(bands) ->
     self-join on band key (bounded buckets) -> distinct pairs -> one
-    join back for verification. The n² compare never materializes.
+    join back for verification. The n² compare never materializes; the
+    exact shingle sets reuse the tokenize-once posting pipeline and
+    their aggregation exchange is deduped across the two verification
+    joins (ReusedExchange), so the corpus is shingled once.
     """
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
@@ -124,9 +170,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    sh = (
+        shingle_postings(df, id_col, text_col, shingle_k)
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("shingles"))
     )
     verified = (
         candidates.join(sh.withColumnsRenamed({"id": "id1", "shingles": "sh1"}), "id1")
@@ -158,12 +205,9 @@ def ngram_jaccard_pairs(
     shrinks but results are identical; the plain index is already
     linear in total postings, not quadratic in documents.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-
-    postings = base.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    sh = shingle_postings(df, id_col, text_col, shingle_k)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    postings = sh.join(counts, on="id")
     a, b = postings.alias("a"), postings.alias("b")
     shared = (
         a.join(
