@@ -199,17 +199,142 @@ def _u63_word(word: Column) -> Column:
     return F.conv(F.substring(F.hex(word), 49, 16), 16, 10).try_cast(_LONG)
 
 
-def _decode_at(data: Column, base: Column, head: Column, abi_type: str) -> Column:
+class _Prelude:
+    """Layered helper projections for per-row dynamic positions.
+
+    Tail offsets / lengths / element-chunk arrays are referenced many
+    times by the final decode expressions (and by lambda bodies, where
+    any embedded subtree is re-evaluated PER ELEMENT in interpreted
+    mode). Registering them as aliased columns in intermediate selects
+    makes each one evaluate exactly once per row: CollapseProject keeps
+    multi-referenced non-cheap aliases as separate projections (checked
+    empirically on 4.1 — measured 3-10x on dynamic params at sf0.1).
+    An entry at layer L may reference entries of layers < L.
+    """
+
+    def __init__(self):
+        self.layers: list[dict[str, Column]] = []
+        self._n = 0
+
+    def add(self, layer: int, col: Column) -> Column:
+        while len(self.layers) <= layer:
+            self.layers.append({})
+        name = f"__cherry_pre{self._n}"
+        self._n += 1
+        self.layers[layer][name] = col
+        return F.col(name)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for layer in self.layers:
+            if layer:
+                df = df.select("*", *[c.alias(n) for n, c in layer.items()])
+        return df
+
+
+def _hex_value(region: Column, off: Column, abi_type: str) -> Column:
+    """Decode one STATIC ABI value from lowercase hex text at 0-based
+    char offset ``off``. Used for array elements: the region is a bound
+    prelude column (hex of the whole element area, computed once per
+    row), so per-element interpreted eval only substrings an in-hand
+    string — no re-hexing, no unhex round trips. Mirrors the
+    word/limb logic of functions/binary.py on the hex form.
+    """
+    from decimal import Decimal as _D
+
+    kind, inner, size = type_structure(abi_type)
+    if kind == "tuple":
+        members, cum = [], 0
+        for i, mt in enumerate(inner):
+            members.append(
+                _hex_value(region, (off + F.lit(64 * cum)).cast(_LONG), mt).alias(f"f{i}")
+            )
+            cum += head_words(mt)
+        return F.struct(*members)
+    if kind == "array":
+        hw = head_words(inner)
+        return F.array(
+            *[
+                _hex_value(region, (off + F.lit(64 * hw * i)).cast(_LONG), inner)
+                for i in range(size)
+            ]
+        )
+
+    def sub(s: int, length: int) -> Column:
+        return region.substr((off + F.lit(s + 1)).cast(_LONG), F.lit(length).cast(_LONG))
+
+    if abi_type == "address":
+        return F.unhex(sub(24, 40))
+    if abi_type == "bool":
+        return F.conv(sub(62, 2), 16, 10).cast("int") != 0
+    m = re.match(r"^bytes(\d+)$", abi_type)
+    if m:
+        return F.unhex(sub(0, 2 * int(m.group(1))))
+    m = _INT_RE.match(abi_type)
+    if not m:
+        raise NotImplementedError(f"hex element decode not supported for {abi_type}")
+    unsigned, bits = m.group(1) == "u", int(m.group(2) or 256)
+    d38 = T.DecimalType(38, 0)
+    if unsigned:
+        if bits <= 32:
+            return F.conv(sub(64 - bits // 4, bits // 4), 16, 10).cast(_LONG)
+        if bits <= 63:
+            return F.conv(sub(48, 16), 16, 10).cast(_LONG)
+        if bits == 64:
+            return F.conv(sub(48, 16), 16, 10).cast(T.DecimalType(20, 0))
+        hi = F.conv(sub(32, 16), 16, 10).cast(d38)
+        lo = F.conv(sub(48, 16), 16, 10).cast(d38)
+        two64 = F.lit(_D(2**64)).cast(d38)
+        fits = (sub(0, 32) == F.lit("0" * 32)) & (hi < F.lit(2**62))
+        return F.when(fits, (hi * two64 + lo).cast(d38))
+    if bits <= 64:
+        as_dec = F.conv(sub(48, 16), 16, 10).cast(T.DecimalType(20, 0))
+        wrapped = F.when(
+            as_dec >= F.lit(2 ** (bits - 1)).cast(T.DecimalType(20, 0)),
+            as_dec - F.lit(2**bits).cast(T.DecimalType(20, 0)),
+        ).otherwise(as_dec)
+        return wrapped.cast(_LONG)
+    # signed >64-bit: limb two's complement (see i256_binary_to_decimal38)
+    hi = F.conv(sub(32, 16), 16, 10).cast(d38)
+    lo = F.conv(sub(48, 16), 16, 10).cast(d38)
+    two64 = F.lit(_D(2**64)).cast(d38)
+    max64 = F.lit(_D(2**64 - 1)).cast(d38)
+    pos_fits = (sub(0, 32) == F.lit("0" * 32)) & (hi < F.lit(2**62))
+    a = F.when(lo > 0, max64 - hi).otherwise(two64 - hi)
+    b = F.when(lo > 0, two64 - lo).otherwise(F.lit(_D(0)).cast(d38))
+    neg_fits = (sub(0, 32) == F.lit("f" * 32)) & (a < F.lit(2**62))
+    neg_val = (F.lit(_D(0)).cast(d38) - (a * two64 + b)).cast(d38)
+    return (
+        F.when(pos_fits, (hi * two64 + lo).cast(d38))
+        .when(neg_fits, neg_val)
+        .otherwise(F.lit(None).cast(d38))
+    )
+
+
+def _decode_at(
+    data: Column,
+    base: Column,
+    head: Column,
+    abi_type: str,
+    pre: _Prelude | None = None,
+    layer: int = 0,
+) -> Column:
     """Decode one ABI value. ``base`` is the 1-based byte position of the
     enclosing dynamic context (offsets are relative to it); ``head`` is
     the 1-based position of this value's head word(s). Recursive over
     the public ABI head/tail grammar; every path is a native expression.
+    With ``pre`` set, dynamic positions become prelude columns evaluated
+    once per row; pass ``pre=None`` inside lambda bodies (per-element
+    contexts can't project columns).
     """
+
+    def _bind(col: Column, lyr: int) -> Column:
+        return pre.add(lyr, col) if pre is not None else col
+
     kind, inner, size = type_structure(abi_type)
     if kind == "base":
         if abi_type in ("string", "bytes"):
-            tail = (base + _u63_word(_word_at(data, head))).cast(_LONG)
-            n = _u63_word(_word_at(data, tail))
+            tail = _bind((base + _u63_word(_word_at(data, head))).cast(_LONG), layer)
+            n = _bind(_u63_word(_word_at(data, tail)), layer + 1)
             payload = data.substr((tail + 32).cast(_LONG), n)
             ok = (F.length(data) >= tail + 31) & (F.length(payload) == n)
             val = payload.cast("string") if abi_type == "string" else payload
@@ -217,15 +342,17 @@ def _decode_at(data: Column, base: Column, head: Column, abi_type: str) -> Colum
         return _word_to_column(_word_at(data, head), abi_type)
     if kind == "tuple":
         if is_dynamic(abi_type):
-            tail = (base + _u63_word(_word_at(data, head))).cast(_LONG)
-            mbase, mhead0 = tail, tail
+            tail = _bind((base + _u63_word(_word_at(data, head))).cast(_LONG), layer)
+            mbase, mhead0, mlayer = tail, tail, layer + 1
         else:
-            mbase, mhead0 = base, head
+            mbase, mhead0, mlayer = base, head, layer
         members = []
         cum = 0
         for i, mt in enumerate(inner):
             mhead = (mhead0 + F.lit(32 * cum).cast(_LONG)).cast(_LONG)
-            members.append(_decode_at(data, mbase, mhead, mt).alias(f"f{i}"))
+            members.append(
+                _decode_at(data, mbase, mhead, mt, pre, mlayer).alias(f"f{i}")
+            )
             cum += head_words(mt)
         return F.struct(*members)
     # arrays
@@ -233,37 +360,68 @@ def _decode_at(data: Column, base: Column, head: Column, abi_type: str) -> Colum
         hw = head_words(inner)
         return F.array(
             *[
-                _decode_at(data, base, (head + F.lit(32 * hw * i).cast(_LONG)).cast(_LONG), inner)
+                _decode_at(
+                    data,
+                    base,
+                    (head + F.lit(32 * hw * i).cast(_LONG)).cast(_LONG),
+                    inner,
+                    pre,
+                    layer,
+                )
                 for i in range(size)
             ]
         )
     if size is not None:
         # fixed-size array of dynamic elements: one offset to a block of
         # k element offsets relative to the block start
-        tail = (base + _u63_word(_word_at(data, head))).cast(_LONG)
+        tail = _bind((base + _u63_word(_word_at(data, head))).cast(_LONG), layer)
         return F.array(
             *[
-                _decode_at(data, tail, (tail + F.lit(32 * i).cast(_LONG)).cast(_LONG), inner)
+                _decode_at(
+                    data,
+                    tail,
+                    (tail + F.lit(32 * i).cast(_LONG)).cast(_LONG),
+                    inner,
+                    pre,
+                    layer + 1,
+                )
                 for i in range(size)
             ]
         )
     # dynamically-sized array: offset -> length word -> elements
-    tail = (base + _u63_word(_word_at(data, head))).cast(_LONG)
-    n = _u63_word(_word_at(data, tail))
+    tail = _bind((base + _u63_word(_word_at(data, head))).cast(_LONG), layer)
+    n = _bind(_u63_word(_word_at(data, tail)), layer + 1)
     elem_base = (tail + 32).cast(_LONG)
-    if is_dynamic(inner):
-        stride, ebase = 32, elem_base
-        ok = F.length(data) >= tail + 31
-    else:
-        stride, ebase = 32 * head_words(inner), elem_base
+    empty = F.array().cast(abi_type_to_spark(abi_type))
+    if not is_dynamic(inner):
+        # static elements: hex the whole element region ONCE into a
+        # bound prelude column; per-element decode only substrings that
+        # in-hand string — nothing from `data` re-evaluates per element
+        hw = head_words(inner)
+        stride = 32 * hw
+        region = _bind(
+            F.lower(F.hex(data.substr(elem_base, (F.lit(stride) * n).cast(_LONG)))),
+            layer + 2,
+        )
         ok = F.length(data) >= tail + 31 + F.lit(stride) * n
+        arr = F.transform(
+            F.sequence(F.lit(0).cast(_LONG), (n - 1).cast(_LONG)),
+            lambda i: _hex_value(region, (i * F.lit(2 * stride)).cast(_LONG), inner),
+        )
+        return F.when(ok & (n > 0), arr).when(ok & (n == 0), empty)
+    # dynamic elements (string[], tuple-with-dynamic[]): per-element
+    # offset math must stay in the lambda (pre=None) — rarer and slower
+    ok = F.length(data) >= tail + 31
     arr = F.transform(
         F.sequence(F.lit(0).cast(_LONG), (n - 1).cast(_LONG)),
         lambda i: _decode_at(
-            data, ebase, (ebase + i * F.lit(stride).cast(_LONG)).cast(_LONG), inner
+            data,
+            elem_base,
+            (elem_base + i * F.lit(32).cast(_LONG)).cast(_LONG),
+            inner,
+            None,
         ),
     )
-    empty = F.array().cast(abi_type_to_spark(abi_type))
     return F.when(ok & (n > 0), arr).when(ok & (n == 0), empty)
 
 
@@ -272,8 +430,11 @@ def compile_decode_columns(
     topic_cols: list[str],
     data_col: str,
     allow_decode_fail: bool,
+    pre: _Prelude | None = None,
 ) -> list[Column]:
-    """Build one output Column per event param."""
+    """Build one output Column per event param. Pass a ``_Prelude`` to
+    hoist dynamic positions into once-per-row helper columns (callers
+    must then route the DataFrame through ``pre.apply``)."""
     total_head_words = sum(head_words(p.abi_type) for p in sig.data_params)
     has_dynamic = any(_is_dynamic(p.abi_type) for p in sig.data_params)
 
@@ -306,7 +467,7 @@ def compile_decode_columns(
                 raw = _word_to_column(word, p.abi_type)
         else:
             head = F.lit(1 + 32 * head_cum).cast(_LONG)
-            raw = _decode_at(data, base, head, p.abi_type)
+            raw = _decode_at(data, base, head, p.abi_type, pre)
             head_cum += head_words(p.abi_type)
         if allow_decode_fail:
             col = F.when(valid, raw).otherwise(F.lit(None))
@@ -322,11 +483,15 @@ def evm_decode_events(batch: Batch, cfg: EvmDecodeEventsConfig) -> Batch:
     logs = batch[cfg.input_table]
     sig = parse_event_signature(cfg.event_signature)
     topic_cols = ["topic0", "topic1", "topic2", "topic3"]
-    decoded_cols = compile_decode_columns(sig, topic_cols, "data", cfg.allow_decode_fail)
+    pre = _Prelude()
+    decoded_cols = compile_decode_columns(
+        sig, topic_cols, "data", cfg.allow_decode_fail, pre
+    )
+    staged = pre.apply(logs)
     if cfg.hstack:
-        decoded = logs.select(*decoded_cols, *[F.col(c) for c in logs.columns])
+        decoded = staged.select(*decoded_cols, *[F.col(c) for c in logs.columns])
     else:
-        decoded = logs.select(*decoded_cols)
+        decoded = staged.select(*decoded_cols)
     out = dict(batch)
     out[cfg.output_table] = decoded
     return out
@@ -389,9 +554,11 @@ def glaciers_events(batch: Batch, cfg: GlaciersEventsConfig) -> Batch:
                 EventParam(f"__p{i}", t, idx) for i, (t, idx) in enumerate(layout)
             ],
         )
+        pre = _Prelude()
         decoded_cols = compile_decode_columns(
-            positional, topic_cols, "data", allow_decode_fail=True
+            positional, topic_cols, "data", allow_decode_fail=True, pre=pre
         )
+        sl = pre.apply(sl)
         values = F.array(
             *[
                 _stringify_decoded(c, t, idx)

@@ -340,8 +340,11 @@ def decode_dynamic_abi(spark, sf_dir):
     return out["decoded_logs"].select(
         "l_orderkey",
         "l_linenumber",
-        F.transform(F.col("ids"), lambda x: x.cast("long")).alias("ids"),
-        F.transform(F.col("vals"), lambda x: x.cast("long")).alias("vals"),
+        # array cast, NOT transform(x -> cast): an outer transform
+        # collapses onto the decode expression and re-evaluates the
+        # whole array construction per element
+        F.col("ids").cast("array<long>").alias("ids"),
+        F.col("vals").cast("array<long>").alias("vals"),
         F.col("memo"),
         F.col("delta").cast("long").alias("delta"),
     )
