@@ -27,6 +27,7 @@ HEADLINE = [
     "groupby_sum",
     "join_inner_eq",
     "semi_join_related",
+    "trace_query_model",
     "topk_orderby_limit",
     "window_rownum_dedup",
     "window_tumbling_agg",
@@ -41,6 +42,8 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_lsh_dedup",
     "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "embed_neardup_pairs",
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
