@@ -232,6 +232,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing word
+    k-shingles with any held-out document (the standard n-gram-overlap
+    contamination check run before training on web-scale corpora).
+
+    Returns (doc_id, n_shared_shingles, n_test_docs) for each training
+    doc with >= ``min_shared`` distinct overlapping shingles.
+
+    Scale shape: both sides go through the tokenize-once posting
+    pipeline, then ONE equi-join on the shingle string — an inverted
+    index probe, linear in postings, never a doc×doc comparison. The
+    eval side is tiny relative to the corpus (the usual case), so at
+    scale Catalyst broadcast-joins its postings against the streamed
+    training corpus; the final groupBy(doc_id) is one shuffle.
+    """
+    tr = shingle_postings(train, id_col, text_col, shingle_k)
+    te = shingle_postings(test, id_col, text_col, shingle_k).select(
+        F.col("id").alias("test_id"), "shingle"
+    )
+    hits = tr.join(te, on="shingle")
+    return (
+        hits.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("test_id").alias("n_test_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

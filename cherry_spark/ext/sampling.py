@@ -1,0 +1,101 @@
+"""Deterministic hash-based sampling and train/val/test splitting.
+
+A large-scale training pipeline cannot use ``df.sample()`` for split
+assignment: it is seeded per-partition, so any repartition, input
+split change, or cluster resize reassigns rows between train and
+eval — silent leakage. The industry-standard fix is a pure function
+of a stable row key: hash the key, map the hash to [0, 1), and cut
+that line by the split weights. Every engine, every run, every scale
+assigns each row the same way — the property the reference's
+deterministic batch replay relies on for reproducibility (reference
+src/cherry_etl/pipeline.py runs the same query twice and expects the
+same batches).
+
+Mechanism: the first 4 hex chars of md5(key || salt) are compared
+against hex-encoded cumulative thresholds. Lexicographic order on
+equal-length lowercase hex IS numeric order, so the predicate is a
+pure string comparison available verbatim in any SQL engine (the
+DuckDB oracles use the identical expression) — no UDF, no bigint
+conv, whole-stage codegen end to end. 16 bits of resolution bounds
+split-fraction error at 2^-16 ≈ 0.0015%; raise ``hex_chars`` if a
+finer cut is ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_hash(key: Column, salt: str = "", hex_chars: int = 4) -> Column:
+    """Lowercase hex prefix of md5(key || salt) — the stable sampling
+    coordinate of a row. Deterministic across runs, partitionings and
+    engines (DuckDB: ``substr(md5(key || salt), 1, n)``)."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, hex_chars
+    )
+
+
+def _thresholds(weights: list[float], hex_chars: int) -> list[str]:
+    space = 16**hex_chars
+    total = sum(weights)
+    cuts, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        cuts.append(format(min(int(acc * space), space), f"0{hex_chars}x"))
+    return cuts
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+    hex_chars: int = 4,
+) -> DataFrame:
+    """Assign every row to a named split with probability proportional
+    to its weight — deterministically in the row key, so re-running at
+    any scale or partitioning never moves a row across splits."""
+    names = list(splits)
+    cuts = _thresholds([splits[n] for n in names], hex_chars)
+    h = split_hash(F.col(key_col), salt, hex_chars)
+    col = F.lit(names[-1])
+    expr = None
+    for name, cut in zip(names[:-1], cuts[:-1]):
+        cond = h < F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    col = expr.otherwise(names[-1]) if expr is not None else col
+    return df.withColumn(out_col, col)
+
+
+def split_case_sql(
+    key_sql: str,
+    splits: dict[str, float],
+    salt: str = "",
+    hex_chars: int = 4,
+) -> str:
+    """The DuckDB/ANSI CASE expression equivalent to ``hash_split`` —
+    kept next to the Spark implementation so oracles can never drift."""
+    names = list(splits)
+    cuts = _thresholds([splits[n] for n in names], hex_chars)
+    h = f"substr(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, {hex_chars})"
+    arms = "".join(
+        f" WHEN {h} < '{cut}' THEN '{name}'"
+        for name, cut in zip(names[:-1], cuts[:-1])
+    )
+    return f"CASE{arms} ELSE '{names[-1]}' END"
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    hex_chars: int = 4,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen purely by the row key hash:
+    stable under reshuffles and re-runs, and nested samples with the
+    same salt are supersets of each other (fraction 0.1 ⊂ 0.2)."""
+    cut = _thresholds([fraction, 1.0 - fraction], hex_chars)[0]
+    return df.filter(split_hash(F.col(key_col), salt, hex_chars) < F.lit(cut))

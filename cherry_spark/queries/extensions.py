@@ -343,6 +343,113 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_search(spark, index_dir, qdf, k=5, nprobe=4)
 
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "cherry"
+
+
+def _split_oracle() -> str:
+    from cherry_spark.ext.sampling import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLITS, _SPLIT_SALT)
+    return f"""
+    SELECT doc_id, {case} AS split
+    FROM documents
+    """
+
+
+@query(
+    "deterministic_split",
+    oracle=_split_oracle(),
+    doc="Deterministic train/val/test assignment keyed on "
+    "md5(doc_id || salt) — a pure function of the row key, so no "
+    "repartition, rescale or re-run can move a row across splits "
+    "(df.sample() is seeded per-partition and leaks rows between "
+    "train and eval whenever the input layout changes). The oracle "
+    "CASE expression is generated by the same module "
+    "(ext/sampling.py:split_case_sql), so the two engines cannot "
+    "drift.",
+)
+def deterministic_split(spark, sf_dir):
+    from cherry_spark.ext.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", _SPLITS, salt=_SPLIT_SALT).select(
+        "doc_id", "split"
+    )
+
+
+@query(
+    "token_freq_topn",
+    oracle=f"""
+    SELECT t AS token, COUNT(*) AS n
+    FROM documents, UNNEST({_TOKS}) AS u(t)
+    GROUP BY t
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    doc="Corpus-level token frequency head (Zipf curve / vocabulary "
+    "audit): explode whitespace tokens, one hash-aggregate shuffle on "
+    "the token, TakeOrderedAndProject top-20 — the map-side partial "
+    "count makes the shuffle O(distinct tokens), not O(corpus).",
+)
+def token_freq_topn(spark, sf_dir):
+    from cherry_spark.ext.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "decontaminate_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(list_filter(string_split(text,' '), t -> t != '')) - 3, 0)),
+                   i -> concat_ws(' ',
+                        list_filter(string_split(text,' '), t -> t != '')[i+1],
+                        list_filter(string_split(text,' '), t -> t != '')[i+2],
+                        list_filter(string_split(text,' '), t -> t != '')[i+3],
+                        list_filter(string_split(text,' '), t -> t != '')[i+4])
+               )) AS sh
+        FROM documents
+    ),
+    hits AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS test_id,
+               unnest(list_intersect(a.sh, b.sh)) AS shingle
+        FROM sh a JOIN sh b
+          ON a.source != 'src0' AND b.source = 'src0'
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT shingle) AS n_shared_shingles,
+           COUNT(DISTINCT test_id) AS n_test_docs
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Train/eval decontamination: training docs (source != 'src0') "
+    "sharing any word 4-shingle with a held-out doc (source = 'src0'). "
+    "Spark runs the inverted-index shape (tokenize-once postings, one "
+    "shingle equi-join — broadcastable eval side at scale, never "
+    "doc×doc); the oracle is the all-pairs list_intersect ground "
+    "truth, so the match proves the indexed plan exact "
+    "(ext/dedup.py:contamination_overlap).",
+)
+def decontaminate_overlap(spark, sf_dir):
+    from cherry_spark.ext.dedup import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        shingle_k=4,
+    )
+
+
 @query(
     "ann_lsh_topk",
     oracle=None,  # hyperplanes derive from xxhash64

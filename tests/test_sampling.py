@@ -1,0 +1,112 @@
+"""Deterministic hash-split sampling (ext/sampling.py) and the
+train/eval decontamination operator (ext/dedup.py:contamination_overlap)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_spark.ext.dedup import contamination_overlap
+from cherry_spark.ext.sampling import (
+    deterministic_sample,
+    hash_split,
+    split_case_sql,
+    split_hash,
+)
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "k")
+
+
+def test_split_fractions_and_total(spark):
+    df = hash_split(_ids(spark), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    # 16-bit hash on 2000 keys: allow generous sampling noise
+    assert 1450 <= counts["train"] <= 1750
+    assert 100 <= counts["val"] <= 320
+    assert 100 <= counts["test"] <= 320
+
+
+def test_split_stable_under_repartition(spark):
+    """The core property df.sample() lacks: assignment is a pure
+    function of the key, so any physical layout gives identical splits."""
+    base = _ids(spark)
+    splits = {"train": 0.7, "test": 0.3}
+    a = {r["k"]: r["split"] for r in hash_split(base, "k", splits).collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in hash_split(base.repartition(17, "k"), "k", splits).collect()
+    }
+    c = {r["k"]: r["split"] for r in hash_split(base.coalesce(1), "k", splits).collect()}
+    assert a == b == c
+
+
+def test_nested_samples_are_supersets(spark):
+    df = _ids(spark)
+    s10 = {r["k"] for r in deterministic_sample(df, "k", 0.10).collect()}
+    s25 = {r["k"] for r in deterministic_sample(df, "k", 0.25).collect()}
+    assert s10 <= s25
+    assert 120 <= len(s10) <= 280
+    assert 380 <= len(s25) <= 620
+
+
+def test_salt_decorrelates(spark):
+    df = _ids(spark)
+    a = {r["k"] for r in deterministic_sample(df, "k", 0.5, salt="a").collect()}
+    b = {r["k"] for r in deterministic_sample(df, "k", 0.5, salt="b").collect()}
+    assert a != b
+    # Independent halves should overlap ~25% of the universe, not ~50%
+    assert len(a & b) < 0.4 * 2000
+
+
+def test_split_case_sql_matches_spark(spark):
+    """The generated DuckDB CASE expression must agree with hash_split
+    row-for-row — this is what keeps oracles in lockstep."""
+    import duckdb
+
+    splits = {"train": 0.6, "val": 0.2, "test": 0.2}
+    spark_rows = {
+        r["k"]: r["split"]
+        for r in hash_split(_ids(spark, 500), "k", splits, salt="s").collect()
+    }
+    case = split_case_sql("k", splits, salt="s")
+    duck_rows = dict(
+        duckdb.sql(
+            f"SELECT k, {case} AS split FROM range(500) t(k)"
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_split_hash_is_hex_prefix(spark):
+    rows = spark.createDataFrame([("abc",)], "k string").select(
+        split_hash(F.col("k"), salt="x").alias("h")
+    ).collect()
+    import hashlib
+
+    assert rows[0]["h"] == hashlib.md5(b"abcx").hexdigest()[:4]
+
+
+def test_contamination_overlap_flags_only_real_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares 4-shingle with test
+            (2, "totally unrelated words in this training document here"),
+            (3, "alpha beta gamma delta something else entirely"),  # shares one
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_shingles"], r["n_test_docs"])
+        for r in contamination_overlap(train, test, shingle_k=4).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1] == (2, 1)  # "alpha beta gamma delta", "beta gamma delta epsilon"
+    assert got[3] == (1, 1)  # "alpha beta gamma delta"
