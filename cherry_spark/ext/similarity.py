@@ -103,13 +103,28 @@ def blocked_pairs_exact(
     """
     block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     fan = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    # Norms are computed ONCE per row before the fan-out: the lambda
+    # folds behind dot()/norm() are interpreted (no codegen for HOFs),
+    # so folding them per PAIR inside the join tripled the hot loop.
+    # Same dot, same norm scalars, same division — bit-identical to
+    # cosine_similarity, so round(·, 6) oracles cannot drift.
     left = vectors.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("__va"), block.alias("b1")
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+        block.alias("b1"),
     ).withColumn("b2", fan)
     right = vectors.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("__vb"), block.alias("b2")
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+        block.alias("b2"),
     ).withColumn("b1", fan)
-    sim = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), round_digits)
+    na, nb = F.col("__na"), F.col("__nb")
+    sim = F.round(
+        F.when((na > 0) & (nb > 0), dot(F.col("__va"), F.col("__vb")) / (na * nb)),
+        round_digits,
+    )
     return (
         left.join(right, ["b1", "b2"])
         .filter(F.col("id1") < F.col("id2"))
