@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cherry_spark.ext.similarity import cosine_similarity
+from cherry_spark.ext.similarity import cosine_similarity, dot, norm
 
 
 def _avg_vector(df: DataFrame, group_col: str, vec_col: str, out_col: str) -> DataFrame:
@@ -62,11 +62,22 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, centroid_id): nearest centroid by cosine — broadcast the
     (tiny) centroid table, per-row argmax via max_by."""
-    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col("centroid_id"),
-        F.coalesce(sim, F.lit(-2.0)).alias("__sim"),
+    # vector norm once per row instead of once per (row × centroid):
+    # the dot/norm lambda folds are interpreted, so per-pair norms
+    # triple the hot loop (same scalars — assignment is unchanged)
+    cents = F.broadcast(centroids.withColumn("__cn", norm(F.col("centroid"))))
+    na, nb = F.col("__vn"), F.col("__cn")
+    sim = F.when(
+        (na > 0) & (nb > 0), dot(F.col(vec_col), F.col("centroid")) / (na * nb)
+    )
+    scored = (
+        vectors.withColumn("__vn", norm(F.col(vec_col)))
+        .crossJoin(cents)
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.coalesce(sim, F.lit(-2.0)).alias("__sim"),
+        )
     )
     return scored.groupBy(id_col).agg(
         F.max_by("centroid_id", F.struct(F.col("__sim"), -F.col("centroid_id"))).alias(
@@ -168,10 +179,15 @@ def _probe_scan_topk(
     vec_col: str,
     query_id_col: str,
 ) -> DataFrame:
-    scored = corpus.join(F.broadcast(q_probe), on="centroid_id").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias("sim"),
+    probe = F.broadcast(q_probe.withColumn("__qn", norm(F.col("__qvec"))))
+    na, nb = F.col("__vn"), F.col("__qn")
+    sim = F.when(
+        (na > 0) & (nb > 0), dot(F.col(vec_col), F.col("__qvec")) / (na * nb)
+    )
+    scored = (
+        corpus.withColumn("__vn", norm(F.col(vec_col)))
+        .join(probe, on="centroid_id")
+        .select(F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (

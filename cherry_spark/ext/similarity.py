@@ -54,13 +54,22 @@ def brute_force_topk(
     """
     q = F.broadcast(
         query.select(
-            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))
+    # corpus norm once per row, not once per (row × query) — the HOF
+    # folds are interpreted, so per-pair norms triple the hot loop;
+    # scalars and division order match cosine_similarity bit-for-bit
+    corpus = vectors.withColumn("__vn", norm(F.col(vec_col)))
+    na, nb = F.col("__vn"), F.col("__qn")
+    sim = F.when(
+        (na > 0) & (nb > 0), dot(F.col(vec_col), F.col("__qvec")) / (na * nb)
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = vectors.crossJoin(q).select(
+    scored = corpus.crossJoin(q).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
         sim.alias("sim"),
