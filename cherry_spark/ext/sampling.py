@@ -42,7 +42,13 @@ def _thresholds(weights: list[float], hex_chars: int) -> list[str]:
     cuts, acc = [], 0.0
     for w in weights:
         acc += w / total
-        cuts.append(format(min(int(acc * space), space), f"0{hex_chars}x"))
+        cut = int(acc * space)
+        # A cumulative share that reaches 1.0 needs a cut ABOVE every
+        # hash. format(space) would be one char longer ('10000') and
+        # lexicographic compare against 4-char hashes breaks ('1fff' <
+        # '10000' is False). 'g' sorts after every hex char, so it
+        # dominates all equal-length hex strings in any engine.
+        cuts.append("g" if cut >= space else format(cut, f"0{hex_chars}x"))
     return cuts
 
 

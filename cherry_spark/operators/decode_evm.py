@@ -166,18 +166,26 @@ def _word_to_column(word: Column, abi_type: str) -> Column:
             if bits <= 32:
                 return F.conv(F.substring(hx, 65 - bits // 4, bits // 4), 16, 10).cast("long")
             if bits <= 63:
-                return F.conv(F.substring(hx, 65 - 16, 16), 16, 10).cast("long")
+                # try_cast: malformed low limb >= 2^63 nulls, not throws
+                return F.conv(F.substring(hx, 65 - 16, 16), 16, 10).try_cast("long")
             if bits == 64:
                 return F.conv(F.substring(hx, 49, 16), 16, 10).cast(T.DecimalType(20, 0))
             return u256_binary_to_decimal38(word)
-        # signed: two's complement on the last 64-bit limb (bits<=64)
+        # signed: the encoding is sign-extended over the whole word, so
+        # the low 64-bit limb read as an int64 IS the value for any
+        # intN<=64 (wrapping by 2^bits on a 64-bit read mis-decodes
+        # negatives of intN<64 — fixed r3). Result always fits long;
+        # try_cast is defense-in-depth against ANSI throws.
         if bits <= 64:
+            from decimal import Decimal as _D
+
+            # 2^63 / 2^64 exceed Java long: must ship as Decimal literals
             as_dec = F.conv(F.substring(hx, 49, 16), 16, 10).cast(T.DecimalType(20, 0))
             wrapped = F.when(
-                as_dec >= F.lit(2 ** (bits - 1)).cast(T.DecimalType(20, 0)),
-                as_dec - F.lit(2**bits).cast(T.DecimalType(20, 0)),
+                as_dec >= F.lit(_D(2**63)).cast(T.DecimalType(20, 0)),
+                as_dec - F.lit(_D(2**64)).cast(T.DecimalType(21, 0)),
             ).otherwise(as_dec)
-            return wrapped.cast("long")
+            return wrapped.try_cast("long")
         # signed int65..256: limb-wise two's complement (sign-extended word)
         return i256_binary_to_decimal38(word)
     raise NotImplementedError(f"static decode not supported for {abi_type}")
@@ -278,7 +286,10 @@ def _hex_value(region: Column, off: Column, abi_type: str) -> Column:
         if bits <= 32:
             return F.conv(sub(64 - bits // 4, bits // 4), 16, 10).cast(_LONG)
         if bits <= 63:
-            return F.conv(sub(48, 16), 16, 10).cast(_LONG)
+            # malformed payloads can put >= 2^63 in the low limb; under
+            # ANSI a plain cast throws mid-job — null out instead
+            # (allow_decode_fail contract, same as _u63_word)
+            return F.conv(sub(48, 16), 16, 10).try_cast(_LONG)
         if bits == 64:
             return F.conv(sub(48, 16), 16, 10).cast(T.DecimalType(20, 0))
         hi = F.conv(sub(32, 16), 16, 10).cast(d38)
@@ -287,12 +298,14 @@ def _hex_value(region: Column, off: Column, abi_type: str) -> Column:
         fits = (sub(0, 32) == F.lit("0" * 32)) & (hi < F.lit(2**62))
         return F.when(fits, (hi * two64 + lo).cast(d38))
     if bits <= 64:
+        # sign-extended encoding: low 64-bit limb as int64 IS the value
+        # for any intN<=64 (see _word_to_column); always fits long
         as_dec = F.conv(sub(48, 16), 16, 10).cast(T.DecimalType(20, 0))
         wrapped = F.when(
-            as_dec >= F.lit(2 ** (bits - 1)).cast(T.DecimalType(20, 0)),
-            as_dec - F.lit(2**bits).cast(T.DecimalType(20, 0)),
+            as_dec >= F.lit(_D(2**63)).cast(T.DecimalType(20, 0)),
+            as_dec - F.lit(_D(2**64)).cast(T.DecimalType(21, 0)),
         ).otherwise(as_dec)
-        return wrapped.cast(_LONG)
+        return wrapped.try_cast(_LONG)
     # signed >64-bit: limb two's complement (see i256_binary_to_decimal38)
     hi = F.conv(sub(32, 16), 16, 10).cast(d38)
     lo = F.conv(sub(48, 16), 16, 10).cast(d38)

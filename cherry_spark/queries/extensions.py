@@ -333,7 +333,16 @@ def ann_ivf_topk(spark, sf_dir):
     from cherry_spark.ext.ivf import ivf_build_index, ivf_index_exists, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # fingerprint = path + size + mtime of the source parquet: an
+    # in-place rewrite of the corpus gets a NEW index dir (no stale
+    # serve), and runs over different corpus versions never race on
+    # the same directory (ADVICE r2)
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = src
+    if os.path.exists(src):
+        st = os.stat(src)
+        stamp = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"cherry_ivf_{key}")
     if not ivf_index_exists(index_dir):
         ivf_build_index(emb, index_dir, n_centroids=16)

@@ -258,11 +258,12 @@ def decode_fixedwidth(spark, sf_dir):
     "decode_dynamic_abi",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           list_transform(list_value(l_orderkey, l_partkey),
-                          x -> CAST(x AS BIGINT)) AS ids,
-           list_transform(list_value(CAST(l_quantity AS BIGINT) * 1000000
-                                       + l_linenumber, l_suppkey),
-                          x -> CAST(x AS BIGINT)) AS vals,
+           array_to_string(list_transform(list_value(l_orderkey, l_partkey),
+                                          x -> CAST(x AS BIGINT)), ',') AS ids,
+           array_to_string(list_transform(
+               list_value(CAST(l_quantity AS BIGINT) * 1000000
+                            + l_linenumber, l_suppkey),
+               x -> CAST(x AS BIGINT)), ',') AS vals,
            concat(l_returnflag, '-', l_linestatus, '-',
                   CAST(l_orderkey AS VARCHAR)) AS memo,
            CAST(l_quantity AS BIGINT) - 50 AS delta
@@ -342,9 +343,13 @@ def decode_dynamic_abi(spark, sf_dir):
         "l_linenumber",
         # array cast, NOT transform(x -> cast): an outer transform
         # collapses onto the decode expression and re-evaluates the
-        # whole array construction per element
-        F.col("ids").cast("array<long>").alias("ids"),
-        F.col("vals").cast("array<long>").alias("vals"),
+        # whole array construction per element. Driver-facing columns
+        # must be SCALAR — the driver canonicalizes via pandas
+        # sort_values, which throws on ndarray cells — so the arrays
+        # are joined to csv strings (array-typed coverage stays in
+        # tests/test_abi_full.py).
+        F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids"),
+        F.concat_ws(",", F.col("vals").cast("array<string>")).alias("vals"),
         F.col("memo"),
         F.col("delta").cast("long").alias("delta"),
     )

@@ -146,6 +146,39 @@ def test_signed_wide_ints(spark):
     assert int(row["a"]) == -42 and int(row["b"]) == 2**100
 
 
+def test_signed_small_int_negatives(spark):
+    """intN<=64 negatives: the encoding sign-extends over the whole
+    word, so the low limb read as int64 is the value — wrapping by
+    2^bits on a 64-bit read mis-decoded these before r3."""
+    cases = [("int8", -5), ("int16", -300), ("int32", -1), ("int48", -(2**40)),
+             ("int64", -(2**63)), ("int8", 127), ("int32", 0)]
+    data = abi_encode_data([t for t, _ in cases], [v for _, v in cases])
+    sig = "E(" + ", ".join(f"{t} v{i}" for i, (t, _) in enumerate(cases)) + ")"
+    row = _decode_one(spark, sig, data)
+    for i, (_, want) in enumerate(cases):
+        assert row[f"v{i}"] == want, f"v{i}"
+    # same paths inside a static array (hex-region element decode)
+    data = abi_encode_data(["int32[3]", "uint8"], [[-7, 0, -(2**31)], 9])
+    row = _decode_one(spark, "E(int32[3] xs, uint8 k)", data)
+    assert list(row["xs"]) == [-7, 0, -(2**31)] and row["k"] == 9
+
+
+def test_malformed_value_words_null_not_crash(spark):
+    """Garbage VALUE words (not just offsets) must null or decode, never
+    ANSI-throw: uint<=63 paths try_cast (ADVICE r2). A full-ff word IS
+    sign-extended -1 for signed types, so those decode."""
+    garbage = b"\xff" * 32 * 7
+    row = _decode_one(
+        spark, "E(uint48 a, int32 b, uint48[2] c, uint32 d, int16 e, bool f)", garbage
+    )
+    assert row["a"] is None            # low limb 2^64-1 >= 2^63 -> null
+    assert row["b"] == -1              # valid sign-extended int32
+    assert row["c"] is None or list(row["c"]) == [None, None]
+    assert row["d"] == 2**32 - 1       # uint32 reads only its own chars
+    assert row["e"] == -1
+    assert row["f"] is True
+
+
 def test_signed_overflow_nulls(spark):
     """|v| >= 2^126 nulls out (decimal38 ceiling policy), never wraps."""
     data = abi_encode_data(["int256", "int256"], [2**127 - 1, -(2**127)])

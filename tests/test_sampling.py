@@ -53,6 +53,31 @@ def test_nested_samples_are_supersets(spark):
     assert 380 <= len(s25) <= 620
 
 
+def test_fraction_one_keeps_all_rows(spark):
+    """A cumulative cut reaching the full hash space must dominate every
+    hash: the pre-r3 '10000' 5-char cut lexicographically LOST to most
+    4-char hashes and silently kept ~6% (ADVICE r2)."""
+    df = _ids(spark, 300)
+    assert deterministic_sample(df, "k", 1.0).count() == 300
+
+
+def test_zero_weight_splits(spark):
+    """Zero-weight tail splits must receive nothing, in Spark AND in the
+    generated SQL twin (the cut saturates mid-list)."""
+    import duckdb
+
+    splits = {"a": 1.0, "b": 0.0}
+    df = hash_split(_ids(spark, 500), "k", splits)
+    counts = {r["split"]: r["n"] for r in
+              df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 500}
+    case = split_case_sql("k", splits)
+    duck = duckdb.sql(
+        f"SELECT {case} AS s, count(*) FROM range(500) t(k) GROUP BY 1"
+    ).fetchall()
+    assert duck == [("a", 500)]
+
+
 def test_salt_decorrelates(spark):
     df = _ids(spark)
     a = {r["k"] for r in deterministic_sample(df, "k", 0.5, salt="a").collect()}

@@ -63,6 +63,19 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def driver_canon_check(tbl) -> None:
+    """Mirror the DRIVER's canonicalization path exactly: pandas
+    sort_values over all name-sorted columns. The driver does this
+    before hashing; cells pandas cannot factorize (ndarray from
+    array<> columns, dict from struct<>/map<>) raise TypeError there,
+    turning the query into an err row even when values match. Raising
+    the same error here makes that a local FAIL instead of a
+    driver-only surprise (ADVICE r2: decode_dynamic_abi)."""
+    pdf = tbl.to_pandas()
+    if len(pdf):
+        pdf.sort_values(by=sorted(pdf.columns))
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -82,9 +95,17 @@ def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
         if tbl.num_rows
         else []
     )
+    try:
+        driver_canon_check(tbl)
+    except Exception as e:  # noqa: BLE001 — any throw here is a driver err row
+        return False, f"driver pandas canonicalization would fail: {type(e).__name__}: {e}"
     if qd.oracle is None:
         return True, f"rows-only ({len(s_rows)} rows)"
     o_tbl = con.execute(qd.oracle).arrow()
+    try:
+        driver_canon_check(o_tbl)
+    except Exception as e:  # noqa: BLE001
+        return False, f"driver pandas canonicalization (oracle) would fail: {type(e).__name__}: {e}"
     o_cols = list(o_tbl.column_names)
     o_rows = (
         [tuple(r) for r in zip(*[c.to_pylist() for c in o_tbl.columns])]
