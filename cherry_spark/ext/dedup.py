@@ -7,8 +7,9 @@ Scale design (the point of doing this on Spark):
   buckets) and the exact n-gram Jaccard path (inverted shingle index)
   generate candidate pairs via equi-joins that Catalyst executes as
   shuffled hash joins on bounded keys;
-- all hashing uses Spark's built-in xxhash64 (JVM, codegen) — no UDFs
-  anywhere in the dedup paths.
+- all hashing uses built-in JVM/codegen functions (xxhash64 for the
+  minhash family, md5 limbs for simhash) — no UDFs anywhere in the
+  dedup paths.
 """
 
 from __future__ import annotations
@@ -275,21 +276,38 @@ def simhash64(
     """64-bit SimHash fingerprints: (id, fingerprint) DataFrame.
 
     Distributed shape (same reasoning as minhash_signatures): explode
-    tokens, one xxhash64 per token row, 64 conditional-SUM aggregates
-    (sign contribution per bit, map-side partial sums -> one shuffle on
-    id), then pack bits whose sum is positive. Near-dup texts differ in
-    few bits — compare with ``F.bit_count(a ^ b)``.
+    tokens, ONE md5 per token row split into two 32-bit limbs, 64
+    conditional-SUM aggregates (sign contribution per bit, map-side
+    partial sums -> one shuffle on id), then pack bits whose sum is
+    positive. Near-dup texts differ in few bits — compare with
+    ``F.bit_count(a ^ b)``.
+
+    The token hash is the first 64 bits of md5 (two 32-bit limbs via
+    conv of 8 hex chars — always long-safe) rather than xxhash64:
+    1 digest + 2 convs + 64 integer shifts per token beats 64 xxhash64
+    calls, and md5 exists verbatim in every SQL engine, so a DuckDB
+    oracle can recompute fingerprints bit-for-bit
+    (``simhash_oracle_sql`` below stays in lockstep by construction).
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    sums = toks.groupBy("id").agg(
+    ).withColumn("m", F.md5("tok"))
+    # two 32-bit limbs: conv of 8 hex chars is < 2^32, cast is safe.
+    # Projected as named columns so the 64 shift expressions reference
+    # an evaluated attr instead of inlining conv(md5(...)) 64 times.
+    limbs = toks.select(
+        "id",
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("hi"),
+    )
+
+    def bit(b: int) -> Column:
+        src = F.col("lo") if b < 32 else F.col("hi")
+        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
+    sums = limbs.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .cast("long")
-            ).alias(f"s{b}")
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1).cast("long")).alias(f"s{b}")
             for b in range(64)
         ]
     )
@@ -301,3 +319,41 @@ def simhash64(
             F.when(F.col(f"s{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
         )
     return sums.select("id", fingerprint.alias("fingerprint"))
+
+
+def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB SQL computing ``simhash64`` fingerprints bit-for-bit —
+    generated next to the Spark implementation so the two cannot
+    drift. Same limbs (('0x'||substr(md5,..))::BIGINT == conv(..,16,10)),
+    same per-bit conditional sums, same packing (distinct powers of two,
+    so OR == SUM; bit 63 is Long.MIN_VALUE in both engines)."""
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    packs = "\n         + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b if b < 63 else -(1 << 63)} ELSE 0 END"
+        for b in range(64)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id,
+               unnest(list_filter(string_split({text_col}, ' '), t -> t != '')) AS tok
+        FROM {table}
+    ),
+    limbs AS (
+        SELECT id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS lo,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hi
+        FROM toks
+    ),
+    sums AS (
+        SELECT id,
+           {sums}
+        FROM limbs GROUP BY id
+    )
+    SELECT id, CAST({packs} AS BIGINT) AS fingerprint
+    FROM sums
+    """

@@ -224,24 +224,60 @@ def ngram_jaccard_pairs_query(spark, sf_dir):
 
 @query(
     "minhash_lsh_dedup",
-    oracle=None,  # xxhash64 hash family not available in DuckDB
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len(list_filter(string_split(text,' '), t -> t != '')) - 2, 0)),
+                   i -> concat_ws(' ',
+                        list_filter(string_split(text,' '), t -> t != '')[i+1],
+                        list_filter(string_split(text,' '), t -> t != '')[i+2],
+                        list_filter(string_split(text,' '), t -> t != '')[i+3])
+               )) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
     doc="MinHash(128) + 32-band LSH candidates over the FULL corpus, "
-    "verified with exact shingle Jaccard >= 0.8 (the round-1 doc_id%5 "
-    "subset excluded every planted near-dup; full corpus yields ~25 "
-    "pairs at sf0.01 so the row count carries signal). Deterministic "
-    "(seeded xxhash64); rows-only driver check + structural unit tests "
-    "(LSH pairs are a subset of exact pairs and recall is ~1 at 0.8).",
+    "verified with exact shingle Jaccard >= 0.8. The oracle is the "
+    "ground truth itself — ALL pairs with exact Jaccard >= 0.8 via a "
+    "plain cross join: because the LSH stage only prunes candidates "
+    "and the verify stage recomputes exact Jaccard, the outputs are "
+    "equal whenever banding recall is 1, which holds deterministically "
+    "on this corpus (checked: identical 25 pairs + values at sf0.01). "
+    "At 1-(1-J^4)^32, a true pair at J=0.8 is missed with p < 1e-7. "
+    "The Spark side remains the scalable plan: banded equi-join "
+    "candidates, never n².",
 )
 def minhash_lsh_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
 
 
+def _simhash_oracle() -> str:
+    from cherry_spark.ext.dedup import simhash_oracle_sql
+
+    return f"""
+    WITH fp AS ({simhash_oracle_sql()})
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS bucket_size,
+           min(id) AS keep_doc_id
+    FROM fp GROUP BY fingerprint
+    """
+
+
 @query(
     "simhash_dedup",
-    oracle=None,  # xxhash64-based
+    oracle=_simhash_oracle(),
     doc="64-bit SimHash fingerprints + bucket sizes (near-dup texts "
-    "collide or differ in few bits; compare via bit_count(a^b)).",
+    "collide or differ in few bits; compare via bit_count(a^b)). The "
+    "md5-limb hash family makes the fingerprint recomputable verbatim "
+    "in DuckDB — the oracle SQL is GENERATED by the same module "
+    "(ext/dedup.py:simhash_oracle_sql), so engines cannot drift.",
 )
 def simhash_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
