@@ -187,6 +187,73 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 16) -> Column:
     )
 
 
+def lsh_topk_oracle_sql(
+    dim: int,
+    n_planes: int,
+    k: int,
+    query_ids: list[int],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL recomputing ``lsh_bucket_topk`` exactly — generated
+    from the SAME plane constants (_plane_components), so engines
+    cannot drift.
+
+    Why this is bit-exact: Spark's dot() is a sequential left fold
+    ``(((0.0 + v1) + v2) + ...)``; SQL ``+`` is left-associative, so an
+    unrolled ``0.0 + e[1]*c1 + e[2]*c2 + ...`` performs the identical
+    IEEE operation sequence — float->double casts and literal parsing
+    are exact, so the UNROUNDED plane-side signs (the bucket bits)
+    match bit-for-bit, and cosine values agree under round(·, 6)."""
+
+    def dot_plane(arr: str, comps: list[float]) -> str:
+        terms = " + ".join(
+            f"{arr}[{i + 1}]::DOUBLE * ({comps[i]!r})" for i in range(dim)
+        )
+        return f"(0.0 + {terms})"
+
+    def dot_arrs(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]::DOUBLE" for i in range(dim)
+        )
+        return f"(0.0 + {terms})"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_plane(vec_col, _plane_components(p, dim))} > 0 "
+        f"THEN 1 ELSE 0 END) * {2 ** (n_planes - 1 - p)}"
+        for p in range(n_planes)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH b AS (
+        SELECT {id_col}, {vec_col},
+               CAST({bucket} AS BIGINT) AS bucket,
+               {dot_arrs(vec_col, vec_col)} AS dn
+        FROM {table}
+    ),
+    q AS (
+        SELECT {id_col} AS query_id, {vec_col} AS qvec, bucket AS qbucket,
+               dn AS qdn
+        FROM b WHERE {id_col} IN ({ids})
+    ),
+    scored AS (
+        SELECT q.query_id, c.{id_col},
+               CASE WHEN sqrt(c.dn) > 0 AND sqrt(q.qdn) > 0
+                    THEN round({dot_arrs(f"c.{vec_col}", "q.qvec")}
+                               / (sqrt(c.dn) * sqrt(q.qdn)), 6)
+               END AS sim
+        FROM b c JOIN q ON c.bucket = q.qbucket
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, {id_col}
+        ) AS rn FROM scored
+    )
+    SELECT query_id, {id_col}, sim FROM ranked WHERE rn <= {k}
+    """
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     query: DataFrame,

@@ -495,11 +495,21 @@ def decontaminate_overlap(spark, sf_dir):
     )
 
 
+def _lsh_topk_oracle() -> str:
+    from cherry_spark.ext.similarity import lsh_topk_oracle_sql
+
+    return lsh_topk_oracle_sql(dim=64, n_planes=8, k=5, query_ids=[0, 1, 2])
+
+
 @query(
     "ann_lsh_topk",
-    oracle=None,  # hyperplanes derive from xxhash64
+    oracle=_lsh_topk_oracle(),
     doc="Approximate NN: random-hyperplane LSH bucket join then exact "
-    "cosine within the bucket — the scale path for similarity search.",
+    "cosine within the bucket — the scale path for similarity search. "
+    "The oracle SQL is GENERATED from the same sha256-derived plane "
+    "constants; Spark's left-fold dot is reproduced as an unrolled "
+    "left-associative sum, so bucket sign bits match bit-for-bit "
+    "(ext/similarity.py:lsh_topk_oracle_sql).",
 )
 def ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
