@@ -270,6 +270,59 @@ def contamination_overlap(
     )
 
 
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Chunk-level (passage-level) duplication: split every document
+    into non-overlapping ``chunk_tokens``-token chunks and report each
+    chunk text that occurs in more than one place — the
+    RefinedWeb/MassiveText-style sub-document dedup signal that
+    document-level near-dup misses (boilerplate headers, license
+    blocks, templated passages).
+
+    Returns (chunk_hash md5, n_docs, n_occurrences, first_doc_id) for
+    chunks with n_occurrences > 1.
+
+    Scale shape: chunks are assembled from the in-hand token array
+    (slice — no self-join, no window), exploded to one row per chunk,
+    then ONE hash aggregation on the chunk string. Map-side partial
+    counts absorb the skew of very common chunks.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("chunk")
+    )
+    return (
+        rows.groupBy("chunk")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            F.md5("chunk").alias("chunk_hash"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc_id",
+        )
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

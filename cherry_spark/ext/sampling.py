@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def split_hash(key: Column, salt: str = "", hex_chars: int = 4) -> Column:
@@ -91,6 +92,35 @@ def split_case_sql(
         for name, cut in zip(names[:-1], cuts[:-1])
     )
     return f"CASE{arms} ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+    salt: str = "",
+    hex_chars: int = 8,
+) -> DataFrame:
+    """Deterministic per-group quota sample: the ``n_per_group`` rows of
+    each group with the smallest sampling hash (ties broken by key).
+    The standard balanced-corpus move — cap each language/domain/source
+    at a quota — expressed as one row_number window per group, stable
+    under any partitioning or rescale for the same reason hash_split
+    is. 8 hex chars (32 bits) keep hash ties negligible; the key
+    tiebreak makes the result exactly deterministic regardless.
+
+    SQL twin (same expression, any engine):
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY substr(md5(k||salt),
+    1, 8), k) <= n``.
+    """
+    h = split_hash(F.col(key_col), salt, hex_chars)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
 
 
 def deterministic_sample(

@@ -87,6 +87,31 @@ def language_id(text: Column) -> Column:
     return expr
 
 
+# PII patterns chosen for Java-regex / RE2 semantic parity: plain
+# character classes and bounded repetition only — no backreferences,
+# no lookaround (RE2 has neither), so both engines match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUMBER = r"[0-9]{3,}"
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """Redact PII-shaped spans before training: emails -> ``<EMAIL>``
+    first (their local parts contain digits), then standalone digit
+    runs of 3+ -> ``<NUM>``. Returns the scrubbed text plus per-doc
+    redaction counts — one scan, JVM regex, no UDFs. Patterns are
+    RE2-compatible so a SQL twin (DuckDB ``regexp_replace(..., 'g')``)
+    produces byte-identical output."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0))
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_numbers = F.size(F.regexp_extract_all(after_email, F.lit(PII_NUMBER), 0))
+    scrubbed = F.regexp_replace(after_email, PII_NUMBER, "<NUM>")
+    return {
+        "scrubbed": scrubbed,
+        "n_emails": n_emails.cast("long"),
+        "n_numbers": n_numbers.cast("long"),
+    }
+
+
 def doc_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
     """Order-sensitive document fingerprint: position-weighted word-hash
     sum mod p (a rolling-hash family where the per-word hash is cheap

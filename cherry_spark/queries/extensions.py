@@ -1,10 +1,13 @@
 """Extension operator queries (SURVEY §2.10): dedup, similarity search,
 text analysis on the documents/embeddings fixtures.
 
-Oracle notes: everything except the xxhash64-based operators (MinHash
-LSH, SimHash, hyperplane ANN) has an exact DuckDB twin. The hash-based
-ones are deterministic (seeded xxhash64) but DuckDB has no xxhash64, so
-they get rows-only driver checks plus structural unit tests.
+Oracle notes: every operator here has an exact DuckDB twin except the
+IVF search (approximate by construction, prebuilt-index probe). The
+hash-family tricks that make that possible: simhash uses md5 limbs
+(portable), minhash-LSH is compared against the exact-Jaccard ground
+truth its verify stage recomputes, and hyperplane-LSH oracles are
+GENERATED from the same plane constants with fold-order-exact
+unrolled dots.
 
 Cross-engine float rule: cosine similarities are ROUND(·, 6) in both
 engines — the dot-product fold order differs between engines, so raw

@@ -1,0 +1,88 @@
+"""Repetition stats (ext/quality.py), stratified sampling, PII scrub,
+chunk-level dedup — planted-case unit tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cherry_spark.ext.dedup import chunk_dedup_stats
+from cherry_spark.ext.quality import repetition_stats
+from cherry_spark.ext.sampling import stratified_sample
+from cherry_spark.ext.text import pii_scrub
+
+
+def test_repetition_stats_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # degenerate repetition
+            (2, "w x y z"),          # fully diverse
+            (3, "p q p q p q"),      # alternating: every 2-gram repeated
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1["n_tokens"] == 4 and r1["distinct_ratio"] == 0.25
+    # 3 occurrences of one 2-gram "a a": dup frac 1 - 1/3, dominance 1
+    assert r1["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert r1["top_2gram_frac"] == 1.0
+    assert r1["token_entropy"] == 0.0
+    r2 = got[2]
+    assert r2["distinct_ratio"] == 1.0 and r2["dup_2gram_frac"] == 0.0
+    assert r2["token_entropy"] == round(math.log(4), 6)
+    r3 = got[3]
+    # 5 2-grams, 2 distinct ("p q" x3, "q p" x2)
+    assert r3["dup_2gram_frac"] == round(1 - 2 / 5, 6)
+    assert r3["top_2gram_frac"] == round(3 / 5, 6)
+
+
+def test_stratified_sample_quota_and_stability(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    s = stratified_sample(df, "g", "k", 10, salt="t")
+    counts = {r["g"]: r["n"] for r in
+              s.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 10 for n in counts.values()) and len(counts) == 7
+    # pure function of the key: identical under repartition
+    a = {(r["g"], r["k"]) for r in s.collect()}
+    b = {(r["g"], r["k"])
+         for r in stratified_sample(df.repartition(13, "k"), "g", "k", 10,
+                                    salt="t").collect()}
+    assert a == b
+    # smaller quotas are prefixes of larger ones
+    small = {(r["g"], r["k"])
+             for r in stratified_sample(df, "g", "k", 5, salt="t").collect()}
+    assert small <= a
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@foo-bar.org or 4155551234 ext 42 pin 007")],
+        "doc_id long, text string",
+    )
+    cols = pii_scrub(F.col("text"))
+    row = df.select(
+        cols["scrubbed"].alias("s"), cols["n_emails"].alias("e"),
+        cols["n_numbers"].alias("n"),
+    ).collect()[0]
+    assert row["e"] == 1 and row["n"] == 2  # 4155551234 and 007; 42 kept
+    assert row["s"] == "mail <EMAIL> or <NUM> ext 42 pin <NUM>"
+
+
+def test_chunk_dedup_planted(spark):
+    shared = "one two three four five six seven eight"  # exactly one chunk
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail a b c"),
+            (2, shared + " other words here now"),
+            (3, "totally different text with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_dedup_stats(df, chunk_tokens=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 2 and r["first_doc_id"] == 1
