@@ -159,15 +159,37 @@ def minhash_lsh_pairs(
         ).alias("bands"),
     )
     exploded = banded.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Candidate pairs WITHOUT a self-join: group each band bucket,
+    # emit in-bucket pairs from the sorted id array. A self-join on
+    # (band_idx, band_key) evaluates the whole signature pipeline
+    # twice (no exchange reuse across the join aliases — measured
+    # ~2x at sf0.1); the bucket-collect shape computes it once by
+    # construction and replaces the join shuffle with the same
+    # groupBy shuffle the join would need anyway. Near-dup buckets
+    # are small (a bucket = documents agreeing on r consecutive
+    # minhashes); at 100 TB you'd additionally cap pathological
+    # buckets (degenerate boilerplate collapses into one bucket)
+    # before the pair fan-out.
+    buckets = (
+        exploded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("ids"), i.cast("int")).alias("id1"),
+                    y.alias("id2"),
+                ),
+            ),
         )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    candidates = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id1"), F.col("p.id2"))
         .distinct()
     )
 
@@ -208,23 +230,39 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_postings(df, id_col, text_col, shingle_k)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    postings = sh.join(counts, on="id")
-    a, b = postings.alias("a"), postings.alias("b")
+    # Pairs per posting list WITHOUT a self-join (which would evaluate
+    # the whole posting pipeline on both aliases — no exchange reuse,
+    # measured ~2x): group each shingle's sorted id list once, fan out
+    # in-list pairs, then count shared shingles per pair. Identical
+    # result — this is a pure physical rewrite of the inverted index.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ids") - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("ids"), i.cast("int")).alias("id1"),
+                    y.alias("id2"),
+                ),
+            ),
+        )
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    n1 = counts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    n2 = counts.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
     return (
-        shared.withColumn(
+        shared.join(n1, "id1")
+        .join(n2, "id2")
+        .withColumn(
             "jaccard",
             F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")),
         )
