@@ -44,6 +44,10 @@ HEADLINE = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embed_neardup_pairs",
+    "repetition_stats",
+    "chunk_dedup",
+    "stratified_sample_lang",
+    "pii_scrub_docs",
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
