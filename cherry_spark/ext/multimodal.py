@@ -116,11 +116,20 @@ def decode_image_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return df.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame, every_nth: int = 10, frame_bytes: int = 1024
+) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     index (the decode of each frame is the stubbed step). Demonstrates
-    the explode-based fan-out that keeps frame extraction distributed."""
-    n_frames = (F.coalesce(F.col("meta.n_bytes"), F.lit(0)) / 1024).cast("int")
+    the explode-based fan-out that keeps frame extraction distributed.
+
+    ``frame_bytes`` models the per-frame payload size (``n_bytes /
+    frame_bytes`` frames per clip); int cast after ``/`` truncates, so
+    a DuckDB twin must use floor() explicitly (DuckDB rounds on cast).
+    """
+    n_frames = (
+        F.coalesce(F.col("meta.n_bytes"), F.lit(0)) / F.lit(frame_bytes)
+    ).cast("int")
     frame_ids = F.sequence(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_nth)
     )

@@ -5,3 +5,4 @@ import cherry_spark.queries.steps  # noqa: F401
 import cherry_spark.queries.extensions  # noqa: F401
 import cherry_spark.queries.analytics  # noqa: F401
 import cherry_spark.queries.curation  # noqa: F401
+import cherry_spark.queries.multimodal  # noqa: F401

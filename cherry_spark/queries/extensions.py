@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from cherry_spark.catalog import query
 from cherry_spark.ext.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -260,6 +261,65 @@ def ngram_jaccard_pairs_query(spark, sf_dir):
 def minhash_lsh_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len(list_filter(string_split(text,' '), t -> t != '')) - 2, 0)),
+                   i -> concat_ws(' ',
+                        list_filter(string_split(text,' '), t -> t != '')[i+1],
+                        list_filter(string_split(text,' '), t -> t != '')[i+2],
+                        list_filter(string_split(text,' '), t -> t != '')[i+3])
+               )) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    ),
+    edges AS (
+        SELECT id1 AS s, id2 AS d FROM pairs
+        UNION
+        SELECT id2 AS s, id1 AS d FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.node
+    ),
+    labels AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+    FROM labels l
+    JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id) c
+      USING (cluster_id)
+    """,
+    doc="Duplicate-cluster formation: connected components over the "
+    "exact-Jaccard near-dup pair graph (cluster_id = smallest member "
+    "id, plus cluster size) — the step that turns pairwise matches "
+    "into keep-one-per-group decisions when similarity is not "
+    "transitive. Spark runs driver-coordinated min-label propagation "
+    "(two shuffles per round, rounds = label-hop diameter, convergence "
+    "probed by an aggregate — never a data collect); the oracle is a "
+    "DuckDB recursive-CTE transitive closure over the same pairs. "
+    "Genuinely iterative, so this is the one query family where a "
+    "declarative single plan can't express the operator.",
+)
+def dedup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
 
 
 def _simhash_oracle() -> str:

@@ -1,14 +1,20 @@
 """Training-data curation pipeline — the 100 TB story end-to-end:
 
     documents ──► quality filter (C4-style heuristics)
+              ──► repetition filter (Gopher-style boilerplate rules)
+              ──► PII scrub (email / digit-run redaction)
               ──► exact dedup (content fingerprint)
               ──► MinHash-LSH near-dup removal (keep lowest doc_id)
+              ──► decontamination vs a held-out eval split
               ──► language ID + token counting
-              ──► curated parquet + per-language stats
+              ──► stratified per-language cap
+              ──► curated parquet + per-language stats + chunk-dup report
 
 Every stage is native DataFrame ops from cherry_spark.ext; the near-dup
-stage's candidate generation is the banded-LSH equi-join (no n²), so
-the same pipeline shape runs on a 1000-executor cluster unchanged.
+stage's candidate generation is the banded-LSH equi-join (no n²), and
+the decontamination stage is an inverted-index probe of the eval split
+(broadcast at scale), so the same pipeline shape runs on a
+1000-executor cluster unchanged.
 
 Run: python examples/curation_pipeline.py [sf_dir]
 """
@@ -23,11 +29,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 
-def curate(spark, sf_dir: str, quality_threshold: float = 0.5) -> dict[str, DataFrame]:
-    from cherry_spark.ext.dedup import exact_dedup, minhash_lsh_pairs
+def curate(
+    spark,
+    sf_dir: str,
+    quality_threshold: float = 0.5,
+    max_dup_2gram_frac: float = 0.5,
+    per_lang_cap: int = 10_000,
+) -> dict[str, DataFrame]:
+    from cherry_spark.ext.dedup import (
+        chunk_dedup_stats,
+        contamination_overlap,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from cherry_spark.ext.quality import repetition_stats
+    from cherry_spark.ext.sampling import hash_split, stratified_sample
     from cherry_spark.ext.text import (
         doc_fingerprint,
         language_id,
+        pii_scrub,
         quality_score,
         token_count,
     )
@@ -35,38 +55,80 @@ def curate(spark, sf_dir: str, quality_threshold: float = 0.5) -> dict[str, Data
 
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1. quality gate
-    scored = docs.withColumn("quality", quality_score(F.col("text")))
+    # 0. carve a held-out eval split up front (deterministic hash split)
+    # — the decontamination target. At scale this is a separate table.
+    split = hash_split(docs, "doc_id", {"train": 0.98, "eval": 0.02}, salt="curate")
+    train = split.filter(F.col("split") == "train").drop("split")
+    heldout = split.filter(F.col("split") == "eval").drop("split")
+
+    # 1. quality gate (C4-family heuristics)
+    scored = train.withColumn("quality", quality_score(F.col("text")))
     kept = scored.filter(F.col("quality") >= quality_threshold)
 
-    # 2. exact dedup on content fingerprint (keep lowest doc_id)
+    # 2. repetition gate (Gopher-family: drop boilerplate-heavy docs)
+    rep = repetition_stats(kept.select(F.col("doc_id"), F.col("text")))
+    rep_ok = rep.filter(F.col("dup_2gram_frac") <= max_dup_2gram_frac).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = kept.join(rep_ok, "doc_id", "left_semi")
+
+    # 3. PII scrub — redact before anything downstream sees the text
+    scrub = pii_scrub(F.col("text"))
+    kept = kept.withColumn("text", scrub["scrubbed"]).withColumn(
+        "n_pii_redactions", scrub["n_emails"] + scrub["n_numbers"]
+    )
+
+    # 4. exact dedup on content fingerprint (keep lowest doc_id)
     fingerprinted = kept.withColumn("fp", doc_fingerprint(F.col("text")))
     deduped = exact_dedup(fingerprinted, ["fp"], order_by=[F.col("doc_id")])
 
-    # 3. near-dup removal: LSH pairs -> drop the higher doc_id of each
+    # 5. near-dup removal: LSH pairs -> drop the higher doc_id of each
     # verified pair (union-find-free greedy: a doc survives unless it is
     # the higher id in ANY pair — deterministic and one extra join)
     pairs = minhash_lsh_pairs(deduped, jaccard_threshold=0.85)
     losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
     survivors = deduped.join(losers, on="doc_id", how="left_anti")
 
-    # 4. enrich: language + token counts
-    curated = survivors.select(
+    # 6. decontamination: drop training docs overlapping the eval split
+    contaminated = contamination_overlap(
+        survivors, heldout, shingle_k=5, min_shared=3
+    ).select("doc_id")
+    clean = survivors.join(contaminated, on="doc_id", how="left_anti")
+
+    # 7. enrich: language + token counts
+    enriched = clean.select(
         "doc_id",
         "text",
         "lang",
         "source",
         "quality",
+        "n_pii_redactions",
         language_id(F.col("text")).alias("predicted_lang"),
         token_count(F.col("text")).alias("n_tokens"),
+    )
+
+    # 8. per-language cap (deterministic smallest-hash-first quota)
+    curated = stratified_sample(
+        enriched, "predicted_lang", "doc_id", per_lang_cap, salt="cap"
     )
 
     stats = curated.groupBy("predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_pii_redactions").alias("total_pii_redactions"),
     )
-    return {"curated": curated, "stats": stats, "n_input": docs}
+
+    # chunk-level duplication report on the final corpus (what
+    # document-level dedup missed — boilerplate passages)
+    chunk_report = chunk_dedup_stats(curated, chunk_tokens=8)
+
+    return {
+        "curated": curated,
+        "stats": stats,
+        "chunk_report": chunk_report,
+        "n_input": docs,
+    }
 
 
 def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
@@ -81,7 +143,13 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
             anchor_table="stats",
         )
     )
-    writer.push_data({"curated": result["curated"], "stats": result["stats"]})
+    writer.push_data(
+        {
+            "curated": result["curated"],
+            "chunk_report": result["chunk_report"],
+            "stats": result["stats"],
+        }
+    )
     return {
         "input": result["n_input"].count(),
         "curated": result["curated"].count(),

@@ -138,3 +138,28 @@ def test_lsh_bucket_deterministic(spark, sf_dir):
     b1 = emb.select("vec_id", lsh_bucket(F.col("embedding"), 64, 8).alias("b")).collect()
     b2 = emb.select("vec_id", lsh_bucket(F.col("embedding"), 64, 8).alias("b")).collect()
     assert {r["vec_id"]: r["b"] for r in b1} == {r["vec_id"]: r["b"] for r in b2}
+
+
+def test_connected_components_chain_and_island(spark):
+    from cherry_spark.ext.dedup import connected_components
+
+    # chain 1-2-3 (not all-pairs: similarity is not transitive),
+    # island {10, 11}, singleton edges absent entirely
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from cherry_spark.ext.dedup import connected_components
+
+    # a 12-node path needs several label-hop rounds (diameter halves
+    # per round) — exercises the fixpoint loop, not just one pass
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id1 long, id2 long"
+    )
+    rows = connected_components(edges).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 13

@@ -47,3 +47,34 @@ def test_frame_sample_plan(spark):
     # fan-out: multiple frames per video
     per_vid = [r for r in frames if r["media_id"] == 0]
     assert len(per_vid) > 1
+
+
+def test_frame_sample_frame_bytes_param(spark):
+    df = spark.createDataFrame(
+        [(1, "video", b"", ("video/fake", 200, "s"))], MEDIA_SCHEMA
+    )
+    got = [r["frame_index"] for r in
+           frame_sample_plan(df, every_nth=3, frame_bytes=32).collect()]
+    # 200 // 32 = 6 frames -> sampled indices 0, 3 (sequence inclusive)
+    assert got == [0, 3]
+
+
+def test_media_decode_features_query_recovers_digest_bytes(spark, sf_dir):
+    import cherry_spark.queries  # noqa: F401  (fills REGISTRY)
+    from cherry_spark.catalog import REGISTRY
+
+    row = (
+        REGISTRY["media_decode_features"].fn(spark, sf_dir)
+        .orderBy("media_id").limit(1).collect()[0]
+    )
+    import duckdb
+
+    text, = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id = {row['media_id']}"
+    ).fetchone()
+    payload = text.encode()
+    digest = hashlib.sha256(payload).digest()
+    assert [row[f"d{i}"] for i in range(8)] == list(digest[:8])
+    assert row["width"] == int.from_bytes(payload[0:4], "big") % 4096
+    assert row["height"] == int.from_bytes(payload[4:8], "big") % 4096
