@@ -53,6 +53,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "session_window_agg",
     "asof_join_latest_order",
+    "sequence_pack",
+    "dedup_clusters",
+    "media_decode_features",
 ]
 
 

@@ -194,9 +194,22 @@ def _word_to_column(word: Column, abi_type: str) -> Column:
 _LONG = "long"
 
 
+def _safe_pos(data: Column, pos: Column) -> Column:
+    """``substr`` compiles to int positions: clamp a 63-bit position to
+    just past the data so garbage offset words extract nothing instead
+    of throwing CAST_OVERFLOW under ANSI (the allow_decode_fail
+    contract). Validity guards keep comparing the UNclamped value."""
+    return F.least(pos, (F.length(data) + F.lit(1)).cast(_LONG))
+
+
+def _safe_len(data: Column, n: Column) -> Column:
+    """Clamp an extraction length the same way (see _safe_pos)."""
+    return F.least(n, F.length(data).cast(_LONG))
+
+
 def _word_at(data: Column, pos: Column) -> Column:
     """32-byte word at 1-based dynamic byte position ``pos``."""
-    return data.substr(pos.cast(_LONG), F.lit(32).cast(_LONG))
+    return data.substr(_safe_pos(data, pos.cast(_LONG)), F.lit(32).cast(_LONG))
 
 
 def _u63_word(word: Column) -> Column:
@@ -348,7 +361,9 @@ def _decode_at(
         if abi_type in ("string", "bytes"):
             tail = _bind((base + _u63_word(_word_at(data, head))).cast(_LONG), layer)
             n = _bind(_u63_word(_word_at(data, tail)), layer + 1)
-            payload = data.substr((tail + 32).cast(_LONG), n)
+            payload = data.substr(
+                _safe_pos(data, (tail + 32).cast(_LONG)), _safe_len(data, n)
+            )
             ok = (F.length(data) >= tail + 31) & (F.length(payload) == n)
             val = payload.cast("string") if abi_type == "string" else payload
             return F.when(ok, val)
@@ -413,18 +428,30 @@ def _decode_at(
         hw = head_words(inner)
         stride = 32 * hw
         region = _bind(
-            F.lower(F.hex(data.substr(elem_base, (F.lit(stride) * n).cast(_LONG)))),
+            F.lower(
+                F.hex(
+                    data.substr(
+                        _safe_pos(data, elem_base),
+                        _safe_len(data, F.try_multiply(F.lit(stride).cast(_LONG), n)),
+                    )
+                )
+            ),
             layer + 2,
         )
-        ok = F.length(data) >= tail + 31 + F.lit(stride) * n
+        ok = F.length(data) >= tail + 31 + F.try_multiply(F.lit(stride).cast(_LONG), n)
         arr = F.transform(
             F.sequence(F.lit(0).cast(_LONG), (n - 1).cast(_LONG)),
             lambda i: _hex_value(region, (i * F.lit(2 * stride)).cast(_LONG), inner),
         )
         return F.when(ok & (n > 0), arr).when(ok & (n == 0), empty)
     # dynamic elements (string[], tuple-with-dynamic[]): per-element
-    # offset math must stay in the lambda (pre=None) — rarer and slower
-    ok = F.length(data) >= tail + 31
+    # offset math must stay in the lambda (pre=None) — rarer and slower.
+    # The 32*n term is load-bearing: a valid array needs n offset words
+    # in the tail, and without it a garbage length word would size a
+    # 2^40-element array before any per-element guard runs
+    # try_multiply: a garbage 62-bit length word would overflow the
+    # multiply itself under ANSI; NULL propagates to ok -> row nulls
+    ok = F.length(data) >= tail + 31 + F.try_multiply(F.lit(32).cast(_LONG), n)
     arr = F.transform(
         F.sequence(F.lit(0).cast(_LONG), (n - 1).cast(_LONG)),
         lambda i: _decode_at(
@@ -496,11 +523,19 @@ def evm_decode_events(batch: Batch, cfg: EvmDecodeEventsConfig) -> Batch:
     logs = batch[cfg.input_table]
     sig = parse_event_signature(cfg.event_signature)
     topic_cols = ["topic0", "topic1", "topic2", "topic3"]
-    pre = _Prelude()
-    decoded_cols = compile_decode_columns(
-        sig, topic_cols, "data", cfg.allow_decode_fail, pre
-    )
-    staged = pre.apply(logs)
+    if getattr(cfg, "engine", "native") == "arrow":
+        from cherry_spark.operators.decode_evm_arrow import decode_events_arrow
+
+        decoded_cols = decode_events_arrow(
+            logs, sig, topic_cols, "data", cfg.allow_decode_fail
+        )
+        staged = logs
+    else:
+        pre = _Prelude()
+        decoded_cols = compile_decode_columns(
+            sig, topic_cols, "data", cfg.allow_decode_fail, pre
+        )
+        staged = pre.apply(logs)
     if cfg.hstack:
         decoded = staged.select(*decoded_cols, *[F.col(c) for c in logs.columns])
     else:

@@ -220,7 +220,7 @@ def udf_transform_step(spark, sf_dir):
     "encode->decode inversion check (reference steps/evm_decode_events.py).",
 )
 def decode_fixedwidth(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     amount = (F.col("l_quantity").cast("long") * 1000000 + F.col("l_linenumber")).cast(
         "long"
     )
@@ -281,7 +281,7 @@ def decode_fixedwidth(spark, sf_dir):
     "steps/evm_decode_events.py:19-26).",
 )
 def decode_dynamic_abi(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
 
     def word_u(col):  # unsigned 32-byte word from a long column
         return F.lpad(F.lower(F.hex(col)), 64, "0")
@@ -440,7 +440,7 @@ def glaciers_decode(spark, sf_dir):
     t0_a, t0_b = evm_signature_to_topic0(sig_a), evm_signature_to_topic0(sig_b)
     addr_a, addr_b = b"\x11" * 20, b"\x22" * 20
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     even = F.col("l_orderkey") % 2 == 0
     logs = li.select(
         "l_orderkey",

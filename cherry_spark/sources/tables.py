@@ -29,18 +29,33 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
     """Read one fixture table; normalizes the ns-timestamp quirk.
 
     ``events.ts`` is Parquet TIMESTAMP(NANOS); Spark reads it as long
     (via nanosAsLong) and we convert with *integer* division — float
     division on epoch-ns values loses precision past 2^53.
+
+    ``parallelize=True`` round-robin-repartitions the scan to the
+    session's core count. The local fixtures are single-row-group
+    parquet files, so a scan yields ONE populated split and a map-heavy
+    stage (ABI decode: ~30 expression-decoded columns per row) runs on
+    one core of 32 — measured 19s -> 2s at sf0.1 once spread. Use it
+    ONLY for pipelines whose pre-shuffle per-row work dominates: a
+    blanket repartition of every table measured a net bench LOSS (the
+    extra exchange + 32-task scheduling overhead outweighs parallelism
+    for sub-second stages, e.g. minhash 3.0s -> 4.0s). A 100 TB table
+    arrives as tens of thousands of splits and needs neither.
     """
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if parallelize:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
