@@ -254,9 +254,7 @@ def decode_fixedwidth(spark, sf_dir):
     )
 
 
-@query(
-    "decode_dynamic_abi",
-    oracle="""
+_DYNAMIC_ABI_ORACLE = """
     SELECT l_orderkey, l_linenumber,
            array_to_string(list_transform(list_value(l_orderkey, l_partkey),
                                           x -> CAST(x AS BIGINT)), ',') AS ids,
@@ -268,7 +266,12 @@ def decode_fixedwidth(spark, sf_dir):
                   CAST(l_orderkey AS VARCHAR)) AS memo,
            CAST(l_quantity AS BIGINT) - 50 AS delta
     FROM lineitem
-    """,
+"""
+
+
+@query(
+    "decode_dynamic_abi",
+    oracle=_DYNAMIC_ABI_ORACLE,
     doc="FULL-ABI decode path (ERC-1155 TransferBatch shape + dynamic "
     "string + signed int256): payloads are ABI-encoded with native "
     "expressions (head offsets, length words, padded tails, "
@@ -281,6 +284,10 @@ def decode_fixedwidth(spark, sf_dir):
     "steps/evm_decode_events.py:19-26).",
 )
 def decode_dynamic_abi(spark, sf_dir):
+    return _decode_dynamic_abi_impl(spark, sf_dir, engine="native")
+
+
+def _decode_dynamic_abi_impl(spark, sf_dir, engine):
     li = load_table(spark, sf_dir, "lineitem", parallelize=True)
 
     def word_u(col):  # unsigned 32-byte word from a long column
@@ -334,6 +341,7 @@ def decode_dynamic_abi(spark, sf_dir):
                     "Batch(address indexed operator, uint256[] ids, "
                     "uint256[] vals, string memo, int256 delta)",
                     allow_decode_fail=True,
+                    engine=engine,
                 ),
             )
         ],
@@ -353,6 +361,20 @@ def decode_dynamic_abi(spark, sf_dir):
         F.col("memo"),
         F.col("delta").cast("long").alias("delta"),
     )
+
+
+@query(
+    "decode_dynamic_abi_arrow",
+    oracle=_DYNAMIC_ABI_ORACLE,
+    doc="Same FULL-ABI decode through the VECTORIZED ARROW engine "
+    "(operators/decode_evm_arrow.py: pandas-UDF byte decode, "
+    "EvmDecodeEventsConfig(engine='arrow')) against the same oracle — "
+    "puts the second decode engine under the driver's differential "
+    "gate, not just the in-repo engine-vs-engine tests "
+    "(tests/test_decode_arrow.py).",
+)
+def decode_dynamic_abi_arrow(spark, sf_dir):
+    return _decode_dynamic_abi_impl(spark, sf_dir, engine="arrow")
 
 
 @query(

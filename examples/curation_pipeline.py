@@ -68,7 +68,7 @@ def curate(
     # 2. repetition gate (Gopher-family: drop boilerplate-heavy docs)
     rep = repetition_stats(kept.select(F.col("doc_id"), F.col("text")))
     rep_ok = rep.filter(F.col("dup_2gram_frac") <= max_dup_2gram_frac).select(
-        F.col("id").alias("doc_id")
+        "doc_id"
     )
     kept = kept.join(rep_ok, "doc_id", "left_semi")
 
