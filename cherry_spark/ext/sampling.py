@@ -135,3 +135,43 @@ def deterministic_sample(
     same salt are supersets of each other (fraction 0.1 ⊂ 0.2)."""
     cut = _thresholds([fraction, 1.0 - fraction], hex_chars)[0]
     return df.filter(split_hash(F.col(key_col), salt, hex_chars) < F.lit(cut))
+
+
+def weighted_mix_key(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weight: Column,
+    stride_unit: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted source-mixing key (stride scheduling):
+    reading the corpus ordered by ``mix_key`` interleaves sources in
+    proportion to their weights — the "data mixing" step that turns
+    per-source corpora into one training stream (Pile/Dolma-style
+    mixture weights).
+
+    Stride scheduling emits item k of a weight-w source at virtual
+    time (k + 1/2) / w; scaled by 2*stride_unit that is the exact
+    integer ``(2*pos - 1) * (stride_unit / w)`` provided every weight
+    divides ``stride_unit`` (caller guarantees; e.g. unit 12 for
+    weights 1..4). All-integer math, so the key is engine-portable
+    with no float drift.
+
+    Scale shape: ONE window partitioned by source (row_number in
+    md5-hash order — parallel across sources, the only shuffle), then
+    a pure per-row expression. No global sort is needed to CREATE the
+    key; consumers range-partition on it to read the epoch in order —
+    exactly how you'd lay out 100 TB (write sorted-within-partitions
+    by mix_key).
+    """
+    h = split_hash(F.col(key_col), salt, hex_chars=8)
+    w = Window.partitionBy(source_col).orderBy(h, F.col(key_col))
+    pos = F.row_number().over(w)
+    # floor-division keeps the key integral and portable: w | unit, so
+    # floor((2p-1)*unit / w) == (2p-1)*(unit/w) exactly (< 2^53).
+    # DuckDB twin: ((2*pos - 1) * unit) // w
+    num = (2 * pos.cast("long") - 1) * F.lit(stride_unit).cast("long")
+    return df.withColumn(
+        "mix_key", F.floor(num / weight.cast("long")).cast("long")
+    )

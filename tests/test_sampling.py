@@ -135,3 +135,35 @@ def test_contamination_overlap_flags_only_real_overlap(spark):
     assert set(got) == {1, 3}
     assert got[1] == (2, 1)  # "alpha beta gamma delta", "beta gamma delta epsilon"
     assert got[3] == (1, 1)  # "alpha beta gamma delta"
+
+
+def test_weighted_mix_key_interleaves_proportionally(spark):
+    from cherry_spark.ext.sampling import weighted_mix_key
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weight = F.when(F.col("source") == "s0", 1).when(
+        F.col("source") == "s1", 2
+    ).otherwise(3)
+    out = weighted_mix_key(
+        df.withColumn("w", weight), "source", "doc_id", F.col("w"), stride_unit=6
+    ).collect()
+    # stride property: within any horizon T (before any source runs
+    # out of items — s2 exhausts at key ~398), counts track weights
+    for T in (60, 120, 240):
+        counts = {}
+        for r in out:
+            if r["mix_key"] <= T:
+                counts[r["source"]] = counts.get(r["source"], 0) + 1
+        # expected ~ T*w/(2*unit): w=1 -> T/12, w=2 -> T/6, w=3 -> T/4
+        for src, w in (("s0", 1), ("s1", 2), ("s2", 3)):
+            exp = T * w / 12
+            assert abs(counts.get(src, 0) - exp) <= 1, (T, src, counts)
+    # deterministic across recomputation
+    again = weighted_mix_key(
+        df.withColumn("w", weight), "source", "doc_id", F.col("w"), stride_unit=6
+    ).collect()
+    assert {(r["doc_id"], r["mix_key"]) for r in out} == {
+        (r["doc_id"], r["mix_key"]) for r in again
+    }
