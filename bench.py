@@ -56,6 +56,8 @@ HEADLINE = [
     "sequence_pack",
     "dedup_clusters",
     "media_decode_features",
+    "mixing_order",
+    "doc_length_percentiles",
 ]
 
 
