@@ -1,8 +1,14 @@
 """Import all query modules so their ``@query`` registrations run."""
 
-import cherry_spark.queries.relational  # noqa: F401
-import cherry_spark.queries.steps  # noqa: F401
-import cherry_spark.queries.extensions  # noqa: F401
+# Import order IS the driver's certification order: the correctness gate
+# writes at most 50 rows taken in registration order.  Round 4 rotates the
+# never-driver-checked families (analytics / curation / multimodal, all
+# registered in rounds 2-3) to the front so CORRECTNESS_r04 certifies them;
+# the relational/steps/extensions families that follow have been green in
+# every prior round, so the rows that rotate out are already certified.
 import cherry_spark.queries.analytics  # noqa: F401
 import cherry_spark.queries.curation  # noqa: F401
 import cherry_spark.queries.multimodal  # noqa: F401
+import cherry_spark.queries.relational  # noqa: F401
+import cherry_spark.queries.steps  # noqa: F401
+import cherry_spark.queries.extensions  # noqa: F401
