@@ -136,6 +136,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     bands: int = 32,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash banding for candidates, exact
     shingle-set Jaccard verification of candidates only.
@@ -146,6 +147,15 @@ def minhash_lsh_pairs(
     exact shingle sets reuse the tokenize-once posting pipeline and
     their aggregation exchange is deduped across the two verification
     joins (ReusedExchange), so the corpus is shingled once.
+
+    ``max_bucket_size`` bounds the per-bucket pair fan-out: a band
+    bucket larger than the cap (identical boilerplate collapsing many
+    docs onto one band key) is dropped before its id array is ever
+    collected, so no task builds an unbounded array or emits
+    |bucket|^2 pairs. Docs dropped this way are exact/near-exact
+    boilerplate clones — route them through ``exact_dedup`` /
+    ``chunk_dedup_stats``, which handle identical text in one hash
+    aggregation; use ``band_bucket_stats`` to monitor the volume.
     """
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
@@ -167,13 +177,25 @@ def minhash_lsh_pairs(
     # construction and replaces the join shuffle with the same
     # groupBy shuffle the join would need anyway. Near-dup buckets
     # are small (a bucket = documents agreeing on r consecutive
-    # minhashes); at 100 TB you'd additionally cap pathological
-    # buckets (degenerate boilerplate collapses into one bucket)
-    # before the pair fan-out.
+    # minhashes) EXCEPT when degenerate boilerplate collapses a large
+    # doc population into one bucket: collect_set then builds one
+    # unbounded array in one task and the fan-out emits |bucket|^2
+    # pair structs from a single row. ``max_bucket_size`` drops those
+    # buckets BEFORE collecting them (a count-filter join on the
+    # bucket key, so the oversized id-arrays are never materialized);
+    # a bucket whose size exceeds the cap is boilerplate, not
+    # near-dup signal — standard practice is to drop it and surface
+    # the volume via ``band_bucket_stats`` monitoring.
+    bucket_sizes = exploded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kept_keys = bucket_sizes.filter(
+        (F.col("n") > 1) & (F.col("n") <= max_bucket_size)
+    ).select("band_idx", "band_key")
     buckets = (
-        exploded.groupBy("band_idx", "band_key")
+        exploded.join(kept_keys, ["band_idx", "band_key"])
+        .groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     pair_structs = F.flatten(
         F.transform(
