@@ -252,27 +252,64 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.6,
+    prefix_filter: bool = True,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """EXACT Jaccard pairs via an inverted shingle index (no LSH, no
-    recall loss, still no cross join): explode shingles, self-join on
-    shingle, count shared = |A∩B|, then J = c / (|A|+|B|-c).
+    cross join): candidates from shared indexed shingles, then exact
+    set Jaccard over the FULL shingle sets of candidates only.
 
-    At 100 TB you add a prefix filter (sort shingles by global
-    frequency, index only the first ⌈(1-t)·|A|⌉+1) — the candidate set
-    shrinks but results are identical; the plain index is already
-    linear in total postings, not quadratic in documents.
+    ``prefix_filter`` (positional prefix filtering, Chaudhuri et al. /
+    Bayardo et al. "All-Pairs"): order every document's shingles by
+    (global document frequency, shingle) and index only the first
+    ⌊(1-t)·|A|⌋+1. Any pair with J ≥ t shares ≥ t·|A| shingles, which
+    cannot all hide in the ⌈t·|A|⌉-1 suffix — in particular the
+    globally-SMALLEST shared shingle sits inside both prefixes, so the
+    candidate set is provably complete. Hot boilerplate shingles rank
+    last and fall out of prefixes entirely; candidate volume becomes
+    near-linear on skewed corpora while results stay identical.
+
+    ``max_bucket_size`` is defense-in-depth behind the prefix filter:
+    a posting list longer than the cap even AFTER prefix filtering
+    means >cap documents agree on a low-frequency-ranked shingle —
+    a boilerplate clone class, not near-dup signal. Those buckets are
+    dropped before their id array is collected (count-filter join, so
+    the oversized array never materializes). Because verification
+    recomputes Jaccard from full shingle sets, a triggered cap can
+    only DROP clone-class pairs, never corrupt a reported value; route
+    identical text through ``exact_dedup`` / ``chunk_dedup_stats``.
     """
     sh = shingle_postings(df, id_col, text_col, shingle_k)
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if prefix_filter:
+        counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
+        w = Window.partitionBy("id").orderBy("df_freq", "shingle")
+        indexed = (
+            sh.join(dfreq, "shingle")
+            .join(counts, "id")
+            .withColumn("__pos", F.row_number().over(w))
+            .filter(
+                F.col("__pos")
+                <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
+            )
+            .select("id", "shingle")
+        )
+    else:
+        indexed = sh
     # Pairs per posting list WITHOUT a self-join (which would evaluate
     # the whole posting pipeline on both aliases — no exchange reuse,
     # measured ~2x): group each shingle's sorted id list once, fan out
-    # in-list pairs, then count shared shingles per pair. Identical
-    # result — this is a pure physical rewrite of the inverted index.
+    # in-list pairs. Oversized lists are filtered on a COUNT (cheap
+    # aggregate) before collect_set, so no task ever builds the
+    # degenerate array or emits its |bucket|² structs.
+    bucket_sizes = indexed.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    kept = bucket_sizes.filter(
+        (F.col("n") > 1) & (F.col("n") <= max_bucket_size)
+    ).select("shingle")
     buckets = (
-        sh.groupBy("shingle")
+        indexed.join(kept, "shingle")
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -286,19 +323,24 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    shared = (
+    candidates = (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("p.id1"), F.col("p.id2"))
+        .distinct()
     )
-    n1 = counts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
-    n2 = counts.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    # Exact verification over FULL shingle sets (same shape as the
+    # minhash verify stage): the index above only proposes candidates,
+    # so prefix filtering / capping cannot skew a reported jaccard.
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
     return (
-        shared.join(n1, "id1")
-        .join(n2, "id2")
+        candidates.join(
+            sets.withColumnsRenamed({"id": "id1", "shingles": "sh1"}), "id1"
+        )
+        .join(sets.withColumnsRenamed({"id": "id2", "shingles": "sh2"}), "id2")
         .withColumn(
             "jaccard",
-            F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")),
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")

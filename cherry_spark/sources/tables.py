@@ -32,11 +32,15 @@ TABLE_NAMES = [
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
 ) -> DataFrame:
-    """Read one fixture table; normalizes the ns-timestamp quirk.
+    """Read one fixture table; normalizes the events timestamp column.
 
-    ``events.ts`` is Parquet TIMESTAMP(NANOS); Spark reads it as long
-    (via nanosAsLong) and we convert with *integer* division — float
-    division on epoch-ns values loses precision past 2^53.
+    ``events.ts`` has shipped in two physical forms across fixture
+    generations: TIMESTAMP(NANOS) — Spark reads it as long via
+    nanosAsLong and we convert with *integer* division (float division
+    on epoch-ns values loses precision past 2^53) — and TIMESTAMP(MICROS),
+    which Spark 4 reads as TIMESTAMP_NTZ. Both normalize to a session-TZ
+    TimestampType here (tz pinned UTC by ensure_runtime_confs), so every
+    downstream ``unix_micros`` sees identical values either way.
 
     ``parallelize=True`` round-robin-repartitions the scan to the
     session's core count. The local fixtures are single-row-group
@@ -52,8 +56,12 @@ def load_table(
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if parallelize:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

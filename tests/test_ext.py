@@ -64,6 +64,67 @@ def test_minhash_subset_of_exact(spark):
     assert lsh <= exact  # verification guarantees precision
 
 
+def test_ngram_prefix_filter_identical_results(spark):
+    """Prefix filtering is a pure candidate-pruning optimization: on a
+    frequency-skewed corpus (a hot boilerplate shingle shared by every
+    doc) the filtered and unfiltered runs return identical pairs AND
+    identical jaccard values."""
+    boiler = "terms of service apply to all content on this site"
+    rows = []
+    for i in range(12):
+        rows.append((i, f"{boiler} article number {i} discusses topic {i % 3} deeply"))
+    # planted near-dup pair sharing most shingles
+    rows.append((100, "spark catalyst optimizer rewrites logical plans into physical plans"))
+    rows.append((101, "spark catalyst optimizer rewrites logical plans into physical stages"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.3, max_bucket_size=10**6)
+    plain = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, prefix_filter=False, **kw).collect()
+    }
+    filtered = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, prefix_filter=True, **kw).collect()
+    }
+    assert plain == filtered and (100, 101) in filtered
+
+
+def test_degenerate_bucket_cap_drops_boilerplate_only(spark):
+    """A clone class bigger than max_bucket_size (identical boilerplate
+    collapsing many docs onto one band key / posting list) is dropped
+    before its id array is collected; genuinely near-dup pairs outside
+    the clone class are still found. Before the cap existed this corpus
+    built a 600-element array in one task and fanned out ~180k pair
+    structs from a single row per bucket."""
+    boiler = "all rights reserved contact the webmaster for further information today"
+    rows = [(i, boiler) for i in range(600)]
+    rows.append((1000, "spark catalyst optimizer rewrites logical plans into physical plans"))
+    rows.append((1001, "spark catalyst optimizer rewrites logical plans into physical stages"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ng = {(r["id1"], r["id2"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert ng == {(1000, 1001)}  # clone class capped away, real pair kept
+
+    mh = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert mh == {(1000, 1001)}
+
+
+def test_bucket_cap_keep_vs_drop_semantics(spark):
+    """With the cap above the clone-class size the in-class pairs come
+    back (and verification still reports exact jaccard 1.0); below it
+    they are dropped."""
+    rows = [(i, "identical boilerplate text repeated across documents here") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dropped = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket_size=4)
+    assert dropped.count() == 0
+    kept = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket_size=100).collect()
+    assert len(kept) == 8 * 7 // 2
+    assert all(r["jaccard"] == 1.0 for r in kept)
+
+
 def test_simhash_properties(spark):
     df = simhash64(_docs(spark))
     fps = {r["id"]: r["fingerprint"] for r in df.collect()}
