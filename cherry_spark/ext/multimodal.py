@@ -4,16 +4,18 @@ metadata, with Arrow-batched decode/feature plumbing.
 Real in this module (and tested): the schema convention, the
 mapInPandas batch shape (iterator of pandas frames — constant memory
 per batch regardless of partition size), partition-count control for
-decode fan-out, and deterministic header parsing. Stubbed behind
-``CHERRY_FAKE_CODECS`` (this container has no image/audio libraries,
-so true pixel/sample decoding raises NotImplementedError; the fake
-codec derives deterministic features from the payload bytes instead —
-same schema, same batching, same scale behavior).
+decode fan-out, and deterministic header parsing. Pixel decoding is
+probed: executors with PIL run the real decode; otherwise (this
+container has no image/audio libraries) the fake codec derives
+deterministic features from the payload bytes instead — same schema,
+same batching, same scale behavior. Oracle-gated queries pin
+``codec="fake"`` so differential checks stay bit-exact everywhere.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -21,7 +23,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-CHERRY_FAKE_CODECS = True  # no PIL/ffmpeg in this environment
+
+def _probe_codecs() -> bool:
+    """True = use the deterministic fake codec.
+
+    Probed, not hardcoded: the real pixel path activates automatically
+    on a cluster whose executors have PIL installed (the module is
+    re-imported — and thus re-probed — on each executor). Set
+    ``CHERRY_FAKE_CODECS=1`` to pin the deterministic fake even where
+    PIL exists (the fake is the oracle path for differential gates),
+    or ``=0`` to force the real path and fail loudly if PIL is absent.
+    """
+    forced = os.environ.get("CHERRY_FAKE_CODECS")
+    if forced is not None:
+        return forced.strip().lower() not in ("0", "false", "")
+    try:
+        import PIL.Image  # noqa: F401
+
+        return False
+    except ImportError:
+        return True
+
+
+CHERRY_FAKE_CODECS = _probe_codecs()
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -77,25 +101,47 @@ def _fake_image_decode(payload: bytes, dim: int = 8) -> tuple[int, int, int, lis
     return width, height, 3, feature
 
 
-def decode_image_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+def decode_image_features(
+    df: DataFrame, feature_dim: int = 8, codec: str = "auto"
+) -> DataFrame:
     """media rows -> image features via mapInPandas.
 
     The UDF consumes an iterator of Arrow-backed pandas batches: memory
     is bounded by spark.sql.execution.arrow.maxRecordsPerBatch, not by
     partition size — the correct shape for 100 MB+ payload columns.
+
+    ``codec``: "auto" uses the executor-side probe (real PIL decode
+    when available), "fake"/"real" pin a path — oracle-gated queries
+    pin "fake" so the differential hash is environment-independent.
     """
+    if codec not in ("auto", "fake", "real"):
+        raise ValueError(f"codec must be auto|fake|real, got {codec!r}")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib  # re-import: runs on executors
 
+        fake = CHERRY_FAKE_CODECS if codec == "auto" else (codec == "fake")
+
         def one(payload):
             if payload is None:
                 return (None, None, None, None)
-            if not CHERRY_FAKE_CODECS:
-                raise NotImplementedError(
-                    "real image decoding requires PIL/torchvision on executors"
-                )
             b = bytes(payload)
+            if not fake:
+                # Real path (executors with PIL): decode, record true
+                # dims, grayscale-thumbnail row as the feature vector.
+                # Corrupt payloads yield a null row, not a failed job.
+                import io
+
+                from PIL import Image
+
+                try:
+                    img = Image.open(io.BytesIO(b))
+                    w, h = img.size
+                    channels = len(img.getbands())
+                    row = img.convert("L").resize((feature_dim, 1)).tobytes()
+                    return (w, h, channels, [x / 255.0 for x in row])
+                except Exception:
+                    return (None, None, None, None)
             w = int.from_bytes(b[0:4], "big") % 4096 if len(b) >= 8 else 0
             h = int.from_bytes(b[4:8], "big") % 4096 if len(b) >= 8 else 0
             digest = _hashlib.sha256(b).digest()

@@ -79,7 +79,7 @@ def _synth_media(docs, kind: str):
 def media_decode_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = _synth_media(docs, "image")
-    feats = decode_image_features(media, feature_dim=_N_FEATURE_BYTES)
+    feats = decode_image_features(media, feature_dim=_N_FEATURE_BYTES, codec="fake")
     # feature[i] is digest_byte/255.0 as float32; *255 + round recovers
     # the byte exactly (float32 relative error ~1e-7 << 1/510).
     return feats.select(

@@ -38,6 +38,35 @@ def test_decode_image_features(spark):
     assert abs(r0["feature"][0] - expected0) < 1e-6
 
 
+def test_codec_probe_env_override(monkeypatch):
+    from cherry_spark.ext import multimodal as mm
+
+    monkeypatch.setenv("CHERRY_FAKE_CODECS", "1")
+    assert mm._probe_codecs() is True
+    monkeypatch.setenv("CHERRY_FAKE_CODECS", "0")
+    assert mm._probe_codecs() is False
+    monkeypatch.delenv("CHERRY_FAKE_CODECS")
+    # unforced: mirrors whether PIL imports in this environment
+    try:
+        import PIL.Image  # noqa: F401
+
+        assert mm._probe_codecs() is False
+    except ImportError:
+        assert mm._probe_codecs() is True
+
+
+def test_decode_pinned_fake_matches_auto_without_pil(spark):
+    """In a codec-less container auto == fake; pinning protects the
+    oracle hash on codec-equipped clusters."""
+    df = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    pinned = decode_image_features(df, codec="fake").orderBy("media_id").collect()
+    assert len(pinned) == 20 and len(pinned[0]["feature"]) == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image_features(df, codec="pil")
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
     frames = frame_sample_plan(df, every_nth=10).collect()
