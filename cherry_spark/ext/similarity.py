@@ -45,12 +45,31 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = 6,
+    two_phase: bool = True,
 ) -> DataFrame:
-    """Exact top-k neighbors for each query row.
+    """Exact top-k neighbors for each query row, two-phase.
 
     ``query`` is a (small) DataFrame of (query_id, embedding) —
     broadcast, so the corpus scan is one pass with no shuffle before
-    the per-query top-k (window over query partition).
+    the top-k selection.
+
+    Phase 1 (no shuffle): a narrow Arrow-batched pass over the scored
+    (query_id, id, sim) rows keeps, per input partition, only the k
+    best rows per query — streaming with periodic pruning, so memory
+    is O(queries × k + batch), never O(partition). Phase 2: the exact
+    ranking window runs over ≤ k rows per (query, partition) — k×P
+    rows per query instead of the whole scored corpus. The old
+    single-window form (``two_phase=False``) put each query's ENTIRE
+    scored corpus into one task: a single-task sort at scale. Results
+    are identical — phase 1 orders by the same (sim DESC NULLS LAST,
+    id) total order the final window uses, and a global top-k is
+    always a subset of the union of per-partition top-ks.
+
+    NaN caveat: Arrow's pandas transfer folds SQL NULL into NaN, so
+    phase 2 restores NULL afterward — a corpus vector that genuinely
+    contains NaN components would be conflated with the zero-norm
+    NULL-sim case (both sort last; neither can win a top-k slot over
+    any real similarity).
     """
     q = F.broadcast(
         query.select(
@@ -77,8 +96,50 @@ def brute_force_topk(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    if not two_phase:
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    qname, iname = query_id_col, id_col
+    prune_rows = max(8192, 4 * k)
+
+    def partial_topk(batches):
+        import pandas as pd
+
+        def prune(frames):
+            allf = pd.concat(frames, ignore_index=True)
+            allf = allf.sort_values(
+                [qname, "sim", iname],
+                ascending=[True, False, True],
+                na_position="last",
+            )
+            return allf.groupby(qname, sort=False).head(k)
+
+        acc: list = []
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acc.append(pdf)
+            n += len(pdf)
+            if n > prune_rows:
+                acc = [prune(acc)]
+                n = len(acc[0])
+        if acc:
+            yield prune(acc)
+
+    partial = scored.mapInPandas(partial_topk, scored.schema)
+    # Arrow round-trip turned NULL sims into NaN; restore NULL so the
+    # final window's NULLS LAST (not NaN-sorts-highest) order holds.
+    partial = partial.withColumn(
+        "sim",
+        F.when(F.isnan("sim"), F.lit(None).cast("double")).otherwise(F.col("sim")),
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        partial.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

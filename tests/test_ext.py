@@ -192,6 +192,34 @@ def test_brute_force_topk_self_first(spark, sf_dir):
     assert len(top) == 3
 
 
+def test_brute_force_topk_two_phase_differential(spark, sf_dir):
+    """Two-phase partial top-k returns exactly what the old global
+    window returned, including a zero-norm corpus vector (NULL sim —
+    must stay NULL through the Arrow round-trip, not become NaN that
+    Spark would sort ABOVE every real similarity)."""
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * dim)], "vec_id long, embedding array<float>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(zero).repartition(7)
+    q = emb.filter(F.col("vec_id").isin(3, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=45)  # k > corpus so the NULL-sim row must appear
+    new = {tuple(r) for r in brute_force_topk(corpus, q, **kw).collect()}
+    old = {
+        tuple(r)
+        for r in brute_force_topk(corpus, q, two_phase=False, **kw).collect()
+    }
+    assert new == old
+    assert any(r[2] is None for r in new)  # zero-norm row kept, sim NULL
+    plan = brute_force_topk(corpus, q, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # partial phase really in the plan
+
+
 def test_lsh_bucket_deterministic(spark, sf_dir):
     from cherry_spark.sources.tables import load_table
 
