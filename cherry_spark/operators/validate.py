@@ -6,8 +6,12 @@ pipeline.py:41-75; the kernel lives in its Rust core). Implemented here
 as distributed assertion queries:
 
 - block numbers unique;
-- parent-hash chain continuity (when hash/parent_hash columns exist),
-  via a lag window over block number;
+- parent-hash chain continuity (when hash/parent_hash columns exist):
+  each block joins its predecessor by number equality (number = prev+1)
+  — a plain shuffle equi-join, fully parallel, instead of a global
+  single-partition lag window. Given unique numbers (the first check),
+  this examines exactly the consecutive pairs the lag form examined;
+  number gaps are not chain breaks, matching lag + prev_number filter.
 - referential integrity: every logs/transactions row points at a block
   present in the batch.
 
@@ -18,7 +22,6 @@ mirroring the reference's validate-or-raise contract (README.md:21).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from cherry_spark.plans.config import Batch, EvmValidateBlockDataConfig
 
@@ -42,17 +45,13 @@ def evm_validate_block_data(batch: Batch, cfg: EvmValidateBlockDataConfig) -> Ba
             violations["duplicate_block_numbers"] = n_dup
 
         if "hash" in blocks.columns and "parent_hash" in blocks.columns:
-            w = Window.orderBy("number")
-            chain = blocks.select(
-                "number",
-                "hash",
-                "parent_hash",
-                F.lag("hash").over(w).alias("prev_hash"),
-                F.lag("number").over(w).alias("prev_number"),
-            ).filter(
-                F.col("prev_hash").isNotNull()
-                & (F.col("prev_number") == F.col("number") - 1)
-                & (F.col("parent_hash") != F.col("prev_hash"))
+            cur = blocks.select("number", "parent_hash")
+            prev = blocks.select(
+                (F.col("number") + 1).alias("number"),
+                F.col("hash").alias("prev_hash"),
+            )
+            chain = cur.join(prev, "number").filter(
+                F.col("parent_hash") != F.col("prev_hash")
             )
             n_broken = chain.count()
             if n_broken:

@@ -227,6 +227,31 @@ def test_validate_block_data(spark, evm_batch):
         )
 
 
+def test_validate_parent_hash_chain(spark):
+    """Chain continuity via the predecessor equi-join: a tampered
+    parent_hash on a consecutive pair raises; a number GAP is not a
+    chain break (matches the old lag + prev_number==number-1 filter)."""
+    from cherry_spark.operators.validate import (
+        BlockValidationError,
+        evm_validate_block_data,
+    )
+
+    def blocks(rows):
+        return spark.createDataFrame(
+            rows, "number long, hash string, parent_hash string"
+        )
+
+    good = blocks(
+        [(1, "h1", "h0"), (2, "h2", "h1"), (5, "h5", "hX"), (6, "h6", "h5")]
+    )
+    evm_validate_block_data({"blocks": good}, EvmValidateBlockDataConfig())
+
+    bad = blocks([(1, "h1", "h0"), (2, "h2", "h1"), (3, "h3", "WRONG")])
+    with pytest.raises(BlockValidationError) as ei:
+        evm_validate_block_data({"blocks": bad}, EvmValidateBlockDataConfig())
+    assert ei.value.violations == {"broken_parent_hash_chain": 1}
+
+
 def test_evm_decode_no_hstack(spark, evm_batch):
     batch, logs, _ = evm_batch
     out = process_steps(
