@@ -252,36 +252,46 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.6,
-    prefix_filter: bool = True,
+    prefix_filter: bool = False,
     max_bucket_size: int = 500,
 ) -> DataFrame:
     """EXACT Jaccard pairs via an inverted shingle index (no LSH, no
-    cross join): candidates from shared indexed shingles, then exact
-    set Jaccard over the FULL shingle sets of candidates only.
+    cross join). Two index modes, identical results:
 
-    ``prefix_filter`` (positional prefix filtering, Chaudhuri et al. /
-    Bayardo et al. "All-Pairs"): order every document's shingles by
-    (global document frequency, shingle) and index only the first
-    ⌊(1-t)·|A|⌋+1. Any pair with J ≥ t shares ≥ t·|A| shingles, which
-    cannot all hide in the ⌈t·|A|⌉-1 suffix — in particular the
-    globally-SMALLEST shared shingle sits inside both prefixes, so the
-    candidate set is provably complete. Hot boilerplate shingles rank
-    last and fall out of prefixes entirely; candidate volume becomes
-    near-linear on skewed corpora while results stay identical.
+    - Full index (default): every distinct shingle is indexed, so the
+      per-pair shared-shingle COUNT from the index is exactly |A∩B| —
+      one groupBy, no verification join, J = c/(|A|+|B|-c). The cheap
+      mode when posting lists are capped and the corpus isn't
+      boilerplate-skewed.
+    - ``prefix_filter=True`` (positional prefix filtering, Chaudhuri
+      et al. / Bayardo et al. "All-Pairs"): order every document's
+      shingles by (global document frequency, shingle) and index only
+      the first ⌊(1-t)·|A|⌋+1. Any pair with J ≥ t shares ≥ t·|A|
+      shingles, which cannot all hide in the ⌈t·|A|⌉-1 suffix — the
+      globally-smallest shared shingle sits inside both prefixes, so
+      candidates are provably complete. Because the index is now
+      partial, shared counts under-count and each candidate is
+      verified against the FULL shingle sets (map-side word_shingles
+      arrays — no extra shuffle to build). Per-candidate set
+      intersection is the dominant cost (measured ~4x the count path
+      at sf0.1 — the prefix cut pair fan-out 1.27M→312k on the fixture
+      corpus, yet verify still lost to the cheap count), so this mode
+      pays off exactly when it shrinks candidates by far more:
+      boilerplate-heavy corpora where hot shingles rank last and drop
+      out of every prefix.
 
-    ``max_bucket_size`` is defense-in-depth behind the prefix filter:
-    a posting list longer than the cap even AFTER prefix filtering
-    means >cap documents agree on a low-frequency-ranked shingle —
-    a boilerplate clone class, not near-dup signal. Those buckets are
-    dropped before their id array is collected (count-filter join, so
-    the oversized array never materializes). Because verification
-    recomputes Jaccard from full shingle sets, a triggered cap can
-    only DROP clone-class pairs, never corrupt a reported value; route
-    identical text through ``exact_dedup`` / ``chunk_dedup_stats``.
+    ``max_bucket_size`` caps the per-bucket pair fan-out in both
+    modes: a posting list longer than the cap is a boilerplate clone
+    class, not near-dup signal (at J ≥ 0.6, >500 docs agreeing on a
+    shingle while pairwise-similar means near-identical text). Those
+    buckets are dropped on a COUNT filter before their id array is
+    ever collected, so no task materializes the degenerate array or
+    its |bucket|² pair structs; route identical text through
+    ``exact_dedup`` / ``chunk_dedup_stats`` instead.
     """
     sh = shingle_postings(df, id_col, text_col, shingle_k)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter:
-        counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
         w = Window.partitionBy("id").orderBy("df_freq", "shingle")
         indexed = (
@@ -323,15 +333,34 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    candidates = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id1"), F.col("p.id2"))
-        .distinct()
+    exploded = buckets.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id1"), F.col("p.id2")
     )
-    # Exact verification over FULL shingle sets (same shape as the
-    # minhash verify stage): the index above only proposes candidates,
-    # so prefix filtering / capping cannot skew a reported jaccard.
-    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
+
+    if not prefix_filter:
+        # full index: per-pair multiplicity across buckets IS |A∩B|
+        shared = exploded.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("c"))
+        n1 = counts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+        n2 = counts.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+        return (
+            shared.join(n1, "id1")
+            .join(n2, "id2")
+            .withColumn(
+                "jaccard",
+                F.col("c").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("c")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+        )
+
+    # prefix index: candidates only — verify on full map-side sets
+    candidates = exploded.distinct()
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    )
+    c = F.size(F.array_intersect("sh1", "sh2"))
     return (
         candidates.join(
             sets.withColumnsRenamed({"id": "id1", "shingles": "sh1"}), "id1"
@@ -339,8 +368,7 @@ def ngram_jaccard_pairs(
         .join(sets.withColumnsRenamed({"id": "id2", "shingles": "sh2"}), "id2")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh1", "sh2"))
-            / F.size(F.array_union("sh1", "sh2")),
+            c.cast("double") / (F.size("sh1") + F.size("sh2") - c),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
@@ -442,6 +470,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over a
     near-dup pair graph -> (id, cluster_id) with cluster_id = smallest
@@ -465,11 +494,24 @@ def connected_components(
     12-node path). ``localCheckpoint(eager=True)`` truncates the plan
     to a materialized leaf each round, the same lineage-cut MLlib's
     iterative algorithms use (on a real cluster prefer a reliable
-    ``checkpoint()`` to survive executor loss). At 100 TB you would
-    additionally switch to the large-star/small-star variant to bound
-    skew on celebrity nodes; the fixpoint and output contract are
-    identical.
+    ``checkpoint()`` to survive executor loss).
+
+    ``algorithm="star"`` selects the alternating large-star/small-star
+    rewrite (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — same (id, cluster_id = min member) output,
+    differential-tested against minlabel. Its skew story is stronger:
+    large-star re-hangs only the strictly-LARGER neighbors of each
+    node onto its local minimum, so a celebrity node's degree is split
+    across rounds instead of concentrating behind one hot label key,
+    and every step is edge-set -> edge-set (no label table whose hot
+    key is the cluster min). Prefer it when components are huge or
+    degree is heavy-tailed; minlabel's pointer jumping converges in
+    fewer rounds on long thin chains.
     """
+    if algorithm == "star":
+        return _cc_two_phase_star(edges, id1, id2, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"algorithm must be minlabel|star, got {algorithm!r}")
     sym = (
         edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
         .unionAll(edges.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
@@ -521,6 +563,102 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _cc_two_phase_star(
+    edges: DataFrame, id1: str, id2: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., SoCC 2014). Edge-set rewrites only:
+
+    - large-star: every node hangs its strictly-LARGER neighbors onto
+      m(u) = min(N(u) ∪ {u});
+    - small-star: every node hangs its smaller-or-equal neighbors
+      (and itself) onto m(u).
+
+    The fixpoint is a forest of stars rooted at each component's
+    minimum id. Convergence probe is an aggregate checksum of the edge
+    set (count + sum of pair hashes), never a collect; plan lineage is
+    cut per round with localCheckpoint exactly as in minlabel.
+    """
+
+    def _symmetrize(e: DataFrame) -> DataFrame:
+        return (
+            e.select("src", "dst")
+            .unionAll(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+        )
+
+    def _node_min(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = _symmetrize(e)
+        m = _node_min(sym)
+        return (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        sym = _symmetrize(e)
+        m = _node_min(sym)
+        hang_small = (
+            sym.filter(F.col("dst") <= F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        )
+        hang_self = m.select(F.col("src").alias("a"), F.col("m").alias("b"))
+        return (
+            hang_small.unionAll(hang_self)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .distinct()
+        )
+
+    def _checksum(e: DataFrame) -> tuple:
+        # sum on DECIMAL: a long sum of 64-bit hashes overflows under
+        # ANSI mode (repo invariant — see CLAUDE.md)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    base = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    nodes = (
+        base.select(F.col("src").alias("id"))
+        .unionAll(base.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        base.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: stars rooted at component minima -> label = min neighbor
+    sym = _symmetrize(e)
+    star_labels = sym.groupBy("src").agg(
+        F.least(F.col("src"), F.min("dst")).alias("cluster_id")
+    )
+    return nodes.join(
+        star_labels, nodes.id == star_labels.src, "left"
+    ).select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
 
 
 def simhash64(
