@@ -1,14 +1,20 @@
 """Import all query modules so their ``@query`` registrations run."""
 
 # Import order IS the driver's certification order: the correctness gate
-# writes at most 50 rows taken in registration order.  Round 4 rotates the
-# never-driver-checked families (analytics / curation / multimodal, all
-# registered in rounds 2-3) to the front so CORRECTNESS_r04 certifies them;
-# the relational/steps/extensions families that follow have been green in
-# every prior round, so the rows that rotate out are already certified.
+# writes at most 50 rows taken in registration order.  Priority:
+#   1. analytics / curation / multimodal (21) — registered rounds 2-3,
+#      never driver-certified before r04;
+#   2. extensions (19) — the dedup/similarity family whose
+#      implementations changed in round 4 (prefix filter, bucket caps,
+#      two-phase top-k, star connected components) and so needs
+#      RE-certification, plus the new dedup_clusters_star;
+#   3. relational / steps — unchanged since round 1 and green in every
+#      driver round that covered them; the ~23 rows that rotate out of
+#      the window here are exactly the ones already certified on the
+#      code that is still at HEAD.
 import cherry_spark.queries.analytics  # noqa: F401
 import cherry_spark.queries.curation  # noqa: F401
 import cherry_spark.queries.multimodal  # noqa: F401
+import cherry_spark.queries.extensions  # noqa: F401
 import cherry_spark.queries.relational  # noqa: F401
 import cherry_spark.queries.steps  # noqa: F401
-import cherry_spark.queries.extensions  # noqa: F401

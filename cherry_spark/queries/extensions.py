@@ -263,9 +263,7 @@ def minhash_lsh_dedup(spark, sf_dir):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
 
 
-@query(
-    "dedup_clusters",
-    oracle="""
+_DEDUP_CLUSTERS_ORACLE = """
     WITH RECURSIVE docs AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -300,7 +298,12 @@ def minhash_lsh_dedup(spark, sf_dir):
     FROM labels l
     JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id) c
       USING (cluster_id)
-    """,
+    """
+
+
+@query(
+    "dedup_clusters",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
     doc="Duplicate-cluster formation: connected components over the "
     "exact-Jaccard near-dup pair graph (cluster_id = smallest member "
     "id, plus cluster size) — the step that turns pairwise matches "
@@ -313,9 +316,31 @@ def minhash_lsh_dedup(spark, sf_dir):
     "declarative single plan can't express the operator.",
 )
 def dedup_clusters(spark, sf_dir):
+    return _dedup_clusters(spark, sf_dir, "minlabel")
+
+
+@query(
+    "dedup_clusters_star",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
+    doc="Same duplicate-cluster output computed by the alternating "
+    "large-star/small-star edge rewrites (Kiveris et al., SoCC 2014) "
+    "instead of min-label propagation: every round re-hangs only the "
+    "strictly-larger neighbors of each node onto its local minimum, so "
+    "celebrity-node degree splits across rounds instead of "
+    "concentrating behind one hot label key — the variant to prefer "
+    "when components are huge or degree heavy-tailed. Hash-compared "
+    "against the identical recursive-CTE oracle as dedup_clusters, so "
+    "the two Spark algorithms are certified equivalent by the driver "
+    "itself (ext/dedup.py:_cc_two_phase_star).",
+)
+def dedup_clusters_star(spark, sf_dir):
+    return _dedup_clusters(spark, sf_dir, "star")
+
+
+def _dedup_clusters(spark, sf_dir, algorithm):
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.6)
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, algorithm=algorithm)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "cluster_id").select(
         F.col("id").alias("doc_id"), "cluster_id", "cluster_size"

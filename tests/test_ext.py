@@ -241,6 +241,39 @@ def test_connected_components_chain_and_island(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_star_differential(spark):
+    """large-star/small-star returns byte-identical labels to minlabel
+    on a chain, a celebrity star, islands, an out-of-order cycle, and
+    a reversed-orientation pair."""
+    from cherry_spark.ext.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 0-..-6, celebrity hub 100 with 15 spokes, island pair,
+        # cycle with shuffled ids, reversed-order edge (id1 > id2)
+        [(i, i + 1) for i in range(6)]
+        + [(100, 200 + i) for i in range(15)]
+        + [(300, 301)]
+        + [(402, 401), (401, 403), (403, 402)]
+        + [(999, 7)],
+        "id1 long, id2 long",
+    )
+    minlabel = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges, algorithm="minlabel").collect()
+    }
+    star = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == minlabel
+    assert (200, 100) in star and (403, 401) in star and (999, 7) in star
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        connected_components(edges, algorithm="bfs")
+
+
 def test_connected_components_long_chain_converges(spark):
     from cherry_spark.ext.dedup import connected_components
 
