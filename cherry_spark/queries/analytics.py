@@ -214,33 +214,47 @@ def session_window_native(spark, sf_dir):
     )
 
 
+_RANGE_BUCKETS = (
+    # ten width-5 bands + two OVERLAPPING ranges: overlap forces true
+    # join fan-out (rows matching multiple buckets), which a disguised
+    # CASE/bucketize rewrite could not produce — the result set
+    # (12 buckets × 3 return flags, every band populated at sf0.01)
+    # carries real evidence of non-equi join semantics.
+    [(f"b{lo:02d}", float(lo), float(lo + 5)) for lo in range(0, 50, 5)]
+    + [("all", 0.0, 51.0), ("mid_wide", 12.5, 37.5)]
+)
+
+
 @query(
     "range_join_buckets",
     oracle="""
     WITH buckets(bucket_name, lo, hi) AS (
-        VALUES ('small', 0.0, 10.0), ('medium', 10.0, 35.0), ('large', 35.0, 51.0)
+        VALUES {values}
     )
-    SELECT b.bucket_name, COUNT(*) AS n_items,
+    SELECT b.bucket_name, l.l_returnflag, COUNT(*) AS n_items,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
     FROM lineitem l JOIN buckets b
       ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
-    GROUP BY b.bucket_name
-    """,
+    GROUP BY b.bucket_name, l.l_returnflag
+    """.format(
+        values=", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _RANGE_BUCKETS)
+    ),
     doc="Non-equi (range) join against a small bucket dim — broadcast "
-    "nested-loop on the tiny side; no shuffle of the fact table.",
+    "nested-loop on the tiny side; no shuffle of the fact table. "
+    "Two buckets overlap the rest, so rows genuinely fan out to "
+    "multiple matches (~36 grouped rows, every band populated).",
 )
 def range_join_buckets(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     buckets = li.sparkSession.createDataFrame(
-        [("small", 0.0, 10.0), ("medium", 10.0, 35.0), ("large", 35.0, 51.0)],
-        "bucket_name string, lo double, hi double",
+        list(_RANGE_BUCKETS), "bucket_name string, lo double, hi double"
     )
     return (
         li.join(
             F.broadcast(buckets),
             (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
         )
-        .groupBy("bucket_name")
+        .groupBy("bucket_name", "l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("value"),
