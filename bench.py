@@ -7,6 +7,13 @@ ONE JSON line:
 Each query is forced to full materialization with the noop sink (no
 collect/driver transfer in the timing). One warmup pass amortizes JVM
 and code-gen startup out of the numbers.
+
+Cross-round comparability: all queries share ONE JVM, so growing the
+headline list inflates every query's time (code-cache + GC pressure) —
+the r02→r03 "+12% on unchanged queries" drift reproduced as suite-size
+interference: at the r04 HEAD, the exact r02 24-query subset
+(SPARK_GRAFT_BENCH_QUERIES) ran 18.36 s warm vs r02's 18.81 s. Compare
+totals only on equal query sets.
 """
 
 from __future__ import annotations
@@ -67,6 +74,11 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # comma-separated subset filter: like-for-like comparisons against a
+    # previous round's suite (suite growth inflates every query's time
+    # in the shared JVM — compare equal sets before suspecting plans)
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = [q for q in HEADLINE if q in set(subset.split(","))] if subset else HEADLINE
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -87,7 +99,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
