@@ -17,6 +17,7 @@ doubles can differ in the last ulp.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cherry_spark.catalog import query
 from cherry_spark.ext.dedup import (
@@ -263,7 +264,9 @@ def minhash_lsh_dedup(spark, sf_dir):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
 
 
-_DEDUP_CLUSTERS_ORACLE = """
+# shared recursive-CTE prefix: exact-Jaccard pair graph -> transitive
+# closure -> (doc_id, cluster_id = min member) labels
+_CLUSTER_LABELS_CTE = """
     WITH RECURSIVE docs AS (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -294,11 +297,17 @@ _DEDUP_CLUSTERS_ORACLE = """
     labels AS (
         SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
     )
+    """
+
+_DEDUP_CLUSTERS_ORACLE = (
+    _CLUSTER_LABELS_CTE
+    + """
     SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
     FROM labels l
     JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id) c
       USING (cluster_id)
     """
+)
 
 
 @query(
@@ -344,6 +353,68 @@ def _dedup_clusters(spark, sf_dir, algorithm):
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "cluster_id").select(
         F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+@query(
+    "cluster_keep_best",
+    oracle=_CLUSTER_LABELS_CTE
+    + f""",
+    q AS (
+        SELECT doc_id,
+               round(
+                 0.4 * least(len({_TOKS})::DOUBLE / 64.0, 1.0)
+               + 0.4 * round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                             / length(text), 6)
+               + 0.2 * least(
+                   (len(list_filter({_TOKS},
+                        t -> list_contains(['the','and','of','to','data'], t)))::DOUBLE
+                    / greatest(len({_TOKS}), 1)) * 5.0, 1.0)
+               , 6) AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY q.quality DESC, l.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS n
+        FROM labels l JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id,
+           CAST(n AS BIGINT) AS n_members, quality AS best_quality
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Canonical-document selection: after near-dup clustering, keep "
+    "exactly one representative per duplicate cluster — the "
+    "highest-quality member (C4/Gopher-style heuristic score, doc_id "
+    "tiebreak). This is the decision step a dedup pipeline actually "
+    "ships: pairs -> clusters -> keep list. The per-cluster window "
+    "ranks only cluster members (cluster-size-bounded partitions, "
+    "never corpus-bounded), and the quality score is one scan's worth "
+    "of column expressions joined onto the labels.",
+)
+def cluster_keep_best(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    cc = connected_components(pairs)
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    joined = cc.select(F.col("id").alias("doc_id"), "cluster_id").join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality").alias("best_quality"),
+        )
     )
 
 

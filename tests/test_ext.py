@@ -241,6 +241,29 @@ def test_connected_components_chain_and_island(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_cluster_keep_best_picks_highest_quality(spark, sf_dir):
+    """The keep-list has one row per multi-doc cluster; the kept doc has
+    the max quality among its cluster's members (doc_id tiebreak)."""
+    from cherry_spark.catalog import REGISTRY
+    import cherry_spark.queries  # noqa: F401
+
+    keep = REGISTRY["cluster_keep_best"].fn(spark, sf_dir).collect()
+    clusters = REGISTRY["dedup_clusters"].fn(spark, sf_dir).collect()
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in REGISTRY["quality_score"].fn(spark, sf_dir).collect()
+    }
+    members: dict = {}
+    for r in clusters:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert len(keep) == len(members) > 0
+    for r in keep:
+        best = max(members[r["cluster_id"]], key=lambda d: (quality[d], -d))
+        assert r["keep_doc_id"] == best
+        assert r["best_quality"] == quality[best]
+        assert r["n_members"] == len(members[r["cluster_id"]])
+
+
 def test_connected_components_star_differential(spark):
     """large-star/small-star returns byte-identical labels to minlabel
     on a chain, a celebrity star, islands, an out-of-order cycle, and
