@@ -1,0 +1,97 @@
+"""Embedding compression: int8 scalar quantization + reconstruction
+audit.
+
+The vector-compression step an ANN serving path runs before indexing
+100 TB of embeddings: per-dimension global [min, max] -> 8-bit codes
+(4x smaller than float32, dot products stay SIMD-friendly). The audit
+reports per-vector reconstruction error so a curator can decide whether
+scalar quantization suffices or product quantization is needed.
+
+Distributed shape: per-dimension stats are a dim-row aggregate
+(map-side partial min/max -> one tiny shuffle), broadcast back onto the
+exploded values; the per-vector audit is one hash aggregate. Nothing is
+ever corpus-bounded on a single task.
+
+Cross-engine determinism (for the DuckDB oracle twin): min/max involve
+no summation, quantize/dequantize are identical IEEE double expression
+trees in both engines, and the error MEAN is aggregated as integer
+nano-units (round(err*1e9) -> BIGINT sum) because a double sum's fold
+order differs between engines. round(·, 0) is half-away-from-zero in
+both engines for the non-negative values used here.
+
+No reference counterpart (the reference has no vector ops); this
+extends the ANN family (ext/similarity.py, ext/ivf.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dim_stats(pe: DataFrame) -> DataFrame:
+    return pe.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+
+
+def _explode(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("i", "vf")
+    ).select("id", "i", F.col("vf").cast("double").alias("v"))
+
+
+def _qv(v, mn, mx):
+    return (
+        F.when(mx > mn, F.round((v - mn) / (mx - mn) * 255, 0).cast("int"))
+        .otherwise(F.lit(0))
+    )
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qvec array<int> of 0..255 codes, per-dim codes in position
+    order) — the storage form. Codes are rebuilt into an array with
+    array_agg over (i, qv) sorted by dimension."""
+    pe = _explode(df, id_col, vec_col)
+    j = pe.join(F.broadcast(_dim_stats(pe)), "i")
+    coded = j.select(
+        "id", "i", _qv(F.col("v"), F.col("mn"), F.col("mx")).alias("qv")
+    )
+    return (
+        coded.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "qv"))),
+                lambda s: s.getField("qv"),
+            ).alias("qvec")
+        )
+        .select(F.col("id").alias(id_col), "qvec")
+    )
+
+
+def quantize_audit(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-vector reconstruction audit of int8 scalar quantization:
+    (id, qsum, mean_abs_err, max_abs_err). qsum is an exact integer
+    checksum of the codes; errors are |v - dequant(quant(v))| with the
+    mean summed in integer nano-units for engine-exact comparison."""
+    pe = _explode(df, id_col, vec_col)
+    j = pe.join(F.broadcast(_dim_stats(pe)), "i")
+    qv = _qv(F.col("v"), F.col("mn"), F.col("mx"))
+    deq = (qv.cast("double") / 255) * (F.col("mx") - F.col("mn")) + F.col("mn")
+    e = j.select(
+        "id",
+        qv.alias("qv"),
+        F.abs(F.col("v") - deq).alias("err"),
+    )
+    return e.groupBy("id").agg(
+        F.sum("qv").cast("long").alias("qsum"),
+        F.round(
+            F.sum(F.round(F.col("err") * 1e9, 0).cast("long")).cast("double")
+            / dim
+            / 1e9,
+            6,
+        ).alias("mean_abs_err"),
+        F.round(F.max("err"), 6).alias("max_abs_err"),
+    ).select(F.col("id").alias(id_col), "qsum", "mean_abs_err", "max_abs_err")

@@ -418,6 +418,47 @@ def cluster_keep_best(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_quantize_audit",
+    oracle="""
+    WITH pe AS (
+        SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS v
+        FROM embeddings, generate_series(1, 64) AS g(i)
+    ),
+    stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM pe GROUP BY i),
+    e AS (
+        SELECT pe.vec_id,
+               CASE WHEN s.mx > s.mn
+                    THEN CAST(round((pe.v - s.mn)/(s.mx - s.mn)*255, 0) AS INT)
+                    ELSE 0 END AS qv,
+               abs(pe.v - ((CAST(CASE WHEN s.mx > s.mn
+                    THEN CAST(round((pe.v - s.mn)/(s.mx - s.mn)*255, 0) AS INT)
+                    ELSE 0 END AS DOUBLE)/255)*(s.mx - s.mn) + s.mn)) AS err
+        FROM pe JOIN stats s USING (i)
+    )
+    SELECT vec_id,
+           CAST(sum(qv) AS BIGINT) AS qsum,
+           round(CAST(sum(CAST(round(err*1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / 64 / 1000000000.0, 6) AS mean_abs_err,
+           round(max(err), 6) AS max_abs_err
+    FROM e GROUP BY vec_id
+    """,
+    doc="Int8 scalar quantization of the embedding corpus with a "
+    "per-vector reconstruction audit (exact integer code checksum, "
+    "mean/max |v - dequant(quant(v))|) — the 4x vector-compression "
+    "step before ANN indexing at scale. Per-dimension [min,max] is a "
+    "64-row aggregate broadcast back over the corpus; the error mean "
+    "is summed in integer nano-units so both engines aggregate "
+    "exactly (double fold order differs between engines). "
+    "ext/quantize.py.",
+)
+def embedding_quantize_audit(spark, sf_dir):
+    from cherry_spark.ext.quantize import quantize_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_audit(emb, dim=64)
+
+
 def _simhash_oracle() -> str:
     from cherry_spark.ext.dedup import simhash_oracle_sql
 

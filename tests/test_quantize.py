@@ -1,0 +1,50 @@
+import pytest
+from pyspark.sql import functions as F
+
+from cherry_spark.ext.quantize import quantize_audit, quantize_vectors
+from cherry_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_quantize_vectors_shape_and_range(spark, emb):
+    out = quantize_vectors(emb).collect()
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        assert len(r["qvec"]) == len(src[r["vec_id"]])
+        assert all(0 <= c <= 255 for c in r["qvec"])
+
+
+def test_quantize_audit_error_bound(spark, emb):
+    """Scalar quantization error is bounded by half a step per dim:
+    max_abs_err <= (mx-mn)/255/2 (+rounding slack) for every vector."""
+    pe = emb.select(F.posexplode("embedding").alias("i", "v"))
+    widest = (
+        pe.groupBy("i")
+        .agg((F.max("v") - F.min("v")).alias("w"))
+        .agg(F.max("w"))
+        .first()[0]
+    )
+    bound = widest / 255 / 2 + 1e-9
+    audit = quantize_audit(emb).collect()
+    assert len(audit) == emb.count()
+    for r in audit:
+        assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] <= bound
+
+
+def test_quantize_roundtrip_orders_dims(spark):
+    """Codes come back in dimension order: a vector whose values
+    increase monotonically quantizes to monotonically increasing codes
+    (per-dim ranges here are identical by construction)."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 2.0]), (3, [2.0, 4.0]), (4, [4.0, 8.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["qvec"] for r in quantize_vectors(df).collect()}
+    assert got[1] == [0, 0] and got[4] == [255, 255]
+    # vec 2 sits at 1/4 of both ranges -> same code both dims
+    assert got[2][0] == got[2][1] == 64
