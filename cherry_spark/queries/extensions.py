@@ -651,6 +651,72 @@ def token_freq_topn(spark, sf_dir):
 
 
 @query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf
+        FROM documents, UNNEST({_TOKS}) AS u(t)
+        GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rn FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms (smoothed idf "
+    "ln((N+1)/(df+1))+1, sklearn's smoothing) — the keyword/topic "
+    "profile step of a corpus analysis pipeline. One tf aggregate, a "
+    "df aggregate over it, N as a broadcast 1-row aggregate, then a "
+    "doc-bounded ranking window. TRIAGE NOTE: both engines round the "
+    "score to 6 digits AND rank on the rounded value, so a 1-ulp ln() "
+    "divergence between libm implementations could in principle flip "
+    "a row; bit-exact on the shipped fixtures — if this row ever goes "
+    "red after a fixture regeneration, compare ln outputs before "
+    "suspecting the plan.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    from cherry_spark.ext.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
     "decontaminate_overlap",
     oracle="""
     WITH sh AS (
