@@ -375,6 +375,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def band_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    shingle_k: int = 3,
+    bands: int = 32,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Monitoring twin of ``minhash_lsh_pairs``' bucket cap: per band,
+    how many collision buckets exist, the largest, and the candidate
+    volume the cap keeps vs drops. Run it alongside (or before) a dedup
+    job to see whether boilerplate is collapsing doc populations onto
+    band keys — a rising pairs_dropped means route the corpus through
+    exact dedup first or raise the cap deliberately.
+
+    Aggregate-only (bucket sizes, never bucket members), so the stats
+    job itself is immune to the degenerate buckets it measures.
+    pairs_* use try_multiply: a bucket beyond ~3e9 docs reports NULL
+    rather than a mid-job ANSI overflow.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    banded = sig.select(
+        "id",
+        F.array(
+            *[
+                F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+                for b in range(bands)
+            ]
+        ).alias("bands"),
+    )
+    exploded = banded.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
+    sizes = (
+        exploded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return _bucket_size_rollup(sizes.groupBy("band_idx"), max_bucket_size)
+
+
+def _bucket_size_rollup(grouped, max_bucket_size: int):
+    """Shared cap-monitoring aggregate over (…, n) bucket-size rows."""
+    over = F.col("n") > max_bucket_size
+    pairs = F.shiftright(F.try_multiply(F.col("n"), F.col("n") - 1), 1)
+    zero = F.lit(0).cast("long")
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_capped"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias("docs_in_capped"),
+        F.sum(F.when(over, pairs).otherwise(zero)).cast("long").alias("pairs_dropped"),
+        F.sum(F.when(~over, pairs).otherwise(zero)).cast("long").alias("pairs_kept"),
+    )
+
+
+def posting_skew_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Same cap monitoring for the ``ngram_jaccard_pairs`` inverted
+    index: one row of corpus-level posting-list skew stats (collision
+    buckets, largest list, volume the cap keeps vs drops). Shingle
+    strings are engine-portable, so unlike band keys this monitor has
+    a bit-exact DuckDB twin."""
+    sh = shingle_postings(df, id_col, text_col, shingle_k)
+    sizes = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return _bucket_size_rollup(sizes.groupBy(), max_bucket_size)
+
+
 def contamination_overlap(
     train: DataFrame,
     test: DataFrame,

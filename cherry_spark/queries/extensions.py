@@ -651,6 +651,65 @@ def token_freq_topn(spark, sf_dir):
 
 
 @query(
+    "posting_skew_stats",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len({_TOKS}) - 2, 0)),
+                   i -> concat_ws(' ', {_TOKS}[i+1], {_TOKS}[i+2], {_TOKS}[i+3])
+               )) AS sh
+        FROM documents
+    ),
+    p AS (SELECT doc_id, s FROM docs, UNNEST(sh) AS u(s)),
+    sizes AS (SELECT s, COUNT(*) AS n FROM p GROUP BY s),
+    nz AS (SELECT n FROM sizes WHERE n > 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(COALESCE(SUM(CASE WHEN n > 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_capped,
+           CAST(COALESCE(SUM(CASE WHEN n > 3 THEN n ELSE 0 END), 0) AS BIGINT)
+               AS docs_in_capped,
+           CAST(COALESCE(SUM(CASE WHEN n > 3 THEN n*(n-1)//2 ELSE 0 END), 0)
+                AS BIGINT) AS pairs_dropped,
+           CAST(COALESCE(SUM(CASE WHEN n <= 3 THEN n*(n-1)//2 ELSE 0 END), 0)
+                AS BIGINT) AS pairs_kept
+    FROM nz
+    """,
+    doc="Skew monitoring for the near-dup candidate caps: corpus-level "
+    "posting-list size stats (collision buckets, largest list, and the "
+    "candidate-pair volume a cap would keep vs drop). Aggregate-only — "
+    "bucket SIZES, never members — so the monitor is immune to the "
+    "degenerate buckets it measures. Cap=3 here (operator default 500) "
+    "so the fixture corpus exercises both branches: 615 capped buckets "
+    "at sf0.01. ext/dedup.py:posting_skew_stats; the minhash-band twin "
+    "is band_bucket_stats (xxhash64 band keys aren't recomputable in "
+    "DuckDB, so that one is rows-only).",
+)
+def posting_skew_stats_query(spark, sf_dir):
+    from cherry_spark.ext.dedup import posting_skew_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return posting_skew_stats(docs, max_bucket_size=3)
+
+
+@query(
+    "band_bucket_stats",
+    doc="Per-band monitoring twin of minhash_lsh_pairs' bucket cap: "
+    "collision buckets, largest bucket, capped volume per band. "
+    "Rows-only (band keys are xxhash64 — not recomputable in DuckDB); "
+    "the exact-oracle sibling is posting_skew_stats, and the unit test "
+    "plants a boilerplate clone class and checks the dropped-pair "
+    "accounting. ext/dedup.py:band_bucket_stats.",
+)
+def band_bucket_stats_query(spark, sf_dir):
+    from cherry_spark.ext.dedup import band_bucket_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return band_bucket_stats(docs, max_bucket_size=3)
+
+
+@query(
     "tfidf_top_terms",
     oracle=f"""
     WITH tf AS (

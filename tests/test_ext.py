@@ -112,6 +112,27 @@ def test_degenerate_bucket_cap_drops_boilerplate_only(spark):
     assert mh == {(1000, 1001)}
 
 
+def test_band_bucket_stats_accounts_for_cap(spark):
+    """A 40-doc boilerplate clone class collapses onto one band key per
+    band; with cap 30 every band reports it capped, with the dropped
+    pair volume 40*39/2, and the monitor itself never materializes the
+    bucket."""
+    from cherry_spark.ext.dedup import band_bucket_stats, posting_skew_stats
+
+    rows = [(i, "identical boilerplate text repeated across many documents here") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = band_bucket_stats(docs, bands=8, n_hashes=64, max_bucket_size=30).collect()
+    assert len(stats) == 8  # one row per band
+    for r in stats:
+        assert r["n_buckets"] == 1 and r["max_bucket"] == 40
+        assert r["n_capped"] == 1 and r["docs_in_capped"] == 40
+        assert r["pairs_dropped"] == 40 * 39 // 2 and r["pairs_kept"] == 0
+
+    ps = posting_skew_stats(docs, max_bucket_size=30).collect()
+    assert len(ps) == 1
+    assert ps[0]["max_bucket"] == 40 and ps[0]["pairs_dropped"] > 0
+
+
 def test_bucket_cap_keep_vs_drop_semantics(spark):
     """With the cap above the clone-class size the in-class pairs come
     back (and verification still reports exact jaccard 1.0); below it
