@@ -375,6 +375,108 @@ def ngram_jaccard_pairs(
     )
 
 
+def delta_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 128,
+    shingle_k: int = 3,
+    bands: int = 32,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Incremental ingestion dedup: classify every BATCH document
+    against an existing CORPUS as ``exact_dup`` (byte-identical text
+    exists), ``near_dup`` (a corpus doc with exact Jaccard ≥ t exists
+    among minhash-band candidates), or ``unique``. Returns
+    (id, verdict) for the whole batch — the decision table an
+    ingestion job joins back to route documents.
+
+    Scale shape: exact stage is one md5 equi-join (left semi, batch
+    side probes). Near stage computes minhash signatures for BOTH
+    sides (corpus signatures would be precomputed+stored in a real
+    pipeline — the expression is identical), joins band keys
+    batch×corpus only (never corpus×corpus), caps degenerate band
+    buckets on the CORPUS side with the usual count filter, and
+    verifies candidates with exact shingle-set Jaccard. Verdict
+    precedence: exact > near > unique.
+    """
+    rows = n_hashes // bands
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+        return sig.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_key"),
+        )
+    batch_ids = batch.select(F.col(id_col).alias("id"))
+    exact = (
+        batch.alias("b")
+        .join(
+            corpus.select(F.md5(text_col).alias("__h")).distinct(),
+            F.md5(F.col(f"b.{text_col}")) == F.col("__h"),
+            "left_semi",
+        )
+        .select(F.col(id_col).alias("id"))
+    )
+    corpus_bands = banded(corpus)
+    # cap: drop corpus band buckets bigger than the cap (boilerplate
+    # clone classes) before the probe join — count filter, the bucket
+    # id-list is never collected anywhere in this operator
+    corpus_bucket_n = corpus_bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kept = corpus_bucket_n.filter(F.col("n") <= max_bucket_size).select(
+        "band_idx", "band_key"
+    )
+    candidates = (
+        banded(batch)
+        .withColumnsRenamed({"id": "bid"})
+        .join(corpus_bands.join(kept, ["band_idx", "band_key"]), ["band_idx", "band_key"])
+        .select("bid", F.col("id").alias("cid"))
+        .distinct()
+    )
+    sets = lambda d: d.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    c = F.size(F.array_intersect("sh_b", "sh_c"))
+    near = (
+        candidates.join(
+            sets(batch).withColumnsRenamed({"id": "bid", "sh": "sh_b"}), "bid"
+        )
+        .join(sets(corpus).withColumnsRenamed({"id": "cid", "sh": "sh_c"}), "cid")
+        .filter(
+            c.cast("double")
+            / (F.size("sh_b") + F.size("sh_c") - c)
+            >= jaccard_threshold
+        )
+        .select(F.col("bid").alias("id"))
+        .distinct()
+    )
+    return (
+        batch_ids.join(exact.withColumn("__e", F.lit(1)), "id", "left")
+        .join(near.withColumn("__n", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("__e") == 1, F.lit("exact_dup"))
+            .when(F.col("__n") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+    )
+
+
 def band_bucket_stats(
     df: DataFrame,
     id_col: str = "doc_id",

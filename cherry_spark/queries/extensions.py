@@ -651,6 +651,49 @@ def token_freq_topn(spark, sf_dir):
 
 
 @query(
+    "delta_dedup_verdicts",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text,
+               list_distinct(list_transform(
+                   range(greatest(len({_TOKS}) - 2, 0)),
+                   i -> concat_ws(' ', {_TOKS}[i+1], {_TOKS}[i+2], {_TOKS}[i+3])
+               )) AS sh
+        FROM documents
+    ),
+    batch AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+    corpus AS (SELECT * FROM docs WHERE doc_id % 5 != 0)
+    SELECT b.doc_id AS id,
+           CASE WHEN EXISTS (SELECT 1 FROM corpus c
+                             WHERE md5(c.text) = md5(b.text))
+                THEN 'exact_dup'
+                WHEN EXISTS (SELECT 1 FROM corpus c
+                             WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
+                                   / (len(b.sh) + len(c.sh)
+                                      - len(list_intersect(b.sh, c.sh))) >= 0.8)
+                THEN 'near_dup'
+                ELSE 'unique' END AS verdict
+    FROM batch b
+    """,
+    doc="Incremental ingestion dedup: every incoming-batch document "
+    "(doc_id%5=0 plays the batch) classified against the existing "
+    "corpus as exact_dup (md5 semi-join), near_dup (minhash band "
+    "probe batch x corpus — never corpus x corpus — with capped "
+    "corpus buckets, then exact shingle-Jaccard verification), or "
+    "unique. The oracle is the ground truth itself (EXISTS over all "
+    "corpus docs), so the banding recall-1 note from minhash_lsh_dedup "
+    "applies. ext/dedup.py:delta_dedup.",
+)
+def delta_dedup_verdicts(spark, sf_dir):
+    from cherry_spark.ext.dedup import delta_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return delta_dedup(corpus, batch)
+
+
+@query(
     "posting_skew_stats",
     oracle=f"""
     WITH docs AS (

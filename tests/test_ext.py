@@ -112,6 +112,34 @@ def test_degenerate_bucket_cap_drops_boilerplate_only(spark):
     assert mh == {(1000, 1001)}
 
 
+def test_delta_dedup_verdict_precedence(spark):
+    """Planted batch: byte-identical text -> exact_dup (even though it
+    is also J=1 near), paraphrase -> near_dup, fresh text -> unique."""
+    from cherry_spark.ext.dedup import delta_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "spark catalyst optimizer rewrites logical plans into physical plans"),
+            (3, "completely unrelated corpus text about database storage engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),  # exact
+            (11, "spark catalyst optimizer rewrites logical plans into physical stages"),  # near
+            (12, "entirely novel document with no counterpart anywhere"),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["verdict"]
+        for r in delta_dedup(corpus, batch, jaccard_threshold=0.5).collect()
+    }
+    assert got == {10: "exact_dup", 11: "near_dup", 12: "unique"}
+
+
 def test_band_bucket_stats_accounts_for_cap(spark):
     """A 40-doc boilerplate clone class collapses onto one band key per
     band; with cap 30 every band reports it capped, with the dropped
