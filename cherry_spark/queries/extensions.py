@@ -651,6 +651,69 @@ def token_freq_topn(spark, sf_dir):
 
 
 @query(
+    "corpus_report",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                   AS n_tokens,
+               round(
+                 0.4 * least(len({_TOKS})::DOUBLE / 64.0, 1.0)
+               + 0.4 * round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                             / length(text), 6)
+               + 0.2 * least(
+                   (len(list_filter({_TOKS},
+                        t -> list_contains(['the','and','of','to','data'], t)))::DOUBLE
+                    / greatest(len({_TOKS}), 1)) * 5.0, 1.0)
+               , 6) AS quality
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_doc_tokens,
+           round(CAST(SUM(CAST(round(quality * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS mean_quality,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs
+    FROM q
+    """,
+    doc="One-row corpus dashboard: doc/language counts, token volume, "
+    "mean document length, mean quality, and the exact-duplicate "
+    "surplus (n_docs - distinct text hashes) — the summary a curator "
+    "reads before deciding pipeline thresholds. All aggregates are "
+    "engine-exact: counts and token sums are integers, and mean "
+    "quality is summed in integer micro-units (quality is already "
+    "ROUND(·,6)) because a double sum's fold order differs between "
+    "engines. One scan, one aggregate.",
+)
+def corpus_report(spark, sf_dir):
+    from cherry_spark.ext.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "lang",
+        F.md5("text").alias("h"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_doc_tokens"),
+        F.round(
+            F.sum(F.round(F.col("quality") * 1e6, 0).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("mean_quality"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("long").alias("exact_dup_docs"),
+    )
+
+
+@query(
     "delta_dedup_verdicts",
     oracle=f"""
     WITH docs AS (
