@@ -43,18 +43,42 @@ def tokens_col(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of a text column (native array ops).
 
+    Built as a zip_with of k shifted slices of the token array, so the
+    tokenizer expression is referenced k (≈3) times per ROW — never
+    per element. (A transform-over-sequence lambda that closes over
+    the token array re-evaluates the tokenizer per element after
+    CollapseProject inlining — measured 2x the stage; the older
+    lead()-window escape paid a full shuffle+sort instead. The zip
+    form needs neither.)
+
     Docs with fewer than k tokens yield an empty array — the guard is
-    load-bearing: sequence(1, 0) is DESCENDING [1, 0], and slice(toks,
-    0, k) raises INVALID_PARAMETER_VALUE.START, so an unguarded version
-    crashes on any short/empty document.
+    load-bearing: slice with a non-positive length raises under ANSI,
+    so an unguarded version crashes on any short/empty document.
     """
     toks = tokens_col(text)
     n = F.size(toks)
-    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i, k))  # noqa: E731
-    shingles = F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), shingle)
+    m = n - F.lit(k - 1)
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(
-        F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
+        F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
     )
+
+
+def word_shingles_raw(text: Column, k: int = 3) -> Column:
+    """word_shingles WITHOUT the distinct pass — for consumers where
+    duplicates are harmless (MIN aggregation) and the distinct would
+    cost a per-row hash set."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    m = n - F.lit(k - 1)
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_postings(
@@ -63,24 +87,36 @@ def shingle_postings(
     text_col: str = "text",
     k: int = 3,
     distinct: bool = True,
+    reuse: bool = False,
 ) -> DataFrame:
-    """(id, shingle) posting rows. Tokenizes ONCE per document
-    (posexplode) and assembles k-shingles with lead() windows — the
-    array-``transform`` formulation re-runs the tokenizer per element
-    after CollapseProject inlining (measured 2x the stage at sf0.1).
-    Shingle strings are identical to word_shingles' (concat_ws of k
-    consecutive tokens), so DuckDB oracles stay in lockstep."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "t0"),
+    """(id, shingle) posting rows: explode the in-hand zip_with shingle
+    array (word_shingles). The array form references the tokenizer k
+    times per row and needs NO shuffle before the explode — the older
+    lead()-window assembly paid a full shuffle+sort on (id, pos), and
+    a transform-over-sequence lambda re-ran the tokenizer per element
+    (measured 2x). Shingle strings are byte-identical across all three
+    forms (k consecutive tokens joined by ' '), so DuckDB oracles stay
+    in lockstep. ``distinct`` dedups per-document via array_distinct
+    in-row (no extra aggregation).
+
+    ``reuse=True`` appends a repartition("id"): a plan with several
+    references to the postings re-executes the scan+shingle work per
+    reference unless an exchange sits in between (Spark reuses
+    EXCHANGES, not projections). The repartition is that reusable
+    materialization point — an exchange without the window form's
+    sort. Measured on ngram_jaccard_pairs (3 references) at sf0.1:
+    zip+repartition 1.9s vs window 2.2s vs bare zip 3.4s warm. Leave
+    False for single-reference consumers; the shuffle would be pure
+    overhead."""
+    shingles = (
+        word_shingles(F.col(text_col), k)
+        if distinct
+        else word_shingles_raw(F.col(text_col), k)
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, k)]
-    sh = toks.select("id", "t0", *leads).filter(F.col(f"t{k - 1}").isNotNull())
-    out = sh.select(
-        "id", F.concat_ws(" ", *[f"t{j}" for j in range(k)]).alias("shingle")
+    out = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
     )
-    return out.distinct() if distinct else out
+    return out.repartition(F.col("id")) if reuse else out
 
 
 def minhash_signatures(
@@ -95,31 +131,23 @@ def minhash_signatures(
     Distributed shape, tuned so every expensive step runs exactly once
     per unit of data:
 
-    - tokenize ONCE per document (posexplode of the token array — a
-      shingle-array ``transform`` would re-evaluate the tokenizer per
-      element after CollapseProject inlining, measured 2x the stage);
-    - assemble k-shingles with ``lead()`` windows over (id, pos) —
-      one shuffle, no token-array duplication across posting rows;
-    - hash each shingle ONCE (xxhash64 over the k tokens), then derive
-      the n-hash family from that single 64-bit value with fixed-width
-      rehashes ``xxhash64(h, i)`` — 1 variable-width + n fixed-width
-      hashes per posting instead of n string hashes;
+    - shingle in-hand (zip_with of k shifted token-array slices — the
+      tokenizer is referenced k times per ROW, never per element, and
+      unlike the older lead()-window assembly there is NO shuffle
+      before aggregation: the only exchange in the whole signature
+      pipeline is the final groupBy(id));
+    - hash each shingle ONCE (xxhash64 of the shingle string), then
+      derive the n-hash family from that single 64-bit value with
+      fixed-width rehashes ``xxhash64(h, i)`` — 1 variable-width + n
+      fixed-width hashes per posting instead of n string hashes;
     - groupBy(id) with n MIN aggregates (map-side partial min -> one
       shuffle on id). Duplicate shingles don't affect MIN, so no
-      distinct pass is needed.
+      distinct pass is needed (word_shingles_raw).
     """
-    toks = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "t0"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, shingle_k)]
-    sh = toks.select("id", "t0", *lead_cols).filter(
-        F.col(f"t{shingle_k - 1}").isNotNull()
-    )
-    base = sh.select(
-        "id", F.xxhash64(*[f"t{j}" for j in range(shingle_k)]).alias("h")
-    )
+        F.explode(word_shingles_raw(F.col(text_col), shingle_k)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("h"))
     hashed = base.select(
         "id", *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -289,7 +317,10 @@ def ngram_jaccard_pairs(
     its |bucket|² pair structs; route identical text through
     ``exact_dedup`` / ``chunk_dedup_stats`` instead.
     """
-    sh = shingle_postings(df, id_col, text_col, shingle_k)
+    # reuse=True: this plan references the postings 3-4 times (counts,
+    # bucket sizes, buckets, prefix stats) — the repartition exchange
+    # is the shared materialization point (see shingle_postings)
+    sh = shingle_postings(df, id_col, text_col, shingle_k, reuse=True)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
