@@ -86,3 +86,40 @@ def run_structured_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_delta_dedup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    corpus: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    **delta_kwargs,
+):
+    """Streaming ingestion gate: classify every arriving document
+    micro-batch against a STATIC corpus via ``ext.dedup.delta_dedup``
+    (exact md5 / minhash-band near-dup / unique) and hand the verdict
+    table to ``sink(verdicts_df, batch_id)``.
+
+    Why foreachBatch rather than a single streaming plan: the near-dup
+    stage needs per-batch aggregations (signature min-aggregates,
+    candidate distinct) that Structured Streaming would force into
+    watermarked stateful mode; inside foreachBatch each micro-batch is
+    a plain batch DataFrame, so the full batch operator — caps,
+    verification joins and all — runs unchanged, while exactly-once
+    bookkeeping stays with the checkpointed stream. The corpus side is
+    static; on a real cluster persist() it (or precompute+store its
+    signatures) so it isn't re-scanned per batch.
+    """
+    from cherry_spark.ext.dedup import delta_dedup
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(delta_dedup(corpus, batch_df, **delta_kwargs), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -108,6 +108,43 @@ def test_replay_pipeline_with_cursor_resume(spark, sf_dir, tmp_path):
     assert read_resume_cursor(spark, str(tmp_path / "missing"), "event_id") is None
 
 
+def test_streaming_delta_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ingestion gate: documents arrive as a file stream and
+    each micro-batch is classified against the static corpus; the union
+    of streamed verdicts equals the batch delta_dedup output."""
+    from cherry_spark.ext.dedup import delta_dedup
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming import run_streaming_delta_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+
+    src_dir = str(tmp_path / "incoming")
+    # two "arrivals" -> at least two files for the stream to pick up
+    batch_docs.filter(F.col("doc_id") % 10 == 0).write.mode("append").parquet(src_dir)
+    batch_docs.filter(F.col("doc_id") % 10 != 0).write.mode("append").parquet(src_dir)
+
+    stream_df = spark.readStream.schema(batch_docs.schema).parquet(src_dir)
+    out = str(tmp_path / "verdicts")
+
+    def sink(verdicts, batch_id):
+        verdicts.write.mode("append").parquet(out)
+
+    q = run_streaming_delta_dedup(
+        spark, stream_df, corpus, sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["id"], r["verdict"]) for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r["id"], r["verdict"]) for r in delta_dedup(corpus, batch_docs).collect()
+    }
+    assert streamed == expected and len(streamed) == batch_docs.count()
+
+
 def test_structured_stream_drain(spark, sf_dir, tmp_path):
     """Native Structured Streaming path: file source -> foreachBatch
     running the step chain -> parquet sink, availableNow drain."""
