@@ -38,6 +38,7 @@ def curate(
 ) -> dict[str, DataFrame]:
     from cherry_spark.ext.dedup import (
         chunk_dedup_stats,
+        connected_components,
         contamination_overlap,
         exact_dedup,
         minhash_lsh_pairs,
@@ -82,11 +83,26 @@ def curate(
     fingerprinted = kept.withColumn("fp", doc_fingerprint(F.col("text")))
     deduped = exact_dedup(fingerprinted, ["fp"], order_by=[F.col("doc_id")])
 
-    # 5. near-dup removal: LSH pairs -> drop the higher doc_id of each
-    # verified pair (union-find-free greedy: a doc survives unless it is
-    # the higher id in ANY pair — deterministic and one extra join)
+    # 5. near-dup removal: LSH pairs -> duplicate clusters (large-star/
+    # small-star connected components — skew-safe on celebrity docs) ->
+    # keep the highest-quality member per cluster (quality tiebreak by
+    # doc_id; pairwise greedy drops would discard good docs whenever a
+    # low-quality doc happens to have the lower id)
+    from pyspark.sql.window import Window
+
     pairs = minhash_lsh_pairs(deduped, jaccard_threshold=0.85)
-    losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    clusters = connected_components(pairs, algorithm="star")
+    members = clusters.join(
+        deduped.select(F.col("doc_id").alias("id"), "quality"), "id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("id")
+    )
+    losers = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(F.col("id").alias("doc_id"))
+    )
     survivors = deduped.join(losers, on="doc_id", how="left_anti")
 
     # 6. decontamination: drop training docs overlapping the eval split
