@@ -422,8 +422,11 @@ def cluster_keep_best(spark, sf_dir):
     "embedding_quantize_audit",
     oracle="""
     WITH pe AS (
+        -- embedding IS NOT NULL keeps parity with Spark's posexplode,
+        -- which silently drops null-array rows
         SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS v
         FROM embeddings, generate_series(1, 64) AS g(i)
+        WHERE embedding IS NOT NULL
     ),
     stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM pe GROUP BY i),
     e AS (
@@ -648,6 +651,47 @@ def token_freq_topn(spark, sf_dir):
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+@query(
+    "label_centroid_profile",
+    oracle="""
+    WITH pe AS (
+        SELECT label, g.i AS dim_i, embedding[g.i]::DOUBLE AS v
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        WHERE embedding IS NOT NULL
+    )
+    SELECT label, CAST(dim_i AS INT) AS dim_i,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(v*1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000000.0, 6) AS mean_v,
+           round(MIN(v), 6) AS min_v,
+           round(MAX(v), 6) AS max_v
+    FROM pe GROUP BY label, dim_i
+    """,
+    doc="Per-label embedding centroid profile: exact per-dimension "
+    "mean/min/max for every class label — the per-group vector "
+    "aggregation that underlies k-means/IVF training, class-centroid "
+    "classifiers, and embedding-drift monitoring. One explode + one "
+    "hash aggregate (map-side partials absorb the fan-out); means "
+    "aggregate in integer nano-units so both engines fold exactly.",
+)
+def label_centroid_profile(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "label", F.posexplode("embedding").alias("i", "vf")
+    ).select("label", (F.col("i") + 1).alias("dim_i"), F.col("vf").cast("double").alias("v"))
+    return pe.groupBy("label", "dim_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("v") * 1e9, 0).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            6,
+        ).alias("mean_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    ).select("label", F.col("dim_i").cast("int").alias("dim_i"), "n", "mean_v", "min_v", "max_v")
 
 
 @query(
