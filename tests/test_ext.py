@@ -64,6 +64,43 @@ def test_minhash_subset_of_exact(spark):
     assert lsh <= exact  # verification guarantees precision
 
 
+def test_word_shingles_matches_python_reference(spark):
+    """The zip_with shingle assembly equals a pure-Python reference on
+    100 seeded-random texts incl. edge cases (empty, 1..k-1 tokens,
+    repeated tokens, multi-space runs)."""
+    import random
+
+    from cherry_spark.ext.dedup import word_shingles
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "yy"]
+    texts = ["", " ", "one", "one two", "a  b   c", "t t t t t"]
+    for _ in range(100):
+        n = rng.randint(0, 12)
+        sep = rng.choice([" ", "  "])
+        texts.append(sep.join(rng.choice(vocab) for _ in range(n)))
+
+    def ref(text, k=3):
+        toks = [t for t in text.split() if t]
+        out, seen = [], set()
+        for i in range(len(toks) - k + 1):
+            s = " ".join(toks[i : i + k])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", word_shingles(F.col("text")).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t)
+
+
 def test_ngram_prefix_filter_identical_results(spark):
     """Prefix filtering is a pure candidate-pruning optimization: on a
     frequency-skewed corpus (a hot boilerplate shingle shared by every
