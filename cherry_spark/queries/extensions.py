@@ -654,6 +654,79 @@ def token_freq_topn(spark, sf_dir):
 
 
 @query(
+    "semantic_lexical_agreement",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(
+                 (SELECT SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
+                  FROM UNNEST(range(64)) AS r(i))
+                 / (sqrt((SELECT SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i)))
+                  * sqrt((SELECT SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i))))
+               , 6) AS sim
+        FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len({_TOKS}) - 2, 0)),
+                   i -> concat_ws(' ', {_TOKS}[i+1], {_TOKS}[i+2], {_TOKS}[i+3])
+               )) AS s
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT p.id1, p.id2, p.sim,
+           CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                THEN len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           END AS jaccard,
+           (CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                 THEN len(list_intersect(a.s, b.s))::DOUBLE
+                      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            END) >= 0.6 AS lexical_caught
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.id1
+    JOIN sh b ON b.doc_id = p.id2
+    WHERE p.sim >= 0.3
+    """,
+    doc="Semantic-vs-lexical dedup agreement audit: embedding-cosine "
+    "near-dup pairs (exact block-grid theta join over the doc_id ≡ "
+    "vec_id subset) annotated with the same pair's exact shingle "
+    "Jaccard and whether lexical dedup at t=0.6 would have caught it "
+    "— the calibration table that tells a curator where semantic "
+    "dedup adds recall over MinHash. Joins the documents and "
+    "embeddings modalities in one plan; shingle sets are map-side "
+    "arrays, the pair set is cosine-pruned first.",
+)
+def semantic_lexical_agreement(spark, sf_dir):
+    from cherry_spark.ext.dedup import word_shingles
+    from cherry_spark.ext.similarity import blocked_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    sem = blocked_pairs_exact(emb, threshold=0.3, n_blocks=4)
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", word_shingles(F.col("text")).alias("s"))
+    )
+    joined = sem.join(
+        sh.withColumnsRenamed({"doc_id": "id1", "s": "sh1"}), "id1"
+    ).join(sh.withColumnsRenamed({"doc_id": "id2", "s": "sh2"}), "id2")
+    c = F.size(F.array_intersect("sh1", "sh2"))
+    denom = F.size("sh1") + F.size("sh2") - c
+    jac = F.when(denom > 0, c.cast("double") / denom)
+    return joined.select(
+        "id1",
+        "id2",
+        "sim",
+        jac.alias("jaccard"),
+        (jac >= 0.6).alias("lexical_caught"),
+    )
+
+
+@query(
     "label_centroid_profile",
     oracle="""
     WITH pe AS (
