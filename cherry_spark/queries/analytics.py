@@ -18,6 +18,85 @@ _DEC = "decimal(18,2)"
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND e.ts <= v.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= c.t2 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           epoch_us(v.t1) AS t_view_us,
+           epoch_us(c.t2) AS t_click_us,
+           epoch_us(p.t3) AS t_purchase_us,
+           CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+                AS INT) AS funnel_stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase, 24h "
+    "conversion window per hop): for each user, the first view, the "
+    "first click strictly after that view within 24h, and the first "
+    "purchase within 24h of that click — order-aware sequence "
+    "matching, not per-type counts (90/35/25 stage split at sf0.01). "
+    "Three chained min-aggregations all keyed on user_id, so one hash "
+    "partitioning serves every stage and the per-type filters push to "
+    "the scan. Timestamps returned as epoch micros (repo invariant: "
+    "never raw timestamps).",
+)
+def funnel_conversion(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("t_view_us"),
+            F.unix_micros("t2").alias("t_click_us"),
+            F.unix_micros("t3").alias("t_purchase_us"),
+            stage.cast("int").alias("funnel_stage"),
+        )
+    )
+
+
+@query(
     "rollup_agg",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
