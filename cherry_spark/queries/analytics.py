@@ -97,6 +97,47 @@ def funnel_conversion(spark, sf_dir):
 
 
 @query(
+    "retention_cohorts",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM w GROUP BY user_id)
+    SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+           CAST(w.day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active_users
+    FROM w JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_day, w.day - c.cohort_day
+    """,
+    doc="Cohort retention matrix: users grouped by first-activity day, "
+    "counted distinct per subsequent day offset — the engagement "
+    "triangle every activity dashboard draws. Days are pure integer "
+    "epoch-microsecond arithmetic (epoch_us div 86400e6), so both "
+    "engines agree bit-for-bit with no week-start/timezone calendar "
+    "convention in play. One cohort aggregation + one matrix "
+    "aggregation, both keyed on user_id-derived keys.",
+)
+def retention_cohorts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1000000
+    # integer `div`, not `/`+cast: double division can round up to an
+    # exact integer the floor would miss, diverging from DuckDB's //
+    w = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {day_us}L").alias("day")
+    )
+    cohort = w.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        w.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            (F.col("day") - F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_users"))
+    )
+
+
+@query(
     "rollup_agg",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
