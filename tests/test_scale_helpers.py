@@ -13,6 +13,28 @@ from cherry_spark.writers.bucketed import (
 )
 
 
+def test_load_table_events_ntz_fallback(spark, sf_dir, tmp_path):
+    """Fixture generations have shipped events.ts as TIMESTAMP(NANOS)
+    (Spark reads long under nanosAsLong) and TIMESTAMP(MICROS) (Spark 4
+    reads TIMESTAMP_NTZ). Both forms must normalize to identical
+    session-TZ timestamps through load_table."""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.sources.tables import load_table
+
+    canonical = load_table(spark, sf_dir, "events")
+    # rewrite the same data as TIMESTAMP_NTZ parquet
+    ntz_dir = str(tmp_path / "sfntz")
+    canonical.withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).write.parquet(ntz_dir + "/events.parquet")
+    reread = load_table(spark, ntz_dir, "events")
+    assert reread.schema["ts"].dataType.typeName() == "timestamp"
+    a = canonical.select("event_id", F.unix_micros("ts").alias("us"))
+    b = reread.select("event_id", F.unix_micros("ts").alias("us"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from cherry_spark.sources.tables import load_table
 
