@@ -223,7 +223,7 @@ def exact_dedup_docs(spark, sf_dir):
     "optimization.",
 )
 def ngram_jaccard_pairs_query(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return ngram_jaccard_pairs(docs, threshold=0.6)
 
 
@@ -260,7 +260,7 @@ def ngram_jaccard_pairs_query(spark, sf_dir):
     "candidates, never n².",
 )
 def minhash_lsh_dedup(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8)
 
 
@@ -347,7 +347,7 @@ def dedup_clusters_star(spark, sf_dir):
 
 
 def _dedup_clusters(spark, sf_dir, algorithm):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.6)
     cc = connected_components(pairs, algorithm=algorithm)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -396,7 +396,7 @@ def _dedup_clusters(spark, sf_dir, algorithm):
     "of column expressions joined onto the labels.",
 )
 def cluster_keep_best(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.6)
     cc = connected_components(pairs)
     q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
@@ -483,7 +483,7 @@ def _simhash_oracle() -> str:
     "(ext/dedup.py:simhash_oracle_sql), so engines cannot drift.",
 )
 def simhash_dedup(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     fp = simhash64(docs)
     return (
         fp.groupBy("fingerprint")
@@ -867,7 +867,7 @@ def corpus_report(spark, sf_dir):
 def delta_dedup_verdicts(spark, sf_dir):
     from cherry_spark.ext.dedup import delta_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return delta_dedup(corpus, batch)
