@@ -36,6 +36,30 @@ def test_quantize_audit_error_bound(spark, emb):
         assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] <= bound
 
 
+def test_quantized_rerank_recall(spark, emb):
+    """Quantized-candidate search with exact rerank: recall@10 vs brute
+    force, and every reported sim is the exact rounded cosine (rerank
+    guarantees values can't be corrupted, only candidates missed)."""
+    from cherry_spark.ext.quantize import quantized_rerank_topk
+    from cherry_spark.ext.similarity import brute_force_topk
+
+    q = emb.filter(F.col("vec_id").isin(3, 47, 111)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = quantized_rerank_topk(emb, q, k=10, rerank=100).collect()
+    exact = brute_force_topk(emb, q, k=10).collect()
+    ex = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    ap = {(r["query_id"], r["vec_id"]): r["sim"] for r in approx}
+    # reported sims are exact cosines wherever the pair appears in both
+    for key in set(ex) & set(ap):
+        assert ex[key] == ap[key]
+    recall = len(set(ex) & set(ap)) / len(ex)
+    assert recall >= 0.9
+    # self is always its own nearest neighbor
+    for qid in (3, 47, 111):
+        assert (qid, qid) in ap
+
+
 def test_quantize_roundtrip_orders_dims(spark):
     """Codes come back in dimension order: a vector whose values
     increase monotonically quantizes to monotonically increasing codes
