@@ -2,16 +2,19 @@
 
 # Import order IS the driver's certification order: the correctness gate
 # writes at most 50 rows taken in registration order.  Priority:
-#   1. analytics / curation / multimodal (21) — registered rounds 2-3,
-#      never driver-certified before r04;
-#   2. extensions (19) — the dedup/similarity family whose
+#   1. analytics (14, incl. round-4 funnel/retention) / curation (7) /
+#      multimodal (2) — the families never driver-certified before r04;
+#   2. extensions (27) — the dedup/similarity/curation family whose
 #      implementations changed in round 4 (prefix filter, bucket caps,
-#      two-phase top-k, star connected components) and so needs
-#      RE-certification, plus the new dedup_clusters_star;
+#      two-phase top-k, zip shingles) plus the round-4 additions
+#      (star clusters, keep-best, delta dedup, quantize, tfidf, skew
+#      monitors, corpus report, centroids, semantic agreement);
 #   3. relational / steps — unchanged since round 1 and green in every
-#      driver round that covered them; the ~23 rows that rotate out of
-#      the window here are exactly the ones already certified on the
-#      code that is still at HEAD.
+#      driver round that covered them; the 33 rows that rotate out of
+#      the window are exactly the ones already certified on the code
+#      that is still at HEAD. The four priority families fill the
+#      window exactly (50 of 50) — adding another gated query displaces
+#      one of them.
 import cherry_spark.queries.analytics  # noqa: F401
 import cherry_spark.queries.curation  # noqa: F401
 import cherry_spark.queries.multimodal  # noqa: F401
