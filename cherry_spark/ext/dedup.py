@@ -55,22 +55,14 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     load-bearing: slice with a non-positive length raises under ANSI,
     so an unguarded version crashes on any short/empty document.
     """
-    toks = tokens_col(text)
-    n = F.size(toks)
-    m = n - F.lit(k - 1)
-    parts = [F.slice(toks, j + 1, m) for j in range(k)]
-    sh = parts[0]
-    for p in parts[1:]:
-        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(
-        F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
-    )
+    return F.array_distinct(word_shingles_raw(text, k))
 
 
 def word_shingles_raw(text: Column, k: int = 3) -> Column:
     """word_shingles WITHOUT the distinct pass — for consumers where
     duplicates are harmless (MIN aggregation) and the distinct would
-    cost a per-row hash set."""
+    cost a per-row hash set. This is the single copy of the zip_with
+    assembly (and its ANSI short-doc guard); word_shingles wraps it."""
     toks = tokens_col(text)
     n = F.size(toks)
     m = n - F.lit(k - 1)
@@ -557,13 +549,23 @@ def _bucket_size_rollup(grouped, max_bucket_size: int):
     over = F.col("n") > max_bucket_size
     pairs = F.shiftright(F.try_multiply(F.col("n"), F.col("n") - 1), 1)
     zero = F.lit(0).cast("long")
+    # coalesce: a global agg over ZERO bucket rows yields sum=NULL;
+    # the DuckDB twin COALESCEs to 0 — match it (max stays NULL/NULL)
     return grouped.agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.max("n").cast("long").alias("max_bucket"),
-        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_capped"),
-        F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias("docs_in_capped"),
-        F.sum(F.when(over, pairs).otherwise(zero)).cast("long").alias("pairs_dropped"),
-        F.sum(F.when(~over, pairs).otherwise(zero)).cast("long").alias("pairs_kept"),
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), zero)
+        .cast("long")
+        .alias("n_capped"),
+        F.coalesce(F.sum(F.when(over, F.col("n")).otherwise(0)), zero)
+        .cast("long")
+        .alias("docs_in_capped"),
+        F.coalesce(F.sum(F.when(over, pairs).otherwise(zero)), zero)
+        .cast("long")
+        .alias("pairs_dropped"),
+        F.coalesce(F.sum(F.when(~over, pairs).otherwise(zero)), zero)
+        .cast("long")
+        .alias("pairs_kept"),
     )
 
 

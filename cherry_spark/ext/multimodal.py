@@ -120,7 +120,11 @@ def decode_image_features(
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib  # re-import: runs on executors
 
-        fake = CHERRY_FAKE_CODECS if codec == "auto" else (codec == "fake")
+        # "auto" probes on the EXECUTOR (this function body runs there):
+        # a closure-captured driver-side probe would ship fake=False to
+        # an executor without PIL and abort the job on import. "real"
+        # still fails loudly if PIL is absent — that pin is a promise.
+        fake = _probe_codecs() if codec == "auto" else (codec == "fake")
 
         def one(payload):
             if payload is None:

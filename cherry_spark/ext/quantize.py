@@ -46,6 +46,20 @@ def _qv(v, mn, mx):
     )
 
 
+def _codes(df: DataFrame, id_col: str, vec_col: str, stats: DataFrame) -> DataFrame:
+    """(id, qvec) for one side, quantized against the given per-dim
+    stats — the single code builder shared by the storage form and the
+    search path (so the two encoders cannot drift)."""
+    e = _explode(df, id_col, vec_col).join(F.broadcast(stats), "i")
+    coded = e.select("id", "i", _qv(F.col("v"), F.col("mn"), F.col("mx")).alias("qv"))
+    return coded.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "qv"))),
+            lambda s: s.getField("qv"),
+        ).alias("qvec")
+    )
+
+
 def quantize_vectors(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -53,19 +67,8 @@ def quantize_vectors(
     order) — the storage form. Codes are rebuilt into an array with
     array_agg over (i, qv) sorted by dimension."""
     pe = _explode(df, id_col, vec_col)
-    j = pe.join(F.broadcast(_dim_stats(pe)), "i")
-    coded = j.select(
-        "id", "i", _qv(F.col("v"), F.col("mn"), F.col("mx")).alias("qv")
-    )
-    return (
-        coded.groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "qv"))),
-                lambda s: s.getField("qv"),
-            ).alias("qvec")
-        )
-        .select(F.col("id").alias(id_col), "qvec")
+    return _codes(df, id_col, vec_col, _dim_stats(pe)).select(
+        F.col("id").alias(id_col), "qvec"
     )
 
 
@@ -100,25 +103,18 @@ def quantized_rerank_topk(
     """
     from pyspark.sql.window import Window
 
+    # ONE stats aggregation: collect the dim-bounded rows, then rebuild
+    # the broadcast side from them — the corpus is scanned once for
+    # stats, not once per consumer
     pe = _explode(vectors, id_col, vec_col)
-    stats = F.broadcast(_dim_stats(pe))
+    stat_rows = sorted(_dim_stats(pe).collect(), key=lambda r: r["i"])
+    stats = vectors.sparkSession.createDataFrame(
+        [(r["i"], float(r["mn"]), float(r["mx"])) for r in stat_rows],
+        "i int, mn double, mx double",
+    )
 
     def codes(df: DataFrame, src_id: str) -> DataFrame:
-        e = _explode(df, src_id, vec_col).join(stats, "i")
-        coded = e.select(
-            "id", "i", _qv(F.col("v"), F.col("mn"), F.col("mx")).alias("qv")
-        )
-        return coded.groupBy("id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "qv"))),
-                lambda s: s.getField("qv"),
-            ).alias("qvec")
-        )
-
-    # dim-bounded stats -> literal arrays for in-row dequantization
-    stat_rows = sorted(
-        _dim_stats(pe).collect(), key=lambda r: r["i"]
-    )
+        return _codes(df, src_id, vec_col, stats)
     mn_lit = F.array(*[F.lit(float(r["mn"])) for r in stat_rows])
     scale_lit = F.array(
         *[F.lit((float(r["mx"]) - float(r["mn"])) / 255.0) for r in stat_rows]

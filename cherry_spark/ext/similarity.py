@@ -65,11 +65,14 @@ def brute_force_topk(
     id) total order the final window uses, and a global top-k is
     always a subset of the union of per-partition top-ks.
 
-    NaN caveat: Arrow's pandas transfer folds SQL NULL into NaN, so
-    phase 2 restores NULL afterward — a corpus vector that genuinely
-    contains NaN components would be conflated with the zero-norm
-    NULL-sim case (both sort last; neither can win a top-k slot over
-    any real similarity).
+    NaN policy (both paths): a sim that comes out NaN — a corpus
+    vector with a NaN component — is normalized to NULL up front, so
+    it sorts LAST like the zero-norm case instead of FIRST (Spark
+    orders NaN above every real double). Without this, the two paths
+    would diverge on NaN inputs: the window path would rank the NaN
+    row first while phase-1's pandas pruning (na_position='last')
+    evicted it. The Arrow round-trip's NULL->NaN folding in phase 1 is
+    restored to NULL afterward under the same normalization.
     """
     q = F.broadcast(
         query.select(
@@ -88,6 +91,7 @@ def brute_force_topk(
     )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
+    sim = F.when(F.isnan(sim), F.lit(None).cast("double")).otherwise(sim)
     scored = corpus.crossJoin(q).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),

@@ -678,15 +678,22 @@ def token_freq_topn(spark, sf_dir):
     oracle=f"""
     WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
     pairs AS (
+        -- zero-norm guard mirrors blocked_pairs_exact: Spark emits
+        -- NULL sim there (and drops the pair); an unguarded 0/0 here
+        -- is NaN, which DuckDB orders ABOVE the threshold
         SELECT a.vec_id AS id1, b.vec_id AS id2,
-               round(
+               CASE WHEN (SELECT SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i)) > 0
+                     AND (SELECT SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i)) > 0
+               THEN round(
                  (SELECT SUM(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
                   FROM UNNEST(range(64)) AS r(i))
                  / (sqrt((SELECT SUM(a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE)
                           FROM UNNEST(range(64)) AS r(i)))
                   * sqrt((SELECT SUM(b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
                           FROM UNNEST(range(64)) AS r(i))))
-               , 6) AS sim
+               , 6) END AS sim
         FROM sub a JOIN sub b ON a.vec_id < b.vec_id
     ),
     sh AS (
