@@ -341,6 +341,30 @@ def test_brute_force_topk_two_phase_differential(spark, sf_dir):
     assert "MapInPandas" in plan  # partial phase really in the plan
 
 
+def test_brute_force_topk_nan_component_policy(spark):
+    """A corpus vector with a NaN component gets sim NULL and sorts
+    LAST in BOTH paths (Spark's native ordering would rank raw NaN
+    FIRST — the normalization prevents a garbage vector from winning
+    every query's top slot)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [float("nan"), 1.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    for two_phase in (True, False):
+        top = brute_force_topk(corpus, q, k=3, two_phase=two_phase).collect()
+        by_rank = sorted(
+            ((r["vec_id"], r["sim"]) for r in top),
+            key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]),
+        )
+        assert by_rank[0] == (1, 1.0), (two_phase, by_rank)
+        assert by_rank[-1] == (3, None), (two_phase, by_rank)
+
+
 def test_lsh_bucket_deterministic(spark, sf_dir):
     from cherry_spark.sources.tables import load_table
 
