@@ -53,26 +53,36 @@ def brute_force_topk(
     broadcast, so the corpus scan is one pass with no shuffle before
     the top-k selection.
 
-    Phase 1 (no shuffle): a narrow Arrow-batched pass over the scored
-    (query_id, id, sim) rows keeps, per input partition, only the k
-    best rows per query — streaming with periodic pruning, so memory
-    is O(queries × k + batch), never O(partition). Phase 2: the exact
-    ranking window runs over ≤ k rows per (query, partition) — k×P
-    rows per query instead of the whole scored corpus. The old
-    single-window form (``two_phase=False``) put each query's ENTIRE
-    scored corpus into one task: a single-task sort at scale. Results
-    are identical — phase 1 orders by the same (sim DESC NULLS LAST,
-    id) total order the final window uses, and a global top-k is
-    always a subset of the union of per-partition top-ks.
+    Phase 1 (JVM-only, round-4 verdict #4): group the scored
+    (query_id, id, sim) rows by (query_id, salt) — a deterministic
+    64-way hash salt on the corpus id — and keep each group's k best
+    via ``slice(array_sort(collect_list(struct(...))), 1, k)``. All of
+    it is JVM expression code: no Python worker spin-up (the previous
+    ``mapInPandas`` selector paid ~1.3 s of Arrow/pandas cold start),
+    and no single task ever sorts a whole query's corpus — each of the
+    salt groups holds ~1/64 of it. Phase 2: the exact ranking window
+    runs over ≤ k × 64 rows per query. The old single-window form
+    (``two_phase=False``) put each query's ENTIRE scored corpus into
+    one task: a single-task sort at scale. Results are identical —
+    phase 1 orders by the same (sim DESC NULLS LAST, id) total order
+    the final window uses, and a global top-k is always a subset of
+    the union of per-group top-ks.
+
+    Scale note: the groupBy shuffles the full scored set once (compact
+    (qid, salt, negsim, id, sim) rows), where the pandas selector
+    pruned map-side and shuffled only k rows per input partition. The
+    trade is deliberate: the shuffle is evenly spread over
+    queries × 64 groups (no hot key, AQE-splittable) and the per-group
+    agg buffer is corpus/64 ids+doubles, while the Python lane cost
+    hit EVERY run's latency. At 100 TB you raise ``n_salt`` with the
+    cluster's core count.
 
     NaN policy (both paths): a sim that comes out NaN — a corpus
     vector with a NaN component — is normalized to NULL up front, so
     it sorts LAST like the zero-norm case instead of FIRST (Spark
-    orders NaN above every real double). Without this, the two paths
-    would diverge on NaN inputs: the window path would rank the NaN
-    row first while phase-1's pandas pruning (na_position='last')
-    evicted it. The Arrow round-trip's NULL->NaN folding in phase 1 is
-    restored to NULL afterward under the same normalization.
+    orders NaN above every real double; the phase-1 sort key maps
+    NULL to +inf under the negated ascending order for the same
+    reason).
     """
     q = F.broadcast(
         query.select(
@@ -107,40 +117,26 @@ def brute_force_topk(
             .drop("__rn")
         )
 
-    qname, iname = query_id_col, id_col
-    prune_rows = max(8192, 4 * k)
-
-    def partial_topk(batches):
-        import pandas as pd
-
-        def prune(frames):
-            allf = pd.concat(frames, ignore_index=True)
-            allf = allf.sort_values(
-                [qname, "sim", iname],
-                ascending=[True, False, True],
-                na_position="last",
-            )
-            return allf.groupby(qname, sort=False).head(k)
-
-        acc: list = []
-        n = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            acc.append(pdf)
-            n += len(pdf)
-            if n > prune_rows:
-                acc = [prune(acc)]
-                n = len(acc[0])
-        if acc:
-            yield prune(acc)
-
-    partial = scored.mapInPandas(partial_topk, scored.schema)
-    # Arrow round-trip turned NULL sims into NaN; restore NULL so the
-    # final window's NULLS LAST (not NaN-sorts-highest) order holds.
-    partial = partial.withColumn(
-        "sim",
-        F.when(F.isnan("sim"), F.lit(None).cast("double")).otherwise(F.col("sim")),
+    n_salt = 64
+    # Ascending struct sort == (sim DESC NULLS LAST, id ASC): negate
+    # the sim and send NULL (zero-norm / NaN-normalized) to +inf.
+    sort_key = F.struct(
+        F.when(F.col("sim").isNull(), F.lit(float("inf")))
+        .otherwise(-F.col("sim"))
+        .alias("__neg"),
+        F.col(id_col).alias("__i"),
+        F.col("sim").alias("__s"),
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    partial = (
+        scored.groupBy(F.col(query_id_col), salt.alias("__salt"))
+        .agg(F.slice(F.array_sort(F.collect_list(sort_key)), 1, k).alias("__top"))
+        .select(query_id_col, F.explode("__top").alias("__t"))
+        .select(
+            F.col(query_id_col),
+            F.col("__t.__i").alias(id_col),
+            F.col("__t.__s").alias("sim"),
+        )
     )
     return (
         partial.withColumn("__rn", F.row_number().over(w))

@@ -316,8 +316,9 @@ def test_brute_force_topk_self_first(spark, sf_dir):
 def test_brute_force_topk_two_phase_differential(spark, sf_dir):
     """Two-phase partial top-k returns exactly what the old global
     window returned, including a zero-norm corpus vector (NULL sim —
-    must stay NULL through the Arrow round-trip, not become NaN that
-    Spark would sort ABOVE every real similarity)."""
+    must sort LAST, not like a NaN that Spark would rank ABOVE every
+    real similarity), and phase 1 must stay JVM-side (no Python
+    worker in the plan — round-4 verdict item #4)."""
     from cherry_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").limit(40)
@@ -338,7 +339,8 @@ def test_brute_force_topk_two_phase_differential(spark, sf_dir):
     assert new == old
     assert any(r[2] is None for r in new)  # zero-norm row kept, sim NULL
     plan = brute_force_topk(corpus, q, k=3)._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan  # partial phase really in the plan
+    assert "collect_list" in plan  # JVM partial phase really in the plan
+    assert "MapInPandas" not in plan and "Python" not in plan
 
 
 def test_brute_force_topk_nan_component_policy(spark):
