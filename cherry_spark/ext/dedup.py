@@ -291,8 +291,10 @@ def ngram_jaccard_pairs(
       globally-smallest shared shingle sits inside both prefixes, so
       candidates are provably complete. Because the index is now
       partial, shared counts under-count and each candidate is
-      verified against the FULL shingle sets (map-side word_shingles
-      arrays — no extra shuffle to build). Per-candidate set
+      verified against the CAPPED-profile shingle sets (a
+      collect_set aggregation over the capped postings — the capped,
+      not full, measure is what makes both modes and the oracle agree
+      on boilerplate-heavy corpora). Per-candidate set
       intersection is the dominant cost (measured ~4x the count path
       at sf0.1 — the prefix cut pair fan-out 1.27M→312k on the fixture
       corpus, yet verify still lost to the cheap count), so this mode
@@ -316,16 +318,29 @@ def ngram_jaccard_pairs(
     # bucket sizes, buckets, prefix stats) — the repartition exchange
     # is the shared materialization point (see shingle_postings)
     sh = shingle_postings(df, id_col, text_col, shingle_k, reuse=True)
+    # Capped profile as a broadcast ANTI-join against the HOT shingles
+    # (df > cap) instead of an equi-join attaching df_freq to every
+    # posting (the round-4 shape — 15 exchanges, the heaviest plan in
+    # the suite). The doc-freq rollup reduces map-side (partial count
+    # before its exchange, so a boilerplate shingle shuffles one
+    # partial row per task, never its posting list), the hot list is
+    # tiny by construction (only shingles shared by >cap documents),
+    # and the anti-join is a narrow map-side probe: ``capped`` keeps
+    # the barrier's id-partitioning, so counts/sets groupBy(id) runs
+    # WITHOUT an exchange, and hot shingles are dropped BEFORE the one
+    # raw posting shuffle on shingle (buckets) — that shuffle is now
+    # skew-free by construction.
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
-    # capped profile: postings restricted to non-boilerplate shingles
-    capped = sh.join(
-        dfreq.filter(F.col("df_freq") <= max_bucket_size), "shingle"
-    )
+    hot = dfreq.filter(F.col("df_freq") > max_bucket_size).select("shingle")
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = capped.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter:
+        # prefix ordering needs df_freq per posting — attach it only
+        # in this mode (capped ⋈ dfreq on shingle; df_freq ≤ cap here)
         w = Window.partitionBy("id").orderBy("df_freq", "shingle")
         indexed = (
-            capped.join(counts, "id")
+            capped.join(dfreq, "shingle")
+            .join(counts, "id")
             .withColumn("__pos", F.row_number().over(w))
             .filter(
                 F.col("__pos")
