@@ -126,6 +126,86 @@ def i256_binary_to_decimal38(col: Column) -> Column:
     )
 
 
+def u256_limbs(col: Column) -> list[Column]:
+    """32-byte big-endian uint256 -> four uint64 limbs [l3, l2, l1, l0]
+    (l3 most significant) as exact decimal(38,0) columns.
+
+    Each limb is an 8-byte slice converted via ``conv(hex, 16, 10)`` —
+    exact for unsigned 64-bit chunks, native, whole-stage codegen.
+    This is the decomposition that makes EXACT aggregation of full-range
+    uint256 possible despite Spark's 38-digit DecimalType ceiling
+    (the reference carries decimal256(76,0),
+    steps/u256_to_binary.py:27): limb sums stay inside decimal(38,0)
+    for up to ~5e18 rows, and the carry recombination
+    (``u256_sum_hex``) is exact integer decimal arithmetic.
+    """
+    return [
+        F.conv(F.hex(F.substring(col, 1 + 8 * i, 8)), 16, 10).cast(
+            DecimalType(38, 0)
+        )
+        for i in range(4)
+    ]
+
+
+def u256_sum_agg(col: Column) -> Column:
+    """Aggregate expression: exact u256 SUM as a struct of per-limb
+    decimal(38,0) sums ``struct<s3, s2, s1, s0>`` (s3 most
+    significant). Use inside ``.agg(...)``; feed the result to
+    ``u256_sum_hex`` to fold the carries into the canonical hex total.
+
+    Why not one decimal sum: the true total of full-range uint256
+    amounts (e.g. ERC-20 transfer values) needs up to 78+ digits —
+    past DecimalType(38). Summing each 64-bit limb separately is
+    exact and associative (map-side partial sums work normally), and
+    the carries are propagated once per GROUP, not per row.
+    Capacity: each limb sum ≤ n_rows · (2^64-1) must stay below
+    10^38-1, i.e. exact for up to ~5.4e18 input rows per group.
+    """
+    l3, l2, l1, l0 = u256_limbs(col)
+    return F.struct(
+        F.sum(l3).alias("s3"),
+        F.sum(l2).alias("s2"),
+        F.sum(l1).alias("s1"),
+        F.sum(l0).alias("s0"),
+    )
+
+
+def u256_sum_hex(sums: Column) -> Column:
+    """Fold a ``u256_sum_agg`` struct into the exact total as a
+    0x-prefixed, fixed-width 80-hex-char string (16 carry digits +
+    4 × 16 limb digits — covers totals up to 2^320).
+
+    Carry propagation is exact decimal(38,0) integer arithmetic:
+    ``pmod`` splits each running sum into a 64-bit residue and a
+    carry; the division is lossless because the fractional part is
+    identically zero (same argument as decimal_to_u256_binary).
+    ``conv(·, 10, 16)`` is exact below 2^64, which every residue is
+    by construction and the final carry is for any corpus below
+    ~9.2e18 rows.
+    """
+    from decimal import Decimal as _D
+
+    d38 = DecimalType(38, 0)
+    two64 = F.lit(_D(2**64)).cast(d38)
+
+    def split(v: Column) -> tuple[Column, Column]:
+        r = F.pmod(v, two64).cast(d38)
+        c = ((v - r) / two64).cast(d38)
+        return r, c
+
+    r0, c0 = split(sums["s0"])
+    r1, c1 = split(sums["s1"] + c0)
+    r2, c2 = split(sums["s2"] + c1)
+    r3, c3 = split(sums["s3"] + c2)
+
+    def hex16(v: Column) -> Column:
+        return F.lpad(F.lower(F.conv(v.cast("string"), 10, 16)), 16, "0")
+
+    return F.concat(
+        F.lit("0x"), hex16(c3), hex16(r3), hex16(r2), hex16(r1), hex16(r0)
+    )
+
+
 def decimal_to_u256_binary(col: Column) -> Column:
     """decimal(38,0) -> 32-byte big-endian binary (reference
     steps/u256_to_binary.py inverse direction).

@@ -198,3 +198,47 @@ def test_join_block_data(spark):
     rows = {r["block_number"]: r["block_timestamp"] for r in out["logs"].collect()}
     assert rows[100] == datetime.datetime(2024, 1, 1)
     assert rows[102] is None  # left join keeps orphans
+
+
+def test_u256_sum_exact_past_decimal38(spark):
+    """Planted full-range uint256 values whose exact total exceeds
+    2^256 (top carry) and wraps every limb boundary — checked against
+    Python bignum arithmetic."""
+    from cherry_spark.functions.binary import u256_sum_agg, u256_sum_hex
+
+    vals = [
+        2**256 - 2**13,          # near-max: carries through all limbs
+        2**192 + 5,              # isolated high limb
+        (1 << 64) - 1,           # max low limb (forces l0 carry)
+        (1 << 128) - 1,          # max low two limbs
+        12345,
+        0,
+    ]
+    rows = [(i, v.to_bytes(32, "big")) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, amount binary")
+    out = (
+        df.agg(u256_sum_agg(F.col("amount")).alias("s"))
+        .select(u256_sum_hex(F.col("s")).alias("h"))
+        .collect()
+    )
+    assert out[0]["h"] == "0x" + format(sum(vals), "080x")
+
+
+def test_u256_sum_grouped(spark):
+    """Grouped exact totals, each group independently carried."""
+    from cherry_spark.functions.binary import u256_sum_agg, u256_sum_hex
+
+    vals = {"a": [2**255, 2**255 - 1, 77], "b": [(1 << 64) - 1, 1]}
+    rows = [
+        (g, v.to_bytes(32, "big")) for g, vs in vals.items() for v in vs
+    ]
+    df = spark.createDataFrame(rows, "g string, amount binary")
+    out = {
+        r["g"]: r["h"]
+        for r in df.groupBy("g")
+        .agg(u256_sum_agg(F.col("amount")).alias("s"))
+        .select("g", u256_sum_hex(F.col("s")).alias("h"))
+        .collect()
+    }
+    for g, vs in vals.items():
+        assert out[g] == "0x" + format(sum(vs), "080x"), g
