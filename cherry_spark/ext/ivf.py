@@ -20,11 +20,44 @@ from pyspark.sql.window import Window
 from cherry_spark.ext.similarity import cosine_similarity, dot, norm
 
 
-def _avg_vector(df: DataFrame, group_col: str, vec_col: str, out_col: str) -> DataFrame:
+def _avg_vector(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    out_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
     """Element-wise mean of array vectors per group (posexplode ->
-    per-dimension avg -> reassemble sorted)."""
-    exploded = df.select(group_col, F.posexplode(vec_col).alias("pos", "v"))
-    per_dim = exploded.groupBy(group_col, "pos").agg(F.avg("v").alias("v"))
+    per-dimension mean -> reassemble sorted).
+
+    With ``order_col`` the per-dimension sum is an ``order_col``-sorted
+    left fold instead of ``F.avg`` — bit-deterministic across runs,
+    partitionings, AND engines (DuckDB's list_sum over an ORDER BY list
+    performs the identical IEEE sequence), which is what lets
+    ``ivf_topk_oracle_sql`` reproduce the centroids exactly. The fold
+    collects one value per assigned vector per dimension into an agg
+    buffer — fine for certification-scale corpora; at 100 TB pass
+    ``order_col=None`` to keep the order-free streaming ``F.avg``
+    (results differ only in double rounding order)."""
+    if order_col is None:
+        exploded = df.select(group_col, F.posexplode(vec_col).alias("pos", "v"))
+        per_dim = exploded.groupBy(group_col, "pos").agg(F.avg("v").alias("v"))
+    else:
+        exploded = df.select(
+            group_col, F.col(order_col).alias("__o"), F.posexplode(vec_col).alias("pos", "v")
+        )
+        ordered_vals = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__o").alias("o"), F.col("v").alias("v")))
+            ),
+            lambda s: s["v"].cast("double"),
+        )
+        per_dim = exploded.groupBy(group_col, "pos").agg(
+            (
+                F.aggregate(ordered_vals, F.lit(0.0), lambda acc, x: acc + x)
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
     return (
         per_dim.groupBy(group_col)
         .agg(
@@ -50,8 +83,10 @@ def ivf_centroids(
         .select("centroid_id", F.col(vec_col).alias("centroid"))
     )
     assigned = ivf_assign(vectors, seeds, id_col=id_col, vec_col=vec_col)
-    joined = assigned.join(vectors, on=id_col).select("centroid_id", vec_col)
-    return _avg_vector(joined, "centroid_id", vec_col, "centroid")
+    joined = assigned.join(vectors, on=id_col).select("centroid_id", id_col, vec_col)
+    # id-ordered fold -> centroids reproducible bit-for-bit by the
+    # generated DuckDB oracle (ivf_topk_oracle_sql)
+    return _avg_vector(joined, "centroid_id", vec_col, "centroid", order_col=id_col)
 
 
 def ivf_assign(
@@ -216,3 +251,129 @@ def ivf_topk(
     )
     q_probe = _probe_centroids(query, centroids, nprobe, vec_col, query_id_col)
     return _probe_scan_topk(corpus, q_probe, k, id_col, vec_col, query_id_col)
+
+
+def ivf_topk_oracle_sql(
+    dim: int,
+    n_centroids: int,
+    nprobe: int,
+    k: int,
+    query_ids: list[int],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL recomputing ``ivf_topk``/``ivf_search`` EXACTLY —
+    the same generated-oracle technique as
+    ``similarity.lsh_topk_oracle_sql``.
+
+    Why this is bit-exact even though the index is data-derived:
+
+    - every dot/norm is an unrolled left-associated sum
+      ``0.0 + a[1]*b[1] + ...`` — the identical IEEE sequence to
+      Spark's ``F.aggregate`` fold (proven by the ann_lsh_topk
+      certification);
+    - the one aggregation of doubles — the Lloyd per-dimension mean —
+      is an id-ordered left fold on BOTH sides (``_avg_vector`` with
+      ``order_col``; ``list_sum(list(v ORDER BY id))`` here, verified
+      equal to a Python left fold), then one double division by the
+      count;
+    - seed selection (lowest-id rank), both argmax assignments
+      (max sim, tie -> lowest centroid_id, zero-norm -> -2.0 sentinel)
+      and the probe/top-k windows are order-deterministic integer/
+      double comparisons with identical tie-breaks.
+    """
+
+    def dot_ab(a: str, b: str, cast_b: bool) -> str:
+        bc = "::DOUBLE" if cast_b else ""
+        terms = " + ".join(
+            f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]{bc}" for i in range(dim)
+        )
+        return f"(0.0 + {terms})"
+
+    ids = ", ".join(str(i) for i in query_ids)
+    e = vec_col
+    return f"""
+    WITH v AS (
+        SELECT {id_col}, {e}, {dot_ab(e, e, True)} AS dn FROM {table}
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS centroid_id,
+               {e} AS seed, dn AS sn
+        FROM (SELECT * FROM v ORDER BY {id_col} LIMIT {n_centroids})
+    ),
+    a0 AS (
+        SELECT v.{id_col}, s.centroid_id,
+               CASE WHEN sqrt(v.dn) > 0 AND sqrt(s.sn) > 0
+                    THEN {dot_ab(f"v.{e}", "s.seed", True)}
+                         / (sqrt(v.dn) * sqrt(s.sn))
+                    ELSE -2.0 END AS sim
+        FROM v CROSS JOIN seeds s
+    ),
+    assign0 AS (
+        SELECT {id_col}, centroid_id FROM (
+            SELECT {id_col}, centroid_id,
+                   row_number() OVER (PARTITION BY {id_col}
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM a0) WHERE rn = 1
+    ),
+    lloyd AS (
+        SELECT a.centroid_id, r.i AS pos,
+               list_sum(list(ve.{e}[r.i + 1]::DOUBLE ORDER BY ve.{id_col}))
+                 / COUNT(*) AS c
+        FROM assign0 a JOIN v ve USING ({id_col}),
+             UNNEST(range({dim})) AS r(i)
+        GROUP BY a.centroid_id, r.i
+    ),
+    cent AS (
+        SELECT centroid_id, list(c ORDER BY pos) AS centroid
+        FROM lloyd GROUP BY centroid_id
+    ),
+    cn AS (
+        SELECT centroid_id, centroid,
+               {dot_ab("centroid", "centroid", False)} AS cdn
+        FROM cent
+    ),
+    a1 AS (
+        SELECT v.{id_col}, c.centroid_id,
+               CASE WHEN sqrt(v.dn) > 0 AND sqrt(c.cdn) > 0
+                    THEN {dot_ab(f"v.{e}", "c.centroid", False)}
+                         / (sqrt(v.dn) * sqrt(c.cdn))
+                    ELSE -2.0 END AS sim
+        FROM v CROSS JOIN cn c
+    ),
+    assign1 AS (
+        SELECT {id_col}, centroid_id FROM (
+            SELECT {id_col}, centroid_id,
+                   row_number() OVER (PARTITION BY {id_col}
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM a1) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.{id_col} AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.{id_col} ORDER BY
+                       (CASE WHEN sqrt(q.dn) > 0 AND sqrt(c.cdn) > 0
+                             THEN {dot_ab(f"q.{e}", "c.centroid", False)}
+                                  / (sqrt(q.dn) * sqrt(c.cdn))
+                             ELSE -2.0 END) DESC, c.centroid_id) AS rn
+            FROM v q CROSS JOIN cn c
+            WHERE q.{id_col} IN ({ids})) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.query_id, ve.{id_col},
+               round(CASE WHEN sqrt(ve.dn) > 0 AND sqrt(q.dn) > 0
+                          THEN {dot_ab(f"ve.{e}", f"q.{e}", True)}
+                               / (sqrt(ve.dn) * sqrt(q.dn)) END, 6) AS sim
+        FROM probe p
+        JOIN assign1 a ON a.centroid_id = p.centroid_id
+        JOIN v ve ON ve.{id_col} = a.{id_col}
+        JOIN v q ON q.{id_col} = p.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, {id_col}
+        ) AS rn FROM scored
+    )
+    SELECT query_id, {id_col}, sim FROM ranked WHERE rn <= {k}
+    """

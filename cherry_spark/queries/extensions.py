@@ -27,6 +27,7 @@ from cherry_spark.ext.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
+from cherry_spark.ext.ivf import ivf_topk_oracle_sql
 from cherry_spark.ext.similarity import brute_force_topk, lsh_bucket_topk
 from cherry_spark.ext.text import (
     LANG_STOPWORDS,
@@ -576,7 +577,14 @@ def embed_neardup_pairs(spark, sf_dir):
 
 @query(
     "ann_ivf_topk",
-    oracle=None,  # approximate by construction (probe-limited search)
+    # The index is fully deterministic (lowest-id seeds, one Lloyd pass
+    # with an id-ordered fold, fixed tie-breaks), so the whole
+    # build+probe pipeline is reproducible in DuckDB — generated SQL
+    # from the same constants, same unrolled IEEE fold technique that
+    # certified ann_lsh_topk (ext/ivf.py:ivf_topk_oracle_sql).
+    oracle=ivf_topk_oracle_sql(
+        dim=64, n_centroids=16, nprobe=4, k=5, query_ids=[0, 1, 2]
+    ),
     doc="IVF approximate NN against a PREBUILT inverted-file index: "
     "the corpus is written partitioned by nearest-centroid id ONCE "
     "(ivf_build_index), and each query probes only the nprobe nearest "
@@ -597,10 +605,12 @@ def ann_ivf_topk(spark, sf_dir):
     # serve), and runs over different corpus versions never race on
     # the same directory (ADVICE r2)
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    stamp = src
+    # "v2": index layout version — bumped when centroid arithmetic
+    # changed (id-ordered fold) so stale pre-change indexes never serve
+    stamp = f"v2|{src}"
     if os.path.exists(src):
         st = os.stat(src)
-        stamp = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+        stamp = f"v2|{src}|{st.st_size}|{st.st_mtime_ns}"
     key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
     index_dir = os.path.join(tempfile.gettempdir(), f"cherry_ivf_{key}")
     if not ivf_index_exists(index_dir):
