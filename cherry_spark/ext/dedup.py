@@ -426,22 +426,37 @@ def delta_dedup(
     shingle_k: int = 3,
     bands: int = 32,
     max_bucket_size: int = 500,
+    candidate_gen: str = "minhash",
 ) -> DataFrame:
     """Incremental ingestion dedup: classify every BATCH document
     against an existing CORPUS as ``exact_dup`` (byte-identical text
-    exists), ``near_dup`` (a corpus doc with exact Jaccard ≥ t exists
-    among minhash-band candidates), or ``unique``. Returns
-    (id, verdict) for the whole batch — the decision table an
-    ingestion job joins back to route documents.
+    exists), ``near_dup`` (a corpus doc with exact Jaccard ≥ t exists),
+    or ``unique``. Returns (id, verdict) for the whole batch — the
+    decision table an ingestion job joins back to route documents.
 
-    Scale shape: exact stage is one md5 equi-join (left semi, batch
-    side probes). Near stage computes minhash signatures for BOTH
-    sides (corpus signatures would be precomputed+stored in a real
-    pipeline — the expression is identical), joins band keys
-    batch×corpus only (never corpus×corpus), caps degenerate band
-    buckets on the CORPUS side with the usual count filter, and
-    verifies candidates with exact shingle-set Jaccard. Verdict
-    precedence: exact > near > unique.
+    Two near-dup candidate generators:
+
+    - ``candidate_gen="minhash"`` (default, the scale path): minhash
+      signatures for BOTH sides (corpus signatures would be
+      precomputed+stored in a real pipeline — the expression is
+      identical), band-key join batch×corpus only (never
+      corpus×corpus), degenerate CORPUS band buckets capped with the
+      usual count filter, candidates verified with exact shingle-set
+      Jaccard. Banding recall can drop below 1 and capped buckets drop
+      candidates — by design.
+    - ``candidate_gen="exact"`` (candidate-COMPLETE): inverted shingle
+      index probe batch×corpus — any pair with J ≥ t shares a shingle,
+      so no true pair can be missed, and Jaccard comes exactly from
+      the shared-posting count (c / (|A|+|B|-c), the certified ngram
+      full-index shape). No banding, no cap: verdicts equal the
+      all-pairs ground truth on ANY corpus, which is what makes this
+      mode hash-certifiable against an exact EXISTS oracle (round-4
+      ADVICE: the minhash mode under that oracle was a fragile gate).
+      Hot boilerplate shingles fan out uncapped here — production
+      corpora should use minhash mode or pre-strip boilerplate.
+
+    Exact stage either way: one md5 equi-join (left semi, batch side
+    probes). Verdict precedence: exact > near > unique.
     """
     rows = n_hashes // bands
 
@@ -470,41 +485,70 @@ def delta_dedup(
         )
         .select(F.col(id_col).alias("id"))
     )
-    corpus_bands = banded(corpus)
-    # cap: drop corpus band buckets bigger than the cap (boilerplate
-    # clone classes) before the probe join — count filter, the bucket
-    # id-list is never collected anywhere in this operator
-    corpus_bucket_n = corpus_bands.groupBy("band_idx", "band_key").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    kept = corpus_bucket_n.filter(F.col("n") <= max_bucket_size).select(
-        "band_idx", "band_key"
-    )
-    candidates = (
-        banded(batch)
-        .withColumnsRenamed({"id": "bid"})
-        .join(corpus_bands.join(kept, ["band_idx", "band_key"]), ["band_idx", "band_key"])
-        .select("bid", F.col("id").alias("cid"))
-        .distinct()
-    )
-    sets = lambda d: d.select(  # noqa: E731
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
-    c = F.size(F.array_intersect("sh_b", "sh_c"))
-    near = (
-        candidates.join(
-            sets(batch).withColumnsRenamed({"id": "bid", "sh": "sh_b"}), "bid"
+    if candidate_gen == "exact":
+        bp = shingle_postings(batch, id_col, text_col, shingle_k).withColumnsRenamed(
+            {"id": "bid"}
         )
-        .join(sets(corpus).withColumnsRenamed({"id": "cid", "sh": "sh_c"}), "cid")
-        .filter(
-            c.cast("double")
-            / (F.size("sh_b") + F.size("sh_c") - c)
-            >= jaccard_threshold
+        cp = shingle_postings(corpus, id_col, text_col, shingle_k).withColumnsRenamed(
+            {"id": "cid"}
         )
-        .select(F.col("bid").alias("id"))
-        .distinct()
-    )
+        shared = (
+            bp.join(cp, "shingle")
+            .groupBy("bid", "cid")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        nb = bp.groupBy("bid").agg(F.count(F.lit(1)).alias("nb"))
+        nc = cp.groupBy("cid").agg(F.count(F.lit(1)).alias("nc"))
+        near = (
+            shared.join(nb, "bid")
+            .join(nc, "cid")
+            .filter(
+                F.col("c").cast("double")
+                / (F.col("nb") + F.col("nc") - F.col("c"))
+                >= jaccard_threshold
+            )
+            .select(F.col("bid").alias("id"))
+            .distinct()
+        )
+    else:
+        corpus_bands = banded(corpus)
+        # cap: drop corpus band buckets bigger than the cap (boilerplate
+        # clone classes) before the probe join — count filter, the bucket
+        # id-list is never collected anywhere in this operator
+        corpus_bucket_n = corpus_bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        kept = corpus_bucket_n.filter(F.col("n") <= max_bucket_size).select(
+            "band_idx", "band_key"
+        )
+        candidates = (
+            banded(batch)
+            .withColumnsRenamed({"id": "bid"})
+            .join(
+                corpus_bands.join(kept, ["band_idx", "band_key"]),
+                ["band_idx", "band_key"],
+            )
+            .select("bid", F.col("id").alias("cid"))
+            .distinct()
+        )
+        sets = lambda d: d.select(  # noqa: E731
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        c = F.size(F.array_intersect("sh_b", "sh_c"))
+        near = (
+            candidates.join(
+                sets(batch).withColumnsRenamed({"id": "bid", "sh": "sh_b"}), "bid"
+            )
+            .join(sets(corpus).withColumnsRenamed({"id": "cid", "sh": "sh_c"}), "cid")
+            .filter(
+                c.cast("double")
+                / (F.size("sh_b") + F.size("sh_c") - c)
+                >= jaccard_threshold
+            )
+            .select(F.col("bid").alias("id"))
+            .distinct()
+        )
     return (
         batch_ids.join(exact.withColumn("__e", F.lit(1)), "id", "left")
         .join(near.withColumn("__n", F.lit(1)), "id", "left")
@@ -754,6 +798,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # (a) neighbor-min: pull the smallest label across each edge
         neighbor_min = (
@@ -791,7 +836,21 @@ def connected_components(
         )
         labels = jumped
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # exhausted max_iter with labels still moving: downstream
+        # clustering would silently use WRONG (partial) components
+        # (round-4 ADVICE) — surface it loudly
+        import warnings
+
+        warnings.warn(
+            f"connected_components(minlabel): no fixpoint after "
+            f"{max_iter} rounds — labels are still changing; raise "
+            f"max_iter (pointer jumping needs O(log diameter) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -855,12 +914,18 @@ def _cc_two_phase_star(
 
     def _checksum(e: DataFrame) -> tuple:
         # sum on DECIMAL: a long sum of 64-bit hashes overflows under
-        # ANSI mode (repo invariant — see CLAUDE.md)
+        # ANSI mode (repo invariant — see CLAUDE.md). Two independent
+        # hash sums (seeded differently) make a false fixpoint require
+        # a simultaneous collision in both 64-bit sums AND an equal
+        # edge count — vanishingly unlikely (round-4 ADVICE).
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+            F.sum(
+                F.xxhash64(F.lit("cc_probe2"), "src", "dst").cast("decimal(38,0)")
+            ).alias("h2"),
         ).first()
-        return (row["n"], row["h"])
+        return (row["n"], row["h"], row["h2"])
 
     base = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     nodes = (
@@ -875,12 +940,24 @@ def _cc_two_phase_star(
         .localCheckpoint(eager=True)
     )
     prev = _checksum(e)
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(star): edge set still changing after "
+            f"{max_iter} rounds — the returned labels may split true "
+            f"components; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # fixpoint: stars rooted at component minima -> label = min neighbor
     sym = _symmetrize(e)
     star_labels = sym.groupBy("src").agg(

@@ -176,12 +176,15 @@ def quantized_rerank_topk(
 
 
 def quantize_audit(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Per-vector reconstruction audit of int8 scalar quantization:
     (id, qsum, mean_abs_err, max_abs_err). qsum is an exact integer
     checksum of the codes; errors are |v - dequant(quant(v))| with the
-    mean summed in integer nano-units for engine-exact comparison."""
+    mean summed in integer nano-units for engine-exact comparison.
+    The mean divides by the PER-VECTOR element count (round-4 ADVICE:
+    a constant ``dim`` divisor silently produced a wrong mean for any
+    vector whose length differed from it)."""
     pe = _explode(df, id_col, vec_col)
     j = pe.join(F.broadcast(_dim_stats(pe)), "i")
     qv = _qv(F.col("v"), F.col("mn"), F.col("mx"))
@@ -195,7 +198,7 @@ def quantize_audit(
         F.sum("qv").cast("long").alias("qsum"),
         F.round(
             F.sum(F.round(F.col("err") * 1e9, 0).cast("long")).cast("double")
-            / dim
+            / F.count(F.lit(1))
             / 1e9,
             6,
         ).alias("mean_abs_err"),

@@ -20,28 +20,36 @@ _DEC = "decimal(18,2)"
 @query(
     "funnel_conversion",
     oracle="""
-    WITH v AS (
-        SELECT user_id, MIN(ts) AS t1 FROM events
+    -- hop predicates run on µs-TRUNCATED epochs, matching Spark's
+    -- load_table precision (nanos div 1000) exactly: a fixture with
+    -- sub-microsecond components classifies boundary events the same
+    -- way in both engines (round-4 ADVICE). Truncation is monotone, so
+    -- MIN over truncated epochs equals the truncated MIN.
+    WITH w AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    v AS (
+        SELECT user_id, MIN(us) AS t1 FROM w
         WHERE event_type = 'view' GROUP BY user_id
     ),
     c AS (
-        SELECT e.user_id, MIN(e.ts) AS t2
-        FROM events e JOIN v ON e.user_id = v.user_id
-        WHERE e.event_type = 'click' AND e.ts > v.t1
-          AND e.ts <= v.t1 + INTERVAL 24 HOUR
+        SELECT e.user_id, MIN(e.us) AS t2
+        FROM w e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.us > v.t1
+          AND e.us <= v.t1 + 86400000000
         GROUP BY e.user_id
     ),
     p AS (
-        SELECT e.user_id, MIN(e.ts) AS t3
-        FROM events e JOIN c ON e.user_id = c.user_id
-        WHERE e.event_type = 'purchase' AND e.ts > c.t2
-          AND e.ts <= c.t2 + INTERVAL 24 HOUR
+        SELECT e.user_id, MIN(e.us) AS t3
+        FROM w e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.us > c.t2
+          AND e.us <= c.t2 + 86400000000
         GROUP BY e.user_id
     )
     SELECT v.user_id,
-           epoch_us(v.t1) AS t_view_us,
-           epoch_us(c.t2) AS t_click_us,
-           epoch_us(p.t3) AS t_purchase_us,
+           CAST(v.t1 AS BIGINT) AS t_view_us,
+           CAST(c.t2 AS BIGINT) AS t_click_us,
+           CAST(p.t3 AS BIGINT) AS t_purchase_us,
            CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
                 AS INT) AS funnel_stage
     FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)

@@ -446,7 +446,7 @@ def cluster_keep_best(spark, sf_dir):
         -- embedding IS NOT NULL keeps parity with Spark's posexplode,
         -- which silently drops null-array rows
         SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS v
-        FROM embeddings, generate_series(1, 64) AS g(i)
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS g(i)
         WHERE embedding IS NOT NULL
     ),
     stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM pe GROUP BY i),
@@ -463,7 +463,7 @@ def cluster_keep_best(spark, sf_dir):
     SELECT vec_id,
            CAST(sum(qv) AS BIGINT) AS qsum,
            round(CAST(sum(CAST(round(err*1000000000.0, 0) AS BIGINT)) AS DOUBLE)
-                 / 64 / 1000000000.0, 6) AS mean_abs_err,
+                 / count(*) / 1000000000.0, 6) AS mean_abs_err,
            round(max(err), 6) AS max_abs_err
     FROM e GROUP BY vec_id
     """,
@@ -480,7 +480,7 @@ def embedding_quantize_audit(spark, sf_dir):
     from cherry_spark.ext.quantize import quantize_audit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_audit(emb, dim=64)
+    return quantize_audit(emb)
 
 
 def _simhash_oracle() -> str:
@@ -894,12 +894,15 @@ def corpus_report(spark, sf_dir):
     """,
     doc="Incremental ingestion dedup: every incoming-batch document "
     "(doc_id%5=0 plays the batch) classified against the existing "
-    "corpus as exact_dup (md5 semi-join), near_dup (minhash band "
-    "probe batch x corpus — never corpus x corpus — with capped "
-    "corpus buckets, then exact shingle-Jaccard verification), or "
-    "unique. The oracle is the ground truth itself (EXISTS over all "
-    "corpus docs), so the banding recall-1 note from minhash_lsh_dedup "
-    "applies. ext/dedup.py:delta_dedup.",
+    "corpus as exact_dup (md5 semi-join), near_dup, or unique. "
+    "Certified in candidate-COMPLETE mode (inverted shingle-index "
+    "probe batch x corpus, Jaccard from shared-posting counts) so the "
+    "verdicts equal the oracle's all-pairs EXISTS ground truth on ANY "
+    "fixture — the minhash-banding mode under this exact oracle was a "
+    "fragile gate (round-4 ADVICE): banding recall < 1 or a capped "
+    "bucket would turn the row red while behaving as designed. The "
+    "minhash scale path stays covered by test_ext.py differential "
+    "tests. ext/dedup.py:delta_dedup.",
 )
 def delta_dedup_verdicts(spark, sf_dir):
     from cherry_spark.ext.dedup import delta_dedup
@@ -907,7 +910,7 @@ def delta_dedup_verdicts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    return delta_dedup(corpus, batch)
+    return delta_dedup(corpus, batch, candidate_gen="exact")
 
 
 @query(

@@ -170,11 +170,52 @@ def test_delta_dedup_verdict_precedence(spark):
         ],
         "doc_id long, text string",
     )
-    got = {
+    for gen in ("minhash", "exact"):
+        got = {
+            r["id"]: r["verdict"]
+            for r in delta_dedup(
+                corpus, batch, jaccard_threshold=0.5, candidate_gen=gen
+            ).collect()
+        }
+        assert got == {10: "exact_dup", 11: "near_dup", 12: "unique"}, gen
+
+
+def test_delta_dedup_exact_mode_candidate_complete(spark):
+    """The exact generator finds near-dups the capped minhash mode
+    drops: a boilerplate clone class bigger than the corpus bucket cap
+    makes banding discard the bucket (by design), while the inverted
+    shingle index still classifies the batch doc as near_dup — the
+    property that makes exact mode safe to gate against an all-pairs
+    EXISTS oracle."""
+    from cherry_spark.ext.dedup import delta_dedup
+
+    boiler = "identical boilerplate sentence repeated across corpus documents"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, boiler + " x")], "doc_id long, text string"
+    )
+    kw = dict(jaccard_threshold=0.5, max_bucket_size=5)
+    capped = {
         r["id"]: r["verdict"]
-        for r in delta_dedup(corpus, batch, jaccard_threshold=0.5).collect()
+        for r in delta_dedup(corpus, batch, candidate_gen="minhash", **kw).collect()
     }
-    assert got == {10: "exact_dup", 11: "near_dup", 12: "unique"}
+    exact = {
+        r["id"]: r["verdict"]
+        for r in delta_dedup(corpus, batch, candidate_gen="exact", **kw).collect()
+    }
+    assert capped == {100: "unique"}  # bucket of 20 > cap 5: dropped
+    assert exact == {100: "near_dup"}  # candidate-complete
+
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b = docs.filter(F.col("doc_id") % 5 == 0)
+    c = docs.filter(F.col("doc_id") % 5 != 0)
+    mh = {tuple(r) for r in delta_dedup(c, b).collect()}
+    ex = {tuple(r) for r in delta_dedup(c, b, candidate_gen="exact").collect()}
+    assert mh == ex  # fixture corpus: banding recall 1, modes agree
 
 
 def test_band_bucket_stats_accounts_for_cap(spark):
@@ -455,3 +496,29 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(edges).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert len(rows) == 13
+
+
+def test_connected_components_warns_on_max_iter(spark):
+    """Exhausting max_iter without a fixpoint must not be silent
+    (round-4 ADVICE): a long chain with max_iter=1 cannot converge."""
+    import warnings
+
+    from cherry_spark.ext.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id1 long, id2 long"
+    )
+    for algo in ("minlabel", "star"):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            connected_components(chain, max_iter=1, algorithm=algo).collect()
+        assert any(
+            issubclass(w.category, RuntimeWarning) and "max_iter" in str(w.message)
+            for w in caught
+        ), algo
+    # and a converging run stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iter=25).collect()
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert {r["cluster_id"] for r in out} == {0}

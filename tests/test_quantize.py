@@ -72,3 +72,20 @@ def test_quantize_roundtrip_orders_dims(spark):
     assert got[1] == [0, 0] and got[4] == [255, 255]
     # vec 2 sits at 1/4 of both ranges -> same code both dims
     assert got[2][0] == got[2][1] == 64
+
+
+def test_quantize_audit_mixed_length_vectors(spark):
+    """mean_abs_err divides by each vector's own element count, not a
+    constant dim (round-4 ADVICE): a 2-dim and a 4-dim vector in one
+    corpus both get exact means."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, 0.25, 0.5, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_audit(df).collect()}
+    # per-dim ranges are exact powers of two -> reconstruction exact
+    # for endpoints; middle values quantize with tiny error, but the
+    # KEY property is the divisor: an all-exact vector must have mean 0
+    assert rows[1]["mean_abs_err"] == 0.0
+    assert rows[2]["max_abs_err"] < 0.01
+    assert 0.0 <= rows[2]["mean_abs_err"] <= rows[2]["max_abs_err"]
