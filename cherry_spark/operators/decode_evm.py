@@ -560,6 +560,83 @@ def _stringify_decoded(col: Column, abi_type: str, indexed: bool) -> Column:
     return col.cast("string")
 
 
+def load_abi_db(spark, path: str) -> DataFrame:
+    """Load a Glaciers-style ABI db FILE into the (address, topic0,
+    event_signature) lookup DataFrame that ``glaciers_events``
+    broadcasts — the reference's ``abi_db_path`` contract
+    (reference config.py:137-142: the config takes a path, not a
+    table).
+
+    Formats by extension:
+
+    - ``.parquet`` — columns address / event_signature (+ optional
+      topic0); string address/topic0 columns may be 0x-hex and are
+      converted to binary;
+    - ``.json`` / ``.jsonl`` — a JSON array of objects, or one object
+      per line, with keys ``address`` (0x-hex), ``event_signature``
+      and optional ``topic0`` (0x-hex).
+
+    A missing topic0 is derived driver-side from the canonical
+    signature (keccak-256, ``evm_signature_to_topic0``) — the same
+    convention Glaciers uses to key its db. The db is a dim table
+    bounded by contract count, so driver-side parsing is not a data
+    path.
+    """
+    import json
+    import os
+
+    from cherry_spark.functions.crypto import evm_signature_to_topic0
+
+    def unhex_bytes(v):
+        if v is None or isinstance(v, (bytes, bytearray)):
+            return v
+        return bytes.fromhex(v[2:] if v.startswith("0x") else v)
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".parquet":
+        df = spark.read.parquet(path)
+        for c in ("address", "topic0"):
+            if c in df.columns and not isinstance(
+                df.schema[c].dataType, T.BinaryType
+            ):
+                df = df.withColumn(
+                    c, F.unhex(F.regexp_replace(F.col(c), "^0x", ""))
+                )
+        if "topic0" in df.columns:
+            return df.select("address", "topic0", "event_signature")
+        rows = [
+            (r["address"], r["event_signature"])
+            for r in df.select("address", "event_signature").collect()
+        ]
+        rows = [(a, evm_signature_to_topic0(s), s) for a, s in rows]
+    elif ext in (".json", ".jsonl"):
+        with open(path) as f:
+            text = f.read().strip()
+        objs = (
+            json.loads(text)
+            if text.startswith("[")
+            else [json.loads(ln) for ln in text.splitlines() if ln.strip()]
+        )
+        rows = [
+            (
+                unhex_bytes(o["address"]),
+                unhex_bytes(o["topic0"])
+                if o.get("topic0") is not None
+                else evm_signature_to_topic0(o["event_signature"]),
+                o["event_signature"],
+            )
+            for o in objs
+        ]
+    else:
+        raise ValueError(
+            f"load_abi_db: unsupported ABI db format {ext!r} "
+            f"(expected .parquet, .json or .jsonl)"
+        )
+    return spark.createDataFrame(
+        rows, "address binary, topic0 binary, event_signature string"
+    )
+
+
 def glaciers_events(batch: Batch, cfg: GlaciersEventsConfig) -> Batch:
     """Bulk multi-contract decode: ONE broadcast join of logs to the ABI
     lookup table on (address, topic0), then one decode branch per
@@ -578,7 +655,10 @@ def glaciers_events(batch: Batch, cfg: GlaciersEventsConfig) -> Batch:
     broadcast map literal, not extra branches.
     """
     logs = batch[cfg.input_table]
-    abi_db = batch[cfg.abi_db_table]
+    if cfg.abi_db_path is not None:
+        abi_db = load_abi_db(logs.sparkSession, cfg.abi_db_path)
+    else:
+        abi_db = batch[cfg.abi_db_table]
     sig_rows = abi_db.select("event_signature").distinct().collect()
     by_layout: dict[tuple, list[EventSignature]] = {}
     sig_text: dict[str, str] = {}

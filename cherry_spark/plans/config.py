@@ -162,10 +162,14 @@ class EvmValidateBlockDataConfig:
 @dataclass
 class GlaciersEventsConfig:
     """Bulk multi-signature decode via an ABI lookup table
-    (reference config.py:137-142, unwired). abi_db is a small DataFrame
-    (address, topic0, event_signature) broadcast-joined to logs."""
+    (reference config.py:137-142, unwired). The db is a small table of
+    (address, topic0, event_signature) broadcast-joined to logs — either
+    an in-batch DataFrame (``abi_db_table``) or, matching the
+    reference's ``abi_db_path`` contract, a JSON/parquet file loaded
+    from disk (path wins when both are set)."""
 
     abi_db_table: str = "abi_db"
+    abi_db_path: str | None = None
     input_table: str = "logs"
     output_table: str = "decoded_logs"
 

@@ -322,3 +322,68 @@ def test_glaciers_branch_count_independent_of_signatures(spark, evm_batch):
         r["event_keys"][2].startswith("v") or r["event_keys"][2] == "amount"
         for r in decoded
     )
+
+
+def test_glaciers_abi_db_from_file(spark, evm_batch, tmp_path):
+    """The reference's abi_db_path contract (config.py:137-142): a
+    multi-layout JSON db file — one row with explicit topic0, one
+    deriving it from the signature — decodes identically to the
+    in-memory DataFrame path."""
+    import json
+
+    from cherry_spark.functions.crypto import evm_signature_to_topic0
+
+    batch, logs, _ = evm_batch
+    approval_sig = (
+        "Approval(address indexed owner, address indexed spender, bool ok)"
+    )
+    db_rows = [
+        {
+            "address": "0x" + bytes(logs[0][3]).hex(),
+            "topic0": "0x" + TRANSFER_TOPIC0.hex(),
+            "event_signature": TRANSFER_SIG,
+        },
+        {
+            "address": "0x" + bytes(logs[1][3]).hex(),
+            "event_signature": TRANSFER_SIG,  # topic0 derived
+        },
+        {
+            "address": "0x" + bytes(logs[2][3]).hex(),
+            "event_signature": approval_sig,  # second layout, derived
+        },
+    ]
+    db_file = tmp_path / "abi_db.json"
+    db_file.write_text(json.dumps(db_rows))
+
+    out_file = process_steps(
+        dict(batch),
+        [
+            Step(
+                StepKind.GLACIERS_EVENTS,
+                GlaciersEventsConfig(abi_db_path=str(db_file)),
+            )
+        ],
+    )["decoded_logs"]
+
+    mem_db = spark.createDataFrame(
+        [
+            (bytes(logs[0][3]), TRANSFER_TOPIC0, TRANSFER_SIG),
+            (bytes(logs[1][3]), TRANSFER_TOPIC0, TRANSFER_SIG),
+            (
+                bytes(logs[2][3]),
+                evm_signature_to_topic0(approval_sig),
+                approval_sig,
+            ),
+        ],
+        "address binary, topic0 binary, event_signature string",
+    )
+    b = dict(batch)
+    b["abi_db"] = mem_db
+    out_mem = process_steps(
+        b, [Step(StepKind.GLACIERS_EVENTS, GlaciersEventsConfig())]
+    )["decoded_logs"]
+
+    key_cols = ["address", "topic0", "event_signature", "event_values"]
+    file_rows = {tuple(map(str, r)) for r in out_file.select(key_cols).collect()}
+    mem_rows = {tuple(map(str, r)) for r in out_mem.select(key_cols).collect()}
+    assert file_rows == mem_rows and len(file_rows) > 0
