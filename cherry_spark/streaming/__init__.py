@@ -2,6 +2,7 @@ from cherry_spark.streaming.continuous import (  # noqa: F401
     read_resume_cursor,
     run_continuous,
     run_streaming_delta_dedup,
+    run_streaming_growing_dedup,
     run_structured_stream,
 )
 from cherry_spark.streaming.replay import range_batches  # noqa: F401

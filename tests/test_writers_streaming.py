@@ -170,3 +170,84 @@ def test_structured_stream_drain(spark, sf_dir, tmp_path):
     written = spark.read.parquet(os.path.join(out, "events"))
     assert written.count() == load_table(spark, sf_dir, "events").count()
     assert written.select(F.min("chain_id")).first()[0] == 42
+
+
+def test_streaming_growing_dedup_catches_cross_batch_dups(spark, tmp_path):
+    """Growing-corpus gate over 3 arrivals: arrival 2 near-dups an
+    arrival-1 admission, arrival 3 exact-dups an arrival-2 admission —
+    verdicts the static-corpus gate can never produce. Streamed
+    verdicts must equal a serial batch replay of delta_dedup with the
+    same admission folding (round-4 verdict item #8)."""
+    import time
+
+    from cherry_spark.ext.dedup import delta_dedup
+    from cherry_spark.streaming import run_streaming_growing_dedup
+
+    a1 = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "spark catalyst optimizer rewrites logical plans into physical plans"),
+    ]
+    a2 = [
+        (3, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+        (4, "completely fresh text about streaming state stores"),
+    ]
+    a3 = [
+        (5, "completely fresh text about streaming state stores"),  # exact dup of 4
+        (6, "another entirely novel document closing the third arrival"),
+    ]
+    schema = "doc_id long, text string"
+    src_dir = str(tmp_path / "incoming")
+    for arrival in (a1, a2, a3):
+        spark.createDataFrame(arrival, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)  # distinct mtimes -> stable file->batch order
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = str(tmp_path / "verdicts")
+
+    def sink(verdicts, batch_id):
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    corpus_dir = str(tmp_path / "corpus")
+    q = run_streaming_growing_dedup(
+        spark,
+        stream_df,
+        corpus_dir,
+        sink,
+        str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).collect()
+    streamed = {(r["id"], r["verdict"]) for r in got}
+    assert len(streamed) == 6
+
+    # serial batch replay with identical folding, in the order the
+    # stream actually processed (recovered from recorded batch_ids)
+    by_batch: dict[int, set[int]] = {}
+    for r in got:
+        by_batch.setdefault(r["batch_id"], set()).add(r["id"])
+    all_docs = {i: t for i, t in a1 + a2 + a3}
+    corpus_rows: list[tuple[int, str]] = []
+    expected = set()
+    for bid in sorted(by_batch):
+        batch_rows = [(i, all_docs[i]) for i in sorted(by_batch[bid])]
+        corpus_df = spark.createDataFrame(corpus_rows, schema) if corpus_rows else spark.createDataFrame([], schema)
+        batch_df = spark.createDataFrame(batch_rows, schema)
+        verdicts = delta_dedup(corpus_df, batch_df, jaccard_threshold=0.5).collect()
+        for r in verdicts:
+            expected.add((r["id"], r["verdict"]))
+            if r["verdict"] == "unique":
+                corpus_rows.append((r["id"], all_docs[r["id"]]))
+    assert streamed == expected
+    # the cross-batch dups were actually caught
+    verdict_of = dict(streamed)
+    assert verdict_of[3] == "near_dup" and verdict_of[5] == "exact_dup"
