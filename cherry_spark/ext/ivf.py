@@ -285,16 +285,71 @@ def ivf_topk_oracle_sql(
     """
 
     def dot_ab(a: str, b: str, cast_b: bool) -> str:
-        bc = "::DOUBLE" if cast_b else ""
-        terms = " + ".join(
-            f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]{bc}" for i in range(dim)
-        )
-        return f"(0.0 + {terms})"
+        return _dot_ab_sql(a, b, dim, cast_b)
 
     ids = ", ".join(str(i) for i in query_ids)
     e = vec_col
     return f"""
-    WITH v AS (
+    WITH {index_ctes_sql(dim, n_centroids, table, id_col, vec_col)},
+    probe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.{id_col} AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.{id_col} ORDER BY
+                       (CASE WHEN sqrt(q.dn) > 0 AND sqrt(c.cdn) > 0
+                             THEN {dot_ab(f"q.{e}", "c.centroid", False)}
+                                  / (sqrt(q.dn) * sqrt(c.cdn))
+                             ELSE -2.0 END) DESC, c.centroid_id) AS rn
+            FROM v q CROSS JOIN cn c
+            WHERE q.{id_col} IN ({ids})) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.query_id, ve.{id_col},
+               round(CASE WHEN sqrt(ve.dn) > 0 AND sqrt(q.dn) > 0
+                          THEN {dot_ab(f"ve.{e}", f"q.{e}", True)}
+                               / (sqrt(ve.dn) * sqrt(q.dn)) END, 6) AS sim
+        FROM probe p
+        JOIN assign1 a ON a.centroid_id = p.centroid_id
+        JOIN v ve ON ve.{id_col} = a.{id_col}
+        JOIN v q ON q.{id_col} = p.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, {id_col}
+        ) AS rn FROM scored
+    )
+    SELECT query_id, {id_col}, sim FROM ranked WHERE rn <= {k}
+    """
+
+
+def _dot_ab_sql(a: str, b: str, dim: int, cast_b: bool) -> str:
+    """Unrolled left-associated IEEE dot product — the identical fold
+    sequence to Spark's ``F.aggregate``-based ``similarity.dot``."""
+    bc = "::DOUBLE" if cast_b else ""
+    terms = " + ".join(
+        f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]{bc}" for i in range(dim)
+    )
+    return f"(0.0 + {terms})"
+
+
+def index_ctes_sql(
+    dim: int,
+    n_centroids: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The WITH-clause body reproducing the deterministic IVF index in
+    DuckDB: ``v`` (vectors + self-dot), ``seeds``/``a0``/``assign0``
+    (seed assignment), ``lloyd``/``cent``/``cn`` (one id-ordered Lloyd
+    pass), ``assign1`` (final nearest-centroid assignment). Shared by
+    ``ivf_topk_oracle_sql`` and ``semdedup.semantic_dedup_oracle_sql``
+    so every index-derived oracle certifies the same arithmetic."""
+
+    def dot_ab(a: str, b: str, cast_b: bool) -> str:
+        return _dot_ab_sql(a, b, dim, cast_b)
+
+    e = vec_col
+    return f"""v AS (
         SELECT {id_col}, {e}, {dot_ab(e, e, True)} AS dn FROM {table}
     ),
     seeds AS (
@@ -348,32 +403,4 @@ def ivf_topk_oracle_sql(
                    row_number() OVER (PARTITION BY {id_col}
                                       ORDER BY sim DESC, centroid_id) AS rn
             FROM a1) WHERE rn = 1
-    ),
-    probe AS (
-        SELECT query_id, centroid_id FROM (
-            SELECT q.{id_col} AS query_id, c.centroid_id,
-                   row_number() OVER (PARTITION BY q.{id_col} ORDER BY
-                       (CASE WHEN sqrt(q.dn) > 0 AND sqrt(c.cdn) > 0
-                             THEN {dot_ab(f"q.{e}", "c.centroid", False)}
-                                  / (sqrt(q.dn) * sqrt(c.cdn))
-                             ELSE -2.0 END) DESC, c.centroid_id) AS rn
-            FROM v q CROSS JOIN cn c
-            WHERE q.{id_col} IN ({ids})) WHERE rn <= {nprobe}
-    ),
-    scored AS (
-        SELECT p.query_id, ve.{id_col},
-               round(CASE WHEN sqrt(ve.dn) > 0 AND sqrt(q.dn) > 0
-                          THEN {dot_ab(f"ve.{e}", f"q.{e}", True)}
-                               / (sqrt(ve.dn) * sqrt(q.dn)) END, 6) AS sim
-        FROM probe p
-        JOIN assign1 a ON a.centroid_id = p.centroid_id
-        JOIN v ve ON ve.{id_col} = a.{id_col}
-        JOIN v q ON q.{id_col} = p.query_id
-    ),
-    ranked AS (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY sim DESC, {id_col}
-        ) AS rn FROM scored
-    )
-    SELECT query_id, {id_col}, sim FROM ranked WHERE rn <= {k}
-    """
+    )"""

@@ -1,0 +1,128 @@
+"""SemDeDup-style semantic deduplication: cluster the embedding space
+with the deterministic IVF coarse quantizer (ext/ivf.py), then compare
+vectors pairwise ONLY within their cluster and drop every vector whose
+cosine similarity to a lower-id cluster-mate reaches the threshold
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication").
+
+Scale design (the whole point of the clustering step): pairwise cost
+is Σ|cluster|², never N² — pick ``n_centroids ≈ N / target_cluster_size``
+so each cluster stays a few thousand vectors and the self-join is an
+equi-join on ``centroid_id`` with bounded per-key fan-out. The corpus
+is materialized ONCE behind a ``repartition(centroid_id)`` barrier so
+the index computation (assign's crossJoin + argmax agg) is not
+re-executed for each side of the self-join (exchange reuse — see
+CLAUDE.md invariant).
+
+The keep rule is deterministic: within a cluster the lowest-id member
+of every similarity chain survives; a vector is a duplicate iff SOME
+lower-id cluster-mate is ≥ threshold similar on the ROUND(·, 6) value
+(both engines compare the rounded similarity, so a last-ulp fold
+divergence cannot flip a verdict).
+
+Reference parity note: the reference engine has no semantic-dedup
+operator (its curation surface stops at exact hashing delegated to
+cherry_core); this extends the training-data toolkit the same way
+ext/dedup.py extends fuzzy dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cherry_spark.ext.ivf import index_ctes_sql, ivf_assign, ivf_centroids, _dot_ab_sql
+from cherry_spark.ext.similarity import dot, norm
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, is_dup): is_dup = 1 iff a lower-id vector in
+    the same IVF cluster has round(cosine, 6) >= threshold.
+
+    Zero-norm vectors never match anything (NULL sim, dropped by the
+    >= comparison) — same policy as similarity.blocked_pairs_exact.
+    """
+    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    corpus = (
+        vectors.join(assigned, on=id_col)
+        .select(id_col, "centroid_id", vec_col)
+        .withColumn("__n", norm(F.col(vec_col)))
+        # shared materialization point: both self-join sides AND the
+        # final verdict projection reuse this one exchange instead of
+        # re-running scan + crossJoin-assign + argmax per reference
+        .repartition("centroid_id")
+    )
+    a = corpus.select(
+        "centroid_id",
+        F.col(id_col).alias("__aid"),
+        F.col(vec_col).alias("__av"),
+        F.col("__n").alias("__an"),
+    )
+    b = corpus.select(
+        "centroid_id",
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        F.col("__n").alias("__bn"),
+    )
+    sim = F.when(
+        (F.col("__an") > 0) & (F.col("__bn") > 0),
+        dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")),
+    )
+    dup_ids = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("__aid") < F.col("__bid"))
+        .filter(F.round(sim, 6) >= F.lit(threshold))
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        corpus.join(dup_ids, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    dim: int,
+    threshold: float,
+    n_centroids: int = 16,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Generated DuckDB twin: the shared deterministic-index CTEs
+    (ext/ivf.py:index_ctes_sql — bit-exact by the ann_ivf_topk
+    certification) + an EXISTS probe for a lower-id cluster-mate over
+    the same ROUND(·, 6) unrolled-fold cosine."""
+    pair_sim = (
+        f"CASE WHEN sqrt(o.dn) > 0 AND sqrt(c.dn) > 0 THEN "
+        f"{_dot_ab_sql(f'o.{vec_col}', f'c.{vec_col}', dim, True)}"
+        f" / (sqrt(o.dn) * sqrt(c.dn)) END"
+    )
+    return f"""
+    WITH {index_ctes_sql(dim, n_centroids, table, id_col, vec_col)},
+    corpus AS (
+        SELECT a.centroid_id, v.{id_col}, v.{vec_col}, v.dn
+        FROM assign1 a JOIN v USING ({id_col})
+    )
+    SELECT c.{id_col},
+           CAST(c.centroid_id AS BIGINT) AS centroid_id,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM corpus o
+               WHERE o.centroid_id = c.centroid_id
+                 AND o.{id_col} < c.{id_col}
+                 AND round({pair_sim}, 6) >= {threshold}
+           ) THEN 1 ELSE 0 END AS is_dup
+    FROM corpus c
+    """

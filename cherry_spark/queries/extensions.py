@@ -575,6 +575,34 @@ def embed_neardup_pairs(spark, sf_dir):
     return blocked_pairs_exact(emb, threshold=0.3, n_blocks=4)
 
 
+def _semdedup_oracle() -> str:
+    from cherry_spark.ext.semdedup import semantic_dedup_oracle_sql
+
+    return semantic_dedup_oracle_sql(dim=64, threshold=0.3, n_centroids=16)
+
+
+@query(
+    "semantic_dedup",
+    # generated oracle: shared deterministic-IVF CTEs (bit-exact by
+    # the ann_ivf_topk certification) + lower-id EXISTS probe on the
+    # ROUND(·,6) cosine — both engines compare the rounded value, so a
+    # last-ulp fold divergence cannot flip a verdict
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): cluster "
+    "embeddings with the deterministic IVF coarse quantizer, then "
+    "pairwise-compare ONLY within clusters (Σ|cluster|², never N²) "
+    "and drop vectors ≥ threshold-similar to a lower-id cluster-mate. "
+    "The corpus self-join runs behind one repartition(centroid_id) "
+    "barrier, so the assign pipeline executes once, not per side "
+    "(ext/semdedup.py:semantic_dedup).",
+)
+def semantic_dedup_q(spark, sf_dir):
+    from cherry_spark.ext.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, n_centroids=16)
+
+
 @query(
     "ann_ivf_topk",
     # The index is fully deterministic (lowest-id seeds, one Lloyd pass

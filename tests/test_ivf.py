@@ -78,3 +78,32 @@ def test_ivf_topk_recall(spark, sf_dir):
         # and recall should be substantial
         assert qid in a_ids
         assert len(a_ids & e_ids) >= 2, f"recall too low for query {qid}"
+
+
+def test_semantic_dedup_flags_planted_clone(spark):
+    """SemDeDup verdicts: an exact clone of a lower-id vector is a
+    duplicate, distinct directions survive, zero-norm vectors never
+    match anything, and every input row comes back exactly once."""
+    from cherry_spark.ext.semdedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact clone of 0 -> dup
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.97, 0.243, 0.0, 0.0]),  # cos to v0 = 0.97 -> dup at 0.9
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero norm: NULL sim, never dup
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # opposite direction, never dup
+    ]
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["is_dup"])
+        for r in semantic_dedup(vec, threshold=0.9, n_centroids=2).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert out[1][1] == 1
+    assert out[3][1] == 1
+    assert out[0][1] == 0
+    assert out[4][1] == 0
+    assert out[5][1] == 0
+    # clone must share its original's cluster (identical assignment)
+    assert out[1][0] == out[0][0]
