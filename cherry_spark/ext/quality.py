@@ -84,6 +84,86 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model-proxy quality score (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets"): fit
+    a unigram MLE over the corpus itself, then score every document by
+    its mean token log-probability ``mean(ln(count(tok)/N))``. Low
+    scores = rare-token noise; implausibly high = boilerplate.
+
+    Columns: ``(id_col, n_tokens, mean_logprob)`` — docs with no
+    tokens return ``n_tokens = 0`` and NULL score.
+
+    Scale shape: tokenize once; unigram table via one hash agg on the
+    token (map-side partials make the shuffle O(vocab)); per-token
+    scores via an equi-join on the token (AQE broadcasts it when the
+    vocab is small); one more hash agg on the doc id. No arrays held
+    per document, no self-joins.
+
+    Cross-engine determinism: each per-token log-prob is ROUND(·, 6)
+    FIRST, then summed as DECIMAL(18,6) — the aggregation is exact and
+    order-free, so the engines can only disagree if their ln() libms
+    differ in the last ulp exactly at a rounding boundary (same
+    accepted triage class as tfidf_top_terms)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("nt"))
+    lp = F.round(
+        F.log(F.col("c").cast("double") / F.col("nt").cast("double")), 6
+    ).cast("decimal(18,6)")
+    scores = (
+        toks.join(freq, on="tok")
+        .crossJoin(F.broadcast(total))
+        .select("id", lp.alias("lp"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("slp"))
+    )
+    return df.select(F.col(id_col)).join(
+        scores, on=F.col(id_col) == F.col("id"), how="left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.round(F.col("slp").cast("double") / F.col("n_tokens"), 6).alias(
+            "mean_logprob"
+        ),
+    )
+
+
+def unigram_logprob_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``unigram_logprob`` — generated beside the Spark
+    implementation so the two cannot drift. Identical round-then-sum
+    DECIMAL arithmetic; division and the final round are IEEE-identical
+    once the summed decimal matches."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM freq),
+    per AS (
+        SELECT t.id,
+               CAST(round(ln(f.c::DOUBLE / n.nt::DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM toks t JOIN freq f USING (tok) CROSS JOIN n
+    ),
+    sc AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_tokens, SUM(lp) AS slp
+        FROM per GROUP BY 1
+    )
+    SELECT d.{id_col},
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           round(CAST(s.slp AS DOUBLE) / s.n_tokens, 6) AS mean_logprob
+    FROM {table} d LEFT JOIN sc s ON s.id = d.{id_col}
+    """
+
+
 def repetition_oracle_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

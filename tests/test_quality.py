@@ -86,3 +86,26 @@ def test_chunk_dedup_planted(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["n_docs"] == 2 and r["n_occurrences"] == 2 and r["first_doc_id"] == 1
+
+
+def test_unigram_logprob_planted(spark):
+    """Hand-computed corpus: freq(a)=2, freq(b)=1, freq(c)=1, N=4.
+    doc1 'a a b' -> mean(2*ln(1/2) + ln(1/4))/3 on round-6 terms;
+    doc2 'c' -> ln(1/4); doc3 empty -> 0 tokens, NULL score."""
+    import math
+
+    from cherry_spark.ext.quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert set(out) == {1, 2, 3}
+    lp_half = round(math.log(2 / 4), 6)
+    lp_quarter = round(math.log(1 / 4), 6)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_logprob"] == round((2 * lp_half + lp_quarter) / 3, 6)
+    assert out[2]["n_tokens"] == 1
+    assert out[2]["mean_logprob"] == round(lp_quarter, 6)
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["mean_logprob"] is None
