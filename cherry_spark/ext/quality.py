@@ -164,6 +164,139 @@ def unigram_logprob_oracle_sql(
     """
 
 
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+) -> DataFrame:
+    """Gopher quality-rule document gate (Rae et al. 2021, §A1.1):
+    per-document boolean verdicts for the canonical pre-training
+    filters — word-count bounds, mean-word-length band, symbol-to-word
+    ratio (# and ellipsis), alphabetic-word fraction, and the ≥N
+    distinct-stopword plausibility check — plus the conjunction
+    ``keep``.
+
+    Columns: ``(id_col, n_words, ok_word_count, ok_mean_word_len,
+    ok_symbol_ratio, ok_alpha_words, ok_stopwords, keep)`` — all
+    BIGINT/int flags, so the cross-engine comparison is exact (every
+    ratio is a quotient of integers, IEEE-identical in both engines;
+    no libm, no rounding needed).
+
+    Scale shape: single scan, pure native array/string expressions,
+    no shuffle at all — the filter is embarrassingly parallel and
+    whole-stage-codegen'd end to end."""
+    words = tokens_col(F.col(text_col))
+    n_words = F.size(words)
+    nw = n_words.cast("double")
+    mean_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    ).cast("double") / nw
+    hash_count = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    ellipsis_count = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_count + ellipsis_count).cast("double") / nw
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / nw
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower), F.array(*[F.lit(s) for s in stopwords])
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio < max_symbol_ratio,
+        "ok_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    guarded = {
+        k: F.when(n_words > 0, v).otherwise(F.lit(False)) for k, v in flags.items()
+    }
+    keep = None
+    for v in guarded.values():
+        keep = v if keep is None else (keep & v)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[v.cast("int").alias(k) for k, v in guarded.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+def gopher_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+) -> str:
+    """DuckDB twin of ``gopher_rules`` — generated beside the Spark
+    implementation from the same thresholds so the two cannot drift."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    stoplist = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+    WITH base AS (
+        SELECT {id_col},
+               len({toks}) AS n_words,
+               list_sum(list_transform({toks}, t -> length(t)))::DOUBLE
+                   / len({toks}) AS mean_len,
+               ((length({text_col})
+                 - length(replace({text_col}, '#', '')))
+                + (length({text_col})
+                   - length(replace({text_col}, '...', ''))) / 3)::DOUBLE
+                   / len({toks}) AS symbol_ratio,
+               len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                   / len({toks}) AS alpha_frac,
+               len(list_intersect(list_transform({toks}, t -> lower(t)),
+                                  [{stoplist}])) AS stop_hits
+        FROM {table}
+    )
+    SELECT {id_col},
+           CAST(n_words AS BIGINT) AS n_words,
+           CASE WHEN n_words > 0 AND n_words >= {min_words}
+                     AND n_words <= {max_words}
+                THEN 1 ELSE 0 END AS ok_word_count,
+           CASE WHEN n_words > 0 AND mean_len >= {min_mean_word_len}
+                     AND mean_len <= {max_mean_word_len}
+                THEN 1 ELSE 0 END AS ok_mean_word_len,
+           CASE WHEN n_words > 0 AND symbol_ratio < {max_symbol_ratio}
+                THEN 1 ELSE 0 END AS ok_symbol_ratio,
+           CASE WHEN n_words > 0 AND alpha_frac >= {min_alpha_word_frac}
+                THEN 1 ELSE 0 END AS ok_alpha_words,
+           CASE WHEN n_words > 0 AND stop_hits >= {min_stopword_hits}
+                THEN 1 ELSE 0 END AS ok_stopwords,
+           CASE WHEN n_words > 0 AND n_words >= {min_words}
+                     AND n_words <= {max_words}
+                     AND mean_len >= {min_mean_word_len}
+                     AND mean_len <= {max_mean_word_len}
+                     AND symbol_ratio < {max_symbol_ratio}
+                     AND alpha_frac >= {min_alpha_word_frac}
+                     AND stop_hits >= {min_stopword_hits}
+                THEN 1 ELSE 0 END AS keep
+    FROM base
+    """
+
+
 def repetition_oracle_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

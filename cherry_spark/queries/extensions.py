@@ -575,6 +575,37 @@ def embed_neardup_pairs(spark, sf_dir):
     return blocked_pairs_exact(emb, threshold=0.3, n_blocks=4)
 
 
+def _mmr_oracle() -> str:
+    from cherry_spark.ext.mmr import mmr_topk_oracle_sql
+
+    return mmr_topk_oracle_sql(
+        dim=64, k=5, n_candidates=20, lam=0.7, query_ids=[0, 1, 2]
+    )
+
+
+@query(
+    "mmr_diverse_topk",
+    # recursive-CTE generated oracle replays the greedy trajectory
+    # step by step; all sims ROUND(·,6), λ/(1−λ) literals generated
+    # from the same Python floats, lowest-id tie-breaks — bit-exact
+    oracle=_mmr_oracle(),
+    doc="MMR-diversified top-k retrieval (Carbonell & Goldstein "
+    "1998): two-phase exact top-N candidates (scale path), then a "
+    "per-query greedy λ·relevance − (1−λ)·redundancy re-rank over "
+    "the bounded candidate set in an applyInPandas cogroup "
+    "(ext/mmr.py:mmr_topk) — the de-duplicated retrieval head for "
+    "RAG / eval-set selection.",
+)
+def mmr_diverse_topk(spark, sf_dir):
+    from cherry_spark.ext.mmr import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return mmr_topk(emb, qdf, k=5, n_candidates=20, lam=0.7)
+
+
 def _semdedup_oracle() -> str:
     from cherry_spark.ext.semdedup import semantic_dedup_oracle_sql
 

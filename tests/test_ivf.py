@@ -107,3 +107,27 @@ def test_semantic_dedup_flags_planted_clone(spark):
     assert out[5][1] == 0
     # clone must share its original's cluster (identical assignment)
     assert out[1][0] == out[0][0]
+
+
+def test_mmr_diversifies_redundant_candidates(spark):
+    """Pure top-2 would pick the two near-identical vectors; MMR's
+    redundancy penalty must pick the diverse one second."""
+    from cherry_spark.ext.mmr import mmr_topk
+
+    # rank-1 pick is OFF the query axis, so the redundant twin's
+    # penalty (~1.0) far exceeds its relevance while the mirrored
+    # candidate's penalty (~0.61) stays well below its relevance
+    rows = [
+        (10, [0.9, 0.436]),    # relevance ~0.900 -> rank 1
+        (11, [0.9, 0.44]),     # relevance ~0.898, sim to 10 ~1.0
+        (12, [0.89, -0.44]),   # relevance ~0.896, sim to 10 ~0.61
+    ]
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([(0, [1.0, 0.0])], ["query_id", "embedding"])
+    out = {
+        r["rank"]: r["vec_id"]
+        for r in mmr_topk(vec, q, k=3, n_candidates=3, lam=0.5).collect()
+    }
+    assert out[1] == 10          # most relevant first
+    assert out[2] == 12          # diverse beats the redundant twin
+    assert out[3] == 11

@@ -109,3 +109,26 @@ def test_unigram_logprob_planted(spark):
     assert out[2]["mean_logprob"] == round(lp_quarter, 6)
     assert out[3]["n_tokens"] == 0
     assert out[3]["mean_logprob"] is None
+
+
+def test_gopher_rules_planted(spark):
+    """Each rule is exercised by a doc failing exactly that rule."""
+    from cherry_spark.ext.quality import gopher_rules
+
+    good = "the quick brown fox jumps over that lazy dog with style and have grace of motion"
+    docs = [
+        (1, good),                                    # passes all (16 words >= 5)
+        (2, "the of and"),                            # too few words at min_words=5
+        (3, "## ## ## the cat sat of it and"),        # symbol ratio
+        (4, "12 34 56 78 the 90 11 of 22 and 33"),    # alpha fraction
+        (5, "zebra quartz viper echoes nimbly"),      # no stopwords
+        (6, ""),                                      # empty -> all fail
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=5).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["ok_word_count"] == 0 and out[2]["keep"] == 0
+    assert out[3]["ok_symbol_ratio"] == 0 and out[3]["keep"] == 0
+    assert out[4]["ok_alpha_words"] == 0 and out[4]["keep"] == 0
+    assert out[5]["ok_stopwords"] == 0 and out[5]["keep"] == 0
+    assert out[6]["n_words"] == 0 and out[6]["keep"] == 0
