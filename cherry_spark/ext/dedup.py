@@ -739,6 +739,130 @@ def chunk_dedup_stats(
     )
 
 
+def cdc_chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplication: chunk boundaries
+    are placed where the hash of the ``window``-token gram ending at a
+    position ≡ 0 (mod ``divisor``) — so boundaries depend only on
+    LOCAL content and chunks realign after insertions/deletions, where
+    the fixed-stride chunker (``chunk_dedup_stats``) shifts every
+    subsequent chunk. The Rabin/Gear rolling-chunker idea (LBFS,
+    Muthitacharoen et al. SOSP 2001; FastCDC) applied at token
+    granularity. Expected chunk length ≈ ``divisor`` tokens.
+
+    Returns (chunk_hash md5, n_docs, n_occurrences, first_doc_id) for
+    chunks occurring more than once — same contract as
+    ``chunk_dedup_stats``.
+
+    Scale shape: boundary detection and chunk assembly are pure array
+    expressions on the in-hand token array (no self-join, no window
+    function, no shuffle before the ONE chunk hash aggregation); the
+    boundary hash is an md5 prefix (``conv(substr(md5, 1, 8), 16, 10)``
+    == DuckDB ``('0x' || substr)::BIGINT`` — the portable-hash family
+    used by simhash/sampling).
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    gram_hash = lambda i: (  # noqa: E731 — 32-bit md5 prefix of the gram
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i - window + 1, window))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    # F.sequence(a, b) is DESCENDING when b < a (CLAUDE invariant):
+    # guard short docs to an empty boundary list
+    bpos = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda i: gram_hash(i) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(bpos, lambda b: b < n)
+    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda b: b + 1))
+    ends = F.concat(cuts, F.array(n))
+    chunks = F.when(
+        n > 0,
+        F.zip_with(
+            starts, ends, lambda s, e: F.concat_ws(" ", F.slice(toks, s, e - s + 1))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("chunk"))
+    return (
+        rows.groupBy("chunk")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            F.md5("chunk").alias("chunk_hash"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc_id",
+        )
+    )
+
+
+def cdc_chunk_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 8,
+) -> str:
+    """DuckDB twin of ``cdc_chunk_dedup_stats`` — generated beside the
+    Spark implementation so the boundary rule cannot drift. DuckDB
+    ``range(a, b)`` is empty when b <= a, so short docs need no guard;
+    ``list_slice`` is end-INDEX based where Spark ``slice`` takes a
+    length — both assemble the same token span."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id, {toks} AS toks, len({toks}) AS n
+        FROM {table} WHERE len({toks}) > 0
+    ),
+    b AS (
+        SELECT id, toks, n,
+               list_filter(
+                   list_filter(range({window}, n + 1),
+                       i -> ('0x' || substr(md5(array_to_string(
+                                list_slice(toks, i - {window} + 1, i), ' ')),
+                             1, 8))::BIGINT % {divisor} = 0),
+                   x -> x < n) AS cuts
+        FROM base
+    ),
+    spans AS (
+        SELECT id, toks,
+               list_concat([1], list_transform(cuts, x -> x + 1)) AS starts,
+               list_concat(cuts, [n]) AS ends
+        FROM b
+    ),
+    ch AS (
+        SELECT id, unnest(list_transform(range(1, len(starts) + 1),
+                   k -> array_to_string(
+                        list_slice(toks, starts[k], ends[k]), ' '))) AS chunk
+        FROM spans
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(id) AS first_doc_id
+    FROM ch GROUP BY chunk HAVING count(*) > 1
+    """
+
+
 def connected_components(
     edges: DataFrame,
     id1: str = "id1",

@@ -41,15 +41,23 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(id, centroid_id, is_dup): is_dup = 1 iff a lower-id vector in
     the same IVF cluster has round(cosine, 6) >= threshold.
 
     Zero-norm vectors never match anything (NULL sim, dropped by the
     >= comparison) — same policy as similarity.blocked_pairs_exact.
+
+    ``assigned``: optionally pass a precomputed (id, centroid_id)
+    assignment — e.g. the corpus of a persisted ``ivf_build_index``
+    directory — and the in-line index build (several corpus scans for
+    seeds/Lloyd/assign) is skipped entirely. That is the 100 TB path:
+    build the index once, run dedup (and search) against it.
     """
-    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    if assigned is None:
+        centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
     corpus = (
         vectors.join(assigned, on=id_col)
         .select(id_col, "centroid_id", vec_col)

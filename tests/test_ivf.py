@@ -131,3 +131,28 @@ def test_mmr_diversifies_redundant_candidates(spark):
     assert out[1] == 10          # most relevant first
     assert out[2] == 12          # diverse beats the redundant twin
     assert out[3] == 11
+
+
+def test_semantic_dedup_prebuilt_assignment(spark, sf_dir, tmp_path):
+    """The 100 TB path: verdicts from a persisted ivf_build_index
+    assignment must equal the inline-build verdicts."""
+    from cherry_spark.ext.ivf import ivf_build_index
+    from cherry_spark.ext.semdedup import semantic_dedup
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_centroids=8)
+    prebuilt = spark.read.parquet(f"{idx}/corpus").select("vec_id", "centroid_id")
+
+    inline = {
+        (r["vec_id"], r["centroid_id"], r["is_dup"])
+        for r in semantic_dedup(emb, threshold=0.3, n_centroids=8).collect()
+    }
+    reused = {
+        (r["vec_id"], r["centroid_id"], r["is_dup"])
+        for r in semantic_dedup(
+            emb, threshold=0.3, n_centroids=8, assigned=prebuilt
+        ).collect()
+    }
+    assert inline == reused

@@ -132,3 +132,22 @@ def test_gopher_rules_planted(spark):
     assert out[4]["ok_alpha_words"] == 0 and out[4]["keep"] == 0
     assert out[5]["ok_stopwords"] == 0 and out[5]["keep"] == 0
     assert out[6]["n_words"] == 0 and out[6]["keep"] == 0
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC selling point: prepending tokens to a shared passage
+    must still dedup the passage's chunks (boundaries are local),
+    where the fixed-stride chunker shifts every chunk."""
+    from cherry_spark.ext.dedup import cdc_chunk_dedup_stats, chunk_dedup_stats
+
+    passage = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, passage), (2, "shifted " + passage)], ["doc_id", "text"]
+    )
+    cdc = cdc_chunk_dedup_stats(df, window=3, divisor=8).collect()
+    fixed = chunk_dedup_stats(df, chunk_tokens=8).collect()
+    # fixed chunker: the 1-token shift misaligns every 8-token chunk
+    assert len(fixed) == 0
+    # CDC: chunks after the first boundary realign -> shared chunks dedup
+    assert len(cdc) >= 2
+    assert all(r["n_docs"] == 2 for r in cdc)

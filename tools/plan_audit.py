@@ -27,7 +27,10 @@ NESTED_LOOP_OK = {
     "cosine_topk",
     "range_join_buckets",
     "ann_ivf_topk",  # centroid table (n_centroids rows) cross-joined by design
+    "semantic_dedup",  # same centroid cross-join inside ivf_assign
+    "mmr_diverse_topk",  # broadcast query table (3 rows) cross-joined by design
     "tfidf_top_terms",  # corpus size N: a 1-row aggregate cross-joined in
+    "unigram_logprob",  # corpus token total: same 1-row aggregate cross-join
 }
 
 AUDIT = [
@@ -78,6 +81,11 @@ AUDIT = [
     "corpus_report",
     "label_centroid_profile",
     "semantic_lexical_agreement",
+    "unigram_logprob",
+    "gopher_filter",
+    "semantic_dedup",
+    "mmr_diverse_topk",
+    "cdc_chunk_dedup",
 ]
 
 
