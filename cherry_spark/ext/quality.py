@@ -164,6 +164,95 @@ def unigram_logprob_oracle_sql(
     """
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM-proxy quality score: corpus bigram MLE
+    ``P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} as context)``,
+    each document scored by its mean conditional token
+    log-probability — the next step up from ``unigram_logprob`` on
+    the CCNet "score with a cheap LM" axis; repeated boilerplate
+    transitions score implausibly high, shuffled-word noise low.
+
+    Columns: ``(id_col, n_bigrams, mean_logprob)`` — docs with < 2
+    tokens return ``n_bigrams = 0`` and NULL score.
+
+    Scale shape: bigrams assembled array-natively from the in-hand
+    token array (two shifted slices zipped — no window function, no
+    per-doc shuffle), one O(distinct-bigram) count aggregate, a
+    context-count aggregate derived FROM it (no second corpus pass),
+    one equi-join back. Same round-then-DECIMAL-sum determinism as
+    ``unigram_logprob``."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    bigrams_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams_arr).alias("b")
+    ).select("id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    c2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    lp = F.round(
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 6
+    ).cast("decimal(18,6)")
+    scores = (
+        bg.join(c2, on=["prev", "cur"])
+        .join(c1, on="prev")
+        .select("id", lp.alias("lp"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("slp"))
+    )
+    return df.select(F.col(id_col)).join(
+        scores, on=F.col(id_col) == F.col("id"), how="left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.round(F.col("slp").cast("double") / F.col("n_bigrams"), 6).alias(
+            "mean_logprob"
+        ),
+    )
+
+
+def bigram_logprob_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of ``bigram_logprob`` — generated beside the Spark
+    implementation so the two cannot drift."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return f"""
+    WITH bg AS (
+        SELECT {id_col} AS id,
+               unnest(list_transform(range(len({toks}) - 1),
+                      i -> struct_pack(prev := {toks}[i + 1],
+                                       cur := {toks}[i + 2]))) AS b
+        FROM {table} WHERE len({toks}) >= 2
+    ),
+    flat AS (SELECT id, b.prev AS prev, b.cur AS cur FROM bg),
+    c2 AS (SELECT prev, cur, count(*) AS c2 FROM flat GROUP BY 1, 2),
+    c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+    per AS (
+        SELECT f.id,
+               CAST(round(ln(c2.c2::DOUBLE / c1.c1::DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM flat f JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+    ),
+    sc AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams, SUM(lp) AS slp
+        FROM per GROUP BY 1
+    )
+    SELECT d.{id_col},
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           round(CAST(s.slp AS DOUBLE) / s.n_bigrams, 6) AS mean_logprob
+    FROM {table} d LEFT JOIN sc s ON s.id = d.{id_col}
+    """
+
+
 def gopher_rules(
     df: DataFrame,
     id_col: str = "doc_id",

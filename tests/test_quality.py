@@ -151,3 +151,25 @@ def test_cdc_chunks_realign_after_insertion(spark):
     # CDC: chunks after the first boundary realign -> shared chunks dedup
     assert len(cdc) >= 2
     assert all(r["n_docs"] == 2 for r in cdc)
+
+
+def test_bigram_logprob_planted(spark):
+    """Hand-computed corpus: bigrams 'a b' x2, 'b a' x1, 'b c' x1.
+    c(a ·)=2, c(b ·)=2. doc1 'a b a b' -> mean(ln(2/2), ln(1/2),
+    ln(2/2)); doc2 'b c' -> ln(1/2); doc3 'x' -> 0 bigrams, NULL."""
+    import math
+
+    from cherry_spark.ext.quality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    lp_ab = round(math.log(2 / 2), 6)   # c('a b')=2 / c(a .)=2
+    lp_ba = round(math.log(1 / 2), 6)   # c('b a')=1 / c(b .)=2
+    lp_bc = round(math.log(1 / 2), 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_logprob"] == round((lp_ab + lp_ba + lp_ab) / 3, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["mean_logprob"] == round(lp_bc, 6)
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] is None

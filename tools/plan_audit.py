@@ -82,6 +82,7 @@ AUDIT = [
     "label_centroid_profile",
     "semantic_lexical_agreement",
     "unigram_logprob",
+    "bigram_logprob",
     "gopher_filter",
     "semantic_dedup",
     "mmr_diverse_topk",
