@@ -65,6 +65,14 @@ HEADLINE = [
     "media_decode_features",
     "mixing_order",
     "doc_length_percentiles",
+    # round-5 additions (compare totals only on equal sets — see note)
+    "unigram_logprob",
+    "bigram_logprob",
+    "gopher_filter",
+    "cdc_chunk_dedup",
+    "semantic_dedup",
+    "mmr_diverse_topk",
+    "jaccard_topk",
 ]
 
 

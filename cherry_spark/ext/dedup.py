@@ -739,6 +739,122 @@ def chunk_dedup_stats(
     )
 
 
+def jaccard_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    n_salt: int = 64,
+) -> DataFrame:
+    """Text similarity SEARCH: for each query document, the top-k most
+    Jaccard-similar corpus documents over distinct ``shingle_k``-gram
+    sets — the lexical counterpart of ``similarity.brute_force_topk``.
+    Returns (query_id, id, jaccard ROUND(·,6)).
+
+    Scale shape: candidates come from the shingle inverted index (one
+    posting equi-join — a query only meets corpus docs it SHARES a
+    shingle with, never the full corpus), intersection sizes from one
+    (query, candidate) hash aggregate, and the top-k selection is the
+    same salted two-phase trick as ``brute_force_topk``: per-(query,
+    salt) k-best via ``slice(array_sort(collect_list(...)))`` in pure
+    JVM expressions, then an exact window over ≤ k × n_salt rows per
+    query — no task ever sorts a query's full candidate set.
+
+    Documents shorter than ``shingle_k`` tokens have no shingles and
+    produce no rows (as query or candidate)."""
+    qp = shingle_postings(query, query_id_col, text_col, shingle_k).withColumnsRenamed(
+        {"id": "__qid"}
+    )
+    cp = shingle_postings(corpus, id_col, text_col, shingle_k).withColumnsRenamed(
+        {"id": "__cid"}
+    )
+    shared = (
+        qp.join(cp, "shingle").groupBy("__qid", "__cid").agg(F.count(F.lit(1)).alias("c"))
+    )
+    nq = qp.groupBy("__qid").agg(F.count(F.lit(1)).alias("nq"))
+    nc = cp.groupBy("__cid").agg(F.count(F.lit(1)).alias("nc"))
+    scored = (
+        shared.join(nq, "__qid")
+        .join(nc, "__cid")
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.round(
+                F.col("c").cast("double") / (F.col("nq") + F.col("nc") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("jaccard").desc(), F.col(id_col)
+    )
+    sort_key = F.struct(
+        (-F.col("jaccard")).alias("__neg"),
+        F.col(id_col).alias("__i"),
+        F.col("jaccard").alias("__j"),
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    partial = (
+        scored.groupBy(F.col(query_id_col), salt.alias("__salt"))
+        .agg(F.slice(F.array_sort(F.collect_list(sort_key)), 1, k).alias("__top"))
+        .select(query_id_col, F.explode("__top").alias("__t"))
+        .select(
+            F.col(query_id_col),
+            F.col("__t.__i").alias(id_col),
+            F.col("__t.__j").alias("jaccard"),
+        )
+    )
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def jaccard_topk_oracle_sql(
+    k: int,
+    query_ids: list[int],
+    shingle_k: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``jaccard_topk`` (query docs drawn from the same
+    table by id): distinct shingle sets via list_distinct, intersection
+    via list_intersect — the all-pairs ground truth, so the match also
+    certifies the inverted-index + salted-partial plan as a pure
+    physical optimization."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    grams = f"""list_distinct(list_transform(
+        range(greatest(len({toks}) - {shingle_k - 1}, 0)),
+        i -> array_to_string(list_slice({toks}, i + 1, i + {shingle_k}), ' ')))"""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH sh AS (
+        SELECT {id_col} AS id, {grams} AS sh FROM {table}
+    ),
+    nonempty AS (SELECT id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+    scored AS (
+        SELECT q.id AS query_id, c.id AS {id_col},
+               round(len(list_intersect(q.sh, c.sh))::DOUBLE
+                     / (q.n + c.n - len(list_intersect(q.sh, c.sh))), 6)
+                   AS jaccard
+        FROM nonempty q JOIN nonempty c
+          ON q.id IN ({ids}) AND len(list_intersect(q.sh, c.sh)) > 0
+    )
+    SELECT query_id, {id_col}, jaccard FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY jaccard DESC, {id_col}
+        ) AS rn FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
 def cdc_chunk_dedup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -575,6 +575,34 @@ def embed_neardup_pairs(spark, sf_dir):
     return blocked_pairs_exact(emb, threshold=0.3, n_blocks=4)
 
 
+def _jaccard_topk_oracle() -> str:
+    from cherry_spark.ext.dedup import jaccard_topk_oracle_sql
+
+    return jaccard_topk_oracle_sql(k=5, query_ids=[0, 1, 2])
+
+
+@query(
+    "jaccard_topk",
+    # all-pairs list_intersect ground truth: the match certifies the
+    # inverted-index + salted-partial plan as a physical optimization
+    oracle=_jaccard_topk_oracle(),
+    doc="Text similarity SEARCH (lexical counterpart of cosine_topk): "
+    "top-k most Jaccard-similar corpus docs per query doc over "
+    "distinct 3-gram shingle sets — candidates from the shingle "
+    "inverted index (a query only meets docs it shares a shingle "
+    "with), then the same salted two-phase JVM top-k as "
+    "brute_force_topk (ext/dedup.py:jaccard_topk).",
+)
+def jaccard_topk_q(spark, sf_dir):
+    from cherry_spark.ext.dedup import jaccard_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return jaccard_topk(docs, q, k=5)
+
+
 def _mmr_oracle() -> str:
     from cherry_spark.ext.mmr import mmr_topk_oracle_sql
 

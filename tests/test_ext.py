@@ -522,3 +522,34 @@ def test_connected_components_warns_on_max_iter(spark):
         out = connected_components(chain, max_iter=25).collect()
     assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_jaccard_topk_ranks_overlap(spark):
+    """Planted corpus: the near-copy outranks the partial overlap;
+    disjoint docs never appear; self-match tops at 1.0."""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.ext.dedup import jaccard_topk
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " again"),                      # near copy
+            (3, "quick brown fox jumps over something else entirely now"),
+            (4, "totally unrelated words with zero shared trigrams here"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = docs.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    rows = sorted(
+        ((r["query_id"], r["doc_id"], r["jaccard"]) for r in
+         jaccard_topk(docs, q, k=4).collect()),
+        key=lambda t: (-t[2], t[1]),
+    )
+    ids = [r[1] for r in rows]
+    assert ids[0] == 1 and rows[0][2] == 1.0      # self
+    assert ids[1] == 2                             # near copy second
+    assert 3 in ids and 4 not in ids               # disjoint doc absent

@@ -87,6 +87,7 @@ AUDIT = [
     "semantic_dedup",
     "mmr_diverse_topk",
     "cdc_chunk_dedup",
+    "jaccard_topk",
 ]
 
 
