@@ -175,3 +175,71 @@ def weighted_mix_key(
     return df.withColumn(
         "mix_key", F.floor(num / weight.cast("long")).cast("long")
     )
+
+
+def mixing_temperature(
+    df: DataFrame,
+    source_col: str = "source",
+    tau: float = 0.7,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-corpus
+    balancing rule, XLM-R / mT5 style): sampling weight per source
+    ``p_s = n_s^τ / Σ_t n_t^τ`` — τ < 1 up-weights small sources
+    relative to proportional sampling; τ = 1 is proportional, τ = 0
+    uniform. Returns per source: ``(source, n_docs, weight,
+    expected_samples)`` for a ``budget``-example epoch.
+
+    Cross-engine determinism: ``pow`` is libm on both sides, so each
+    ``n^τ`` is ROUND(·, 6) FIRST; the normalizing sum runs over those
+    rounded DECIMAL(18,6) values (exact, order-free); the final ratio
+    and ``floor(budget · p)`` are then identical double ops.
+
+    Scale shape: one count aggregate keyed on the source (map-side
+    partials), a 1-row broadcast of the normalizer — nothing else.
+    """
+    pw = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(float(tau))), 6).cast(
+        "decimal(18,6)"
+    )
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).withColumn("pw", pw)
+    total = counts.agg(F.sum("pw").alias("tot"))
+    weight = F.col("pw").cast("double") / F.col("tot").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(weight, 6).alias("weight"),
+            F.floor(F.lit(int(budget)) * weight).cast("long").alias(
+                "expected_samples"
+            ),
+        )
+    )
+
+
+def mixing_temperature_oracle_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    tau: float = 0.7,
+    budget: int = 10_000,
+) -> str:
+    """DuckDB twin of ``mixing_temperature`` — generated from the same
+    τ/budget constants (repr-embedded so the doubles are identical)."""
+    tau_s = repr(float(tau))
+    return f"""
+    WITH counts AS (
+        SELECT {source_col} AS source, count(*) AS n_docs,
+               CAST(round(pow(count(*)::DOUBLE, {tau_s}), 6)
+                    AS DECIMAL(18,6)) AS pw
+        FROM {table} GROUP BY 1
+    ),
+    tot AS (SELECT SUM(pw) AS tot FROM counts)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(pw::DOUBLE / tot::DOUBLE, 6) AS weight,
+           CAST(floor({int(budget)} * (pw::DOUBLE / tot::DOUBLE)) AS BIGINT)
+               AS expected_samples
+    FROM counts CROSS JOIN tot
+    """

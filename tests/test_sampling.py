@@ -167,3 +167,18 @@ def test_weighted_mix_key_interleaves_proportionally(spark):
     assert {(r["doc_id"], r["mix_key"]) for r in out} == {
         (r["doc_id"], r["mix_key"]) for r in again
     }
+
+
+def test_mixing_temperature_upweights_small_sources(spark):
+    """τ=0.5 on a 100:1 skew: the small source's weight must exceed
+    its proportional share and the weights must sum to ~1."""
+    from cherry_spark.ext.sampling import mixing_temperature
+
+    rows = [(i, "big") for i in range(100)] + [(1000, "small")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["source"]: r for r in mixing_temperature(df, tau=0.5, budget=1000).collect()}
+    assert out["big"]["n_docs"] == 100 and out["small"]["n_docs"] == 1
+    # proportional share of small = 1/101 ~ 0.0099; sqrt-scaled = 1/11
+    assert abs(out["small"]["weight"] - 1 / 11) < 1e-4
+    assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-5
+    assert out["big"]["expected_samples"] + out["small"]["expected_samples"] <= 1000
