@@ -1,14 +1,19 @@
 """Training-data curation pipeline — the 100 TB story end-to-end:
 
     documents ──► quality filter (C4-style heuristics)
+              ──► Gopher rule gate (word count / word length / symbol
+                  ratio / alpha fraction / stopword plausibility)
               ──► repetition filter (Gopher-style boilerplate rules)
+              ──► LM-proxy outlier filter (corpus unigram log-prob)
               ──► PII scrub (email / digit-run redaction)
               ──► exact dedup (content fingerprint)
               ──► MinHash-LSH near-dup removal (keep lowest doc_id)
+              ──► SemDeDup semantic near-dup removal (embedding space)
               ──► decontamination vs a held-out eval split
               ──► language ID + token counting
               ──► stratified per-language cap
-              ──► curated parquet + per-language stats + chunk-dup report
+              ──► curated parquet + per-language stats + temperature
+                  mixing weights + CDC chunk-dup report
 
 Every stage is native DataFrame ops from cherry_spark.ext; the near-dup
 stage's candidate generation is the banded-LSH equi-join (no n²), and
@@ -37,13 +42,17 @@ def curate(
     per_lang_cap: int = 10_000,
 ) -> dict[str, DataFrame]:
     from cherry_spark.ext.dedup import (
-        chunk_dedup_stats,
+        cdc_chunk_dedup_stats,
         connected_components,
         contamination_overlap,
         exact_dedup,
         minhash_lsh_pairs,
     )
-    from cherry_spark.ext.quality import repetition_stats
+    from cherry_spark.ext.quality import (
+        gopher_rules,
+        repetition_stats,
+        unigram_logprob,
+    )
     from cherry_spark.ext.sampling import hash_split, stratified_sample
     from cherry_spark.ext.text import (
         doc_fingerprint,
@@ -65,6 +74,27 @@ def curate(
     # 1. quality gate (C4-family heuristics)
     scored = train.withColumn("quality", quality_score(F.col("text")))
     kept = scored.filter(F.col("quality") >= quality_threshold)
+
+    # 1b. Gopher rule gate (Rae et al. §A1.1 conjunction; min_words
+    # downscaled for the short synthetic docs)
+    gate = gopher_rules(
+        kept.select("doc_id", "text"),
+        min_words=20,
+        # corpus-appropriate function words (synthetic fixture text)
+        stopwords=("the", "a", "and", "of", "to", "data"),
+    )
+    kept = kept.join(
+        gate.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 1c. LM-proxy outlier filter: drop the docs whose mean unigram
+    # log-prob sits below the corpus 5th percentile (rare-token noise)
+    lp = unigram_logprob(kept.select("doc_id", "text"))
+    lp5 = lp.agg(F.expr("percentile_approx(mean_logprob, 0.05)").alias("q"))
+    lp_ok = lp.crossJoin(F.broadcast(lp5)).filter(
+        F.col("mean_logprob") >= F.col("q")
+    ).select("doc_id")
+    kept = kept.join(lp_ok, "doc_id", "left_semi")
 
     # 2. repetition gate (Gopher-family: drop boilerplate-heavy docs)
     rep = repetition_stats(kept.select(F.col("doc_id"), F.col("text")))
@@ -105,6 +135,32 @@ def curate(
     )
     survivors = deduped.join(losers, on="doc_id", how="left_anti")
 
+    # 5b. semantic near-dup removal (SemDeDup): embedding-space
+    # duplicates that lexical shingles miss (paraphrases). The
+    # embeddings table shares the doc id space; at scale the
+    # assignment comes from a persisted ivf_build_index.
+    from cherry_spark.ext.semdedup import semantic_dedup
+
+    # localCheckpoint: semantic_dedup references its input several
+    # times (seeds/assign/self-join); without the lineage cut each
+    # reference would re-execute the ENTIRE upstream pipeline
+    # (quality gates + LSH + CC) — the projection-reuse trap
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(
+            survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    sem_dups = (
+        semantic_dedup(emb, threshold=0.35, n_centroids=16)
+        .filter(F.col("is_dup") == 1)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    survivors = survivors.join(sem_dups, on="doc_id", how="left_anti")
+
     # 6. decontamination: drop training docs overlapping the eval split
     contaminated = contamination_overlap(
         survivors, heldout, shingle_k=5, min_shared=3
@@ -136,12 +192,20 @@ def curate(
     )
 
     # chunk-level duplication report on the final corpus (what
-    # document-level dedup missed — boilerplate passages)
-    chunk_report = chunk_dedup_stats(curated, chunk_tokens=8)
+    # document-level dedup missed — boilerplate passages). CDC
+    # boundaries realign across insertions, so shifted copies of a
+    # passage still collapse (ext/dedup.py:cdc_chunk_dedup_stats).
+    chunk_report = cdc_chunk_dedup_stats(curated, window=3, divisor=8)
+
+    # epoch mixing: temperature-scaled source weights for the sampler
+    from cherry_spark.ext.sampling import mixing_temperature
+
+    mixing = mixing_temperature(curated, source_col="source", tau=0.7)
 
     return {
         "curated": curated,
         "stats": stats,
+        "mixing": mixing,
         "chunk_report": chunk_report,
         "n_input": docs,
     }
@@ -164,6 +228,7 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
             "curated": result["curated"],
             "chunk_report": result["chunk_report"],
             "stats": result["stats"],
+            "mixing": result["mixing"],
         }
     )
     return {

@@ -35,3 +35,7 @@ def test_curation_pipeline(spark, sf_dir, tmp_path):
     # stats written last (anchor) and consistent
     stats = spark.read.parquet(os.path.join(out, "stats"))
     assert stats.agg(F.sum("n_docs")).first()[0] == counts["curated"]
+    # temperature mixing weights cover the epoch (~1.0 after rounding)
+    mixing = spark.read.parquet(os.path.join(out, "mixing"))
+    assert abs(mixing.agg(F.sum("weight")).first()[0] - 1.0) <= 0.01
+    assert mixing.filter(F.col("expected_samples") < 0).count() == 0
