@@ -73,6 +73,7 @@ HEADLINE = [
     "semantic_dedup",
     "mmr_diverse_topk",
     "jaccard_topk",
+    "media_phash_dedup",
 ]
 
 

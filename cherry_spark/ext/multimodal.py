@@ -186,3 +186,49 @@ def frame_sample_plan(
     return df.filter(F.col("kind") == "video").select(
         "media_id", F.explode(frame_ids).alias("frame_index")
     )
+
+
+def image_ahash(
+    feats: DataFrame, feature_dim: int = 16, out_col: str = "ahash"
+) -> DataFrame:
+    """Average-hash (aHash) from decoded image features: bit i is set
+    iff feature byte i is above the per-image mean — on the real PIL
+    codec the feature row IS a grayscale thumbnail, so this is the
+    classic perceptual aHash; on the fake codec it hashes the
+    sha256-derived bytes with the identical expression (the certified
+    path). Integer-only: byte·dim > Σbytes avoids a float mean, so
+    both engines compare exactly.
+
+    Input: ``decode_image_features`` output. Appends ``out_col``
+    (BIGINT, low ``feature_dim`` bits)."""
+    bytes_i = [
+        F.round(F.element_at("feature", i + 1) * 255, 0).cast("long")
+        for i in range(feature_dim)
+    ]
+    total = bytes_i[0]
+    for b in bytes_i[1:]:
+        total = total + b
+    phash = F.lit(0).cast("long")
+    for i, b in enumerate(bytes_i):
+        phash = phash + F.when(b * feature_dim > total, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return feats.withColumn(out_col, phash)
+
+
+def ahash_dup_groups(
+    feats: DataFrame, feature_dim: int = 16, id_col: str = "media_id"
+) -> DataFrame:
+    """(ahash, n_items, first_media_id) for hash buckets holding more
+    than one image — the candidate groups an image-dedup stage
+    verifies (at scale: equi-join on the hash, exact/CNN verify within
+    the bucket; never all-pairs). One hash aggregation."""
+    return (
+        image_ahash(feats, feature_dim)
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min(id_col).alias("first_media_id"),
+        )
+        .filter(F.col("n_items") > 1)
+    )

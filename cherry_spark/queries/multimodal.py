@@ -119,3 +119,53 @@ def media_frame_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = _synth_media(docs, "video")
     return frame_sample_plan(media, every_nth=3, frame_bytes=32)
+
+
+_AHASH_DIM = 16
+
+
+def _ahash_oracle() -> str:
+    bytes_sql = [
+        f"('0x' || substr(dh, {2 * i + 1}, 2))::BIGINT" for i in range(_AHASH_DIM)
+    ]
+    total = " + ".join(bytes_sql)
+    bits = " + ".join(
+        f"CASE WHEN {b} * {_AHASH_DIM} > tot THEN {1 << i} ELSE 0 END"
+        for i, b in enumerate(bytes_sql)
+    )
+    return f"""
+    WITH h AS (
+        SELECT doc_id AS media_id, sha256(text) AS dh FROM documents
+    ),
+    ph AS (
+        SELECT media_id, dh, ({total}) AS tot FROM h
+    ),
+    hashed AS (
+        SELECT media_id, CAST({bits} AS BIGINT) AS ahash FROM ph
+    )
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_items,
+           min(media_id) AS first_media_id
+    FROM hashed GROUP BY ahash HAVING count(*) > 1
+    """
+
+
+@query(
+    "media_phash_dedup",
+    oracle=_ahash_oracle(),
+    doc="Perceptual-hash image dedup: average-hash (bit i = thumbnail "
+    "byte above the per-image mean, integer-only arithmetic) over the "
+    "decoded feature row, then ONE hash aggregation for duplicate "
+    "buckets — the image-dedup candidate stage (verify inside buckets "
+    "at scale, never all-pairs). Certified on the fake-codec path "
+    "(sha256-derived bytes, same expression); on PIL executors the "
+    "feature row is a real grayscale thumbnail and this is the classic "
+    "aHash (ext/multimodal.py:image_ahash).",
+)
+def media_phash_dedup(spark, sf_dir):
+    from cherry_spark.ext.multimodal import ahash_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = _synth_media(docs, "image")
+    feats = decode_image_features(media, feature_dim=_AHASH_DIM, codec="fake")
+    return ahash_dup_groups(feats, feature_dim=_AHASH_DIM)

@@ -107,3 +107,36 @@ def test_media_decode_features_query_recovers_digest_bytes(spark, sf_dir):
     assert [row[f"d{i}"] for i in range(8)] == list(digest[:8])
     assert row["width"] == int.from_bytes(payload[0:4], "big") % 4096
     assert row["height"] == int.from_bytes(payload[4:8], "big") % 4096
+
+
+def test_ahash_groups_identical_payloads(spark):
+    """Identical payloads share an aHash bucket; a very different
+    payload lands elsewhere; singleton buckets are not reported."""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.ext.multimodal import (
+        ahash_dup_groups,
+        decode_image_features,
+        image_ahash,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same payload text"), (2, "same payload text"), (3, "another thing")],
+        ["doc_id", "text"],
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.lit("t").alias("source"),
+        ).alias("meta"),
+    )
+    feats = decode_image_features(media, feature_dim=16, codec="fake")
+    hashes = {r["media_id"]: r["ahash"] for r in image_ahash(feats, 16).collect()}
+    assert hashes[1] == hashes[2]
+    groups = ahash_dup_groups(feats, feature_dim=16).collect()
+    dup = [g for g in groups if g["n_items"] >= 2]
+    assert len(dup) == 1 and dup[0]["first_media_id"] == 1

@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "mmr_diverse_topk",  # broadcast query table (3 rows) cross-joined by design
     "tfidf_top_terms",  # corpus size N: a 1-row aggregate cross-joined in
     "unigram_logprob",  # corpus token total: same 1-row aggregate cross-join
+    "mixing_temperature",  # 1-row normalizer aggregate cross-joined in
 }
 
 AUDIT = [
@@ -88,6 +89,8 @@ AUDIT = [
     "mmr_diverse_topk",
     "cdc_chunk_dedup",
     "jaccard_topk",
+    "mixing_temperature",
+    "media_phash_dedup",
 ]
 
 
