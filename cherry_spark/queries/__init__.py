@@ -3,18 +3,25 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-so the round-5 window is exactly:
+so the round-6 window is exactly:
 
-1. relational (20) + steps/decode (13) — the 33 queries whose latest
-   driver row is r03; shared infrastructure moved under them in round 4
-   (sources/tables.py parallelize flags, catalog, session conf), so they
-   rotate back in per the round-4 verdict item #1;
-2. ``_ROUND5_CHANGED`` — queries whose implementation or oracle changes
-   in round 5 (ngram shared materialization, JVM two-phase top-k, IVF
-   generated oracle, delta-dedup gate remodel, quantize-audit count fix,
-   funnel oracle precision fix, new u256 two-limb sum);
-3. everything else in prior-round order (all green in r04 on unchanged
-   code).
+1. ``_NEVER_CERTIFIED_R5`` — the nine round-5 operators that have never
+   had a driver row (they registered past position 50 in every prior
+   window; round-5 verdict item #1);
+2. ``_ROUND6_NEW`` — queries added in round 6 (the minhash-banding
+   delta-dedup gate and the semantic-dedup cluster-size monitor);
+3. ``_ROUND6_TOUCHED`` — queries whose implementation changed in round
+   6 (jaccard_topk hot-shingle cap is in group 1; delta_dedup shared
+   code, minhash precomputed-signature path, skew-rollup reuse, the
+   IVF-index infrastructure shared with semantic_dedup);
+4. ``_R04_STALE`` — the 30 oracle-bearing queries whose latest driver
+   row is r04 (they sat behind the 33 rotated-in relational/steps rows
+   all of round 5), rotated back in;
+5. four high-value r05-green rows that still fit the 50-row window
+   (flagship, u256 carry sum, funnel, quantize audit);
+6. everything else in prior-round order (all green in r05 on unchanged
+   code; the two permanent rows-only queries sit past the window where
+   they don't burn hash-check slots).
 """
 
 from cherry_spark.catalog import REGISTRY
@@ -26,37 +33,52 @@ import cherry_spark.queries.curation  # noqa: F401,E402
 import cherry_spark.queries.multimodal  # noqa: F401,E402
 import cherry_spark.queries.extensions  # noqa: F401,E402
 
-# Queries touched in round 5 — certify right after the 33 rotated-in rows.
-_ROUND5_CHANGED = [
-    "u256_sum",
-    "ann_ivf_topk",
-    "ngram_jaccard_pairs",
-    "cosine_topk",
-    "delta_dedup_verdicts",
-    "embedding_quantize_audit",
-    "funnel_conversion",
+_NEVER_CERTIFIED_R5 = [
+    "semantic_dedup", "mmr_diverse_topk", "gopher_filter",
+    "unigram_logprob", "bigram_logprob", "cdc_chunk_dedup",
+    "jaccard_topk", "media_phash_dedup", "mixing_temperature",
 ]
 
-_RELATIONAL_STEPS = [
-    # relational.py registration order
-    "project_select", "filter_range", "filter_in_set", "filter_prefix",
-    "semi_join_related", "trace_query_model", "join_inner_eq",
-    "join_composite_key", "join_left_dim", "agg_min_max",
-    "agg_resume_cursor", "groupby_sum", "groupby_multi",
-    "agg_count_distinct", "topk_orderby_limit", "union_all_batches",
-    "window_rownum_dedup", "window_tumbling_agg", "json_extract",
-    "flagship_revenue_by_nation",
-    # steps.py registration order
-    "cast_by_name", "cast_by_type", "hex_encode", "set_constant_col",
-    "sql_step", "udf_transform_step", "decode_fixedwidth",
-    "decode_dynamic_abi", "decode_dynamic_abi_arrow", "borsh_decode_fixed",
-    "glaciers_decode", "base58_encode", "u256_binary_roundtrip",
+_ROUND6_NEW = [
+    "delta_dedup_minhash_verdicts",
+    "semdedup_cluster_stats",
+]
+
+_ROUND6_TOUCHED = [
+    "delta_dedup_verdicts", "minhash_lsh_dedup", "ngram_jaccard_pairs",
+    "posting_skew_stats", "ann_ivf_topk",
+]
+
+_R04_STALE = [
+    "null_group_agg", "asof_join_latest_order", "repetition_stats",
+    "stratified_sample_lang", "pii_scrub_docs", "chunk_dedup",
+    "sequence_pack", "mixing_order", "doc_length_percentiles",
+    "media_decode_features", "media_frame_sample", "text_stats",
+    "token_count", "lang_id", "doc_fingerprint", "quality_score",
+    "exact_dedup_docs", "dedup_clusters", "dedup_clusters_star",
+    "cluster_keep_best", "simhash_dedup", "embed_neardup_pairs",
+    "deterministic_split", "token_freq_topn",
+    "semantic_lexical_agreement", "label_centroid_profile",
+    "corpus_report", "tfidf_top_terms", "decontaminate_overlap",
+    "ann_lsh_topk",
+]
+
+_R05_KEEP = [
+    "flagship_revenue_by_nation", "u256_sum", "funnel_conversion",
+    "embedding_quantize_audit",
 ]
 
 
 def _reorder_for_certification() -> None:
-    ordered = [n for n in _RELATIONAL_STEPS if n in REGISTRY]
-    ordered += [n for n in _ROUND5_CHANGED if n in REGISTRY and n not in ordered]
+    ordered: list[str] = []
+    for group in (
+        _NEVER_CERTIFIED_R5,
+        _ROUND6_NEW,
+        _ROUND6_TOUCHED,
+        _R04_STALE,
+        _R05_KEEP,
+    ):
+        ordered += [n for n in group if n in REGISTRY and n not in ordered]
     ordered += [n for n in REGISTRY if n not in ordered]
     snapshot = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
