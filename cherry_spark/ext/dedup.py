@@ -748,6 +748,7 @@ def jaccard_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     n_salt: int = 64,
+    max_shingle_freq: int = 500,
 ) -> DataFrame:
     """Text similarity SEARCH: for each query document, the top-k most
     Jaccard-similar corpus documents over distinct ``shingle_k``-gram
@@ -763,14 +764,37 @@ def jaccard_topk(
     JVM expressions, then an exact window over ≤ k × n_salt rows per
     query — no task ever sorts a query's full candidate set.
 
-    Documents shorter than ``shingle_k`` tokens have no shingles and
-    produce no rows (as query or candidate)."""
+    ``max_shingle_freq`` defines the measured profile itself, in BOTH
+    engines (the ``ngram_jaccard_pairs`` capped-profile contract,
+    ext/dedup.py:305): Jaccard is computed over A' = {s ∈ A :
+    corpus_doc_freq(s) ≤ cap}. Without the cap, one boilerplate
+    shingle shared by the whole corpus ("terms of service") degrades
+    the candidate join toward query × corpus; with it, the hot
+    shingles are dropped from BOTH posting sides via one broadcast
+    anti-join (the hot list is tiny by construction — only shingles
+    shared by > cap corpus documents) before the candidate shuffle,
+    which is therefore skew-free by construction. Hot shingles carry
+    no search signal — they rank every corpus doc equally.
+
+    Documents shorter than ``shingle_k`` tokens — or whose every
+    shingle is hot — have no profile and produce no rows (as query or
+    candidate)."""
     qp = shingle_postings(query, query_id_col, text_col, shingle_k).withColumnsRenamed(
         {"id": "__qid"}
     )
     cp = shingle_postings(corpus, id_col, text_col, shingle_k).withColumnsRenamed(
         {"id": "__cid"}
     )
+    # hot list from CORPUS doc-freq (map-side partial count -> tiny
+    # rollup), dropped from both sides before the candidate equi-join
+    hot = (
+        cp.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_freq"))
+        .filter(F.col("df_freq") > max_shingle_freq)
+        .select("shingle")
+    )
+    qp = qp.join(F.broadcast(hot), "shingle", "left_anti")
+    cp = cp.join(F.broadcast(hot), "shingle", "left_anti")
     shared = (
         qp.join(cp, "shingle").groupBy("__qid", "__cid").agg(F.count(F.lit(1)).alias("c"))
     )
@@ -823,20 +847,32 @@ def jaccard_topk_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_freq: int = 500,
 ) -> str:
     """DuckDB twin of ``jaccard_topk`` (query docs drawn from the same
-    table by id): distinct shingle sets via list_distinct, intersection
-    via list_intersect — the all-pairs ground truth, so the match also
-    certifies the inverted-index + salted-partial plan as a pure
-    physical optimization."""
+    table by id): distinct shingle sets via list_distinct, filtered to
+    the CAPPED profile (corpus doc_freq <= ``max_shingle_freq`` — the
+    same measure the Spark side computes), intersection via
+    list_intersect — the all-pairs ground truth over that profile, so
+    the match also certifies the inverted-index + broadcast-anti-join
+    + salted-partial plan as a pure physical optimization."""
     toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
     grams = f"""list_distinct(list_transform(
         range(greatest(len({toks}) - {shingle_k - 1}, 0)),
         i -> array_to_string(list_slice({toks}, i + 1, i + {shingle_k}), ' ')))"""
     ids = ", ".join(str(i) for i in query_ids)
     return f"""
-    WITH sh AS (
+    WITH raw AS (
         SELECT {id_col} AS id, {grams} AS sh FROM {table}
+    ),
+    posting AS (SELECT id, s FROM raw, UNNEST(sh) AS u(s)),
+    keepable AS (
+        SELECT s FROM posting GROUP BY s HAVING COUNT(*) <= {max_shingle_freq}
+    ),
+    sh AS (
+        SELECT p.id, list(p.s) AS sh
+        FROM posting p JOIN keepable k USING (s)
+        GROUP BY p.id
     ),
     nonempty AS (SELECT id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
     scored AS (

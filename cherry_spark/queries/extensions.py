@@ -578,20 +578,26 @@ def embed_neardup_pairs(spark, sf_dir):
 def _jaccard_topk_oracle() -> str:
     from cherry_spark.ext.dedup import jaccard_topk_oracle_sql
 
-    return jaccard_topk_oracle_sql(k=5, query_ids=[0, 1, 2])
+    return jaccard_topk_oracle_sql(k=5, query_ids=[0, 1, 2], max_shingle_freq=5)
 
 
 @query(
     "jaccard_topk",
-    # all-pairs list_intersect ground truth: the match certifies the
-    # inverted-index + salted-partial plan as a physical optimization
+    # all-pairs list_intersect ground truth over the CAPPED profile:
+    # the match certifies the inverted-index + broadcast-anti-join +
+    # salted-partial plan as a physical optimization. Cap=5 here
+    # (operator default 500) so the gate corpus actually exercises the
+    # hot-shingle drop: 29 shingles exceed df 5 at sf0.01.
     oracle=_jaccard_topk_oracle(),
     doc="Text similarity SEARCH (lexical counterpart of cosine_topk): "
     "top-k most Jaccard-similar corpus docs per query doc over "
-    "distinct 3-gram shingle sets — candidates from the shingle "
-    "inverted index (a query only meets docs it shares a shingle "
-    "with), then the same salted two-phase JVM top-k as "
-    "brute_force_topk (ext/dedup.py:jaccard_topk).",
+    "distinct 3-gram shingle sets, measured on the capped profile "
+    "(corpus doc_freq <= cap, modeled identically in the oracle) — "
+    "hot boilerplate shingles are dropped from both posting sides "
+    "via a broadcast anti-join BEFORE the candidate shuffle, so a "
+    "'terms of service' shingle can no longer fan the candidate join "
+    "toward query x corpus; then the same salted two-phase JVM top-k "
+    "as brute_force_topk (ext/dedup.py:jaccard_topk).",
 )
 def jaccard_topk_q(spark, sf_dir):
     from cherry_spark.ext.dedup import jaccard_topk
@@ -600,7 +606,7 @@ def jaccard_topk_q(spark, sf_dir):
     q = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    return jaccard_topk(docs, q, k=5)
+    return jaccard_topk(docs, q, k=5, max_shingle_freq=5)
 
 
 def _mmr_oracle() -> str:

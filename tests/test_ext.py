@@ -553,3 +553,42 @@ def test_jaccard_topk_ranks_overlap(spark):
     assert ids[0] == 1 and rows[0][2] == 1.0      # self
     assert ids[1] == 2                             # near copy second
     assert 3 in ids and 4 not in ids               # disjoint doc absent
+
+
+def test_jaccard_topk_hot_shingle_cap(spark):
+    """Planted boilerplate: a shingle shared by a 200-doc clone class
+    would fan the candidate join toward query x corpus; with the cap
+    it is dropped from BOTH posting sides before the shuffle, so the
+    boilerplate docs contribute no candidates at all and real matches
+    are ranked on the capped measure. An all-boilerplate query doc has
+    an empty capped profile and returns no rows."""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.ext.dedup import jaccard_topk
+
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, boiler) for i in range(200)]
+    rows.append((1000, "spark catalyst optimizer rewrites logical plans into physical plans"))
+    rows.append((1001, "spark catalyst optimizer rewrites logical plans into physical stages"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # query 1: real text; query 2: pure boilerplate (empty capped profile)
+    q = spark.createDataFrame(
+        [
+            (1, "spark catalyst optimizer rewrites logical plans into physical plans"),
+            (2, boiler),
+        ],
+        "query_id long, text string",
+    )
+    got = jaccard_topk(docs, q, k=3, max_shingle_freq=50).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["jaccard"]))
+    # boilerplate query: every shingle hot -> no profile -> no rows
+    assert 2 not in by_q
+    # real query: only the two real docs are candidates (the 200-doc
+    # clone class never enters the join), exact self-match first
+    assert [d for d, _ in sorted(by_q[1], key=lambda t: -t[1])] == [1000, 1001]
+    assert by_q[1][0][1] <= 1.0 and len(by_q[1]) == 2
+    # uncapped run for contrast: the boilerplate query meets the clone class
+    unc = jaccard_topk(docs, q, k=3, max_shingle_freq=10**6)
+    assert unc.filter(F.col("query_id") == 2).count() == 3
