@@ -117,6 +117,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 128,
     shingle_k: int = 3,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Per-document MinHash signature columns h0..h{n-1}.
 
@@ -128,21 +129,49 @@ def minhash_signatures(
       unlike the older lead()-window assembly there is NO shuffle
       before aggregation: the only exchange in the whole signature
       pipeline is the final groupBy(id));
-    - hash each shingle ONCE (xxhash64 of the shingle string), then
-      derive the n-hash family from that single 64-bit value with
-      fixed-width rehashes ``xxhash64(h, i)`` — 1 variable-width + n
-      fixed-width hashes per posting instead of n string hashes;
+    - hash each shingle ONCE, then derive the n-hash family from that
+      single base value with fixed-width rehashes — 1 variable-width +
+      n fixed-width hashes per posting instead of n string hashes;
     - groupBy(id) with n MIN aggregates (map-side partial min -> one
       shuffle on id). Duplicate shingles don't affect MIN, so no
       distinct pass is needed (word_shingles_raw).
+
+    ``hash_family``: ``"xxhash"`` (default — JVM xxhash64, the fast
+    production family) or ``"md5"`` — a PORTABLE family whose every
+    value DuckDB can recompute bit-for-bit (the simhash md5-limb
+    trick): base = md5(shingle) hex, h_i = 60-bit prefix of
+    md5(base || '|' || i), i.e. Spark ``conv(substr(md5(..),1,15),
+    16,10)`` == DuckDB ``('0x' || substr(md5(..),1,15))::BIGINT``.
+    The md5 family exists so minhash BANDING itself is certifiable
+    cross-engine (delta_dedup_minhash_verdicts); same MIN/band logic
+    either way.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles_raw(F.col(text_col), shingle_k)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("h"))
-    hashed = base.select(
-        "id", *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
-    )
+    if hash_family == "md5":
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles_raw(F.col(text_col), shingle_k)).alias("shingle"),
+        ).select("id", F.md5("shingle").alias("h"))
+        hashed = base.select(
+            "id",
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", "h", F.lit(str(i)))), 1, 15),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias(f"h{i}")
+                for i in range(n_hashes)
+            ],
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles_raw(F.col(text_col), shingle_k)).alias("shingle"),
+        ).select("id", F.xxhash64("shingle").alias("h"))
+        hashed = base.select(
+            "id", *[F.xxhash64("h", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+        )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -427,6 +456,7 @@ def delta_dedup(
     bands: int = 32,
     max_bucket_size: int = 500,
     candidate_gen: str = "minhash",
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Incremental ingestion dedup: classify every BATCH document
     against an existing CORPUS as ``exact_dup`` (byte-identical text
@@ -460,20 +490,23 @@ def delta_dedup(
     """
     rows = n_hashes // bands
 
+    def band_key(b: int):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        if hash_family == "md5":
+            # portable band key: md5 of the comma-joined row minima ==
+            # DuckDB md5(string_agg(h::VARCHAR, ',' ORDER BY i))
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(F.lit(b), *cols)
+
     def banded(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+        sig = minhash_signatures(
+            df, id_col, text_col, n_hashes, shingle_k, hash_family
+        )
         return sig.select(
             "id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_idx", "band_key"),
+            F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+                "band_idx", "band_key"
+            ),
         )
     batch_ids = batch.select(F.col(id_col).alias("id"))
     exact = (
@@ -560,6 +593,82 @@ def delta_dedup(
             .alias("verdict"),
         )
     )
+
+
+def delta_dedup_minhash_oracle_sql(
+    n_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    max_bucket_size: int,
+    shingle_k: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_pred: str = "doc_id % 5 = 0",
+) -> str:
+    """DuckDB twin of ``delta_dedup(candidate_gen='minhash',
+    hash_family='md5')`` — generated beside the Spark implementation so
+    the banding rule cannot drift. Unlike the candidate-complete exact
+    oracle (an all-pairs EXISTS), this models the SCALE PATH itself:
+    portable md5 minhash signatures (min over shingles of the 60-bit
+    prefix of md5(md5(s) || '|' || i)), md5 band keys over the
+    comma-joined row minima, the corpus-bucket cap, the batch x corpus
+    candidate join, and exact-Jaccard verification — so banding recall
+    < 1 and capped buckets are IN the certified contract rather than
+    threats to it (round-5 verdict item #3)."""
+    rows = n_hashes // bands
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    grams = f"""list_distinct(list_transform(
+        range(greatest(len({toks}) - {shingle_k - 1}, 0)),
+        i -> array_to_string(list_slice({toks}, i + 1, i + {shingle_k}), ' ')))"""
+    return f"""
+    WITH raw AS (
+        SELECT {id_col} AS id, {text_col} AS text, {grams} AS sh FROM {table}
+    ),
+    batch AS (SELECT * FROM raw WHERE {batch_pred.replace(id_col, 'id')}),
+    corpus AS (SELECT * FROM raw WHERE NOT ({batch_pred.replace(id_col, 'id')})),
+    posting AS (SELECT id, s FROM raw, UNNEST(sh) AS u(s)),
+    sig AS (
+        SELECT p.id, t.i,
+               MIN(('0x' || substr(md5(md5(p.s) || '|' || t.i), 1, 15))::BIGINT)
+                   AS h
+        FROM posting p, range({n_hashes}) t(i)
+        GROUP BY p.id, t.i
+    ),
+    bandkeys AS (
+        SELECT id, i // {rows} AS band_idx,
+               md5(string_agg(h::VARCHAR, ',' ORDER BY i)) AS band_key
+        FROM sig GROUP BY id, i // {rows}
+    ),
+    corpus_bands AS (SELECT b.* FROM bandkeys b JOIN corpus USING (id)),
+    batch_bands AS (SELECT b.* FROM bandkeys b JOIN batch USING (id)),
+    kept AS (
+        SELECT band_idx, band_key FROM corpus_bands
+        GROUP BY band_idx, band_key HAVING COUNT(*) <= {max_bucket_size}
+    ),
+    candidates AS (
+        SELECT DISTINCT bb.id AS bid, cb.id AS cid
+        FROM batch_bands bb
+        JOIN kept USING (band_idx, band_key)
+        JOIN corpus_bands cb USING (band_idx, band_key)
+    ),
+    near AS (
+        SELECT DISTINCT cand.bid AS id
+        FROM candidates cand
+        JOIN raw b ON b.id = cand.bid
+        JOIN raw c ON c.id = cand.cid
+        WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
+              / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+              >= {jaccard_threshold}
+    )
+    SELECT b.id,
+           CASE WHEN EXISTS (SELECT 1 FROM corpus c
+                             WHERE md5(c.text) = md5(b.text))
+                THEN 'exact_dup'
+                WHEN b.id IN (SELECT id FROM near) THEN 'near_dup'
+                ELSE 'unique' END AS verdict
+    FROM batch b
+    """
 
 
 def band_bucket_stats(

@@ -1027,6 +1027,53 @@ def delta_dedup_verdicts(spark, sf_dir):
     return delta_dedup(corpus, batch, candidate_gen="exact")
 
 
+def _delta_minhash_oracle() -> str:
+    from cherry_spark.ext.dedup import delta_dedup_minhash_oracle_sql
+
+    return delta_dedup_minhash_oracle_sql(
+        n_hashes=32, bands=8, jaccard_threshold=0.8, max_bucket_size=1
+    )
+
+
+@query(
+    "delta_dedup_minhash_verdicts",
+    # generated oracle models the SCALE PATH itself — portable md5
+    # minhash signatures, band keys, the corpus-bucket cap, and the
+    # batch x corpus candidate join — so banding recall < 1 and capped
+    # buckets are part of the certified contract, not threats to it.
+    # cap=1 here (operator default 500): the sf0.01 corpus' largest
+    # band bucket is 2, and the cap drops exactly one candidate pair
+    # (12 near_dups survive vs 13 uncapped), exercising both branches.
+    oracle=_delta_minhash_oracle(),
+    doc="Incremental ingestion dedup, minhash-banding mode — the 100 TB "
+    "production path (corpus signatures precomputable, batch x corpus "
+    "band-key join only, degenerate corpus buckets capped before the "
+    "probe). Certified with hash_family='md5': signatures are min over "
+    "shingles of the 60-bit prefix of md5(md5(s) || '|' || i) and band "
+    "keys md5 of the comma-joined row minima, both recomputable "
+    "bit-for-bit in DuckDB (the simhash portable-limb trick), so the "
+    "oracle replays banding + cap + verify exactly. The candidate-"
+    "COMPLETE twin (delta_dedup_verdicts) stays certified against the "
+    "all-pairs EXISTS ground truth. ext/dedup.py:delta_dedup.",
+)
+def delta_dedup_minhash_verdicts(spark, sf_dir):
+    from cherry_spark.ext.dedup import delta_dedup
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return delta_dedup(
+        corpus,
+        batch,
+        jaccard_threshold=0.8,
+        n_hashes=32,
+        bands=8,
+        max_bucket_size=1,
+        candidate_gen="minhash",
+        hash_family="md5",
+    )
+
+
 @query(
     "posting_skew_stats",
     oracle=f"""

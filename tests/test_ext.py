@@ -170,14 +170,39 @@ def test_delta_dedup_verdict_precedence(spark):
         ],
         "doc_id long, text string",
     )
-    for gen in ("minhash", "exact"):
+    for gen, fam in (
+        ("minhash", "xxhash"),
+        ("minhash", "md5"),  # portable certified family — same logic
+        ("exact", "xxhash"),
+    ):
         got = {
             r["id"]: r["verdict"]
             for r in delta_dedup(
-                corpus, batch, jaccard_threshold=0.5, candidate_gen=gen
+                corpus,
+                batch,
+                jaccard_threshold=0.5,
+                candidate_gen=gen,
+                hash_family=fam,
             ).collect()
         }
-        assert got == {10: "exact_dup", 11: "near_dup", 12: "unique"}, gen
+        assert got == {10: "exact_dup", 11: "near_dup", 12: "unique"}, (gen, fam)
+
+
+def test_delta_dedup_portable_family_matches_xxhash_on_fixture(spark):
+    """hash_family only changes the hash constants, never the banding
+    logic: on the fixture corpus (banding recall 1 for both families at
+    these parameters) the md5 and xxhash families return identical
+    verdict tables."""
+    from cherry_spark.ext.dedup import delta_dedup
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b = docs.filter(F.col("doc_id") % 5 == 0)
+    c = docs.filter(F.col("doc_id") % 5 != 0)
+    kw = dict(jaccard_threshold=0.8, n_hashes=32, bands=8)
+    xx = {tuple(r) for r in delta_dedup(c, b, hash_family="xxhash", **kw).collect()}
+    md = {tuple(r) for r in delta_dedup(c, b, hash_family="md5", **kw).collect()}
+    assert xx == md and len(xx) > 0
 
 
 def test_delta_dedup_exact_mode_candidate_complete(spark):
