@@ -42,6 +42,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """(id, centroid_id, is_dup): is_dup = 1 iff a lower-id vector in
     the same IVF cluster has round(cosine, 6) >= threshold.
@@ -54,6 +55,22 @@ def semantic_dedup(
     directory — and the in-line index build (several corpus scans for
     seeds/Lloyd/assign) is skipped entirely. That is the 100 TB path:
     build the index once, run dedup (and search) against it.
+
+    ``max_cluster_size``: degenerate-cluster guard. The pairwise cost
+    is Σ|cluster|² BY DESIGN, and the ``n_centroids ≈ N /
+    target_cluster_size`` sizing rule keeps every key bounded on a
+    healthy corpus — but an adversarial corpus (every embedding
+    near-identical) collapses into ONE centroid and the equi-join
+    becomes a quadratic single-key join in one task. With the cap set,
+    clusters larger than it are excluded from the self-join via a
+    count filter (their id lists are never collected, the degenerate
+    key never enters the join) and their members are returned with
+    ``is_dup = 0`` — kept, not silently dropped. A capped cluster IS
+    a finding: its members are near-identical en masse, so route them
+    through ``similarity.blocked_pairs_exact`` or exact dedup, and
+    monitor the volume with ``semdedup_cluster_stats`` (the dropped-
+    pair accounting twin, same cap). Default ``None`` preserves the
+    exact SemDeDup semantics the certified oracle models.
     """
     if assigned is None:
         centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
@@ -67,13 +84,27 @@ def semantic_dedup(
         # re-running scan + crossJoin-assign + argmax per reference
         .repartition("centroid_id")
     )
-    a = corpus.select(
+    if max_cluster_size is not None:
+        # count-filter guard: the oversized centroid key is dropped
+        # BEFORE either self-join side, so no task ever receives the
+        # quadratic key (same pattern as the minhash/ngram bucket
+        # caps — a count rollup is immune to the skew it measures)
+        small = (
+            corpus.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("__cn"))
+            .filter(F.col("__cn") <= max_cluster_size)
+            .select("centroid_id")
+        )
+        joinable = corpus.join(F.broadcast(small), "centroid_id")
+    else:
+        joinable = corpus
+    a = joinable.select(
         "centroid_id",
         F.col(id_col).alias("__aid"),
         F.col(vec_col).alias("__av"),
         F.col("__n").alias("__an"),
     )
-    b = corpus.select(
+    b = joinable.select(
         "centroid_id",
         F.col(id_col).alias("__bid"),
         F.col(vec_col).alias("__bv"),
@@ -133,4 +164,62 @@ def semantic_dedup_oracle_sql(
                  AND round({pair_sim}, 6) >= {threshold}
            ) THEN 1 ELSE 0 END AS is_dup
     FROM corpus c
+    """
+
+
+def semdedup_cluster_stats(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 500,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Degenerate-cluster monitor for ``semantic_dedup`` — the
+    ``posting_skew_stats`` pattern applied to IVF cluster sizes: one
+    row of (n_buckets, max_bucket, n_capped, docs_in_capped,
+    pairs_dropped, pairs_kept) where a "bucket" is a cluster and
+    pairs are the within-cluster comparisons ``semantic_dedup`` with
+    the same ``max_cluster_size`` would run vs skip. Aggregate-only —
+    cluster SIZES, never members — so the monitor is immune to the
+    degenerate clusters it measures. Run it before (or alongside) a
+    dedup job: a rising pairs_dropped means the corpus is collapsing
+    into few centroids — raise n_centroids, pre-strip exact dups, or
+    accept the cap's keep-all verdict for those clusters."""
+    from cherry_spark.ext.dedup import _bucket_size_rollup
+
+    if assigned is None:
+        centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    return _bucket_size_rollup(sizes.groupBy(), max_cluster_size)
+
+
+def semdedup_cluster_stats_oracle_sql(
+    dim: int,
+    n_centroids: int = 16,
+    max_cluster_size: int = 500,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Generated DuckDB twin of ``semdedup_cluster_stats``: the shared
+    deterministic-index CTEs, cluster sizes from assign1, and the same
+    cap rollup the posting_skew_stats oracle uses."""
+    return f"""
+    WITH {index_ctes_sql(dim, n_centroids, table, id_col, vec_col)},
+    sizes AS (
+        SELECT centroid_id, COUNT(*) AS n FROM assign1 GROUP BY centroid_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(COALESCE(SUM(CASE WHEN n > {max_cluster_size} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_capped,
+           CAST(COALESCE(SUM(CASE WHEN n > {max_cluster_size} THEN n ELSE 0 END), 0)
+                AS BIGINT) AS docs_in_capped,
+           CAST(COALESCE(SUM(CASE WHEN n > {max_cluster_size} THEN n*(n-1)//2
+                             ELSE 0 END), 0) AS BIGINT) AS pairs_dropped,
+           CAST(COALESCE(SUM(CASE WHEN n <= {max_cluster_size} THEN n*(n-1)//2
+                             ELSE 0 END), 0) AS BIGINT) AS pairs_kept
+    FROM sizes
     """

@@ -707,6 +707,40 @@ def semantic_dedup_q(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.3, n_centroids=16, assigned=assigned)
 
 
+def _semdedup_stats_oracle() -> str:
+    from cherry_spark.ext.semdedup import semdedup_cluster_stats_oracle_sql
+
+    return semdedup_cluster_stats_oracle_sql(dim=64, n_centroids=16, max_cluster_size=30)
+
+
+@query(
+    "semdedup_cluster_stats",
+    # generated oracle: shared deterministic-IVF CTEs + the same cap
+    # rollup posting_skew_stats certifies. Cap=30 here (operator
+    # default 500) so the fixture exercises both branches: 11 of 16
+    # clusters capped at sf0.01.
+    oracle=_semdedup_stats_oracle(),
+    doc="Degenerate-cluster monitor for semantic_dedup (the "
+    "posting_skew_stats pattern on IVF cluster sizes): n_clusters, "
+    "largest cluster, and the within-cluster pair volume a "
+    "max_cluster_size cap keeps vs drops. Aggregate-only — sizes, "
+    "never members — so the monitor is immune to the degenerate "
+    "clusters it measures; pairs_dropped rising means the corpus is "
+    "collapsing into few centroids (raise n_centroids or pre-strip "
+    "exact dups). ext/semdedup.py:semdedup_cluster_stats.",
+)
+def semdedup_cluster_stats_q(spark, sf_dir):
+    from cherry_spark.ext.semdedup import semdedup_cluster_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = spark.read.parquet(
+        f"{_ensure_ivf_index(spark, sf_dir)}/corpus"
+    ).select("vec_id", "centroid_id")
+    return semdedup_cluster_stats(
+        emb, n_centroids=16, max_cluster_size=30, assigned=assigned
+    )
+
+
 @query(
     "ann_ivf_topk",
     # The index is fully deterministic (lowest-id seeds, one Lloyd pass

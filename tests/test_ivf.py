@@ -156,3 +156,38 @@ def test_semantic_dedup_prebuilt_assignment(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert inline == reused
+
+
+def test_semantic_dedup_degenerate_cluster_cap(spark):
+    """An all-identical-embedding corpus collapses into ONE centroid;
+    with max_cluster_size set the quadratic key is count-filtered out
+    before either self-join side, every member comes back with
+    is_dup=0 (kept, not dropped), and the monitor accounts for the
+    skipped pair volume. A small healthy cluster alongside still
+    dedups normally."""
+    from cherry_spark.ext.semdedup import semantic_dedup, semdedup_cluster_stats
+
+    # ids 0 and 1 are the deterministic seeds — keep them DISTINCT so
+    # the two centroids differ; the clone class fills cluster B
+    n_clone = 400
+    rows = [(0, [0.0, 1.0, 0.0, 0.0])]          # cluster A seed
+    rows += [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, n_clone + 1)]
+    rows.append((1000, [0.0, 1.0, 0.0, 0.0]))   # clone of 0 in cluster A
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(
+            vec, threshold=0.9, n_centroids=2, max_cluster_size=100
+        ).collect()
+    }
+    assert len(out) == n_clone + 2  # every row returned exactly once
+    assert all(out[i] == 0 for i in range(1, n_clone + 1))  # capped: kept
+    assert out[0] == 0 and out[1000] == 1  # healthy cluster dedups
+
+    stats = semdedup_cluster_stats(
+        vec, n_centroids=2, max_cluster_size=100
+    ).collect()[0]
+    assert stats["n_capped"] == 1
+    assert stats["docs_in_capped"] == n_clone
+    assert stats["pairs_dropped"] == n_clone * (n_clone - 1) // 2
+    assert stats["pairs_kept"] == 1
