@@ -186,6 +186,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = 500,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash banding for candidates, exact
     shingle-set Jaccard verification of candidates only.
@@ -205,9 +206,24 @@ def minhash_lsh_pairs(
     boilerplate clones — route them through ``exact_dedup`` /
     ``chunk_dedup_stats``, which handle identical text in one hash
     aggregation; use ``band_bucket_stats`` to monitor the volume.
+
+    ``signatures``: optionally pass a precomputed (id, h0..h{n-1})
+    signature table — e.g. one stored at ingest by
+    ``minhash_signatures(df).write.parquet(...)`` — and the signature
+    pipeline (shingle explode + n hashes + n MIN aggs, the dominant
+    cost of this operator) is skipped entirely. The 100 TB shape:
+    signatures are computed ONCE per document at ingest and reused by
+    every dedup run, exactly as ``delta_dedup`` treats its corpus
+    side and ``semantic_dedup(assigned=...)`` treats the IVF
+    assignment. Must cover the same corpus as ``df`` with matching
+    n_hashes (ids absent from ``signatures`` produce no candidates).
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    )
     banded = sig.select(
         "id",
         F.array(

@@ -188,6 +188,24 @@ def test_delta_dedup_verdict_precedence(spark):
         assert got == {10: "exact_dup", 11: "near_dup", 12: "unique"}, (gen, fam)
 
 
+def test_minhash_lsh_precomputed_signatures(spark, tmp_path):
+    """The stored-signature path (compute once at ingest, reuse per
+    dedup run) returns exactly the default path's pairs + values."""
+    from cherry_spark.ext.dedup import minhash_signatures
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sig_path = str(tmp_path / "sigs")
+    minhash_signatures(docs).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+
+    inline = {tuple(r) for r in minhash_lsh_pairs(docs).collect()}
+    reused = {
+        tuple(r) for r in minhash_lsh_pairs(docs, signatures=stored).collect()
+    }
+    assert inline == reused and len(inline) > 0
+
+
 def test_delta_dedup_portable_family_matches_xxhash_on_fixture(spark):
     """hash_family only changes the hash constants, never the banding
     logic: on the fixture corpus (banding recall 1 for both families at
