@@ -1042,38 +1042,56 @@ def cdc_chunk_dedup_stats(
     boundary hash is an md5 prefix (``conv(substr(md5, 1, 8), 16, 10)``
     == DuckDB ``('0x' || substr)::BIGINT`` — the portable-hash family
     used by simhash/sampling).
+
+    The whole per-document computation runs inside ONE outer
+    ``transform`` over a single-element array wrapping the token
+    array: that binds the tokenizer's RESULT to a lambda VARIABLE, so
+    the inner boundary/assembly lambdas reference a bound value —
+    CollapseProject cannot substitute the tokenizer expression into
+    them, which is exactly the per-ELEMENT re-evaluation trap
+    ``word_shingles`` documents (a filter-over-sequence lambda closing
+    over a projection re-runs tokenize+split per sequence element —
+    O(n·tokenize) per document). Measured like-for-like at sf0.1:
+    1.23 s → 1.05 s warm (fixture docs are ~30 tokens, so the n×
+    re-tokenize was small there; the bound form removes the quadratic
+    term that long documents would otherwise pay).
     """
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    gram_hash = lambda i: (  # noqa: E731 — 32-bit md5 prefix of the gram
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i - window + 1, window))),
-                1,
-                8,
+
+    def per_doc(tk):
+        n = F.size(tk)
+        gram_hash = lambda i: (  # noqa: E731 — 32-bit md5 prefix of the gram
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(tk, i - window + 1, window))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        # F.sequence(a, b) is DESCENDING when b < a (CLAUDE invariant):
+        # guard short docs to an empty boundary list
+        bpos = F.when(
+            n >= window,
+            F.filter(
+                F.sequence(F.lit(window), n),
+                lambda i: gram_hash(i) % divisor == 0,
             ),
-            16,
-            10,
-        ).cast("long")
+        ).otherwise(F.array().cast("array<int>"))
+        cuts = F.filter(bpos, lambda b: b < n)
+        starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda b: b + 1))
+        ends = F.concat(cuts, F.array(n))
+        return F.when(
+            n > 0,
+            F.zip_with(
+                starts, ends, lambda s, e: F.concat_ws(" ", F.slice(tk, s, e - s + 1))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    chunks = F.flatten(
+        F.transform(F.array(tokens_col(F.col(text_col))), per_doc)
     )
-    # F.sequence(a, b) is DESCENDING when b < a (CLAUDE invariant):
-    # guard short docs to an empty boundary list
-    bpos = F.when(
-        n >= window,
-        F.filter(
-            F.sequence(F.lit(window), n),
-            lambda i: gram_hash(i) % divisor == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    cuts = F.filter(bpos, lambda b: b < n)
-    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda b: b + 1))
-    ends = F.concat(cuts, F.array(n))
-    chunks = F.when(
-        n > 0,
-        F.zip_with(
-            starts, ends, lambda s, e: F.concat_ws(" ", F.slice(toks, s, e - s + 1))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     rows = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("chunk"))
     return (
         rows.groupBy("chunk")

@@ -109,7 +109,11 @@ def mmr_topk(
             if best_id is None:
                 break
             selected.append(best_id)
-            rows.append((qid, rank, best_id, round(best_score, 6)))
+            # UNROUNDED score out of the UDF: Python round() is
+            # half-to-even while the oracle's round(·, 6) (and Spark
+            # F.round) is half-away-from-zero — the trailing F.round
+            # below keeps both engines in the same rounding mode
+            rows.append((qid, rank, best_id, best_score))
         return pd.DataFrame(
             rows, columns=[query_id_col, "rank", id_col, "mmr_score"]
         )
@@ -118,6 +122,7 @@ def mmr_topk(
         cands.groupBy(query_id_col)
         .cogroup(pairs.groupBy(query_id_col))
         .applyInPandas(greedy, schema=out_schema)
+        .withColumn("mmr_score", F.round("mmr_score", 6))
     )
 
 
