@@ -13,7 +13,12 @@ headline list inflates every query's time (code-cache + GC pressure) —
 the r02→r03 "+12% on unchanged queries" drift reproduced as suite-size
 interference: at the r04 HEAD, the exact r02 24-query subset
 (SPARK_GRAFT_BENCH_QUERIES) ran 18.36 s warm vs r02's 18.81 s. Compare
-totals only on equal query sets.
+totals only on equal query sets. To make that comparison free every
+round (round-5 verdict item #8), the frozen r02 24-query set (PINNED)
+runs FIRST — the JVM state any pinned query sees depends only on the
+pinned prefix, never on suite growth behind it — and the JSON line
+carries ``pinned_total`` / ``pinned_warm_total`` alongside the full
+suite, so cross-round drift analysis needs no worktree re-runs.
 """
 
 from __future__ import annotations
@@ -28,8 +33,9 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
 
-HEADLINE = [
-    # relational core
+# FROZEN like-for-like subset = the exact r02 bench set. Never edit
+# this list: its totals are the only cross-round-comparable series.
+PINNED = [
     "flagship_revenue_by_nation",
     "groupby_sum",
     "join_inner_eq",
@@ -39,11 +45,9 @@ HEADLINE = [
     "window_rownum_dedup",
     "window_tumbling_agg",
     "json_extract",
-    # step library
     "decode_fixedwidth",
     "hex_encode",
     "cast_by_type",
-    # training-data extensions
     "text_stats",
     "token_count",
     "exact_dedup_docs",
@@ -51,15 +55,19 @@ HEADLINE = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embed_neardup_pairs",
-    "repetition_stats",
-    "chunk_dedup",
-    "stratified_sample_lang",
-    "pii_scrub_docs",
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "session_window_agg",
     "asof_join_latest_order",
+]
+
+HEADLINE = PINNED + [
+    # training-data extensions beyond the pinned set
+    "repetition_stats",
+    "chunk_dedup",
+    "stratified_sample_lang",
+    "pii_scrub_docs",
     "sequence_pack",
     "dedup_clusters",
     "media_decode_features",
@@ -120,6 +128,7 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    pinned_run = [q for q in PINNED if q in timings]
     print(
         json.dumps(
             {
@@ -129,6 +138,11 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                # frozen r02 24-query series (runs first in the JVM —
+                # see module docstring): the cross-round drift signal
+                "pinned_total": round(sum(timings[q] for q in pinned_run), 3),
+                "pinned_warm_total": round(sum(warm[q] for q in pinned_run), 3),
+                "pinned_n": len(pinned_run),
                 "sf": sf,
             }
         )
