@@ -115,10 +115,37 @@ class LocalReplayProvider(Provider):
 class _NetworkProvider(Provider):
     """Shared shape of the live adapters: window the cursor range, call
     the injected transport per window. Without a transport the adapter
-    fails loudly — no fake network data."""
+    fails loudly — no fake network data.
+
+    Transport contract (the part cherry_core.ingest implements natively
+    in the reference; here it is the ``fetch_fn`` seam so it can be
+    driven by a real HTTP client or a recorded fixture):
+
+    - ``fetch_fn(url, query, lo, hi)`` returns either a plain Batch
+      covering the whole ``[lo, hi]`` window, or a ``(batch,
+      next_start)`` tuple when the server returned a SHORT PAGE
+      (HyperSync's ``next_block`` behavior: a response may cover fewer
+      blocks than asked). The adapter yields the page and immediately
+      re-requests ``[next_start, hi]`` — pagination never loses or
+      re-fetches a block, and each page streams straight into the
+      pipeline as its own batch.
+    - a raised exception is retried up to ``options["max_retries"]``
+      times (default 2) for the SAME request — transient transport
+      failures never skip a window. The final attempt re-raises.
+    """
 
     def __init__(self, config: ProviderConfig):
         self.config = config
+
+    def _fetch_with_retry(self, query, lo: int, hi: int) -> Batch | tuple:
+        retries = int(self.config.options.get("max_retries", 2))
+        for attempt in range(retries + 1):
+            try:
+                return self.config.fetch_fn(self.config.url, query, lo, hi)
+            except Exception:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def start_stream(self, spark, query, batch_size=1000):
         if self.config.fetch_fn is None:
@@ -135,7 +162,20 @@ class _NetworkProvider(Provider):
         start = lo
         while start <= hi:
             end = min(start + batch_size - 1, hi)
-            yield self.config.fetch_fn(self.config.url, query, start, end)
+            page_start = start
+            while page_start <= end:
+                resp = self._fetch_with_retry(query, page_start, end)
+                if isinstance(resp, tuple):
+                    batch, next_start = resp
+                    if next_start <= page_start:
+                        raise ValueError(
+                            f"transport returned non-advancing cursor "
+                            f"{next_start} for request [{page_start}, {end}]"
+                        )
+                else:
+                    batch, next_start = resp, end + 1
+                yield batch
+                page_start = next_start
             start = end + 1
 
 
