@@ -164,6 +164,129 @@ def unigram_logprob_oracle_sql(
     """
 
 
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW-corpus
+    document by its log importance ratio under a target-domain vs
+    raw-domain unigram LM,
+
+        log w(x) = Σ_{tokens} [ ln p_target(tok) − ln p_raw(tok) ]
+
+    with add-1 (Laplace) smoothing over the UNION vocabulary so tokens
+    unseen in the target sample never yield −inf. High-weight documents
+    are the target-like subset to keep; compose with
+    ``topk``/``stratified_sample``/``deterministic_sample`` for the
+    actual selection (the paper's Gumbel resampling is a sampler choice
+    downstream of these weights).
+
+    Columns: ``(id_col, n_tokens, logratio)`` — empty docs return
+    ``n_tokens = 0`` and NULL logratio.
+
+    Scale shape (the DSIR design point — the raw corpus is the 100 TB
+    side, the target a small domain sample): tokenize each side once;
+    two O(vocab) hash aggs; ONE full-outer vocab join (vocab-sized, not
+    corpus-sized); per-token ratios via an equi-join on the token (AQE
+    broadcasts the vocab table); one hash agg on the doc id. No arrays
+    per document, no self-joins, nothing corpus×corpus.
+
+    Cross-engine determinism: per-token log-ratio ROUND(·, 6) FIRST,
+    then summed as DECIMAL(18,6) — exact, order-free (the
+    unigram_logprob contract; same last-ulp-ln triage class)."""
+    rt = raw.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    tt = target.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    rf = rt.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tf = tt.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    vocab = rf.join(tf, on="tok", how="full_outer").select(
+        "tok",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    )
+    totals = vocab.agg(
+        F.sum("cr").alias("nr"),
+        F.sum("ct").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = F.round(
+        F.log(
+            (F.col("ct") + 1).cast("double") / (F.col("nt") + F.col("v")).cast("double")
+        )
+        - F.log(
+            (F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("v")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scores = (
+        rt.join(vocab, on="tok")
+        .crossJoin(F.broadcast(totals))
+        .select("id", lr.alias("lr"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("slr"))
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(scores, on=F.col(id_col) == F.col("id"), how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("slr").cast("double").alias("logratio"),
+        )
+    )
+
+
+def dsir_logratio_oracle_sql(
+    target_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``dsir_logratio`` with the target drawn from the
+    same table by ``target_pred`` — generated beside the Spark
+    implementation so the smoothing arithmetic cannot drift."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return f"""
+    WITH rt AS (
+        SELECT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+    ),
+    tt AS (
+        SELECT unnest({toks}) AS tok FROM {table} WHERE {target_pred}
+    ),
+    rf AS (SELECT tok, count(*) AS cr FROM rt GROUP BY 1),
+    tf AS (SELECT tok, count(*) AS ct FROM tt GROUP BY 1),
+    vocab AS (
+        SELECT COALESCE(rf.tok, tf.tok) AS tok,
+               COALESCE(rf.cr, 0) AS cr, COALESCE(tf.ct, 0) AS ct
+        FROM rf FULL OUTER JOIN tf ON rf.tok = tf.tok
+    ),
+    n AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM vocab
+    ),
+    per AS (
+        SELECT t.id,
+               CAST(round(ln((vb.ct + 1)::DOUBLE / (n.nt + n.v)::DOUBLE)
+                          - ln((vb.cr + 1)::DOUBLE / (n.nr + n.v)::DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS lr
+        FROM rt t JOIN vocab vb USING (tok) CROSS JOIN n
+    ),
+    sc AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_tokens, SUM(lr) AS slr
+        FROM per GROUP BY 1
+    )
+    SELECT d.{id_col},
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           CAST(s.slr AS DOUBLE) AS logratio
+    FROM {table} d LEFT JOIN sc s ON s.id = d.{id_col}
+    """
+
+
 def bigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

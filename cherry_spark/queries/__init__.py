@@ -42,6 +42,7 @@ _NEVER_CERTIFIED_R5 = [
 _ROUND6_NEW = [
     "delta_dedup_minhash_verdicts",
     "semdedup_cluster_stats",
+    "dsir_logratio",
 ]
 
 _ROUND6_TOUCHED = [

@@ -111,6 +111,31 @@ def test_unigram_logprob_planted(spark):
     assert out[3]["mean_logprob"] is None
 
 
+def test_dsir_logratio_planted(spark):
+    """Hand-computed DSIR weights. Raw: d1 'a a b', d2 'c', d3 ''.
+    Target: 'a'. Union vocab {a,b,c}, V=3; cr(a)=2,cr(b)=cr(c)=1,
+    NR=4; ct(a)=1, ct(b)=ct(c)=0, NT=1. Smoothed:
+    lr(a)=ln(2/4)−ln(3/7)=ln(7/6); lr(b)=lr(c)=ln(1/4)−ln(2/7)=ln(7/8).
+    An a-heavy doc scores positive (target-like), others negative."""
+    import math
+
+    from cherry_spark.ext.quality import dsir_logratio
+
+    raw = spark.createDataFrame(
+        [(1, "a a b"), (2, "c"), (3, "")], ["doc_id", "text"]
+    )
+    target = spark.createDataFrame([(100, "a")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dsir_logratio(raw, target).collect()}
+    lr_a = round(math.log(2 / 4) - math.log(3 / 7), 6)
+    lr_bc = round(math.log(1 / 4) - math.log(2 / 7), 6)
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["logratio"] == round(2 * lr_a + lr_bc, 6)
+    assert out[1]["logratio"] > 0  # target-like
+    assert out[2]["logratio"] == lr_bc and out[2]["logratio"] < 0
+    assert out[3]["n_tokens"] == 0 and out[3]["logratio"] is None
+
+
 def test_gopher_rules_planted(spark):
     """Each rule is exercised by a doc failing exactly that rule."""
     from cherry_spark.ext.quality import gopher_rules
