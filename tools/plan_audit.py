@@ -32,6 +32,7 @@ NESTED_LOOP_OK = {
     "tfidf_top_terms",  # corpus size N: a 1-row aggregate cross-joined in
     "unigram_logprob",  # corpus token total: same 1-row aggregate cross-join
     "mixing_temperature",  # 1-row normalizer aggregate cross-joined in
+    "dsir_logratio",  # 1-row vocab-totals aggregate cross-joined in
 }
 
 AUDIT = [
@@ -91,6 +92,10 @@ AUDIT = [
     "jaccard_topk",
     "mixing_temperature",
     "media_phash_dedup",
+    # round-6 additions
+    "delta_dedup_minhash_verdicts",
+    "semdedup_cluster_stats",
+    "dsir_logratio",
 ]
 
 
