@@ -184,6 +184,15 @@ def curate(
         enriched, "predicted_lang", "doc_id", per_lang_cap, salt="cap"
     )
 
+    # materialization point for the FOUR downstream consumers (stats,
+    # mixing, chunk_report, and the caller's write): without it each
+    # consumer re-executes the whole 12-stage chain per reference —
+    # the 10x probe measured reports at 159.6s and the write at
+    # 108.8s, i.e. ~2.5 chain re-runs, vs seconds once checkpointed
+    # (lazy: the first consumer pays the chain exactly once). On a
+    # real cluster this is reliable checkpoint()/a staging table.
+    curated = curated.localCheckpoint(eager=False)
+
     stats = curated.groupBy("predicted_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
