@@ -830,22 +830,14 @@ def chunk_dedup_stats(
     Scale shape: chunks are assembled from the in-hand token array
     (slice — no self-join, no window), exploded to one row per chunk,
     then ONE hash aggregation on the chunk string. Map-side partial
-    counts absorb the skew of very common chunks.
+    counts absorb the skew of very common chunks. The token array is
+    bound as a lambda VARIABLE (single-element-array transform — the
+    cdc_chunk_dedup_stats trick) so the tokenizer runs once per row,
+    not once per chunk.
     """
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
-    chunks = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     rows = df.select(
-        F.col(id_col).alias("id"), F.explode(chunks).alias("chunk")
+        F.col(id_col).alias("id"),
+        F.explode(_stride_chunks(F.col(text_col), chunk_tokens)).alias("chunk"),
     )
     return (
         rows.groupBy("chunk")
@@ -862,6 +854,150 @@ def chunk_dedup_stats(
             "first_doc_id",
         )
     )
+
+
+def _stride_chunks(text: Column, chunk_tokens: int) -> Column:
+    """array<string> of non-overlapping ``chunk_tokens``-token chunks,
+    with the tokenizer result bound as a lambda variable (evaluated
+    once per row — CollapseProject cannot inline the tokenizer into
+    the per-chunk slice lambda)."""
+
+    def per_doc(tk):
+        n = F.size(tk)
+        n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tk, i * chunk_tokens + 1, chunk_tokens)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(tokens_col(text)), per_doc))
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-wide duplicated-passage REMOVAL with rewrite (the
+    sub-document counterpart of exact dedup — Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", applied
+    at fixed ``chunk_tokens``-token chunk granularity): every chunk
+    text keeps exactly its FIRST corpus occurrence (lowest doc id,
+    then lowest chunk index) and every other occurrence — across docs
+    AND repeats within a doc — is dropped; each document's text is
+    reassembled from its surviving chunks in order.
+
+    Returns ``(id_col, kept_text, n_chunks, n_kept)`` for EVERY input
+    document (a doc whose every chunk is a repeat comes back with
+    ``kept_text = ''`` and ``n_kept = 0`` — the training-prep signal
+    to drop it entirely).
+
+    Scale shape: explode to one row per chunk; the first-occurrence
+    keeper is two hash aggregations on the chunk string (min doc, then
+    min index within that doc — both portable lexicographic-free
+    two-step mins, no corpus-wide window function, no self-join beyond
+    the chunk-keyed equi-joins); reassembly is one groupBy(id) with an
+    in-row ``array_sort`` over the doc's own kept chunks. Very common
+    chunks reduce map-side before every shuffle.
+    """
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_stride_chunks(F.col(text_col), chunk_tokens)).alias(
+            "idx", "chunk"
+        ),
+    )
+    first_doc = rows.groupBy("chunk").agg(F.min("id").alias("kd"))
+    first_idx = (
+        rows.join(first_doc, "chunk")
+        .filter(F.col("id") == F.col("kd"))
+        .groupBy("chunk", "kd")
+        .agg(F.min("idx").alias("ki"))
+    )
+    kept = (
+        rows.join(first_idx, "chunk")
+        .filter((F.col("id") == F.col("kd")) & (F.col("idx") == F.col("ki")))
+        .select("id", "idx", "chunk")
+    )
+    totals = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    reassembled = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("kept_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(totals, on=F.col(id_col) == totals["id"], how="left")
+        .drop("id")
+        .join(reassembled, on=F.col(id_col) == reassembled["id"], how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+            F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def chunk_dedup_rewrite_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> str:
+    """DuckDB twin of ``chunk_dedup_rewrite`` — same two-step
+    first-occurrence rule, reassembly via string_agg ORDER BY idx
+    (== Spark's sorted-collect concat; chunk strings are engine-
+    portable so the whole rewrite hash-matches)."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS id, {toks} AS toks, len({toks}) AS n FROM {table}
+    ),
+    ch AS (
+        SELECT id, i AS idx,
+               array_to_string(list_slice(
+                   toks, i * {chunk_tokens} + 1, (i + 1) * {chunk_tokens}), ' ')
+                   AS chunk
+        FROM base, UNNEST(range(CAST(ceil(n::DOUBLE / {chunk_tokens}) AS BIGINT)))
+             AS u(i)
+        WHERE n > 0
+    ),
+    k1 AS (SELECT chunk, min(id) AS kd FROM ch GROUP BY 1),
+    k2 AS (
+        SELECT c.chunk, k1.kd, min(c.idx) AS ki
+        FROM ch c JOIN k1 ON c.chunk = k1.chunk AND c.id = k1.kd
+        GROUP BY 1, 2
+    ),
+    kept AS (
+        SELECT c.id, c.idx, c.chunk
+        FROM ch c JOIN k2 ON c.chunk = k2.chunk AND c.id = k2.kd
+                         AND c.idx = k2.ki
+    ),
+    re AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+        FROM kept GROUP BY 1
+    ),
+    tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1)
+    SELECT d.{id_col},
+           COALESCE(r.kept_text, '') AS kept_text,
+           COALESCE(t.n_chunks, 0) AS n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM {table} d
+    LEFT JOIN tot t ON t.id = d.{id_col}
+    LEFT JOIN re r ON r.id = d.{id_col}
+    """
 
 
 def jaccard_topk(

@@ -43,6 +43,7 @@ _ROUND6_NEW = [
     "delta_dedup_minhash_verdicts",
     "semdedup_cluster_stats",
     "dsir_logratio",
+    "chunk_dedup_rewrite",
 ]
 
 _ROUND6_TOUCHED = [

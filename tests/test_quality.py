@@ -111,6 +111,27 @@ def test_unigram_logprob_planted(spark):
     assert out[3]["mean_logprob"] is None
 
 
+def test_chunk_dedup_rewrite_planted(spark):
+    """First-occurrence-wins rewrite with 2-token chunks:
+    d1 'a b c d a b' -> chunks [ab, cd, ab]: keeps [ab, cd] (its own
+    in-doc repeat dropped); d2 'c d x y' -> [cd, xy]: cd already owned
+    by d1 -> keeps [xy]; d3 'a b' -> []; d4 '' -> no chunks."""
+    from cherry_spark.ext.dedup import chunk_dedup_rewrite
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b"), (2, "c d x y"), (3, "a b"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["kept_text"], r["n_chunks"], r["n_kept"])
+        for r in chunk_dedup_rewrite(df, chunk_tokens=2).collect()
+    }
+    assert out[1] == ("a b c d", 3, 2)
+    assert out[2] == ("x y", 2, 1)
+    assert out[3] == ("", 1, 0)
+    assert out[4] == ("", 0, 0)
+
+
 def test_dsir_logratio_planted(spark):
     """Hand-computed DSIR weights. Raw: d1 'a a b', d2 'c', d3 ''.
     Target: 'a'. Union vocab {a,b,c}, V=3; cr(a)=2,cr(b)=cr(c)=1,
