@@ -82,6 +82,11 @@ HEADLINE = PINNED + [
     "mmr_diverse_topk",
     "jaccard_topk",
     "media_phash_dedup",
+    # round-6 additions
+    "delta_dedup_minhash_verdicts",
+    "semdedup_cluster_stats",
+    "dsir_logratio",
+    "chunk_dedup_rewrite",
 ]
 
 

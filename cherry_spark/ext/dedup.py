@@ -1043,6 +1043,12 @@ def jaccard_topk(
     qp = shingle_postings(query, query_id_col, text_col, shingle_k).withColumnsRenamed(
         {"id": "__qid"}
     )
+    # NOT reuse=True, although the corpus postings are referenced
+    # twice (doc-freq rollup + candidate join): measured at sf0.1 the
+    # barrier shuffle of raw posting rows costs more than the second
+    # scan+shingle pass (1.78 vs 1.63 s warm parallelized) — the
+    # rollup reference reduces map-side to O(distinct shingles) before
+    # its exchange, so the duplicated work is cheap by construction.
     cp = shingle_postings(corpus, id_col, text_col, shingle_k).withColumnsRenamed(
         {"id": "__cid"}
     )
@@ -1055,7 +1061,16 @@ def jaccard_topk(
         .select("shingle")
     )
     qp = qp.join(F.broadcast(hot), "shingle", "left_anti")
-    cp = cp.join(F.broadcast(hot), "shingle", "left_anti")
+    # the CAPPED corpus postings feed both the candidate join and the
+    # nc counts — repartition is the shared materialization point, and
+    # it sits AFTER the anti-join so the barrier ships the capped (not
+    # raw) posting volume. Measured at sf0.1: 2.34 -> 2.01 s warm vs
+    # re-executing the scan+shingle+anti pipeline per reference; a
+    # barrier on the RAW postings instead measured a net loss (1.78
+    # vs 1.63 s core) — cap first, then share.
+    cp = cp.join(F.broadcast(hot), "shingle", "left_anti").repartition(
+        F.col("__cid")
+    )
     shared = (
         qp.join(cp, "shingle").groupBy("__qid", "__cid").agg(F.count(F.lit(1)).alias("c"))
     )

@@ -602,7 +602,10 @@ def _jaccard_topk_oracle() -> str:
 def jaccard_topk_q(spark, sf_dir):
     from cherry_spark.ext.dedup import jaccard_topk
 
-    docs = load_table(spark, sf_dir, "documents")
+    # parallelize: the cap's doc-freq rollup + the candidate join are
+    # both map-heavy pre-shuffle stages over the single-row-group
+    # fixture scan — measured 2.48 -> 1.63 s warm at sf0.1
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     q = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
         F.col("doc_id").alias("query_id"), "text"
     )
