@@ -96,6 +96,7 @@ AUDIT = [
     "delta_dedup_minhash_verdicts",
     "semdedup_cluster_stats",
     "dsir_logratio",
+    "chunk_dedup_rewrite",
 ]
 
 
