@@ -44,6 +44,9 @@ _ROUND6_NEW = [
     "semdedup_cluster_stats",
     "dsir_logratio",
     "chunk_dedup_rewrite",
+    # rows-only through r05; the portable md5 band family gave it a
+    # real oracle in round 6 — certify the conversion
+    "band_bucket_stats",
 ]
 
 _ROUND6_TOUCHED = [

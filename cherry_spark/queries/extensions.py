@@ -1154,20 +1154,35 @@ def posting_skew_stats_query(spark, sf_dir):
     return posting_skew_stats(docs, max_bucket_size=3)
 
 
+def _band_stats_oracle() -> str:
+    from cherry_spark.ext.dedup import band_bucket_stats_oracle_sql
+
+    return band_bucket_stats_oracle_sql(n_hashes=32, bands=8, max_bucket_size=3)
+
+
 @query(
     "band_bucket_stats",
+    # round 6: the portable md5 minhash family (certified by
+    # delta_dedup_minhash_verdicts) makes the band keys recomputable
+    # in DuckDB — this query was rows-only through round 5, the last
+    # dedup-family query without an oracle.
+    oracle=_band_stats_oracle(),
     doc="Per-band monitoring twin of minhash_lsh_pairs' bucket cap: "
     "collision buckets, largest bucket, capped volume per band. "
-    "Rows-only (band keys are xxhash64 — not recomputable in DuckDB); "
-    "the exact-oracle sibling is posting_skew_stats, and the unit test "
+    "Certified with hash_family='md5' (shared portable-banding CTEs "
+    "with the delta-dedup minhash oracle); production jobs use the "
+    "xxhash64 family — identical banding logic, cheaper hashes. The "
+    "exact-oracle sibling is posting_skew_stats, and the unit test "
     "plants a boilerplate clone class and checks the dropped-pair "
     "accounting. ext/dedup.py:band_bucket_stats.",
 )
 def band_bucket_stats_query(spark, sf_dir):
     from cherry_spark.ext.dedup import band_bucket_stats
 
-    docs = load_table(spark, sf_dir, "documents")
-    return band_bucket_stats(docs, max_bucket_size=3)
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return band_bucket_stats(
+        docs, n_hashes=32, bands=8, max_bucket_size=3, hash_family="md5"
+    )
 
 
 @query(
