@@ -473,6 +473,7 @@ def delta_dedup(
     max_bucket_size: int = 500,
     candidate_gen: str = "minhash",
     hash_family: str = "xxhash",
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: classify every BATCH document
     against an existing CORPUS as ``exact_dup`` (byte-identical text
@@ -501,6 +502,16 @@ def delta_dedup(
       Hot boilerplate shingles fan out uncapped here — production
       corpora should use minhash mode or pre-strip boilerplate.
 
+    ``corpus_signatures``: optionally pass the CORPUS side's stored
+    (id, h0..h{n-1}) signature table — computed once at ingest by
+    ``minhash_signatures`` with the SAME n_hashes/shingle_k/
+    hash_family and stored next to the corpus (the
+    ``minhash_lsh_pairs(signatures=...)`` contract). The corpus then
+    contributes only its band-explode to each incremental run; its
+    shingle/hash pipeline never re-executes per batch — the actual
+    100 TB incremental shape. Batch signatures are always computed
+    in-line (the batch is the small side).
+
     Exact stage either way: one md5 equi-join (left semi, batch side
     probes). Verdict precedence: exact > near > unique.
     """
@@ -514,10 +525,11 @@ def delta_dedup(
             return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
         return F.xxhash64(F.lit(b), *cols)
 
-    def banded(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(
-            df, id_col, text_col, n_hashes, shingle_k, hash_family
-        )
+    def banded(df: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+        if sig is None:
+            sig = minhash_signatures(
+                df, id_col, text_col, n_hashes, shingle_k, hash_family
+            )
         return sig.select(
             "id",
             F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
@@ -560,7 +572,7 @@ def delta_dedup(
             .distinct()
         )
     else:
-        corpus_bands = banded(corpus)
+        corpus_bands = banded(corpus, corpus_signatures)
         # cap: drop corpus band buckets bigger than the cap (boilerplate
         # clone classes) before the probe join — count filter, the bucket
         # id-list is never collected anywhere in this operator

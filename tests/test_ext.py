@@ -206,6 +206,28 @@ def test_minhash_lsh_precomputed_signatures(spark, tmp_path):
     assert inline == reused and len(inline) > 0
 
 
+def test_delta_dedup_stored_corpus_signatures(spark, tmp_path):
+    """The incremental 100 TB shape: corpus signatures stored once at
+    ingest and passed per batch — verdicts identical to the inline
+    recompute."""
+    from cherry_spark.ext.dedup import delta_dedup, minhash_signatures
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b = docs.filter(F.col("doc_id") % 5 == 0)
+    c = docs.filter(F.col("doc_id") % 5 != 0)
+    sig_path = str(tmp_path / "corpus_sigs")
+    minhash_signatures(c, n_hashes=32).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+    kw = dict(jaccard_threshold=0.8, n_hashes=32, bands=8)
+    inline = {tuple(r) for r in delta_dedup(c, b, **kw).collect()}
+    reused = {
+        tuple(r)
+        for r in delta_dedup(c, b, corpus_signatures=stored, **kw).collect()
+    }
+    assert inline == reused and len(inline) > 0
+
+
 def test_delta_dedup_portable_family_matches_xxhash_on_fixture(spark):
     """hash_family only changes the hash constants, never the banding
     logic: on the fixture corpus (banding recall 1 for both families at
