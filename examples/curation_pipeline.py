@@ -13,7 +13,9 @@
               ──► language ID + token counting
               ──► stratified per-language cap
               ──► curated parquet + per-language stats + temperature
-                  mixing weights + CDC chunk-dup report
+                  mixing weights + CDC chunk-dup report + passage-level
+                  dedup REWRITE (chunk_dedup_rewrite) + DSIR importance
+                  weights vs the 'en' target slice
 
 Every stage is native DataFrame ops from cherry_spark.ext; the near-dup
 stage's candidate generation is the banded-LSH equi-join (no n²), and
@@ -206,16 +208,39 @@ def curate(
     # passage still collapse (ext/dedup.py:cdc_chunk_dedup_stats).
     chunk_report = cdc_chunk_dedup_stats(curated, window=3, divisor=8)
 
+    # passage-level REWRITE: the text the training job actually
+    # consumes — every duplicated 8-token chunk keeps only its first
+    # corpus occurrence and documents are reassembled from surviving
+    # chunks (Lee et al. 2022; ext/dedup.py:chunk_dedup_rewrite).
+    # Emitted alongside `curated` (not in place of it) so consumers
+    # choose doc-level or passage-level text.
+    from cherry_spark.ext.dedup import chunk_dedup_rewrite
+
+    passage_rewrite = chunk_dedup_rewrite(curated, chunk_tokens=8)
+
     # epoch mixing: temperature-scaled source weights for the sampler
     from cherry_spark.ext.sampling import mixing_temperature
 
     mixing = mixing_temperature(curated, source_col="source", tau=0.7)
+
+    # DSIR importance weights against the corpus' own 'en' slice (a
+    # stand-in target domain): the per-doc log importance ratio a
+    # resampler uses to tilt the mix toward target-like documents
+    # (ext/quality.py:dsir_logratio).
+    from cherry_spark.ext.quality import dsir_logratio
+
+    dsir = dsir_logratio(
+        curated.select("doc_id", "text"),
+        curated.filter(F.col("predicted_lang") == "en").select("doc_id", "text"),
+    )
 
     return {
         "curated": curated,
         "stats": stats,
         "mixing": mixing,
         "chunk_report": chunk_report,
+        "passage_rewrite": passage_rewrite,
+        "dsir": dsir,
         "n_input": docs,
     }
 
@@ -236,6 +261,8 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         {
             "curated": result["curated"],
             "chunk_report": result["chunk_report"],
+            "passage_rewrite": result["passage_rewrite"],
+            "dsir": result["dsir"],
             "stats": result["stats"],
             "mixing": result["mixing"],
         }

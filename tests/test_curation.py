@@ -39,3 +39,32 @@ def test_curation_pipeline(spark, sf_dir, tmp_path):
     mixing = spark.read.parquet(os.path.join(out, "mixing"))
     assert abs(mixing.agg(F.sum("weight")).first()[0] - 1.0) <= 0.01
     assert mixing.filter(F.col("expected_samples") < 0).count() == 0
+    # passage rewrite: one row per curated doc, kept <= total chunks,
+    # and no chunk text survives twice corpus-wide
+    rw = spark.read.parquet(os.path.join(out, "passage_rewrite"))
+    assert rw.count() == counts["curated"]
+    assert rw.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+    from cherry_spark.ext.dedup import chunk_dedup_stats
+
+    assert (
+        chunk_dedup_stats(
+            rw.filter(F.col("kept_text") != "").select(
+                "doc_id", F.col("kept_text").alias("text")
+            ),
+            chunk_tokens=8,
+        ).count()
+        == 0
+    )
+    # DSIR weights: one row per curated doc; the en-slice target makes
+    # en docs average a higher log-ratio than the rest
+    dsir = spark.read.parquet(os.path.join(out, "dsir"))
+    assert dsir.count() == counts["curated"]
+    j = dsir.join(curated.select("doc_id", "predicted_lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in j.groupBy((F.col("predicted_lang") == "en").alias("is_en"))
+        .agg(F.avg("logratio").alias("m"))
+        .collect()
+    }
+    if True in means and False in means:
+        assert means[True] > means[False]
