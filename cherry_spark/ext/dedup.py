@@ -111,6 +111,24 @@ def shingle_postings(
     return out.repartition(F.col("id")) if reuse else out
 
 
+_PORTABLE_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _portable_hash_constants(n_hashes: int) -> list[tuple[int, int]]:
+    """Fixed seeded (a_i, b_i) pairs for the portable linear minhash
+    family — generated identically for the Spark expressions and the
+    DuckDB oracle SQL so the two cannot drift. a_i ∈ [1, p−1],
+    b_i ∈ [0, p−1]; a_i·x + b_i < 2^62 for x < p, so the arithmetic is
+    ANSI-overflow-safe in both engines."""
+    import random
+
+    rng = random.Random(0xC43A11)
+    return [
+        (rng.randrange(1, _PORTABLE_P), rng.randrange(0, _PORTABLE_P))
+        for _ in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -138,30 +156,37 @@ def minhash_signatures(
 
     ``hash_family``: ``"xxhash"`` (default — JVM xxhash64, the fast
     production family) or ``"md5"`` — a PORTABLE family whose every
-    value DuckDB can recompute bit-for-bit (the simhash md5-limb
-    trick): base = md5(shingle) hex, h_i = 60-bit prefix of
-    md5(base || '|' || i), i.e. Spark ``conv(substr(md5(..),1,15),
-    16,10)`` == DuckDB ``('0x' || substr(md5(..),1,15))::BIGINT``.
-    The md5 family exists so minhash BANDING itself is certifiable
-    cross-engine (delta_dedup_minhash_verdicts); same MIN/band logic
-    either way.
+    value DuckDB can recompute bit-for-bit: ONE md5 per shingle gives
+    the 60-bit base (Spark ``conv(substr(md5(s),1,15),16,10)`` ==
+    DuckDB ``('0x' || substr(md5(s),1,15))::BIGINT``), then the
+    n-hash family is the classic linear-congruential minhash family
+    ``h_i = (a_i * (base % p) + b_i) % p`` with p = 2^31−1 and fixed
+    seeded constants (``_portable_hash_constants``) — pure BIGINT
+    arithmetic both engines execute identically (products stay under
+    2^62, ANSI-safe), 32× fewer string hashes than the earlier
+    md5-per-i variant (measured on delta_dedup_minhash_verdicts:
+    4.96 → 3.35 s warm at sf0.1). The md5 family exists so minhash
+    BANDING itself is certifiable cross-engine
+    (delta_dedup_minhash_verdicts); same MIN/band logic either way.
     """
     if hash_family == "md5":
+        p = _PORTABLE_P
+        consts = _portable_hash_constants(n_hashes)
         base = df.select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles_raw(F.col(text_col), shingle_k)).alias("shingle"),
-        ).select("id", F.md5("shingle").alias("h"))
+        ).select(
+            "id",
+            F.pmod(
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long"),
+                F.lit(p),
+            ).alias("x"),
+        )
         hashed = base.select(
             "id",
             *[
-                F.conv(
-                    F.substring(F.md5(F.concat_ws("|", "h", F.lit(str(i)))), 1, 15),
-                    16,
-                    10,
-                )
-                .cast("long")
-                .alias(f"h{i}")
-                for i in range(n_hashes)
+                F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(p)).alias(f"h{i}")
+                for i, (a, b) in enumerate(consts)
             ],
         )
     else:
@@ -633,11 +658,16 @@ def _minhash_band_ctes_sql(
 ) -> str:
     """Shared CTE text reproducing the PORTABLE md5 minhash family in
     DuckDB — ``raw`` (id, text, distinct shingles), ``posting``,
-    ``sig`` (per (id, i) minhash), ``bandkeys`` (per (id, band_idx) md5
-    band key). Used by ``delta_dedup_minhash_oracle_sql`` and
+    ``sig`` (per (id, i) minhash via the linear family over the 60-bit
+    md5 base, constants from ``_portable_hash_constants``),
+    ``bandkeys`` (per (id, band_idx) md5 band key). Used by
+    ``delta_dedup_minhash_oracle_sql`` and
     ``band_bucket_stats_oracle_sql`` so every banding oracle certifies
     the same arithmetic."""
     rows = n_hashes // bands
+    p = _PORTABLE_P
+    consts = _portable_hash_constants(n_hashes)
+    const_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(consts))
     toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
     grams = f"""list_distinct(list_transform(
         range(greatest(len({toks}) - {shingle_k - 1}, 0)),
@@ -645,13 +675,15 @@ def _minhash_band_ctes_sql(
     return f"""raw AS (
         SELECT {id_col} AS id, {text_col} AS text, {grams} AS sh FROM {table}
     ),
-    posting AS (SELECT id, s FROM raw, UNNEST(sh) AS u(s)),
+    posting AS (
+        SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS x
+        FROM (SELECT id, s FROM raw, UNNEST(sh) AS u(s))
+    ),
+    hc(i, a, b) AS (VALUES {const_rows}),
     sig AS (
-        SELECT p.id, t.i,
-               MIN(('0x' || substr(md5(md5(p.s) || '|' || t.i), 1, 15))::BIGINT)
-                   AS h
-        FROM posting p, range({n_hashes}) t(i)
-        GROUP BY p.id, t.i
+        SELECT p.id, hc.i, MIN((hc.a * p.x + hc.b) % {p}) AS h
+        FROM posting p CROSS JOIN hc
+        GROUP BY p.id, hc.i
     ),
     bandkeys AS (
         SELECT id, i // {rows} AS band_idx,

@@ -1157,7 +1157,9 @@ def posting_skew_stats_query(spark, sf_dir):
 def _band_stats_oracle() -> str:
     from cherry_spark.ext.dedup import band_bucket_stats_oracle_sql
 
-    return band_bucket_stats_oracle_sql(n_hashes=32, bands=8, max_bucket_size=3)
+    # cap=2 (operator default 500): the fixture's largest portable-band
+    # bucket is 3, so cap=2 exercises both rollup branches
+    return band_bucket_stats_oracle_sql(n_hashes=32, bands=8, max_bucket_size=2)
 
 
 @query(
@@ -1181,7 +1183,7 @@ def band_bucket_stats_query(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return band_bucket_stats(
-        docs, n_hashes=32, bands=8, max_bucket_size=3, hash_family="md5"
+        docs, n_hashes=32, bands=8, max_bucket_size=2, hash_family="md5"
     )
 
 
