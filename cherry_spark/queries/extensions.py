@@ -1086,9 +1086,10 @@ def _delta_minhash_oracle() -> str:
     "production path (corpus signatures precomputable, batch x corpus "
     "band-key join only, degenerate corpus buckets capped before the "
     "probe). Certified with hash_family='md5': signatures are min over "
-    "shingles of the 60-bit prefix of md5(md5(s) || '|' || i) and band "
-    "keys md5 of the comma-joined row minima, both recomputable "
-    "bit-for-bit in DuckDB (the simhash portable-limb trick), so the "
+    "shingles of the linear family (a_i*x + b_i) mod 2^31-1 over the "
+    "60-bit md5 base, band keys md5 of the comma-joined row minima — "
+    "both recomputable bit-for-bit in DuckDB (pure BIGINT arithmetic "
+    "+ the simhash portable-limb trick), so the "
     "oracle replays banding + cap + verify exactly. The candidate-"
     "COMPLETE twin (delta_dedup_verdicts) stays certified against the "
     "all-pairs EXISTS ground truth. ext/dedup.py:delta_dedup.",

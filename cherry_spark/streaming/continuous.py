@@ -156,37 +156,63 @@ def run_streaming_growing_dedup(
     Why the state lives in a parquet store, not
     ``applyInPandasWithState``: the accumulated signature set grows
     without bound — executor-memory state is exactly what dies first
-    at 100 TB, while a store-backed corpus (in production: the
-    precomputed minhash band-signature table in the lakehouse — the
-    banding expression in ``delta_dedup`` is deterministic, so storing
-    signatures and storing text are equivalent) scales with the sink,
-    keeps exactly-once bookkeeping with the checkpointed stream, and
+    at 100 TB, while a store-backed corpus scales with the sink, keeps
+    exactly-once bookkeeping with the checkpointed stream, and
     survives restarts for free. A replayed batch after a crash
     re-appends its admissions — pair the store with an idempotent
     writer (Delta txnAppId / DuckDB txn, writers/) in production.
+
+    In minhash mode the gate ALSO maintains a SIGNATURE store
+    (``<corpus_dir>_sigs``): each batch classifies against the stored
+    corpus signatures (``delta_dedup(corpus_signatures=...)``) and
+    appends only the admitted docs' signatures — the accumulated
+    corpus is shingled+hashed exactly ONCE per document at admission,
+    never re-shingled per batch (the incremental cost that compounds
+    as the corpus grows; the banding expression is deterministic, so
+    the stored signatures are bit-identical to a recompute).
     """
     import os
 
-    from cherry_spark.ext.dedup import delta_dedup
+    from cherry_spark.ext.dedup import delta_dedup, minhash_signatures
+
+    use_sig_store = delta_kwargs.get("candidate_gen", "minhash") == "minhash"
+    n_hashes = delta_kwargs.get("n_hashes", 128)
+    shingle_k = delta_kwargs.get("shingle_k", 3)
+    hash_family = delta_kwargs.get("hash_family", "xxhash")
+    sig_dir = f"{corpus_dir.rstrip('/')}_sigs"
+    sig_schema = "id long, " + ", ".join(f"h{i} long" for i in range(n_hashes))
+
+    def signatures_of(df: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            df, id_col, text_col, n_hashes, shingle_k, hash_family
+        )
 
     if initial_corpus is not None:
         initial_corpus.select(
             F.col(id_col), F.col(text_col)
         ).write.mode("overwrite").parquet(corpus_dir)
+        if use_sig_store:
+            signatures_of(initial_corpus).write.mode("overwrite").parquet(sig_dir)
 
     schema = f"{id_col} long, {text_col} string"
 
-    def read_corpus() -> DataFrame:
-        if os.path.isdir(corpus_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+    def read_store(path: str, sch: str) -> DataFrame:
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
         ):
-            return spark.read.schema(schema).parquet(corpus_dir)
-        return spark.createDataFrame([], schema)
+            return spark.read.schema(sch).parquet(path)
+        return spark.createDataFrame([], sch)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        corpus = read_corpus()
+        corpus = read_store(corpus_dir, schema)
+        sigs = read_store(sig_dir, sig_schema) if use_sig_store else None
         verdicts = delta_dedup(
-            corpus, batch_df, id_col=id_col, text_col=text_col, **delta_kwargs
+            corpus,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            corpus_signatures=sigs,
+            **delta_kwargs,
         )
         # one deterministic materialization: the verdicts drive BOTH
         # the sink and the admission append below
@@ -197,12 +223,13 @@ def run_streaming_growing_dedup(
             if admit == "all"
             else verdicts.filter(F.col("verdict") == "unique")
         ).select(F.col("id").alias(id_col))
-        (
-            batch_df.join(admitted_ids, id_col, "left_semi")
-            .select(F.col(id_col), F.col(text_col))
-            .write.mode("append")
-            .parquet(corpus_dir)
+        admitted = batch_df.join(admitted_ids, id_col, "left_semi").select(
+            F.col(id_col), F.col(text_col)
         )
+        admitted.write.mode("append").parquet(corpus_dir)
+        if use_sig_store:
+            # shingle+hash each admitted doc exactly once, at admission
+            signatures_of(admitted).write.mode("append").parquet(sig_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
