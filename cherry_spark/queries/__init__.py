@@ -9,7 +9,9 @@ so the round-6 window is exactly:
    had a driver row (they registered past position 50 in every prior
    window; round-5 verdict item #1);
 2. ``_ROUND6_NEW`` — queries added in round 6 (the minhash-banding
-   delta-dedup gate and the semantic-dedup cluster-size monitor);
+   delta-dedup gate, the semantic-dedup cluster-size monitor, DSIR
+   importance weights, the duplicated-passage rewrite, and
+   band_bucket_stats' rows-only→oracle conversion);
 3. ``_ROUND6_TOUCHED`` — queries whose implementation changed in round
    6 (jaccard_topk hot-shingle cap is in group 1; delta_dedup shared
    code, minhash precomputed-signature path, skew-rollup reuse, the
