@@ -132,6 +132,43 @@ def test_chunk_dedup_rewrite_planted(spark):
     assert out[4] == ("", 0, 0)
 
 
+def test_chunk_dedup_rewrite_idempotent(spark):
+    """Invariant: rewriting an already-rewritten corpus is the
+    identity — after the first pass every surviving chunk text is
+    unique corpus-wide, so a second pass keeps everything (the
+    re-chunking of kept_text reproduces the kept chunk sequence
+    exactly: only doc-final chunks are short, so concatenation stays
+    8-token aligned)."""
+    from cherry_spark.ext.dedup import chunk_dedup_rewrite
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    first = chunk_dedup_rewrite(docs, chunk_tokens=8).filter(
+        F.col("kept_text") != ""
+    )
+    second = chunk_dedup_rewrite(
+        first.select("doc_id", F.col("kept_text").alias("text")), chunk_tokens=8
+    )
+    assert second.filter(F.col("n_kept") != F.col("n_chunks")).count() == 0
+    texts1 = {r["kept_text"] for r in first.collect()}
+    texts2 = {r["kept_text"] for r in second.collect()}
+    assert texts1 == texts2
+
+
+def test_dsir_self_target_is_zero(spark):
+    """Invariant: with target == raw the two smoothed LMs coincide, so
+    every per-token log-ratio rounds to exactly 0 and every non-empty
+    document scores 0.0."""
+    from cherry_spark.ext.quality import dsir_logratio
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = dsir_logratio(docs, docs)
+    assert out.filter(F.col("n_tokens") > 0).filter(
+        F.col("logratio") != 0.0
+    ).count() == 0
+
+
 def test_dsir_logratio_planted(spark):
     """Hand-computed DSIR weights. Raw: d1 'a a b', d2 'c', d3 ''.
     Target: 'a'. Union vocab {a,b,c}, V=3; cr(a)=2,cr(b)=cr(c)=1,
