@@ -212,9 +212,14 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = 500,
     signatures: DataFrame | None = None,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash banding for candidates, exact
     shingle-set Jaccard verification of candidates only.
+    ``hash_family``: forwarded to ``minhash_signatures``; with
+    ``"md5"`` the band keys become the portable md5-of-joined-minima
+    form, making the whole banding pipeline DuckDB-recomputable
+    (used by ``lsh_recall_audit``'s certified oracle).
 
     shuffle profile: postings agg (one shuffle) -> explode(bands) ->
     self-join on band key (bounded buckets) -> distinct pairs -> one
@@ -247,16 +252,17 @@ def minhash_lsh_pairs(
     sig = (
         signatures
         if signatures is not None
-        else minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+        else minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, hash_family)
     )
+
+    def band_key(b: int):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        if hash_family == "md5":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(F.lit(b), *cols)
+
     banded = sig.select(
-        "id",
-        F.array(
-            *[
-                F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
-                for b in range(bands)
-            ]
-        ).alias("bands"),
+        "id", F.array(*[band_key(b) for b in range(bands)]).alias("bands")
     )
     exploded = banded.select("id", F.posexplode("bands").alias("band_idx", "band_key"))
     # Candidate pairs WITHOUT a self-join: group each band bucket,
@@ -855,6 +861,124 @@ def _bucket_size_rollup(grouped, max_bucket_size: int):
         .cast("long")
         .alias("pairs_kept"),
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket_size: int = 500,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Banding-recall audit — measure, don't guess: ONE row
+    ``(n_true, n_lsh, n_missed, recall)`` comparing the exact-Jaccard
+    ground-truth pair count at the threshold against what the banded
+    minhash pipeline (same caps, same verify) actually emits. Run it
+    on a corpus sample before committing (n_hashes, bands, cap) for a
+    full 100 TB dedup — the 1−(1−J^r)^b recall formula assumes
+    uniform hashing; this measures the real thing, including
+    cap-dropped buckets.
+
+    LSH output is a SUBSET of the ground truth by construction (the
+    verify stage recomputes the same full-set Jaccard), so
+    n_missed = n_true − n_lsh needs no pair join. Ground truth comes
+    from the inverted-index exact path (``ngram_jaccard_pairs`` with
+    the profile cap disabled — full distinct-shingle measure, matching
+    the LSH verify measure); both sides stay equi-join plans, never
+    n². Audit on SAMPLES: the uncapped exact side inherits the posting
+    skew the caps exist to kill.
+
+    With ``hash_family="md5"`` (default here — this is an audit, not
+    a production dedup) the entire computation is replayed bit-for-bit
+    by the generated DuckDB oracle."""
+    exact = ngram_jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_k,
+        threshold=jaccard_threshold,
+        max_bucket_size=1 << 31,
+    )
+    lsh = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        n_hashes,
+        shingle_k,
+        bands,
+        jaccard_threshold,
+        max_bucket_size,
+        hash_family=hash_family,
+    )
+    nt = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return nt.crossJoin(nl).select(
+        F.col("n_true"),
+        F.col("n_lsh"),
+        (F.col("n_true") - F.col("n_lsh")).alias("n_missed"),
+        F.round(
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_lsh").cast("double") / F.col("n_true"),
+            ),
+            6,
+        ).alias("recall"),
+    )
+
+
+def lsh_recall_audit_oracle_sql(
+    jaccard_threshold: float,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket_size: int = 500,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``lsh_recall_audit(hash_family='md5')``: the
+    shared portable-banding CTEs replay signatures/bands/caps, the
+    ground truth is the all-pairs full-set Jaccard, and the recall
+    division runs on the same exact counts."""
+    jac = (
+        "len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    return f"""
+    WITH {_minhash_band_ctes_sql(n_hashes, bands, shingle_k, table, id_col, text_col)},
+    exact_pairs AS (
+        SELECT a.id AS id1, b.id AS id2
+        FROM raw a JOIN raw b ON a.id < b.id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND {jac} >= {jaccard_threshold}
+    ),
+    kept AS (
+        SELECT band_idx, band_key FROM bandkeys
+        GROUP BY 1, 2 HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket_size}
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS id1, y.id AS id2
+        FROM bandkeys x
+        JOIN kept USING (band_idx, band_key)
+        JOIN bandkeys y USING (band_idx, band_key)
+        WHERE x.id < y.id
+    ),
+    lsh_pairs AS (
+        SELECT c.id1, c.id2
+        FROM cand c JOIN raw a ON a.id = c.id1 JOIN raw b ON b.id = c.id2
+        WHERE {jac} >= {jaccard_threshold}
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM exact_pairs),
+    nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh_pairs)
+    SELECT n_true, n_lsh, n_true - n_lsh AS n_missed,
+           CASE WHEN n_true > 0
+                THEN round(n_lsh::DOUBLE / n_true, 6) END AS recall
+    FROM nt CROSS JOIN nl
+    """
 
 
 def posting_skew_stats(

@@ -49,6 +49,7 @@ _ROUND6_NEW = [
     # rows-only through r05; the portable md5 band family gave it a
     # real oracle in round 6 — certify the conversion
     "band_bucket_stats",
+    "lsh_recall_audit",
 ]
 
 _ROUND6_TOUCHED = [

@@ -1255,6 +1255,40 @@ def band_bucket_stats_query(spark, sf_dir):
     )
 
 
+def _lsh_recall_oracle() -> str:
+    from cherry_spark.ext.dedup import lsh_recall_audit_oracle_sql
+
+    return lsh_recall_audit_oracle_sql(
+        jaccard_threshold=0.8, n_hashes=32, bands=8, max_bucket_size=500
+    )
+
+
+@query(
+    "lsh_recall_audit",
+    # generated oracle replays the full portable banding pipeline AND
+    # the all-pairs ground truth, so the recall measurement itself is
+    # hash-certified — not just the two pipelines it compares
+    oracle=_lsh_recall_oracle(),
+    doc="Banding-recall audit (measure, don't guess): one row of "
+    "(n_true, n_lsh, n_missed, recall) comparing exact-Jaccard ground "
+    "truth at the threshold vs the banded minhash pipeline's output "
+    "with the same caps — the tuning instrument to run on a corpus "
+    "sample before committing (n_hashes, bands, cap) to a 100 TB "
+    "dedup; the 1-(1-J^r)^b formula assumes uniform hashing, this "
+    "measures the real thing including cap-dropped buckets. LSH "
+    "output ⊆ ground truth by construction (same verify measure), so "
+    "the audit is two counts, no pair join. "
+    "ext/dedup.py:lsh_recall_audit.",
+)
+def lsh_recall_audit_query(spark, sf_dir):
+    from cherry_spark.ext.dedup import lsh_recall_audit
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return lsh_recall_audit(
+        docs, jaccard_threshold=0.8, n_hashes=32, bands=8, max_bucket_size=500
+    )
+
+
 @query(
     "tfidf_top_terms",
     oracle=f"""

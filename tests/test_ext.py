@@ -149,6 +149,27 @@ def test_degenerate_bucket_cap_drops_boilerplate_only(spark):
     assert mh == {(1000, 1001)}
 
 
+def test_lsh_recall_audit_accounts_for_cap_drops(spark):
+    """Deterministic recall loss: a clone class bigger than the bucket
+    cap is dropped by banding, so its C(n,2) ground-truth pairs are
+    missed and the audit must report exactly that; with the cap lifted
+    recall returns to 1.0 (identical texts always share every band)."""
+    from cherry_spark.ext.dedup import lsh_recall_audit
+
+    boiler = "identical boilerplate sentence repeated across corpus documents"
+    rows = [(i, boiler) for i in range(30)]
+    rows.append((1000, "spark catalyst optimizer rewrites logical plans into physical plans"))
+    rows.append((1001, "spark catalyst optimizer rewrites logical plans into physical stages"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.5, n_hashes=32, bands=8)
+    capped = lsh_recall_audit(docs, max_bucket_size=5, **kw).collect()[0]
+    assert capped["n_true"] == 30 * 29 // 2 + 1  # clone class + real pair
+    assert capped["n_lsh"] == 1                  # only the real pair survives
+    assert capped["n_missed"] == 30 * 29 // 2
+    uncapped = lsh_recall_audit(docs, max_bucket_size=10**6, **kw).collect()[0]
+    assert uncapped["n_missed"] == 0 and uncapped["recall"] == 1.0
+
+
 def test_delta_dedup_verdict_precedence(spark):
     """Planted batch: byte-identical text -> exact_dup (even though it
     is also J=1 near), paraphrase -> near_dup, fresh text -> unique."""

@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "unigram_logprob",  # corpus token total: same 1-row aggregate cross-join
     "mixing_temperature",  # 1-row normalizer aggregate cross-joined in
     "dsir_logratio",  # 1-row vocab-totals aggregate cross-joined in
+    "lsh_recall_audit",  # two 1-row counts cross-joined into the audit row
 }
 
 AUDIT = [
@@ -97,6 +98,7 @@ AUDIT = [
     "semdedup_cluster_stats",
     "dsir_logratio",
     "chunk_dedup_rewrite",
+    "lsh_recall_audit",
 ]
 
 
