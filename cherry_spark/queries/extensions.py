@@ -303,7 +303,9 @@ def _ensure_minhash_signatures(spark, sf_dir) -> str:
         stamp = f"v2|{src}|{st.st_size}|{st.st_mtime_ns}"
     key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
     sig_dir = os.path.join(tempfile.gettempdir(), f"cherry_minhash_{key}")
-    if not os.path.isdir(sig_dir):
+    # _SUCCESS marker (the ivf_index_exists contract): an interrupted
+    # build leaves a dir without it and gets rebuilt, never served
+    if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents", parallelize=True)
         minhash_signatures(docs).write.mode("overwrite").parquet(sig_dir)
     return sig_dir
@@ -1170,7 +1172,7 @@ def _ensure_delta_corpus_sigs(spark, sf_dir) -> str:
         stamp = f"v1|delta32md5|{src}|{st.st_size}|{st.st_mtime_ns}"
     key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
     sig_dir = os.path.join(tempfile.gettempdir(), f"cherry_deltasig_{key}")
-    if not os.path.isdir(sig_dir):
+    if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents", parallelize=True)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
         minhash_signatures(
