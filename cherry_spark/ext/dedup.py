@@ -1002,6 +1002,87 @@ def posting_skew_stats(
     return _bucket_size_rollup(sizes.groupBy(), max_bucket_size)
 
 
+def doc_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Corpus-novelty score per document: ``(id_col, n_shingles,
+    n_novel, novelty)`` where ``n_novel`` counts the document's
+    distinct ``shingle_k``-grams occurring in NO other document
+    (corpus doc-freq 1) and ``novelty = n_novel / n_shingles``
+    ROUND(·, 6). The inverse signal of the boilerplate/dup family:
+    high-novelty documents contribute content the corpus doesn't
+    already have — the prioritization axis a training-mix builder
+    uses alongside quality scores (and the complement of
+    ``contamination_overlap``'s shared-shingle counting).
+
+    Scale shape: tokenize-once postings, one O(distinct-shingle)
+    doc-freq aggregation, one equi-join back (map-side partial counts
+    both sides), one groupBy(id). Documents shorter than ``shingle_k``
+    tokens return ``n_shingles = 0`` and NULL novelty."""
+    sh = shingle_postings(df, id_col, text_col, shingle_k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(
+                F.sum(F.when(F.col("df_freq") == 1, 1).otherwise(0)), F.lit(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, on=F.col(id_col) == F.col("id"), how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            # divide the PRE-coalesce columns: a shingle-less doc gets
+            # NULL novelty (NULL/NULL), matching the oracle — 0.0/0
+            # would be NaN, which DuckDB's NULL never hash-matches
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def doc_novelty_oracle_sql(
+    shingle_k: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``doc_novelty`` — generated beside the Spark
+    implementation; shingle strings are engine-portable and the counts
+    integer-exact, so the only float is the final IEEE division."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    grams = f"""list_distinct(list_transform(
+        range(greatest(len({toks}) - {shingle_k - 1}, 0)),
+        i -> array_to_string(list_slice({toks}, i + 1, i + {shingle_k}), ' ')))"""
+    return f"""
+    WITH raw AS (SELECT {id_col} AS id, {grams} AS sh FROM {table}),
+    posting AS (SELECT id, s FROM raw, UNNEST(sh) AS u(s)),
+    dfreq AS (SELECT s, COUNT(*) AS df_freq FROM posting GROUP BY 1),
+    per AS (
+        SELECT p.id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(SUM(CASE WHEN d.df_freq = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_novel
+        FROM posting p JOIN dfreq d ON p.s = d.s
+        GROUP BY 1
+    )
+    SELECT t.{id_col},
+           COALESCE(per.n_shingles, 0) AS n_shingles,
+           COALESCE(per.n_novel, 0) AS n_novel,
+           round(per.n_novel::DOUBLE / per.n_shingles, 6) AS novelty
+    FROM {table} t LEFT JOIN per ON per.id = t.{id_col}
+    """
+
+
 def contamination_overlap(
     train: DataFrame,
     test: DataFrame,

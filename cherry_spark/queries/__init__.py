@@ -50,6 +50,7 @@ _ROUND6_NEW = [
     # real oracle in round 6 — certify the conversion
     "band_bucket_stats",
     "lsh_recall_audit",
+    "doc_novelty",
 ]
 
 _ROUND6_TOUCHED = [

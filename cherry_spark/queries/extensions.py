@@ -1257,6 +1257,30 @@ def band_bucket_stats_query(spark, sf_dir):
     )
 
 
+def _doc_novelty_oracle() -> str:
+    from cherry_spark.ext.dedup import doc_novelty_oracle_sql
+
+    return doc_novelty_oracle_sql(shingle_k=3)
+
+
+@query(
+    "doc_novelty",
+    oracle=_doc_novelty_oracle(),
+    doc="Corpus-novelty score per document: fraction of its distinct "
+    "3-gram shingles that occur in NO other document — the inverse "
+    "signal of the boilerplate/dup family, used to prioritize novel "
+    "content in a training mix. Tokenize-once postings, one "
+    "O(distinct-shingle) doc-freq agg, one equi-join back, one "
+    "groupBy(id); integer-exact counts, IEEE-exact final division "
+    "(ext/dedup.py:doc_novelty).",
+)
+def doc_novelty_query(spark, sf_dir):
+    from cherry_spark.ext.dedup import doc_novelty
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return doc_novelty(docs)
+
+
 def _lsh_recall_oracle() -> str:
     from cherry_spark.ext.dedup import lsh_recall_audit_oracle_sql
 

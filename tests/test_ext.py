@@ -149,6 +149,28 @@ def test_degenerate_bucket_cap_drops_boilerplate_only(spark):
     assert mh == {(1000, 1001)}
 
 
+def test_doc_novelty_planted(spark):
+    """d1 all-unique shingles -> novelty 1.0; d2/d3 identical -> every
+    shingle shared -> 0.0; d4 half-shared with d2/d3; d5 too short ->
+    0 shingles, NULL novelty."""
+    from cherry_spark.ext.dedup import doc_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta"),                   # 2 unique shingles
+        (2, "the quick brown fox jumps"),
+        (3, "the quick brown fox jumps"),                # clone of 2
+        (4, "the quick brown cat sleeps now"),           # shares 1 of 4
+        (5, "too short"),                                # no 3-shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_novelty(df).collect()}
+    assert out[1]["novelty"] == 1.0 and out[1]["n_shingles"] == 2
+    assert out[2]["novelty"] == 0.0 and out[3]["novelty"] == 0.0
+    assert out[4]["n_shingles"] == 4 and out[4]["n_novel"] == 3
+    assert out[4]["novelty"] == 0.75
+    assert out[5]["n_shingles"] == 0 and out[5]["novelty"] is None
+
+
 def test_lsh_recall_audit_accounts_for_cap_drops(spark):
     """Deterministic recall loss: a clone class bigger than the bucket
     cap is dropped by banding, so its C(n,2) ground-truth pairs are

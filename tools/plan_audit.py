@@ -99,6 +99,7 @@ AUDIT = [
     "dsir_logratio",
     "chunk_dedup_rewrite",
     "lsh_recall_audit",
+    "doc_novelty",
 ]
 
 
