@@ -118,6 +118,12 @@ def main() -> None:
     # searches a prebuilt inverted-file index (build once, query many —
     # the bench measures search latency, not corpus indexing)
     REGISTRY["ann_ivf_topk"].fn(spark, sf_dir)
+    # likewise pre-build signature stores so store-serving queries
+    # always time the SERVE path regardless of cache temperature.
+    # Basis note: minhash_lsh_dedup switched to a stored-signature
+    # serve path in r06, so its pinned row is not comparable with
+    # r02-r05 numbers (which timed shingle+hash from raw text).
+    materialize(REGISTRY["minhash_lsh_dedup"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

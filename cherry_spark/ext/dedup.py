@@ -713,8 +713,10 @@ def delta_dedup_minhash_oracle_sql(
     hash_family='md5')`` — generated beside the Spark implementation so
     the banding rule cannot drift. Unlike the candidate-complete exact
     oracle (an all-pairs EXISTS), this models the SCALE PATH itself:
-    portable md5 minhash signatures (min over shingles of the 60-bit
-    prefix of md5(md5(s) || '|' || i)), md5 band keys over the
+    portable linear-family minhash signatures (ONE md5 per shingle
+    yields a 60-bit base x, then h_i = (a_i*x + b_i) mod 2^31-1 with
+    the constants from ``_portable_hash_constants`` embedded in both
+    engines — see ``_minhash_band_ctes_sql``), md5 band keys over the
     comma-joined row minima, the corpus-bucket cap, the batch x corpus
     candidate join, and exact-Jaccard verification — so banding recall
     < 1 and capped buckets are IN the certified contract rather than

@@ -3,27 +3,28 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-so the round-6 window is exactly:
+for the ROUND-7 window (the standing cadence: rotate so no query's
+driver signal goes more than one round stale — round-6 verdict item #1):
 
-1. ``_NEVER_CERTIFIED_R5`` — the nine round-5 operators that have never
-   had a driver row (they registered past position 50 in every prior
-   window; round-5 verdict item #1);
-2. ``_ROUND6_NEW`` — queries added in round 6 (the minhash-banding
-   delta-dedup gate, the semantic-dedup cluster-size monitor, DSIR
-   importance weights, the duplicated-passage rewrite, and
-   band_bucket_stats' rows-only→oracle conversion);
-3. ``_ROUND6_TOUCHED`` — queries whose implementation changed in round
-   6 (jaccard_topk hot-shingle cap is in group 1; delta_dedup shared
-   code, minhash precomputed-signature path, skew-rollup reuse, the
-   IVF-index infrastructure shared with semantic_dedup);
-4. ``_R04_STALE`` — the 30 oracle-bearing queries whose latest driver
-   row is r04 (they sat behind the 33 rotated-in relational/steps rows
-   all of round 5), rotated back in;
-5. four high-value r05-green rows that still fit the 50-row window
-   (flagship, u256 carry sum, funnel, quantize audit);
-6. everything else in prior-round order (all green in r05 on unchanged
-   code; the two permanent rows-only queries sit past the window where
-   they don't burn hash-check slots).
+1. ``_ROUND7_NEW`` — queries new or oracle-converted this round
+   (CDC-boundary passage rewrite, the int8 quantized-rerank ANN path,
+   and ``approx_distinct``'s rows-only→tolerance-verdict conversion);
+2. ``_R03_STALE`` — ``ann_lsh_topk``, whose last driver row is r03 (it
+   landed at position 51 in the round-6 window, one past the cutoff);
+3. ``_R05_STALE`` — the 46 rows whose latest driver row is r05: the
+   four rows the round-6 window arithmetic pushed to positions 52-55
+   (flagship, u256 carry sum, funnel, quantize audit) plus the 42
+   relational/steps/decode/streaming-twin rows rotated out by the
+   round-6 window.
+
+Window arithmetic (the round-6 bug was groups summing to 51): 3 new +
+1 r03-stale + 46 r05-stale = 50 exactly.  ``decode_dynamic_abi_arrow``
+(r05-stale #47) is deliberately the first row PAST the window at 51 —
+it shares its oracle with in-window ``decode_dynamic_abi`` and differs
+only in the Arrow execution lane, and verify_local still checks it
+locally every round.  Everything certified green in r06 follows in
+prior-round order; the permanent rows-only queries sit last where they
+don't burn hash-check slots.
 """
 
 from cherry_spark.catalog import REGISTRY
@@ -35,57 +36,49 @@ import cherry_spark.queries.curation  # noqa: F401,E402
 import cherry_spark.queries.multimodal  # noqa: F401,E402
 import cherry_spark.queries.extensions  # noqa: F401,E402
 
-_NEVER_CERTIFIED_R5 = [
-    "semantic_dedup", "mmr_diverse_topk", "gopher_filter",
-    "unigram_logprob", "bigram_logprob", "cdc_chunk_dedup",
-    "jaccard_topk", "media_phash_dedup", "mixing_temperature",
+_ROUND7_NEW = [
+    "cdc_chunk_rewrite",
+    "quantized_rerank_topk",
+    "approx_distinct",
 ]
 
-_ROUND6_NEW = [
-    "delta_dedup_minhash_verdicts",
-    "semdedup_cluster_stats",
-    "dsir_logratio",
-    "chunk_dedup_rewrite",
-    # rows-only through r05; the portable md5 band family gave it a
-    # real oracle in round 6 — certify the conversion
-    "band_bucket_stats",
-    "lsh_recall_audit",
-    "doc_novelty",
-]
+_R03_STALE = ["ann_lsh_topk"]
 
-_ROUND6_TOUCHED = [
-    "delta_dedup_verdicts", "minhash_lsh_dedup", "ngram_jaccard_pairs",
-    "posting_skew_stats", "ann_ivf_topk",
-]
-
-_R04_STALE = [
-    "null_group_agg", "asof_join_latest_order", "repetition_stats",
-    "stratified_sample_lang", "pii_scrub_docs", "chunk_dedup",
-    "sequence_pack", "mixing_order", "doc_length_percentiles",
-    "media_decode_features", "media_frame_sample", "text_stats",
-    "token_count", "lang_id", "doc_fingerprint", "quality_score",
-    "exact_dedup_docs", "dedup_clusters", "dedup_clusters_star",
-    "cluster_keep_best", "simhash_dedup", "embed_neardup_pairs",
-    "deterministic_split", "token_freq_topn",
-    "semantic_lexical_agreement", "label_centroid_profile",
-    "corpus_report", "tfidf_top_terms", "decontaminate_overlap",
-    "ann_lsh_topk",
-]
-
-_R05_KEEP = [
+_R05_STALE = [
+    # the four rows the round-6 window arithmetic skipped (ADVICE item)
     "flagship_revenue_by_nation", "u256_sum", "funnel_conversion",
     "embedding_quantize_audit",
+    # decode family first: a full round of drift on touched-adjacent code
+    "decode_fixedwidth", "decode_dynamic_abi", "borsh_decode_fixed",
+    "glaciers_decode", "u256_binary_roundtrip", "hex_encode",
+    "base58_encode", "cast_by_name", "cast_by_type", "set_constant_col",
+    # query-model + relational rows certified r05
+    "project_select", "filter_range", "filter_in_set", "filter_prefix",
+    "semi_join_related", "trace_query_model", "join_inner_eq",
+    "join_composite_key", "join_left_dim", "json_extract",
+    "agg_min_max", "agg_resume_cursor", "agg_count_distinct",
+    "groupby_sum", "groupby_multi", "distinct_rows", "rollup_agg",
+    "cube_agg", "pivot_status_counts", "topk_orderby_limit",
+    "union_all_batches", "intersect_keys", "except_keys",
+    "window_rownum_dedup", "window_tumbling_agg", "session_window_agg",
+    "session_window_native", "sql_step", "udf_transform_step",
+    "range_join_buckets", "retention_cohorts", "cosine_topk",
+]
+
+_PAST_WINDOW_FIRST = [
+    # r05-stale #47: oracle twin of in-window decode_dynamic_abi,
+    # differs only in the Arrow lane; verify_local covers it locally
+    "decode_dynamic_abi_arrow",
 ]
 
 
 def _reorder_for_certification() -> None:
     ordered: list[str] = []
     for group in (
-        _NEVER_CERTIFIED_R5,
-        _ROUND6_NEW,
-        _ROUND6_TOUCHED,
-        _R04_STALE,
-        _R05_KEEP,
+        _ROUND7_NEW,
+        _R03_STALE,
+        _R05_STALE,
+        _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
     ordered += [n for n in REGISTRY if n not in ordered]

@@ -172,6 +172,14 @@ class _NetworkProvider(Provider):
                             f"transport returned non-advancing cursor "
                             f"{next_start} for request [{page_start}, {end}]"
                         )
+                    if next_start > end + 1:
+                        # an over-advancing cursor would make the outer
+                        # loop restart at end + 1 and re-fetch blocks the
+                        # page already covered, silently duplicating data
+                        raise ValueError(
+                            f"transport returned over-advancing cursor "
+                            f"{next_start} for request [{page_start}, {end}]"
+                        )
                 else:
                     batch, next_start = resp, end + 1
                 yield batch

@@ -226,10 +226,15 @@ def run_streaming_growing_dedup(
         admitted = batch_df.join(admitted_ids, id_col, "left_semi").select(
             F.col(id_col), F.col(text_col)
         )
-        admitted.write.mode("append").parquet(corpus_dir)
         if use_sig_store:
-            # shingle+hash each admitted doc exactly once, at admission
+            # shingle+hash each admitted doc exactly once, at admission.
+            # Signatures are appended BEFORE the corpus text: a crash
+            # between the two writes then leaves sig-only orphans, which
+            # are harmless (ids absent from the corpus text store never
+            # reach verdicts) — the reverse order would leave corpus docs
+            # invisible to minhash banding until the micro-batch replays.
             signatures_of(admitted).write.mode("append").parquet(sig_dir)
+        admitted.write.mode("append").parquet(corpus_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
