@@ -430,16 +430,41 @@ def null_group_agg(spark, sf_dir):
 
 @query(
     "approx_distinct",
-    oracle=None,  # HLL sketches differ across engines by design
+    oracle="""
+    SELECT exact_orders,
+           CAST(ABS(approx_orders - exact_orders) <= 0.05 * exact_orders
+                AS INTEGER) AS within_5pct
+    FROM (
+        SELECT approx_count_distinct(l_orderkey) AS approx_orders,
+               COUNT(DISTINCT l_orderkey) AS exact_orders
+        FROM lineitem
+    )
+    """,
     doc="approx_count_distinct (HyperLogLog++) — the cardinality sketch "
-    "for 100 TB scale where exact distinct is a full shuffle; rows-only "
-    "check (sketch estimates are engine-specific).",
+    "for 100 TB scale where exact distinct is a full shuffle. The sketch "
+    "VALUE is engine-specific by design, so the certified contract is a "
+    "tolerance verdict: each engine computes its own sketch AND the "
+    "exact count, and emits (exact_orders, within_5pct) — engine-exact "
+    "columns that hash-compare (round-6 verdict item #5). HLL++ standard "
+    "error at default precision is ~2.3%% (Heule et al. 2013), so 5%% is "
+    "a real assertion on both sketches, not a tautology.",
 )
 def approx_distinct(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    # rsd=0.016 ~= HLL++ precision-14 error; Spark's default rsd of 5%
+    # routinely misses a 5% verdict band at small cardinalities
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.016).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        )
+        .cast("int")
+        .alias("within_5pct"),
     )
 
 
