@@ -101,8 +101,6 @@ def quantized_rerank_topk(
     ``rerank`` (default 10x k) buffers the residual quantization error;
     recall is asserted against brute force in tests.
     """
-    from pyspark.sql.window import Window
-
     # ONE stats aggregation: collect the dim-bounded rows, then rebuild
     # the broadcast side from them — the corpus is scanned once for
     # stats, not once per consumer
@@ -128,28 +126,39 @@ def quantized_rerank_topk(
             + F.element_at(mn_lit, i.cast("int")),
         )
 
-    from cherry_spark.ext.similarity import cosine_similarity
-
-    cor = codes(vectors, id_col)
-    qc = F.broadcast(
-        codes(query, query_id_col).select(
-            F.col("id").alias("__qid"), deq("qvec").alias("__qdeq")
-        )
+    from cherry_spark.ext.similarity import (
+        cosine_similarity,
+        dot,
+        norm,
+        topk_per_query,
     )
-    proxy = cosine_similarity(deq("qvec"), F.col("__qdeq"))
+
+    # dequantized code arrays + norms ONCE per row, not once per
+    # (row × query) pair — the HOF folds are interpreted, so per-pair
+    # norms triple the hot loop (same reasoning as brute_force_topk)
+    cor = codes(vectors, id_col).select(
+        "id", deq("qvec").alias("__d")
+    ).withColumn("__dn", norm(F.col("__d")))
+    qc = F.broadcast(
+        codes(query, query_id_col)
+        .select(F.col("id").alias("__qid"), deq("qvec").alias("__qdeq"))
+        .withColumn("__qn", norm(F.col("__qdeq")))
+    )
+    proxy = F.when(
+        (F.col("__dn") > 0) & (F.col("__qn") > 0),
+        dot(F.col("__d"), F.col("__qdeq")) / (F.col("__dn") * F.col("__qn")),
+    )
     scored = cor.crossJoin(qc).select(
         F.col("__qid").alias(query_id_col),
         F.col("id").alias(id_col),
         proxy.alias("__proxy"),
     )
-    w1 = Window.partitionBy(query_id_col).orderBy(
-        F.col("__proxy").desc(), F.col(id_col)
-    )
-    candidates = (
-        scored.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= rerank)
-        .select(query_id_col, id_col)
-    )
+    # salted two-phase selection: no single task ever sorts a whole
+    # query's scored corpus (the pre-r7 form was one corpus-bounded
+    # window per query — a single-task sort at scale)
+    candidates = topk_per_query(
+        scored, rerank, query_id_col, id_col, "__proxy"
+    ).select(query_id_col, id_col)
     # exact rerank on the float vectors (candidates only)
     qv = F.broadcast(
         query.select(
@@ -167,12 +176,97 @@ def quantized_rerank_topk(
             ).alias("sim"),
         )
     )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        exact.withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    return topk_per_query(exact, k, query_id_col, id_col, "sim")
+
+
+def quantized_rerank_oracle_sql(
+    dim: int,
+    k: int,
+    rerank: int,
+    query_ids: list[int],
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL recomputing ``quantized_rerank_topk`` EXACTLY —
+    generated beside the implementation so the code space cannot drift
+    (the ann_ivf_topk / ann_lsh_topk technique).
+
+    Bit-exactness argument:
+
+    - per-dimension [mn, mx] involve no summation — identical doubles;
+    - quantize is the audit-certified expression
+      ``round((v-mn)/(mx-mn)*255, 0)`` (round half-away-from-zero in
+      both engines for these non-negative operands), dequantize is
+      ``code*( (mx-mn)/255.0 ) + mn`` — single-element IEEE expressions;
+    - every dot/norm is an unrolled left-associated sum, the identical
+      IEEE sequence to Spark's ``F.aggregate`` fold
+      (``ivf._dot_ab_sql``);
+    - the candidate cut ranks the UNROUNDED proxy with (proxy DESC
+      NULLS LAST, id ASC) — bit-equal doubles on both sides make the
+      rerank-boundary cut deterministic;
+    - the final top-k ranks the ROUNDED exact cosine with the same
+      tie-break.
+    """
+    from cherry_spark.ext.ivf import _dot_ab_sql
+
+    def dot_ab(a: str, b: str, cast_b: bool = False) -> str:
+        return _dot_ab_sql(a, b, dim, cast_b)
+
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH pe AS (
+        SELECT {id_col} AS id, g.i, {vec_col}[g.i]::DOUBLE AS v
+        FROM {table}, UNNEST(range(1, {dim} + 1)) AS g(i)
+        WHERE {vec_col} IS NOT NULL
+    ),
+    stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM pe GROUP BY i),
+    dv AS (
+        SELECT pe.id,
+               list(
+                 (CASE WHEN s.mx > s.mn
+                       THEN CAST(round((pe.v - s.mn)/(s.mx - s.mn)*255, 0)
+                                 AS INT)
+                       ELSE 0 END)::DOUBLE
+                 * ((s.mx - s.mn)/255.0) + s.mn
+                 ORDER BY pe.i) AS d
+        FROM pe JOIN stats s USING (i)
+        GROUP BY pe.id
+    ),
+    dn AS (SELECT id, d, {dot_ab("d", "d")} AS n2 FROM dv),
+    scored AS (
+        SELECT q.id AS query_id, c.id,
+               CASE WHEN sqrt(c.n2) > 0 AND sqrt(q.n2) > 0
+                    THEN {dot_ab("c.d", "q.d")} / (sqrt(c.n2) * sqrt(q.n2))
+               END AS proxy
+        FROM dn c CROSS JOIN dn q WHERE q.id IN ({ids})
+    ),
+    cand AS (
+        SELECT query_id, id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY proxy DESC NULLS LAST, id) AS rn
+            FROM scored) WHERE rn <= {rerank}
+    ),
+    v AS (
+        SELECT {id_col} AS id, {vec_col} AS e,
+               {dot_ab(vec_col, vec_col, True)} AS n2
+        FROM {table}
+    ),
+    exact AS (
+        SELECT cand.query_id, cand.id,
+               round(CASE WHEN sqrt(ve.n2) > 0 AND sqrt(q.n2) > 0
+                          THEN {dot_ab("ve.e", "q.e", True)}
+                               / (sqrt(ve.n2) * sqrt(q.n2)) END, 6) AS sim
+        FROM cand
+        JOIN v ve ON ve.id = cand.id
+        JOIN v q ON q.id = cand.query_id
     )
+    SELECT query_id, id AS {id_col}, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC NULLS LAST, id) AS rn
+        FROM exact) WHERE rn <= {k}
+    """
 
 
 def quantize_audit(

@@ -117,15 +117,39 @@ def brute_force_topk(
             .drop("__rn")
         )
 
-    n_salt = 64
-    # Ascending struct sort == (sim DESC NULLS LAST, id ASC): negate
-    # the sim and send NULL (zero-norm / NaN-normalized) to +inf.
+    return topk_per_query(scored, k, query_id_col, id_col, "sim")
+
+
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    val_col: str = "sim",
+    n_salt: int = 64,
+) -> DataFrame:
+    """Salted two-phase top-k over scored (query_id, id, val) rows by
+    (val DESC NULLS LAST, id ASC) — the JVM-only selection extracted
+    from ``brute_force_topk`` so every scored-candidate ranking
+    (cosine, proxy int8 codes, lexical Jaccard) shares one plan shape:
+    no single task ever sorts a whole query's corpus.
+
+    Phase 1: group by (query_id, 64-way deterministic id salt) and keep
+    each group's k best via ``slice(array_sort(collect_list(struct)))``.
+    Phase 2: the exact ranking window runs over ≤ k × n_salt rows per
+    query. Identical results to a single corpus-bounded window — a
+    global top-k is a subset of the union of per-group top-ks under the
+    same total order."""
+    from pyspark.sql.window import Window
+
+    # Ascending struct sort == (val DESC NULLS LAST, id ASC): negate
+    # the value and send NULL (zero-norm / NaN-normalized) to +inf.
     sort_key = F.struct(
-        F.when(F.col("sim").isNull(), F.lit(float("inf")))
-        .otherwise(-F.col("sim"))
+        F.when(F.col(val_col).isNull(), F.lit(float("inf")))
+        .otherwise(-F.col(val_col))
         .alias("__neg"),
         F.col(id_col).alias("__i"),
-        F.col("sim").alias("__s"),
+        F.col(val_col).alias("__s"),
     )
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
     partial = (
@@ -135,8 +159,11 @@ def brute_force_topk(
         .select(
             F.col(query_id_col),
             F.col("__t.__i").alias(id_col),
-            F.col("__t.__s").alias("sim"),
+            F.col("__t.__s").alias(val_col),
         )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(val_col).desc(), F.col(id_col)
     )
     return (
         partial.withColumn("__rn", F.row_number().over(w))

@@ -28,6 +28,7 @@ from cherry_spark.ext.dedup import (
     simhash64,
 )
 from cherry_spark.ext.ivf import ivf_topk_oracle_sql
+from cherry_spark.ext.quantize import quantized_rerank_oracle_sql
 from cherry_spark.ext.similarity import brute_force_topk, lsh_bucket_topk
 from cherry_spark.ext.text import (
     LANG_STOPWORDS,
@@ -806,6 +807,36 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return ivf_search(spark, index_dir, qdf, k=5, nprobe=4)
+
+
+@query(
+    "quantized_rerank_topk",
+    # generated beside the implementation (ext/quantize.py:
+    # quantized_rerank_oracle_sql): the oracle replays stats ->
+    # quantize -> dequantize -> unrolled-IEEE proxy cosine ->
+    # rerank-cut -> exact rounded rerank, so the candidate buffer and
+    # the final ranking are BOTH in the certified contract.
+    oracle=quantized_rerank_oracle_sql(
+        dim=64, k=5, rerank=20, query_ids=[0, 1, 2]
+    ),
+    doc="Two-stage int8 ANN — the 100 TB read path: stage 1 scans only "
+    "the quantized code table (4x less IO/memory bandwidth than "
+    "float32) and keeps the top-rerank candidates per query by "
+    "dequantized-cosine proxy via the salted two-phase JVM top-k; "
+    "stage 2 joins candidates back to the float vectors and ranks the "
+    "final top-k by EXACT cosine, so quantization error can only cost "
+    "recall, never corrupt a reported similarity. Queries are "
+    "quantized with the corpus's per-dimension stats (one 64-row "
+    "collect). ext/quantize.py:quantized_rerank_topk.",
+)
+def quantized_rerank_topk_q(spark, sf_dir):
+    from cherry_spark.ext.quantize import quantized_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return quantized_rerank_topk(emb, qdf, k=5, rerank=20)
 
 
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}

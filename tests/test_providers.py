@@ -179,3 +179,20 @@ def test_transport_non_advancing_cursor_rejected(spark):
     q = EvmQuery(from_block=10, to_block=25)
     with pytest.raises(ValueError, match="non-advancing"):
         list(start_stream(cfg, spark, q, batch_size=8))
+
+
+def test_transport_over_advancing_cursor_rejected(spark):
+    """A transport whose cursor jumps past end + 1 would make the outer
+    loop restart at end + 1 and re-yield blocks the page already
+    covered — silent duplication; the adapter fails loudly instead."""
+    def overshoot_fetch(url, query, lo, hi):
+        return {"blocks": spark.range(lo, hi + 1)}, hi + 5
+
+    cfg = ProviderConfig(
+        kind=ProviderKind.SQD,
+        url="https://example.invalid",
+        fetch_fn=overshoot_fetch,
+    )
+    q = EvmQuery(from_block=10, to_block=25)
+    with pytest.raises(ValueError, match="over-advancing"):
+        list(start_stream(cfg, spark, q, batch_size=8))
