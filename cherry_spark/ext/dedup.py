@@ -1223,6 +1223,19 @@ def chunk_dedup_rewrite(
             "idx", "chunk"
         ),
     )
+    return _first_occurrence_rewrite(df, rows, id_col)
+
+
+def _first_occurrence_rewrite(
+    df: DataFrame, rows: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared keep-and-reassemble tail of the passage-rewrite family:
+    given exploded ``rows`` = (id, idx, chunk), keep each chunk text's
+    FIRST corpus occurrence (lowest doc id, then lowest chunk index)
+    and reassemble every document from its surviving chunks in order.
+    Two hash aggregations + chunk-keyed equi-joins — no corpus-wide
+    window, no self-join (the chunker — fixed-stride or CDC — is the
+    only thing that differs between the rewrite variants)."""
     first_doc = rows.groupBy("chunk").agg(F.min("id").alias("kd"))
     first_idx = (
         rows.join(first_doc, "chunk")
@@ -1284,7 +1297,16 @@ def chunk_dedup_rewrite_oracle_sql(
              AS u(i)
         WHERE n > 0
     ),
-    k1 AS (SELECT chunk, min(id) AS kd FROM ch GROUP BY 1),
+    {_rewrite_tail_sql(table, id_col)}
+    """
+
+
+def _rewrite_tail_sql(table: str, id_col: str) -> str:
+    """Shared keep-and-reassemble SQL tail (the ``ch(id, idx, chunk)``
+    consumer) — the DuckDB twin of ``_first_occurrence_rewrite``,
+    shared by the fixed-stride and CDC rewrite oracles so the
+    first-occurrence rule is certified once."""
+    return f"""k1 AS (SELECT chunk, min(id) AS kd FROM ch GROUP BY 1),
     k2 AS (
         SELECT c.chunk, k1.kd, min(c.idx) AS ki
         FROM ch c JOIN k1 ON c.chunk = k1.chunk AND c.id = k1.kd
@@ -1307,8 +1329,7 @@ def chunk_dedup_rewrite_oracle_sql(
            COALESCE(r.n_kept, 0) AS n_kept
     FROM {table} d
     LEFT JOIN tot t ON t.id = d.{id_col}
-    LEFT JOIN re r ON r.id = d.{id_col}
-    """
+    LEFT JOIN re r ON r.id = d.{id_col}"""
 
 
 def jaccard_topk(
@@ -1478,6 +1499,50 @@ def jaccard_topk_oracle_sql(
     """
 
 
+def _cdc_chunks(text: Column, window: int, divisor: int) -> Column:
+    """array<string> of content-defined chunks: a boundary sits after
+    token position i when the 32-bit md5 prefix of the ``window``-gram
+    ending at i is ≡ 0 (mod ``divisor``). The whole per-document
+    computation runs inside ONE outer ``transform`` over a
+    single-element array wrapping the token array — the tokenizer's
+    RESULT is bound as a lambda VARIABLE so CollapseProject cannot
+    re-inline it per element (the ``word_shingles`` trap)."""
+
+    def per_doc(tk):
+        n = F.size(tk)
+        gram_hash = lambda i: (  # noqa: E731 — 32-bit md5 prefix of the gram
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(tk, i - window + 1, window))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        # F.sequence(a, b) is DESCENDING when b < a (CLAUDE invariant):
+        # guard short docs to an empty boundary list
+        bpos = F.when(
+            n >= window,
+            F.filter(
+                F.sequence(F.lit(window), n),
+                lambda i: gram_hash(i) % divisor == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        cuts = F.filter(bpos, lambda b: b < n)
+        starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda b: b + 1))
+        ends = F.concat(cuts, F.array(n))
+        return F.when(
+            n > 0,
+            F.zip_with(
+                starts, ends, lambda s, e: F.concat_ws(" ", F.slice(tk, s, e - s + 1))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(tokens_col(text)), per_doc))
+
+
 def cdc_chunk_dedup_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1519,41 +1584,7 @@ def cdc_chunk_dedup_stats(
     term that long documents would otherwise pay).
     """
 
-    def per_doc(tk):
-        n = F.size(tk)
-        gram_hash = lambda i: (  # noqa: E731 — 32-bit md5 prefix of the gram
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(tk, i - window + 1, window))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-        )
-        # F.sequence(a, b) is DESCENDING when b < a (CLAUDE invariant):
-        # guard short docs to an empty boundary list
-        bpos = F.when(
-            n >= window,
-            F.filter(
-                F.sequence(F.lit(window), n),
-                lambda i: gram_hash(i) % divisor == 0,
-            ),
-        ).otherwise(F.array().cast("array<int>"))
-        cuts = F.filter(bpos, lambda b: b < n)
-        starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda b: b + 1))
-        ends = F.concat(cuts, F.array(n))
-        return F.when(
-            n > 0,
-            F.zip_with(
-                starts, ends, lambda s, e: F.concat_ws(" ", F.slice(tk, s, e - s + 1))
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    chunks = F.flatten(
-        F.transform(F.array(tokens_col(F.col(text_col))), per_doc)
-    )
+    chunks = _cdc_chunks(F.col(text_col), window, divisor)
     rows = df.select(F.col(id_col).alias("id"), F.explode(chunks).alias("chunk"))
     return (
         rows.groupBy("chunk")
@@ -1584,9 +1615,30 @@ def cdc_chunk_oracle_sql(
     ``range(a, b)`` is empty when b <= a, so short docs need no guard;
     ``list_slice`` is end-INDEX based where Spark ``slice`` takes a
     length — both assemble the same token span."""
-    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
     return f"""
-    WITH base AS (
+    WITH {_cdc_spans_ctes_sql(table, id_col, text_col, window, divisor)},
+    ch AS (
+        SELECT id, unnest(list_transform(range(1, len(starts) + 1),
+                   k -> array_to_string(
+                        list_slice(toks, starts[k], ends[k]), ' '))) AS chunk
+        FROM spans
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(id) AS first_doc_id
+    FROM ch GROUP BY chunk HAVING count(*) > 1
+    """
+
+
+def _cdc_spans_ctes_sql(
+    table: str, id_col: str, text_col: str, window: int, divisor: int
+) -> str:
+    """The WITH-clause body reproducing ``_cdc_chunks``' boundary rule
+    in DuckDB (``base``/``b``/``spans``) — shared by the CDC stats and
+    CDC rewrite oracles so the chunker is certified once."""
+    toks = f"list_filter(string_split({text_col}, ' '), t -> t != '')"
+    return f"""base AS (
         SELECT {id_col} AS id, {toks} AS toks, len({toks}) AS n
         FROM {table} WHERE len({toks}) > 0
     ),
@@ -1605,18 +1657,72 @@ def cdc_chunk_oracle_sql(
                list_concat([1], list_transform(cuts, x -> x + 1)) AS starts,
                list_concat(cuts, [n]) AS ends
         FROM b
-    ),
-    ch AS (
-        SELECT id, unnest(list_transform(range(1, len(starts) + 1),
-                   k -> array_to_string(
-                        list_slice(toks, starts[k], ends[k]), ' '))) AS chunk
-        FROM spans
+    )"""
+
+
+def cdc_chunk_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """SHIFT-ROBUST duplicated-passage removal with rewrite: the
+    first-occurrence-keep + reassembly of ``chunk_dedup_rewrite``
+    applied to CONTENT-DEFINED chunk boundaries (``_cdc_chunks``)
+    instead of a fixed stride.
+
+    Why this exists: a one-token prepend shifts every fixed-stride
+    chunk, so ``chunk_dedup_rewrite`` keeps the entire shifted copy of
+    a duplicated passage (proven by this repo's own CDC test); CDC
+    boundaries depend only on local content, so chunks realign after
+    the insertion point and the repeated passage still collapses —
+    Lee et al. 2022 dedup exact substrings, not aligned chunks, and
+    CDC is the bounded-state approximation of that. Expected chunk
+    length ≈ ``divisor`` tokens.
+
+    Returns ``(id_col, kept_text, n_chunks, n_kept)`` for EVERY input
+    document, same contract as ``chunk_dedup_rewrite``.
+
+    Scale shape: the chunker is pure array expressions on the in-hand
+    token array (tokenizer bound as a lambda variable, once per row);
+    the keeper/reassembly tail is the shared two-hash-aggregation
+    ``_first_occurrence_rewrite`` — no corpus-wide window, no
+    self-join, map-side partials absorb hot-chunk skew.
+    """
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_cdc_chunks(F.col(text_col), window, divisor)).alias(
+            "idx", "chunk"
+        ),
     )
-    SELECT md5(chunk) AS chunk_hash,
-           CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_occurrences,
-           min(id) AS first_doc_id
-    FROM ch GROUP BY chunk HAVING count(*) > 1
+    return _first_occurrence_rewrite(df, rows, id_col)
+
+
+def cdc_chunk_rewrite_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 8,
+) -> str:
+    """DuckDB twin of ``cdc_chunk_rewrite`` — composes the certified
+    CDC boundary CTEs (``_cdc_spans_ctes_sql``, shared with
+    ``cdc_chunk_oracle_sql``) with the certified rewrite tail
+    (``_rewrite_tail_sql``, shared with
+    ``chunk_dedup_rewrite_oracle_sql``), so neither the chunker nor
+    the first-occurrence rule can drift between the variants. The
+    ``ch`` CTE carries the 0-based chunk index (k - 1 == Spark's
+    posexplode position)."""
+    return f"""
+    WITH {_cdc_spans_ctes_sql(table, id_col, text_col, window, divisor)},
+    ch AS (
+        SELECT id, k - 1 AS idx,
+               array_to_string(list_slice(toks, starts[k], ends[k]), ' ')
+                   AS chunk
+        FROM spans, UNNEST(range(1, len(starts) + 1)) AS u(k)
+    ),
+    {_rewrite_tail_sql(table, id_col)}
     """
 
 

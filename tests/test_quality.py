@@ -155,6 +155,56 @@ def test_chunk_dedup_rewrite_idempotent(spark):
     assert texts1 == texts2
 
 
+def test_cdc_chunk_rewrite_collapses_shifted_passage(spark):
+    """The round-7 operator's reason to exist: a one-token prepend
+    defeats the fixed-stride REWRITE (every 8-token chunk shifts, so
+    the whole duplicated passage survives in doc 2), while the
+    CDC-boundary rewrite realigns after the insertion point and
+    collapses it."""
+    from cherry_spark.ext.dedup import cdc_chunk_rewrite, chunk_dedup_rewrite
+
+    passage = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, passage), (2, "shifted " + passage)], ["doc_id", "text"]
+    )
+    fixed = {
+        r["doc_id"]: r for r in chunk_dedup_rewrite(df, chunk_tokens=8).collect()
+    }
+    cdc = {
+        r["doc_id"]: r
+        for r in cdc_chunk_rewrite(df, window=3, divisor=8).collect()
+    }
+    # fixed stride: doc 2's shifted chunks are all textually new -> the
+    # duplicated passage survives the rewrite in full
+    assert fixed[2]["n_kept"] == fixed[2]["n_chunks"]
+    # CDC: doc 1 (first occurrence) keeps everything; doc 2 loses every
+    # chunk after boundary realignment — most of the passage collapses
+    assert cdc[1]["n_kept"] == cdc[1]["n_chunks"]
+    assert cdc[2]["n_kept"] < cdc[2]["n_chunks"]
+    kept_tokens = [t for t in cdc[2]["kept_text"].split(" ") if t]
+    assert len(kept_tokens) < 41 / 2  # more than half the copy removed
+    # and the survivors are only the prefix region around the insertion
+    assert "shifted" in kept_tokens
+
+
+def test_cdc_chunk_rewrite_unique_corpus_is_identity(spark):
+    """Invariant: with no duplicated chunk anywhere, the rewrite is
+    the identity (kept_text reassembles to the original tokenized
+    text, n_kept == n_chunks)."""
+    from cherry_spark.ext.dedup import cdc_chunk_rewrite
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(17))) for i in range(6)]
+        + [(99, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_rewrite(df).collect()}
+    for i in range(6):
+        assert out[i]["kept_text"] == " ".join(f"w{i}_{j}" for j in range(17))
+        assert out[i]["n_kept"] == out[i]["n_chunks"] > 0
+    assert out[99]["kept_text"] == "" and out[99]["n_chunks"] == 0
+
+
 def test_dsir_self_target_is_zero(spark):
     """Invariant: with target == raw the two smoothed LMs coincide, so
     every per-token log-ratio rounds to exactly 0 and every non-empty
