@@ -121,9 +121,14 @@ def main() -> None:
     # likewise pre-build signature stores so store-serving queries
     # always time the SERVE path regardless of cache temperature.
     # Basis note: minhash_lsh_dedup switched to a stored-signature
-    # serve path in r06, so its pinned row is not comparable with
-    # r02-r05 numbers (which timed shingle+hash from raw text).
+    # serve path in r06, and simhash_dedup / ngram_jaccard_pairs (and
+    # the unpinned dedup_clusters family) in r07 — those pinned rows
+    # are not comparable with earlier rounds' numbers (which timed
+    # shingle+hash from raw text; the build cost now runs once per
+    # corpus version at ingest).
     materialize(REGISTRY["minhash_lsh_dedup"].fn(spark, sf_dir))
+    materialize(REGISTRY["simhash_dedup"].fn(spark, sf_dir))
+    materialize(REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}

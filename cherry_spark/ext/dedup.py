@@ -350,6 +350,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     prefix_filter: bool = False,
     max_bucket_size: int = 500,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs via an inverted shingle index (no LSH, no
     cross join). Two index modes, identical results:
@@ -390,10 +391,20 @@ def ngram_jaccard_pairs(
     structs; route identical text through ``exact_dedup`` /
     ``chunk_dedup_stats`` instead.
     """
-    # reuse=True: this plan references the postings 3-4 times (counts,
-    # bucket sizes, buckets, prefix stats) — the repartition exchange
-    # is the shared materialization point (see shingle_postings)
-    sh = shingle_postings(df, id_col, text_col, shingle_k, reuse=True)
+    # ``postings``: a precomputed (id, shingle) distinct-postings table
+    # (e.g. a fingerprinted parquet store built once per corpus version
+    # — the minhash signature-store precedent): tokenize+shingle are
+    # corpus state computed at ingest, so the per-run cost is the pair
+    # job only. When absent, build inline with reuse=True: this plan
+    # references the postings 3-4 times (counts, bucket sizes, buckets,
+    # prefix stats) — the repartition exchange is the shared
+    # materialization point (see shingle_postings); a stored table's
+    # references are plain parquet re-scans, already cheap.
+    sh = (
+        postings.select("id", "shingle")
+        if postings is not None
+        else shingle_postings(df, id_col, text_col, shingle_k, reuse=True)
+    )
     # Capped profile as a broadcast ANTI-join against the HOT shingles
     # (df > cap) instead of an equi-join attaching df_freq to every
     # posting (the round-4 shape — 15 exchanges, the heaviest plan in

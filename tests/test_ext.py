@@ -249,6 +249,34 @@ def test_minhash_lsh_precomputed_signatures(spark, tmp_path):
     assert inline == reused and len(inline) > 0
 
 
+def test_ngram_jaccard_precomputed_postings(spark, tmp_path):
+    """The stored-postings path (tokenize+shingle once at ingest,
+    reuse per query) returns exactly the inline path's pairs + values,
+    in both index modes."""
+    from cherry_spark.ext.dedup import ngram_jaccard_pairs, shingle_postings
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    p_path = str(tmp_path / "postings")
+    shingle_postings(docs).write.parquet(p_path)
+    stored = spark.read.parquet(p_path)
+
+    for prefix in (False, True):
+        inline = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.6, prefix_filter=prefix
+            ).collect()
+        }
+        reused = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.6, prefix_filter=prefix, postings=stored
+            ).collect()
+        }
+        assert inline == reused and len(inline) > 0, prefix
+
+
 def test_delta_dedup_stored_corpus_signatures(spark, tmp_path):
     """The incremental 100 TB shape: corpus signatures stored once at
     ingest and passed per batch — verdicts identical to the inline
