@@ -169,6 +169,7 @@ def dsir_logratio(
     target: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every RAW-corpus
@@ -196,11 +197,20 @@ def dsir_logratio(
 
     Cross-engine determinism: per-token log-ratio ROUND(·, 6) FIRST,
     then summed as DECIMAL(18,6) — exact, order-free (the
-    unigram_logprob contract; same last-ulp-ln triage class)."""
+    unigram_logprob contract; same last-ulp-ln triage class).
+
+    ``tokenizer``: optional ``Column -> Column`` producing the token
+    ARRAY for a text column (default: whitespace ``tokens_col``) — the
+    seam for budgeting in real BPE/SentencePiece tokens: point it at a
+    precomputed token-array column (``lambda _: F.col("bpe_tokens")``)
+    or any expression-level tokenizer; both LMs and the per-doc scores
+    then live in that token space. Oracles embed the whitespace
+    default, so registered queries keep it."""
+    tok_fn = tokenizer if tokenizer is not None else tokens_col
     rt = raw.select(
-        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+        F.col(id_col).alias("id"), F.explode(tok_fn(F.col(text_col))).alias("tok")
     )
-    tt = target.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    tt = target.select(F.explode(tok_fn(F.col(text_col))).alias("tok"))
     rf = rt.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
     tf = tt.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
     vocab = rf.join(tf, on="tok", how="full_outer").select(

@@ -182,6 +182,7 @@ def mixing_temperature(
     source_col: str = "source",
     tau: float = 0.7,
     budget: int = 10_000,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Temperature-scaled source mixture (the multilingual-corpus
     balancing rule, XLM-R / mT5 style): sampling weight per source
@@ -197,12 +198,24 @@ def mixing_temperature(
 
     Scale shape: one count aggregate keyed on the source (map-side
     partials), a 1-row broadcast of the normalizer — nothing else.
+
+    ``size_col``: optional numeric column summed as each source's size
+    instead of its row count — the seam for budgeting in TOKENS rather
+    than documents (feed a precomputed ``n_tokens`` column from any
+    real tokenizer). The output column stays named ``n_docs``; its
+    unit is rows by default, Σ size_col when provided. Oracles embed
+    the row-count default, so registered queries keep it.
     """
+    size = (
+        F.count(F.lit(1))
+        if size_col is None
+        else F.sum(F.col(size_col)).cast("long")
+    )
     pw = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(float(tau))), 6).cast(
         "decimal(18,6)"
     )
     counts = df.groupBy(F.col(source_col).alias("source")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+        size.alias("n_docs")
     ).withColumn("pw", pw)
     total = counts.agg(F.sum("pw").alias("tot"))
     weight = F.col("pw").cast("double") / F.col("tot").cast("double")

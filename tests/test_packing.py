@@ -86,3 +86,47 @@ def test_two_phase_plan_has_no_global_data_window(spark, docs):
     for w in windows:
         if "n_tokens" in w and "_hkey" in w:
             assert "[_bucket" in w, w
+
+
+def test_pack_with_custom_tokenizer_column(spark):
+    """The tokenizer seam: pack_sequences budgets in whatever token
+    unit the caller's token column carries — here a BPE-ish regex
+    tokenizer (letter runs / digits / single punctuation) instead of
+    whitespace. Differential check: the packing replayed in Python
+    over the custom counts matches exactly."""
+    texts = [
+        (0, "Hello, world! 42 tokens?"),
+        (1, "a b c"),
+        (2, "import numpy as np; x=3"),
+        (3, ""),
+        (4, "one-two three_four 5678"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    bpe_ish = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"), 0)
+    ).cast("long")
+    with_tok = df.select("doc_id", bpe_ish.alias("n_tokens"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"], r["first_chunk"], r["last_chunk"])
+        for r in pack_sequences(with_tok, seq_len=7).collect()
+    }
+    rows = with_tok.collect()
+    order = sorted(
+        rows,
+        key=lambda r: (
+            hashlib.md5(f"{r['doc_id']}pack".encode()).hexdigest(),
+            r["doc_id"],
+        ),
+    )
+    acc = 0
+    want = {}
+    for r in order:
+        n = r["n_tokens"]
+        want[r["doc_id"]] = (n, acc, acc // 7, (acc + max(n, 1) - 1) // 7)
+        acc += n
+    assert got == want
+    # sanity: the custom unit differs from whitespace for these texts
+    ws = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n")
+    ).collect()}
+    assert any(want[i][0] != ws[i] for i in want)

@@ -306,3 +306,32 @@ def test_bigram_logprob_planted(spark):
     assert out[2]["n_bigrams"] == 1
     assert out[2]["mean_logprob"] == round(lp_bc, 6)
     assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] is None
+
+
+def test_dsir_custom_tokenizer_column(spark):
+    """The tokenizer seam on DSIR: a precomputed token-array column
+    (here case-folded) replaces the whitespace default, and the
+    whole score moves into that token space — 'The' and 'the' merge,
+    so a case-variant of the target scores exactly like the target
+    itself."""
+    from cherry_spark.ext.dedup import tokens_col
+    from cherry_spark.ext.quality import dsir_logratio
+
+    raw = spark.createDataFrame(
+        [(1, "The Cat sat"), (2, "the cat sat"), (3, "dogs bark loud")],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame([(10, "the cat sat")], ["doc_id", "text"])
+    folded = lambda c: tokens_col(F.lower(c))  # noqa: E731
+    out = {
+        r["doc_id"]: r["logratio"]
+        for r in dsir_logratio(raw, target, tokenizer=folded).collect()
+    }
+    assert out[1] == out[2]  # case variants identical under the seam
+    assert out[1] > out[3]  # target-like beats off-domain
+    # whitespace default still distinguishes the case variants
+    ws = {
+        r["doc_id"]: r["logratio"]
+        for r in dsir_logratio(raw, target).collect()
+    }
+    assert ws[1] != ws[2]

@@ -182,3 +182,34 @@ def test_mixing_temperature_upweights_small_sources(spark):
     assert abs(out["small"]["weight"] - 1 / 11) < 1e-4
     assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-5
     assert out["big"]["expected_samples"] + out["small"]["expected_samples"] <= 1000
+
+
+def test_mixing_temperature_token_budget(spark):
+    """The tokenizer seam on temperature mixing: size_col sums a
+    precomputed token-count column so the n^tau balancing runs over
+    token mass, not document rows. Hand-computed differential."""
+    import math
+
+    from cherry_spark.ext.sampling import mixing_temperature
+
+    rows = [("a", 10), ("a", 30), ("b", 5), ("b", 5), ("b", 10), ("c", 400)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    got = {
+        r["source"]: (r["n_docs"], r["weight"], r["expected_samples"])
+        for r in mixing_temperature(
+            df, tau=0.5, budget=1000, size_col="n_tokens"
+        ).collect()
+    }
+    sums = {"a": 40, "b": 20, "c": 400}
+    pw = {s: round(math.pow(n, 0.5), 6) for s, n in sums.items()}
+    tot = sum(pw.values())
+    for s, n in sums.items():
+        w = round(pw[s] / tot, 6)
+        assert got[s][0] == n
+        assert got[s][1] == w
+        assert got[s][2] == math.floor(1000 * (pw[s] / tot))
+    # row-count default unchanged: weights differ from the token basis
+    by_rows = {
+        r["source"]: r["n_docs"] for r in mixing_temperature(df, tau=0.5).collect()
+    }
+    assert by_rows == {"a": 2, "b": 3, "c": 1}
