@@ -132,6 +132,86 @@ def semantic_dedup(
     )
 
 
+def semantic_delta_dedup(
+    corpus_assigned: DataFrame,
+    batch: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-vs-corpus SEMANTIC dedup — the embedding-space twin of
+    ``dedup.delta_dedup`` (and the per-batch classifier of the
+    growing-corpus streaming gate): a batch vector is a
+    ``semantic_dup`` iff some CORPUS vector inside the batch row's
+    ``nprobe`` nearest centroids has round(cosine, 6) >= threshold.
+
+    Returns ``(id_col, verdict, best_sim, n_matches)`` for every batch
+    row — ``best_sim`` is the max rounded cosine over probed corpus
+    candidates (NULL when no candidate), the monitor for threshold
+    tuning.
+
+    Scale shape (the delta_dedup design point — the corpus is the
+    100 TB side, the batch a micro-batch): the batch probes the tiny
+    broadcast centroid table for its nprobe clusters, then ONE
+    broadcast equi-join on centroid_id against the assigned corpus
+    store — with a centroid-partitioned store only nprobe/n_centroids
+    of the corpus files are scanned (the ivf_search pruning). Nothing
+    batch×corpus, nothing corpus×corpus; corpus vectors are assigned
+    ONCE at admission, never re-embedded or re-assigned per batch.
+    ``nprobe > 1`` buffers boundary recall the same way ivf_search
+    does (a near-dup pair split across a centroid boundary is missed
+    at nprobe=1 — same candidate-recall tradeoff as LSH banding).
+    """
+    from cherry_spark.ext.ivf import _probe_centroids
+
+    probe = _probe_centroids(
+        batch.select(F.col(id_col), F.col(vec_col)),
+        centroids,
+        nprobe,
+        vec_col,
+        id_col,
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    cor = corpus_assigned.select(
+        "centroid_id", F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    sim = F.when(
+        (F.col("__cn") > 0) & (F.col("__qn") > 0),
+        dot(F.col("__cv"), F.col("__qvec")) / (F.col("__cn") * F.col("__qn")),
+    )
+    hits = (
+        cor.join(F.broadcast(probe), on="centroid_id")
+        .select(F.col(id_col), F.round(sim, 6).alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__s").alias("best_sim"),
+            F.sum(
+                F.when(F.col("__s") >= F.lit(threshold), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_matches"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.coalesce(F.col("n_matches"), F.lit(0)) > 0,
+                F.lit("semantic_dup"),
+            )
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.col("best_sim"),
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias(
+                "n_matches"
+            ),
+        )
+    )
+
+
 def semantic_dedup_oracle_sql(
     dim: int,
     threshold: float,

@@ -242,3 +242,153 @@ def run_streaming_growing_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_growing_semdedup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    corpus_dir: str,
+    sink,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    admit: str = "unique",
+    initial_corpus: DataFrame | None = None,
+    reseed_factor: float = 4.0,
+    trigger_available_now: bool = True,
+):
+    """The EMBEDDING-side twin of :func:`run_streaming_growing_dedup`:
+    an unbounded ingestion gate that catches PARAPHRASE duplicates —
+    a vector arriving in batch N+1 that is semantically near an
+    admission from batch N is flagged ``semantic_dup`` (lexical gates
+    cannot see it; round-6 verdict item #7).
+
+    Per micro-batch (foreachBatch runs batches strictly serially):
+
+    1. classify the batch against the persisted IVF-assigned corpus
+       store with :func:`ext.semdedup.semantic_delta_dedup` (probe
+       the stored centroids, one broadcast equi-join on centroid_id);
+    2. hand the verdict table to ``sink(verdicts_df, batch_id)``;
+    3. assign the admitted vectors to their nearest stored centroid
+       ONCE and append (id, vector, centroid_id) to the corpus store
+       — each admitted vector is embedded-space-indexed exactly once
+       at admission, never re-assigned per batch.
+
+    State layout: ``<corpus_dir>`` holds (id, vector, centroid_id)
+    parquet; ``<corpus_dir>_centroids`` holds (centroid_id, centroid,
+    built_n) where built_n is the corpus size when the centroids were
+    (re)seeded. Centroids come from ``initial_corpus`` when given,
+    else from the FIRST batch (bootstrap).
+
+    Centroid staleness rule: when the corpus grows past
+    ``reseed_factor × built_n``, the gate re-seeds — rebuilds the
+    deterministic IVF centroids from the FULL corpus and re-assigns
+    every stored vector (both stores are materialized via
+    localCheckpoint before the in-place overwrite). Admission-time
+    assignments are only as good as the centroids; without re-seeding,
+    a drifting stream degrades candidate recall exactly like a stale
+    LSH banding profile. Same replay caveat as the text gate: a
+    replayed batch after a crash re-appends its admissions — pair the
+    store with an idempotent writer in production.
+    """
+    import os
+
+    from cherry_spark.ext.ivf import ivf_assign, ivf_centroids
+    from cherry_spark.ext.semdedup import semantic_delta_dedup
+
+    cent_dir = f"{corpus_dir.rstrip('/')}_centroids"
+
+    def store_exists(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+
+    def write_centroids(cents: DataFrame, built_n: int) -> None:
+        cents.select(
+            "centroid_id", "centroid", F.lit(int(built_n)).alias("built_n")
+        ).write.mode("overwrite").parquet(cent_dir)
+
+    def assigned_of(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        return ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col).join(
+            vectors.select(id_col, vec_col), on=id_col
+        ).select(id_col, vec_col, "centroid_id")
+
+    if initial_corpus is not None:
+        init = initial_corpus.select(F.col(id_col), F.col(vec_col))
+        cents0 = ivf_centroids(init, n_centroids, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+        # centroids BEFORE corpus (the sig-store write-order rule):
+        # centroid-only state is harmless; corpus rows without
+        # centroids would strand the gate in bootstrap
+        write_centroids(cents0, init.count())
+        assigned_of(init, cents0).write.mode("overwrite").parquet(corpus_dir)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if store_exists(cent_dir):
+            cent_rows = spark.read.parquet(cent_dir)
+            cents = cent_rows.select("centroid_id", "centroid")
+            built_n = cent_rows.agg(F.max("built_n")).collect()[0][0]
+        else:
+            # bootstrap: seed the quantizer from the first batch
+            cents = ivf_centroids(
+                batch_df.select(F.col(id_col), F.col(vec_col)),
+                n_centroids,
+                id_col,
+                vec_col,
+            ).localCheckpoint(eager=True)
+            built_n = batch_df.count()
+            write_centroids(cents, built_n)
+        corpus = (
+            spark.read.parquet(corpus_dir)
+            if store_exists(corpus_dir)
+            else batch_df.select(id_col, vec_col)
+            .withColumn("centroid_id", F.lit(0))
+            .limit(0)
+        )
+        verdicts = semantic_delta_dedup(
+            corpus,
+            batch_df,
+            cents,
+            threshold=threshold,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).localCheckpoint(eager=True)
+        sink(verdicts, batch_id)
+        admitted_ids = (
+            verdicts
+            if admit == "all"
+            else verdicts.filter(F.col("verdict") == "unique")
+        ).select(F.col(id_col))
+        admitted = batch_df.join(admitted_ids, on=id_col, how="left_semi").select(
+            F.col(id_col), F.col(vec_col)
+        )
+        assigned_of(admitted, cents).write.mode("append").parquet(corpus_dir)
+        # staleness rule: re-seed + re-assign when the corpus outgrew
+        # the centroids it was indexed under
+        total = spark.read.parquet(corpus_dir).count()
+        if built_n and total > reseed_factor * built_n and total >= n_centroids:
+            full = spark.read.parquet(corpus_dir).localCheckpoint(eager=True)
+            new_cents = ivf_centroids(
+                full.select(F.col(id_col), F.col(vec_col)),
+                n_centroids,
+                id_col,
+                vec_col,
+            ).localCheckpoint(eager=True)
+            write_centroids(new_cents, total)
+            reassigned = assigned_of(
+                full.select(id_col, vec_col), new_cents
+            ).localCheckpoint(eager=True)
+            reassigned.write.mode("overwrite").parquet(corpus_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -251,3 +251,110 @@ def test_streaming_growing_dedup_catches_cross_batch_dups(spark, tmp_path):
     # the cross-batch dups were actually caught
     verdict_of = dict(streamed)
     assert verdict_of[3] == "near_dup" and verdict_of[5] == "exact_dup"
+
+
+def test_streaming_growing_semdedup_catches_paraphrase_clones(spark, tmp_path):
+    """Embedding-side growing gate (round-6 verdict item #7): arrival-2
+    vector paraphrases an arrival-1 admission, arrival-3 exactly clones
+    an arrival-2 admission — both flagged semantic_dup. Streamed
+    verdicts must equal a serial replay of semantic_delta_dedup with
+    the same admission folding AND the same centroid re-seed rule
+    (reseed_factor=1.5 forces one mid-stream re-seed)."""
+    import time
+
+    from cherry_spark.ext.ivf import ivf_assign, ivf_centroids
+    from cherry_spark.ext.semdedup import semantic_delta_dedup
+    from cherry_spark.streaming import run_streaming_growing_semdedup
+
+    initial = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    a1 = [(10, [0.75, 0.65, 0.1, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])]
+    a2 = [(20, [0.74, 0.66, 0.1, 0.0]),  # paraphrase of 10 (cos ~ 0.9995)
+          (21, [0.0, 0.9, 0.4, 0.0])]
+    a3 = [(30, [0.0, 0.9, 0.4, 0.0]),    # exact clone of 21
+          (31, [0.1, 0.1, 0.1, 0.9])]
+    schema = "vec_id long, embedding array<double>"
+    src_dir = str(tmp_path / "incoming")
+    for arrival in (a1, a2, a3):
+        spark.createDataFrame(arrival, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = str(tmp_path / "verdicts")
+
+    def sink(verdicts, batch_id):
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    corpus_dir = str(tmp_path / "corpus")
+    q = run_streaming_growing_semdedup(
+        spark,
+        stream_df,
+        corpus_dir,
+        sink,
+        str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_centroids=2,
+        nprobe=1,
+        initial_corpus=spark.createDataFrame(initial, schema),
+        reseed_factor=1.5,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).collect()
+    streamed = {(r["vec_id"], r["verdict"]) for r in got}
+    assert len(streamed) == 6
+    verdict_of = dict(streamed)
+    # the cross-batch semantic dups were actually caught
+    assert verdict_of[20] == "semantic_dup" and verdict_of[30] == "semantic_dup"
+
+    # one re-seed actually happened (corpus outgrew 1.5 x built_n=2)
+    built_n = (
+        spark.read.parquet(f"{corpus_dir}_centroids")
+        .agg(F.max("built_n"))
+        .collect()[0][0]
+    )
+    assert built_n == 4
+    assert spark.read.parquet(corpus_dir).count() == 6
+
+    # serial replay with identical folding + re-seed rule, in recorded
+    # batch order (all library calls are deterministic)
+    by_batch: dict[int, list[int]] = {}
+    for r in got:
+        by_batch.setdefault(r["batch_id"], []).append(r["vec_id"])
+    all_vecs = {i: v for i, v in initial + a1 + a2 + a3}
+
+    def df_of(ids):
+        return spark.createDataFrame([(i, all_vecs[i]) for i in sorted(ids)], schema)
+
+    corpus_ids = [0, 1]
+    cents = ivf_centroids(df_of(corpus_ids), 2)
+    built = 2
+
+    def assigned_df(ids, cents):
+        v = df_of(ids)
+        return ivf_assign(v, cents).join(v, on="vec_id").select(
+            "vec_id", "embedding", "centroid_id"
+        )
+
+    expected = set()
+    for bid in sorted(by_batch):
+        batch_ids = sorted(by_batch[bid])
+        verdicts = semantic_delta_dedup(
+            assigned_df(corpus_ids, cents), df_of(batch_ids), cents,
+            threshold=0.95, nprobe=1,
+        ).collect()
+        for r in verdicts:
+            expected.add((r["vec_id"], r["verdict"]))
+            if r["verdict"] == "unique":
+                corpus_ids.append(r["vec_id"])
+        if built and len(corpus_ids) > 1.5 * built and len(corpus_ids) >= 2:
+            cents = ivf_centroids(df_of(corpus_ids), 2)
+            built = len(corpus_ids)
+    assert streamed == expected
