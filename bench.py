@@ -94,6 +94,36 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+ROTATION_SIZE = 13  # ~4 rounds to cover every non-headline query
+
+
+def rotation_group(registry_names) -> tuple[int, list[str]]:
+    """Pick this run's rotating secondary group: the registered
+    queries OUTSIDE the headline list, sorted, chunked, indexed by a
+    persisted counter (`.bench_rotation` at the repo root) so
+    consecutive rounds walk every group — every query gets at least
+    one sf0.1 timing on record within ~4 rounds (round-6 verdict #9)
+    while the pinned series stays frozen and the headline set stays
+    comparable."""
+    rest = sorted(n for n in registry_names if n not in set(HEADLINE))
+    if not rest:
+        return 0, []
+    n_groups = (len(rest) + ROTATION_SIZE - 1) // ROTATION_SIZE
+    counter_path = os.path.join(_REPO_DIR, ".bench_rotation")
+    try:
+        with open(counter_path) as f:
+            counter = int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        counter = 0
+    idx = counter % n_groups
+    try:
+        with open(counter_path, "w") as f:
+            f.write(str(counter + 1))
+    except OSError:
+        pass
+    return idx, rest[idx * ROTATION_SIZE:(idx + 1) * ROTATION_SIZE]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # comma-separated subset filter: like-for-like comparisons against a
@@ -143,6 +173,17 @@ def main() -> None:
         materialize(fn(spark, sf_dir))
         warm[name] = round(time.perf_counter() - t0, 3)
 
+    # rotating secondary group (skipped when a subset filter is active
+    # — subset runs are like-for-like comparisons, not coverage runs)
+    rot_idx, rot_names = (0, []) if subset else rotation_group(queries)
+    rot_warm: dict[str, float] = {}
+    for name in rot_names:
+        fn = queries[name]
+        materialize(fn(spark, sf_dir))  # amortize codegen like the rest
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        rot_warm[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     pinned_run = [q for q in PINNED if q in timings]
     print(
@@ -159,6 +200,9 @@ def main() -> None:
                 "pinned_total": round(sum(timings[q] for q in pinned_run), 3),
                 "pinned_warm_total": round(sum(warm[q] for q in pinned_run), 3),
                 "pinned_n": len(pinned_run),
+                "rotation_group": rot_idx,
+                "rotation_warm": rot_warm,
+                "rotation_total": round(sum(rot_warm.values()), 3),
                 "sf": sf,
             }
         )
