@@ -396,7 +396,11 @@ def borsh_decode_fixed(spark, sf_dir):
     from cherry_spark.plans.config import SvmDecodeInstructionsConfig
 
     disc = bytes.fromhex("f8c69e91e17587c8")  # anchor discriminator for 'swap'
-    li = load_table(spark, sf_dir, "lineitem")
+    # parallelize: the payload synthesis (sha256 + byte-swap hex per
+    # row) otherwise runs on the fixture's single row-group — 1 core
+    # of 32 (measured 6.2 -> 1.7 s warm at sf0.1; the decode-query
+    # precedent from CLAUDE.md)
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     amount = (F.col("l_quantity").cast("long") * 1000000 + F.col("l_linenumber")).cast(
         "long"
     )
