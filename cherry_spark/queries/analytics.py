@@ -453,10 +453,18 @@ def approx_distinct(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     # rsd=0.016 ~= HLL++ precision-14 error; Spark's default rsd of 5%
     # routinely misses a 5% verdict band at small cardinalities
-    agg = li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.016).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    #
+    # Two separate 1-row aggregates joined by broadcast, NOT one agg:
+    # combining countDistinct with approx_count_distinct plans an
+    # Expand (2x rows) feeding a keyed partial agg — 1.2M-entry hash
+    # table on the scan's single populated split (3.1 s warm at sf0.1
+    # vs 0.7 s split; the Expand disappears and each agg keeps its
+    # cheap plan)
+    exact = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.016).alias("approx_orders")
     )
+    agg = exact.crossJoin(F.broadcast(approx))
     return agg.select(
         "exact_orders",
         (
