@@ -42,6 +42,7 @@ def curate(
     quality_threshold: float = 0.5,
     max_dup_2gram_frac: float = 0.5,
     per_lang_cap: int = 10_000,
+    token_budget: int = 100_000,
 ) -> dict[str, DataFrame]:
     from cherry_spark.ext.dedup import (
         cdc_chunk_dedup_stats,
@@ -234,8 +235,22 @@ def curate(
         curated.filter(F.col("predicted_lang") == "en").select("doc_id", "text"),
     )
 
+    # final token-budget cut: the 'spend at most B tokens' step — rank
+    # the curated pool by quality and admit the cumulative-token prefix
+    # under the epoch budget (ext/budget.py:budget_select; two-phase
+    # prefix sum in quality order, budget-frontier pruned)
+    from cherry_spark.ext.budget import budget_select
+
+    budgeted = budget_select(
+        curated.select(
+            "doc_id", "quality", F.col("n_tokens").cast("long").alias("n_tokens")
+        ),
+        budget=token_budget,
+    )
+
     return {
         "curated": curated,
+        "budgeted": budgeted,
         "stats": stats,
         "mixing": mixing,
         "chunk_report": chunk_report,
@@ -260,6 +275,7 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     writer.push_data(
         {
             "curated": result["curated"],
+            "budgeted": result["budgeted"],
             "chunk_report": result["chunk_report"],
             "passage_rewrite": result["passage_rewrite"],
             "dsir": result["dsir"],

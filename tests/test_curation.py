@@ -55,6 +55,17 @@ def test_curation_pipeline(spark, sf_dir, tmp_path):
         ).count()
         == 0
     )
+    # token-budget cut: a subset of curated, never exceeding the budget,
+    # and its worst admitted quality >= the best rejected quality
+    # (prefix property of the greedy fill)
+    budgeted = spark.read.parquet(os.path.join(out, "budgeted"))
+    assert 0 < budgeted.count() <= counts["curated"]
+    assert budgeted.agg(F.max("cum_tokens")).first()[0] <= 100_000
+    rejected = curated.join(budgeted.select("doc_id"), "doc_id", "left_anti")
+    if rejected.count() > 0:
+        worst_in = budgeted.agg(F.min("quality")).first()[0]
+        best_out = rejected.agg(F.max("quality")).first()[0]
+        assert worst_in >= best_out
     # DSIR weights: one row per curated doc; the en-slice target makes
     # en docs average a higher log-ratio than the rest
     dsir = spark.read.parquet(os.path.join(out, "dsir"))
