@@ -25,6 +25,13 @@ only in the Arrow execution lane, and verify_local still checks it
 locally every round.  Everything certified green in r06 follows in
 prior-round order; the permanent rows-only queries sit last where they
 don't burn hash-check slots.
+
+Queries ADDED this round after the window was fixed
+(``budget_select_topq``, ``budget_select_by_lang``,
+``approx_percentile_verdict``) register past position 50 on purpose:
+displacing an r05-stale row would push it two rounds stale, which the
+round-6 verdict made the thing the cadence exists to prevent.  They
+are verify_local-green now and are the front of the round-8 window.
 """
 
 from cherry_spark.catalog import REGISTRY
