@@ -392,3 +392,93 @@ def run_streaming_growing_semdedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_budget_gate(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    budget: int,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    token_col: str = "n_tokens",
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of ``ext/budget.py:budget_select`` — a GLOBAL
+    token budget spent across an unbounded stream of candidate docs:
+    each micro-batch's docs are admitted in (quality desc, id asc)
+    order while previously-spent + batch-cumulative tokens stay
+    <= budget; once the budget is exhausted every later arrival is
+    rejected.
+
+    Per micro-batch (foreachBatch runs batches strictly serially):
+
+    1. read the spent-token total from the one-row state store;
+    2. run the batch through ``budget_select`` with the REMAINING
+       budget (so the admission order/semantics inside a batch are
+       exactly the certified batch operator's);
+    3. hand the full verdict table (``admitted`` 1/0 + ``cum_tokens``
+       global running total for admitted rows) to
+       ``sink(verdicts_df, batch_id)``;
+    4. overwrite the state store with the new spent total.
+
+    Contract: streamed admissions == serially folding batch_i through
+    ``budget_select(batch_i, budget - spent_{i-1})`` (asserted in
+    tests/test_stateful.py). The state is ONE row — parquet-backed
+    like the dedup gates (restart-safe, sink-paced) rather than
+    executor-memory state. Same replay caveat as the dedup gates: a
+    crash between sink and state write re-admits the batch on replay;
+    pair with an idempotent writer in production.
+    """
+    import os
+
+    from cherry_spark.ext.budget import budget_select
+
+    state_schema = "spent long"
+
+    def read_spent() -> int:
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            row = spark.read.schema(state_schema).parquet(state_dir).first()
+            if row is not None:
+                return int(row["spent"])
+        return 0
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spent = read_spent()
+        remaining = max(budget - spent, 0)
+        admitted = budget_select(
+            batch_df,
+            budget=remaining,
+            quality_col=quality_col,
+            token_col=token_col,
+            id_col=id_col,
+        ).select(
+            F.col(id_col),
+            # cum_tokens becomes the GLOBAL running total
+            (F.col("cum_tokens") + F.lit(spent)).cast("long").alias("cum_tokens"),
+        )
+        verdicts = (
+            batch_df.join(admitted, id_col, "left")
+            .withColumn(
+                "admitted", F.col("cum_tokens").isNotNull().cast("int")
+            )
+            .localCheckpoint(eager=True)
+        )
+        sink(verdicts, batch_id)
+        new_spent = (
+            verdicts.agg(F.max("cum_tokens")).first()[0] or spent
+        )
+        spark.createDataFrame([(int(new_spent),)], state_schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -358,3 +358,78 @@ def test_streaming_growing_semdedup_catches_paraphrase_clones(spark, tmp_path):
             cents = ivf_centroids(df_of(corpus_ids), 2)
             built = len(corpus_ids)
     assert streamed == expected
+
+
+def test_streaming_budget_gate_spends_across_batches(spark, tmp_path):
+    """Global token budget over 3 arrivals: the gate admits the
+    quality-ordered prefix of each batch against the REMAINING budget,
+    and once the budget is spent later arrivals are rejected. Streamed
+    verdicts must equal a serial replay of budget_select with the
+    budget decremented batch by batch."""
+    import time
+
+    from cherry_spark.ext.budget import budget_select
+    from cherry_spark.streaming.continuous import run_streaming_budget_gate
+
+    # (doc_id, quality, n_tokens); budget 100
+    a1 = [(1, 0.9, 40), (2, 0.1, 40)]       # both admitted (80 spent)
+    a2 = [(3, 0.8, 15), (4, 0.7, 50)]       # 3 admitted (95), 4 overflows
+    a3 = [(5, 1.0, 10)]                     # rejected: only 5 tokens left
+    schema = "doc_id long, quality double, n_tokens long"
+    src_dir = str(tmp_path / "incoming")
+    for arrival in (a1, a2, a3):
+        spark.createDataFrame(arrival, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = str(tmp_path / "verdicts")
+
+    def sink(verdicts, batch_id):
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = run_streaming_budget_gate(
+        spark,
+        stream_df,
+        str(tmp_path / "state"),
+        sink,
+        str(tmp_path / "ckpt"),
+        budget=100,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 5
+    streamed = {(r["doc_id"], r["admitted"], r["cum_tokens"]) for r in got}
+
+    # serial replay in the order the stream actually processed
+    by_batch: dict[int, list] = {}
+    rows_by_id = {r[0]: r for r in a1 + a2 + a3}
+    for r in got:
+        by_batch.setdefault(r["batch_id"], []).append(r["doc_id"])
+    expected = set()
+    spent = 0
+    for bid in sorted(by_batch):
+        batch_df = spark.createDataFrame(
+            [rows_by_id[i] for i in sorted(by_batch[bid])], schema
+        )
+        adm = budget_select(batch_df, budget=100 - spent).collect()
+        cum_of = {r["doc_id"]: r["cum_tokens"] + spent for r in adm}
+        for i in sorted(by_batch[bid]):
+            if i in cum_of:
+                expected.add((i, 1, cum_of[i]))
+            else:
+                expected.add((i, 0, None))
+        spent = max(cum_of.values()) if cum_of else spent
+    assert streamed == expected
+    # the cross-batch exhaustion was exercised: doc 4 overflowed mid-
+    # batch, doc 5 (highest quality of all!) arrived after the frontier
+    verdict_of = {r["doc_id"]: r["admitted"] for r in got}
+    assert verdict_of == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
