@@ -34,6 +34,10 @@ NESTED_LOOP_OK = {
     "mixing_temperature",  # 1-row normalizer aggregate cross-joined in
     "dsir_logratio",  # 1-row vocab-totals aggregate cross-joined in
     "lsh_recall_audit",  # two 1-row counts cross-joined into the audit row
+    "approx_distinct",  # two 1-row aggregates cross-joined (the split
+    # that avoids the Expand-into-single-split plan; see analytics.py)
+    "quantized_rerank_topk",  # 64-row per-dim stats table cross-joined
+    # into the quantizer (same pattern as embedding_quantize_audit)
 }
 
 AUDIT = [
@@ -100,6 +104,13 @@ AUDIT = [
     "chunk_dedup_rewrite",
     "lsh_recall_audit",
     "doc_novelty",
+    # round-7 additions
+    "cdc_chunk_rewrite",
+    "quantized_rerank_topk",
+    "approx_distinct",
+    "budget_select_topq",
+    "budget_select_by_lang",
+    "approx_percentile_verdict",
 ]
 
 
