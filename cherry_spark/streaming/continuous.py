@@ -426,7 +426,7 @@ def run_streaming_budget_gate(
 
     Contract: streamed admissions == serially folding batch_i through
     ``budget_select(batch_i, budget - spent_{i-1})`` (asserted in
-    tests/test_stateful.py). The state is ONE row — parquet-backed
+    tests/test_writers_streaming.py). The state is ONE row — parquet-backed
     like the dedup gates (restart-safe, sink-paced) rather than
     executor-memory state. Same replay caveat as the dedup gates: a
     crash between sink and state write re-admits the batch on replay;
@@ -475,6 +475,229 @@ def run_streaming_budget_gate(
         spark.createDataFrame([(int(new_spent),)], state_schema).write.mode(
             "overwrite"
         ).parquet(state_dir)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_streaming_curation_gate(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    quality_col: str = "quality",
+    token_col: str = "n_tokens",
+    semantic_threshold: float = 0.9,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    reseed_factor: float = 4.0,
+    trigger_available_now: bool = True,
+    **delta_kwargs,
+):
+    """The COMPOSED ingestion gate: every micro-batch runs the full
+    admission pipeline a training-data stream needs, cheapest filter
+    first, budget last (so duplicate arrivals never spend budget):
+
+    1. LEXICAL — ``delta_dedup`` against the accumulated text corpus
+       (stored minhash signatures; exact_dup / near_dup rejected);
+    2. SEMANTIC — ``semantic_delta_dedup`` of the lexical survivors
+       against the accumulated vector store (IVF-assigned; paraphrase
+       clones the lexical gate cannot see are rejected);
+    3. BUDGET — ``budget_select`` of the remaining docs against the
+       REMAINING global token budget (quality-ordered prefix within
+       the batch; once the budget is spent, later arrivals reject).
+
+    ``sink(verdicts_df, batch_id)`` receives one row per batch doc:
+    ``verdict`` in (exact_dup, near_dup, semantic_dup, over_budget,
+    admitted) and ``cum_tokens`` (global running total, admitted rows
+    only). Admitted docs fold into all three stores for the NEXT
+    batch — signatures before text, centroids before vectors (the
+    established crash-ordering rules), each doc shingled/hashed/
+    IVF-assigned exactly once at admission. Centroids bootstrap from
+    the first batch and re-seed when the vector corpus outgrows
+    ``reseed_factor ×`` the seed-time size, like the semantic gate.
+
+    State layout under ``state_dir``: ``text/`` (id, text),
+    ``text_sigs/`` (minhash signatures), ``vecs/`` (id, vector,
+    centroid_id), ``centroids/``, ``spent/`` (one row). Same replay
+    caveat as the single gates: a replayed batch after a crash
+    re-appends its admissions — pair with an idempotent writer.
+    """
+    import os
+
+    from cherry_spark.ext.budget import budget_select
+    from cherry_spark.ext.dedup import delta_dedup, minhash_signatures
+    from cherry_spark.ext.ivf import ivf_assign, ivf_centroids
+    from cherry_spark.ext.semdedup import semantic_delta_dedup
+
+    text_dir = os.path.join(state_dir, "text")
+    sig_dir = os.path.join(state_dir, "text_sigs")
+    vec_dir = os.path.join(state_dir, "vecs")
+    cent_dir = os.path.join(state_dir, "centroids")
+    spent_dir = os.path.join(state_dir, "spent")
+
+    n_hashes = delta_kwargs.get("n_hashes", 128)
+    shingle_k = delta_kwargs.get("shingle_k", 3)
+    hash_family = delta_kwargs.get("hash_family", "xxhash")
+    text_schema = f"{id_col} long, {text_col} string"
+    sig_schema = "id long, " + ", ".join(f"h{i} long" for i in range(n_hashes))
+
+    def store(path: str, sch: str | None = None) -> DataFrame | None:
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            r = spark.read
+            return (r.schema(sch) if sch else r).parquet(path)
+        return None
+
+    def signatures_of(df: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            df, id_col, text_col, n_hashes, shingle_k, hash_family
+        )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+
+        # 1. lexical gate
+        corpus = store(text_dir, text_schema)
+        if corpus is None:
+            corpus = spark.createDataFrame([], text_schema)
+        sigs = store(sig_dir, sig_schema)
+        lex = delta_dedup(
+            corpus,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            corpus_signatures=sigs,
+            **delta_kwargs,
+        ).select(F.col("id").alias(id_col), "verdict")
+        lex = lex.localCheckpoint(eager=True)
+        lex_ok = batch_df.join(
+            lex.filter(F.col("verdict") == "unique").select(id_col),
+            id_col,
+            "left_semi",
+        )
+
+        # 2. semantic gate (bootstrap centroids from the first batch)
+        cent_rows = store(cent_dir)
+        if cent_rows is None:
+            cents = ivf_centroids(
+                batch_df.select(F.col(id_col), F.col(vec_col)),
+                n_centroids,
+                id_col,
+                vec_col,
+            ).localCheckpoint(eager=True)
+            built_n = batch_df.count()
+            cents.select(
+                "centroid_id", "centroid", F.lit(int(built_n)).alias("built_n")
+            ).write.mode("overwrite").parquet(cent_dir)
+        else:
+            cents = cent_rows.select("centroid_id", "centroid")
+            built_n = cent_rows.agg(F.max("built_n")).first()[0]
+        vecs = store(vec_dir)
+        if vecs is None:
+            vecs = (
+                batch_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+                .withColumn("centroid_id", F.lit(0))
+                .limit(0)
+            )
+        sem = semantic_delta_dedup(
+            vecs,
+            lex_ok.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
+            cents,
+            threshold=semantic_threshold,
+            nprobe=nprobe,
+        ).select(F.col("vec_id").alias(id_col), F.col("verdict").alias("sem_verdict"))
+        sem = sem.localCheckpoint(eager=True)
+        sem_ok = lex_ok.join(
+            sem.filter(F.col("sem_verdict") == "unique").select(id_col),
+            id_col,
+            "left_semi",
+        )
+
+        # 3. budget gate against the remaining global budget
+        spent_row = store(spent_dir, "spent long")
+        spent = int(spent_row.first()["spent"]) if spent_row is not None else 0
+        admitted = budget_select(
+            sem_ok,
+            budget=max(budget - spent, 0),
+            quality_col=quality_col,
+            token_col=token_col,
+            id_col=id_col,
+        ).select(
+            F.col(id_col),
+            (F.col("cum_tokens") + F.lit(spent)).cast("long").alias("cum_tokens"),
+        )
+
+        # verdict precedence: lexical > semantic > budget
+        verdicts = (
+            batch_df.select(id_col, quality_col, token_col)
+            .join(lex, id_col, "left")
+            .join(sem, id_col, "left")
+            .join(admitted, id_col, "left")
+            .select(
+                id_col,
+                quality_col,
+                token_col,
+                F.when(F.col("verdict") != "unique", F.col("verdict"))
+                .when(F.col("sem_verdict") == "semantic_dup", F.lit("semantic_dup"))
+                .when(F.col("cum_tokens").isNotNull(), F.lit("admitted"))
+                .otherwise(F.lit("over_budget"))
+                .alias("verdict"),
+                "cum_tokens",
+            )
+            .localCheckpoint(eager=True)
+        )
+        sink(verdicts, batch_id)
+
+        # fold admissions into the stores for the NEXT batch
+        adm_ids = verdicts.filter(F.col("verdict") == "admitted").select(id_col)
+        adm = batch_df.join(adm_ids, id_col, "left_semi").localCheckpoint(eager=True)
+        signatures_of(adm).write.mode("append").parquet(sig_dir)
+        adm.select(F.col(id_col), F.col(text_col)).write.mode("append").parquet(
+            text_dir
+        )
+        adm_vecs = adm.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        ivf_assign(adm_vecs, cents, id_col="vec_id", vec_col=vec_col).join(
+            adm_vecs, "vec_id"
+        ).select("vec_id", vec_col, "centroid_id").write.mode("append").parquet(
+            vec_dir
+        )
+        new_spent = verdicts.agg(F.max("cum_tokens")).first()[0]
+        if new_spent is not None:
+            spark.createDataFrame([(int(new_spent),)], "spent long").write.mode(
+                "overwrite"
+            ).parquet(spent_dir)
+
+        # centroid staleness: re-seed + re-assign when the vector
+        # corpus outgrows the seed-time size
+        cur = store(vec_dir)
+        if cur is not None:
+            n_now = cur.count()
+            if built_n and n_now > reseed_factor * built_n:
+                allv = cur.select("vec_id", vec_col).localCheckpoint(eager=True)
+                new_cents = ivf_centroids(
+                    allv, n_centroids, "vec_id", vec_col
+                ).localCheckpoint(eager=True)
+                new_cents.select(
+                    "centroid_id", "centroid", F.lit(int(n_now)).alias("built_n")
+                ).write.mode("overwrite").parquet(cent_dir)
+                reassigned = (
+                    ivf_assign(allv, new_cents, id_col="vec_id", vec_col=vec_col)
+                    .join(allv, "vec_id")
+                    .select("vec_id", vec_col, "centroid_id")
+                    .localCheckpoint(eager=True)
+                )
+                reassigned.write.mode("overwrite").parquet(vec_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir

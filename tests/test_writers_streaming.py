@@ -433,3 +433,90 @@ def test_streaming_budget_gate_spends_across_batches(spark, tmp_path):
     # batch, doc 5 (highest quality of all!) arrived after the frontier
     verdict_of = {r["doc_id"]: r["admitted"] for r in got}
     assert verdict_of == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_streaming_curation_gate_composes_all_three_gates(spark, tmp_path):
+    """Composed ingestion gate over 3 arrivals: arrival 2 carries an
+    exact clone of an arrival-1 admission (lexical), a paraphrase clone
+    of another (same embedding direction, different words — only the
+    semantic stage can reject it), and one novel doc; arrival 3's novel
+    high-quality doc finds the budget exhausted. Duplicates must never
+    spend budget."""
+    import os
+    import time
+
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+
+    text_a = "the quick brown fox jumps over the lazy dog tonight"
+    text_b = "spark catalyst optimizer rewrites logical plans into physical plans"
+    text_c = "a sly crimson vixen leaps across the sleepy hound after dusk"
+    text_d = "parquet row groups store columnar chunks with statistics footers"
+    text_e = "duckdb executes vectorized pipelines over morsel driven parallelism"
+    a1 = [
+        (1, text_a, [1.0, 0.0, 0.0, 0.0], 0.9, 30),
+        (2, text_b, [0.0, 1.0, 0.0, 0.0], 0.5, 30),
+    ]
+    a2 = [
+        (3, text_a, [0.0, 0.0, 0.5, 0.5], 0.9, 10),      # exact dup of 1
+        (4, text_c, [0.1, 0.99, 0.0, 0.0], 0.9, 10),     # paraphrase of 2
+        (5, text_d, [0.0, 0.0, 1.0, 0.0], 0.8, 30),      # novel -> admitted
+    ]
+    a3 = [
+        (6, text_e, [0.0, 0.0, 0.0, 1.0], 1.0, 20),      # budget left: 10
+    ]
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+    src_dir = str(tmp_path / "incoming")
+    for arrival in (a1, a2, a3):
+        spark.createDataFrame(arrival, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = str(tmp_path / "verdicts")
+
+    def sink(verdicts, batch_id):
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    state = str(tmp_path / "state")
+    q = run_streaming_curation_gate(
+        spark,
+        stream_df,
+        state,
+        sink,
+        str(tmp_path / "ckpt"),
+        budget=100,
+        semantic_threshold=0.9,
+        n_centroids=2,
+        nprobe=2,
+        jaccard_threshold=0.5,
+    )
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 6
+    verdict_of = {r["doc_id"]: r["verdict"] for r in got}
+    assert verdict_of == {
+        1: "admitted",
+        2: "admitted",
+        3: "exact_dup",
+        4: "semantic_dup",
+        5: "admitted",
+        6: "over_budget",
+    }
+    cum_of = {r["doc_id"]: r["cum_tokens"] for r in got if r["cum_tokens"] is not None}
+    assert cum_of == {1: 30, 2: 60, 5: 90}
+    # every store folded exactly the admissions
+    assert spark.read.parquet(os.path.join(state, "text")).count() == 3
+    assert spark.read.parquet(os.path.join(state, "text_sigs")).count() == 3
+    assert spark.read.parquet(os.path.join(state, "vecs")).count() == 3
+    assert spark.read.parquet(os.path.join(state, "spent")).first()["spent"] == 90
