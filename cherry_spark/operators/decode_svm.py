@@ -115,9 +115,14 @@ def _decode_fixed(data_col: Column, dtype: str | FixedArray, offset: int) -> Col
         return (hi * F.lit(__import__("decimal").Decimal(2**64)).cast(T.DecimalType(38, 0)) + lo).cast(T.DecimalType(38, 0))
     # signed two's complement
     as_dec = F.conv(be_hex, 16, 10).cast(T.DecimalType(38, 0))
+    # Decimal literals: a bare int lit of 2^63 (i64's sign threshold)
+    # overflows the py4j long transport — NumberFormatException at
+    # plan build, the same >long-literal trap as functions/binary.py's
+    # i256 path. Caught by the svm_decode_logs certified query.
+    _d = __import__("decimal").Decimal
     wrapped = F.when(
-        as_dec >= F.lit(2 ** (bits - 1)).cast(T.DecimalType(38, 0)),
-        as_dec - F.lit(2**bits).cast(T.DecimalType(38, 0)),
+        as_dec >= F.lit(_d(2 ** (bits - 1))).cast(T.DecimalType(38, 0)),
+        as_dec - F.lit(_d(2**bits)).cast(T.DecimalType(38, 0)),
     ).otherwise(as_dec)
     return wrapped.cast("long") if bits <= 64 else wrapped.cast(T.DecimalType(38, 0))
 

@@ -638,3 +638,66 @@ def u256_sum_query(spark, sf_dir):
     return g.select(
         "flag", u256_sum_hex(F.col("s")).alias("u256_sum_hex")
     )
+
+
+@query(
+    "svm_decode_logs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber AS BIGINT) AS count_val,
+           CAST(l_quantity AS BIGINT) * 1000 - 50000 AS delta,
+           CAST(l_orderkey % 2 = 1 AS INTEGER) AS flag
+    FROM lineitem
+    """,
+    doc="SVM_DECODE_LOGS: the log-message path reuses the Borsh "
+    "instruction compiler with an EMPTY discriminator (reference "
+    "steps/svm_decode_logs.py:28-33) — certified through the same "
+    "encode->decode inversion as borsh_decode_fixed, exercising the "
+    "zero-length-discriminator validity rule and the SIGNED i64 "
+    "two's-complement lane (delta goes negative for l_quantity < 50).",
+)
+def svm_decode_logs_query(spark, sf_dir):
+    from cherry_spark.operators.decode_svm import InstructionSignature, ParamInput
+    from cherry_spark.plans.config import SvmDecodeInstructionsConfig
+
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
+    count_be = F.lpad(F.lower(F.hex(F.col("l_linenumber").cast("long"))), 8, "0")
+    count_le = F.concat(*[F.substring(count_be, 7 - 2 * i, 2) for i in range(4)])
+    delta = (F.col("l_quantity").cast("long") * 1000 - 50000).cast("long")
+    # hex() of a negative long is already the 16-char two's complement
+    delta_be = F.lpad(F.lower(F.hex(delta)), 16, "0")
+    delta_le = F.concat(*[F.substring(delta_be, 15 - 2 * i, 2) for i in range(8)])
+    flag_hex = F.when(F.col("l_orderkey") % 2 == 1, F.lit("01")).otherwise(
+        F.lit("00")
+    )
+    payload = F.unhex(F.concat(count_le, delta_le, flag_hex))
+    logs = li.select("l_orderkey", "l_linenumber", payload.alias("data"))
+    sig = InstructionSignature(
+        discriminator=b"",
+        params=[
+            ParamInput("count_val", "u32"),
+            ParamInput("delta", "i64"),
+            ParamInput("flag", "bool"),
+        ],
+    )
+    out = process_steps(
+        {"logs": logs},
+        [
+            Step(
+                StepKind.SVM_DECODE_LOGS,
+                SvmDecodeInstructionsConfig(
+                    sig,
+                    input_table="logs",
+                    output_table="decoded_logs",
+                    allow_decode_fail=True,
+                ),
+            )
+        ],
+    )
+    return out["decoded_logs"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("count_val").cast("long").alias("count_val"),
+        F.col("delta").cast("long").alias("delta"),
+        F.col("flag").cast("int").alias("flag"),
+    )
