@@ -541,3 +541,51 @@ def flagship_revenue_by_nation(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "include_all_blocks_scan",
+    oracle="""
+    SELECT o_orderkey AS number, CAST(o_custkey AS BIGINT) AS proposer
+    FROM orders
+    WHERE o_orderkey BETWEEN 100 AND 20000
+    """,
+    doc="include_all_blocks=True through the REAL query-model path "
+    "(model.py:apply_evm_query): a selective LogRequest with "
+    "include_blocks=True is present, but the flag DISABLES the "
+    "blocks-to-matches semi-join — every in-range block row survives "
+    "(the reference's include_all_blocks contract, config.py; a plain "
+    "pushed range scan is the whole plan). Oracle is the bare range "
+    "scan, with no EXISTS — which is exactly the point.",
+)
+def include_all_blocks_scan(spark, sf_dir):
+    from cherry_spark.model import EvmQuery, LogRequest, apply_evm_query
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    blocks = o.select(
+        F.col("o_orderkey").alias("number"),
+        F.col("o_custkey").cast("long").alias("proposer"),
+    )
+    logs = li.select(
+        F.col("l_orderkey").alias("block_number"),
+        F.unhex(F.lpad(F.hex(F.col("l_suppkey")), 40, "0")).alias("address"),
+        F.unhex(F.lpad(F.hex(F.col("l_partkey")), 64, "0")).alias("topic0"),
+        F.lit(None).cast("binary").alias("topic1"),
+        F.lit(None).cast("binary").alias("topic2"),
+        F.lit(None).cast("binary").alias("topic3"),
+    )
+    q = EvmQuery(
+        from_block=100,
+        to_block=20_000,
+        logs=[
+            LogRequest(
+                address=[bytes.fromhex("00" * 18 + "0001")],
+                include_blocks=True,
+            )
+        ],
+        include_all_blocks=True,
+        fields={"blocks": ["number", "proposer"]},
+    )
+    out = apply_evm_query({"blocks": blocks, "logs": logs}, q)
+    return out["blocks"]

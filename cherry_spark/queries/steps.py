@@ -701,3 +701,49 @@ def svm_decode_logs_query(spark, sf_dir):
         F.col("delta").cast("long").alias("delta"),
         F.col("flag").cast("int").alias("flag"),
     )
+
+
+@query(
+    "join_block_data_step",
+    oracle="""
+    SELECT l.l_orderkey AS block_number, l.l_linenumber,
+           CAST(l.l_quantity AS BIGINT) AS qty,
+           o.o_custkey AS block_proposer,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS block_date
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="JOIN_BLOCK_DATA through the real step (operators/joins.py:18): "
+    "enrich fact tables with their block header row — broadcast the "
+    "blocks side (headers are tiny relative to facts), prefix "
+    "non-key block columns block_*. Declared-but-unwired in the "
+    "reference (config.py:39); wired here and driver-certified.",
+)
+def join_block_data_step(spark, sf_dir):
+    from cherry_spark.plans.config import JoinBlockDataConfig
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    logs = li.select(
+        F.col("l_orderkey").alias("block_number"),
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    blocks = o.select(
+        F.col("o_orderkey").alias("number"),
+        F.col("o_custkey").alias("proposer"),
+        F.date_format(
+            F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd"
+        ).alias("date"),
+    )
+    out = process_steps(
+        {"logs": logs, "blocks": blocks},
+        [Step(StepKind.JOIN_BLOCK_DATA, JoinBlockDataConfig(tables=["logs"]))],
+    )
+    return out["logs"].select(
+        "block_number",
+        "l_linenumber",
+        "qty",
+        F.col("block_proposer").alias("block_proposer"),
+        F.col("block_date").alias("block_date"),
+    )
