@@ -71,3 +71,46 @@ def evm_validate_block_data(batch: Batch, cfg: EvmValidateBlockDataConfig) -> Ba
     if violations:
         raise BlockValidationError(violations)
     return batch
+
+
+def evm_validation_report(batch: Batch, cfg: EvmValidateBlockDataConfig):
+    """Non-raising twin of :func:`evm_validate_block_data`: ONE lazy
+    1-row DataFrame of violation counts (dup_block_numbers,
+    broken_parent_chain, orphan_<child> per configured child). The
+    monitoring shape for 100 TB streams — the raise-or-pass form above
+    runs one eager count per check, the report folds every check into
+    one job of 1-row aggregates cross-joined by broadcast (the
+    repo-wide tiny-normalizer pattern)."""
+    blocks = batch[cfg.blocks]
+    dup = (
+        blocks.groupBy("number")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_block_numbers"))
+    )
+    report = dup
+    if "hash" in blocks.columns and "parent_hash" in blocks.columns:
+        cur = blocks.select("number", "parent_hash")
+        prev = blocks.select(
+            (F.col("number") + 1).alias("number"), F.col("hash").alias("prev_hash")
+        )
+        broken = (
+            cur.join(prev, "number")
+            .filter(F.col("parent_hash") != F.col("prev_hash"))
+            .agg(F.count(F.lit(1)).cast("long").alias("broken_parent_chain"))
+        )
+        report = report.crossJoin(F.broadcast(broken))
+    for child_name in (cfg.transactions, cfg.logs, cfg.traces):
+        child = batch.get(child_name)
+        if child is None or "block_number" not in child.columns:
+            continue
+        orphans = (
+            child.join(
+                blocks.select(F.col("number").alias("block_number")),
+                on="block_number",
+                how="left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias(f"orphan_{child_name}"))
+        )
+        report = report.crossJoin(F.broadcast(orphans))
+    return report

@@ -747,3 +747,71 @@ def join_block_data_step(spark, sf_dir):
         F.col("block_proposer").alias("block_proposer"),
         F.col("block_date").alias("block_date"),
     )
+
+
+@query(
+    "validate_block_report",
+    oracle="""
+    WITH blocks0 AS (
+        SELECT o_orderkey AS number,
+               sha256(CAST(o_orderkey AS VARCHAR)) AS hash,
+               CASE WHEN o_orderkey % 97 = 3 THEN 'deadbeef'
+                    ELSE sha256(CAST(o_orderkey - 1 AS VARCHAR)) END AS parent_hash
+        FROM orders
+    ),
+    blocks AS (
+        SELECT * FROM blocks0
+        UNION ALL SELECT * FROM blocks0 WHERE number % 5000 = 0
+    ),
+    logs AS (
+        SELECT CASE WHEN l_partkey % 211 = 0 THEN l_orderkey + 1000000
+                    ELSE l_orderkey END AS block_number
+        FROM lineitem
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM (
+          SELECT number FROM blocks GROUP BY number HAVING COUNT(*) > 1
+      )) AS BIGINT) AS dup_block_numbers,
+      CAST((SELECT COUNT(*) FROM blocks c
+            JOIN (SELECT number + 1 AS number, hash FROM blocks) p
+            USING (number)
+            WHERE c.parent_hash <> p.hash) AS BIGINT) AS broken_parent_chain,
+      CAST((SELECT COUNT(*) FROM logs l
+            WHERE NOT EXISTS (SELECT 1 FROM blocks b
+                              WHERE b.number = l.block_number))
+           AS BIGINT) AS orphan_logs
+    """,
+    doc="EVM_VALIDATE_BLOCK_DATA in report form "
+    "(operators/validate.py:evm_validation_report): duplicate block "
+    "numbers, parent-hash chain breaks (equi-join on number = prev+1, "
+    "no global lag window), and orphaned child rows — with one "
+    "violation of each kind PLANTED (a duplicated header, a wrong "
+    "parent_hash every 97th block, every 211th-partkey log pointed at "
+    "a missing block), so nonzero counts certify the checks actually "
+    "fire. The raise-or-pass step wraps the same checks.",
+)
+def validate_block_report(spark, sf_dir):
+    from cherry_spark.operators.validate import evm_validation_report
+    from cherry_spark.plans.config import EvmValidateBlockDataConfig
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    blocks0 = o.select(
+        F.col("o_orderkey").alias("number"),
+        F.sha2(F.col("o_orderkey").cast("string"), 256).alias("hash"),
+        F.when(F.col("o_orderkey") % 97 == 3, F.lit("deadbeef"))
+        .otherwise(F.sha2((F.col("o_orderkey") - 1).cast("string"), 256))
+        .alias("parent_hash"),
+    )
+    blocks = blocks0.union(blocks0.filter(F.col("number") % 5000 == 0))
+    logs = li.select(
+        F.when(
+            F.col("l_partkey") % 211 == 0, F.col("l_orderkey") + 1000000
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("block_number")
+    )
+    return evm_validation_report(
+        {"blocks": blocks, "logs": logs},
+        EvmValidateBlockDataConfig(),
+    )
