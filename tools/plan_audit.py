@@ -38,6 +38,8 @@ NESTED_LOOP_OK = {
     # that avoids the Expand-into-single-split plan; see analytics.py)
     "quantized_rerank_topk",  # 64-row per-dim stats table cross-joined
     # into the quantizer (same pattern as embedding_quantize_audit)
+    "validate_block_report",  # the 1-row per-check aggregates cross-
+    # joined into the single report row
 }
 
 AUDIT = [
@@ -111,6 +113,10 @@ AUDIT = [
     "budget_select_topq",
     "budget_select_by_lang",
     "approx_percentile_verdict",
+    "svm_decode_logs",
+    "include_all_blocks_scan",
+    "join_block_data_step",
+    "validate_block_report",
 ]
 
 
