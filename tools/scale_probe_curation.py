@@ -129,6 +129,12 @@ def main() -> None:
     n_chunk = result["chunk_report"].count()
     t_reports = time.perf_counter() - t0
 
+    # r7 stage: token-budget selection over the curated pool (its own
+    # segment so the earlier segments stay comparable with the r6 run)
+    t0 = time.perf_counter()
+    n_budgeted = result["budgeted"].count()
+    t_budget = time.perf_counter() - t0
+
     from cherry_spark.writers import ParquetWriterConfig, create_writer
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -160,13 +166,14 @@ def main() -> None:
 
     docs10 = load_table(spark, probe_dir, "documents")
     pairs_skew = partition_skew(minhash_lsh_pairs(docs10, jaccard_threshold=0.85))
-    chain = t_upstream + t_downstream + t_reports + t_write
+    chain = t_upstream + t_downstream + t_reports + t_budget + t_write
     print(
         f"corpus: {n_replicas}x {sf_dir} -> {n_input} docs "
         f"(build {t_build:.1f}s, excluded)\n"
         f"upstream  (gates+PII+exact+LSH+CC+keep-best): {t_upstream:.1f}s\n"
         f"downstream (SemDeDup+decontam+enrich+cap):    {t_downstream:.1f}s\n"
         f"reports   (stats+mixing+chunk_report):        {t_reports:.1f}s\n"
+        f"selection (token budget, {n_budgeted} docs):   {t_budget:.1f}s\n"
         f"write     (partitioned parquet):              {t_write:.1f}s\n"
         f"chain total: {chain:.1f}s | curated {n_curated} "
         f"({n_curated / n_input:.1%} of input), stats {n_stats}, "
