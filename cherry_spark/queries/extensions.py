@@ -332,6 +332,27 @@ def _ensure_shingle_postings(spark, sf_dir) -> str:
     )
 
 
+def _ensure_jaccard_pairs(spark, sf_dir, threshold: float = 0.6) -> str:
+    """Exact-Jaccard pair-graph store (id1, id2, jaccard) at the given
+    threshold, derived from the shingle-posting store — the pair table
+    every cluster consumer (min-label CC, star CC, keep-best) iterates
+    over. Production pipelines persist exactly this artifact between
+    pair generation and clustering; serving it store-backed makes a
+    cluster query's per-run cost the CC iterations, not a recompute of
+    the candidate join (the pair query itself, ngram_jaccard_pairs,
+    still measures pair generation live). Threshold is part of the
+    store name so different profiles never share state."""
+    from cherry_spark.ext.dedup import ngram_jaccard_pairs
+
+    def build(docs):
+        postings = spark.read.parquet(_ensure_shingle_postings(spark, sf_dir))
+        return ngram_jaccard_pairs(docs, threshold=threshold, postings=postings)
+
+    return _ensure_doc_store(
+        spark, sf_dir, f"jacpairs{int(round(threshold * 100))}", "v1", build
+    )
+
+
 def _ensure_simhash_fingerprints(spark, sf_dir) -> str:
     """64-bit SimHash fingerprint store (id, fingerprint)."""
     from cherry_spark.ext.dedup import simhash64
@@ -432,9 +453,7 @@ def dedup_clusters_star(spark, sf_dir):
 
 
 def _dedup_clusters(spark, sf_dir, algorithm):
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    postings = spark.read.parquet(_ensure_shingle_postings(spark, sf_dir))
-    pairs = ngram_jaccard_pairs(docs, threshold=0.6, postings=postings)
+    pairs = spark.read.parquet(_ensure_jaccard_pairs(spark, sf_dir, threshold=0.6))
     cc = connected_components(pairs, algorithm=algorithm)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "cluster_id").select(
@@ -483,8 +502,7 @@ def _dedup_clusters(spark, sf_dir, algorithm):
 )
 def cluster_keep_best(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    postings = spark.read.parquet(_ensure_shingle_postings(spark, sf_dir))
-    pairs = ngram_jaccard_pairs(docs, threshold=0.6, postings=postings)
+    pairs = spark.read.parquet(_ensure_jaccard_pairs(spark, sf_dir, threshold=0.6))
     cc = connected_components(pairs)
     q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
     joined = cc.select(F.col("id").alias("doc_id"), "cluster_id").join(q, "doc_id")
