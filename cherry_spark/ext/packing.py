@@ -109,3 +109,31 @@ def pack_sequences(
     ).withColumn(
         "n_chunks", (F.col("last_chunk") - F.col("first_chunk") + F.lit(1)).cast("long")
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-order shard/position assignment: every
+    data-parallel pretraining job needs (shard, position) per document
+    such that workers read disjoint, stable, shuffled streams. Order =
+    the same md5 global order packing uses (deterministic, engine-
+    portable, uniformly shuffled); rank = the two-phase prefix sum
+    with weight 1 (an exclusive count IS a 0-based rank); shard =
+    rank % n_shards (round-robin — balanced to ±1 without knowing the
+    corpus size), position = rank div n_shards."""
+    ranked = global_prefix_sum(
+        df.select(id_col).withColumn("_one", F.lit(1).cast("long")),
+        id_col,
+        "_one",
+        salt=salt,
+        out_col="rank",
+    )
+    return ranked.select(
+        id_col,
+        F.pmod(F.col("rank"), F.lit(n_shards)).cast("long").alias("shard"),
+        F.expr(f"rank div {n_shards}").alias("position"),
+    )

@@ -130,3 +130,27 @@ def test_pack_with_custom_tokenizer_column(spark):
         "doc_id", F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n")
     ).collect()}
     assert any(want[i][0] != ws[i] for i in want)
+
+
+def test_shard_assignments_balanced_and_disjoint(spark):
+    from cherry_spark.ext.packing import shard_assignments
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = shard_assignments(df, n_shards=8).collect()
+    assert len(out) == 1000
+    # (shard, position) unique and positions dense per shard
+    cells = {(r["shard"], r["position"]) for r in out}
+    assert len(cells) == 1000
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in out)
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # round-robin ±1
+    for s in range(8):
+        pos = sorted(p for sh, p in cells if sh == s)
+        assert pos == list(range(len(pos)))
+    # deterministic under repartition
+    again = shard_assignments(df.repartition(13), n_shards=8).collect()
+    assert {(r["doc_id"], r["shard"], r["position"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["position"]) for r in out
+    }
