@@ -560,3 +560,97 @@ def repetition_oracle_sql(
            round(ln(t.n::DOUBLE) - t.slc / t.n, 6) AS token_entropy
     FROM tstats t LEFT JOIN gstats g USING (id)
     """
+
+
+# hashing-trick linear classifier constants: ONE portable linear hash
+# (the certified dedup family pattern) maps tokens -> weight buckets,
+# and the bucket's weight is itself derived by a second linear map —
+# both pure BIGINT, generated identically in the SQL twin.
+_CLF_MOD = 2_147_483_647  # 2^31 - 1
+_CLF_A, _CLF_B = 1_103_515_245, 12_345
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 16,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style MODEL-BASED quality gate: score = mean over
+    tokens of a hashed-bucket weight (a linear text classifier's
+    inference pass with the hashing trick), keep iff score > threshold.
+
+    This is the inference shape of CCNet/RedPajama-style quality
+    classifiers: the 100 TB side only ever does tokenize -> hash ->
+    weight lookup -> per-doc mean. Here the weight table is a
+    DETERMINISTIC function of the bucket (a linear map into [-1, 1)),
+    so the full path — including the exact integer logit sum — is
+    engine-portable and driver-certified; swapping in real trained
+    weights replaces one expression with a broadcast join against a
+    (n_buckets)-row weight table and changes nothing else in the plan.
+
+    Integer-exact aggregation: the per-token weight is kept as a
+    BIGINT in [0, 2^31-1) and summed exactly; only the final
+    normalization divides into a double (IEEE division is exactly
+    rounded, so cross-engine hash-compare is safe — no transcendental
+    sigmoid in the certified columns).
+
+    Returns (id, n_tokens, score, keep).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    base = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bucket = F.pmod(base, F.lit(int(n_buckets)))
+    w_int = F.pmod(
+        F.lit(_CLF_A) * bucket + F.lit(_CLF_B), F.lit(_CLF_MOD)
+    )  # BIGINT in [0, MOD); products < 2^48 — ANSI-safe
+    agg = toks.select("id", w_int.alias("w")).groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("w").cast("long").alias("wsum"),
+    )
+    # mean weight mapped to [-1, 1): exact integer sum, ONE division
+    score = (
+        F.col("wsum").cast("double") / F.col("n_tokens") / (_CLF_MOD / 2.0) - 1.0
+    )
+    return agg.select(
+        F.col("id"),
+        "n_tokens",
+        F.round(score, 6).alias("score"),
+        (F.round(score, 6) > F.lit(threshold)).cast("int").alias("keep"),
+    )
+
+
+def hashed_classifier_oracle_sql(
+    n_buckets: int = 1 << 16,
+    threshold: float = 0.0,
+    source: str = "documents",
+    id_sql: str = "doc_id",
+) -> str:
+    """DuckDB twin generated from the SAME constants."""
+    toks = "list_filter(string_split(text, ' '), t -> t != '')"
+    return f"""
+    WITH toks AS (
+        SELECT {id_sql} AS id, u.tok
+        FROM {source}, UNNEST({toks}) AS u(tok)
+    ),
+    w AS (
+        SELECT id,
+               ({_CLF_A} * (('0x' || substr(md5(tok), 1, 15))::BIGINT
+                            % {int(n_buckets)}) + {_CLF_B}) % {_CLF_MOD} AS wv
+        FROM toks
+    ),
+    agg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(wv) AS BIGINT) AS wsum
+        FROM w GROUP BY id
+    )
+    SELECT id, n_tokens,
+           round(CAST(wsum AS DOUBLE) / n_tokens / {_CLF_MOD / 2.0!r} - 1.0, 6)
+               AS score,
+           CAST(round(CAST(wsum AS DOUBLE) / n_tokens / {_CLF_MOD / 2.0!r} - 1.0, 6)
+                > {threshold!r} AS INTEGER) AS keep
+    FROM agg
+    """

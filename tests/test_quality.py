@@ -335,3 +335,27 @@ def test_dsir_custom_tokenizer_column(spark):
         for r in dsir_logratio(raw, target).collect()
     }
     assert ws[1] != ws[2]
+
+
+def test_hashed_classifier_score_properties(spark):
+    from cherry_spark.ext.quality import hashed_classifier_score
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),  # identical text -> identical score
+        (3, "zeta eta theta iota kappa"),
+        (4, ""),  # tokenless doc: excluded (no logit)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in hashed_classifier_score(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["score"] == out[2]["score"]
+    for r in out.values():
+        assert -1.0 <= r["score"] < 1.0
+        assert r["keep"] == int(r["score"] > 0.0)
+    # deterministic under repartition
+    again = {
+        r["id"]: r["score"]
+        for r in hashed_classifier_score(df.repartition(7)).collect()
+    }
+    assert again == {k: v["score"] for k, v in out.items()}
