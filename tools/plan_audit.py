@@ -117,6 +117,8 @@ AUDIT = [
     "include_all_blocks_scan",
     "join_block_data_step",
     "validate_block_report",
+    "training_shards",
+    "classifier_quality_gate",
 ]
 
 
