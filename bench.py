@@ -87,6 +87,13 @@ HEADLINE = PINNED + [
     "semdedup_cluster_stats",
     "dsir_logratio",
     "chunk_dedup_rewrite",
+    # round-7 additions
+    "cdc_chunk_rewrite",
+    "quantized_rerank_topk",
+    "budget_select_topq",
+    "budget_select_by_lang",
+    "classifier_quality_gate",
+    "training_shards",
 ]
 
 
