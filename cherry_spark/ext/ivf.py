@@ -404,3 +404,102 @@ def index_ctes_sql(
                                       ORDER BY sim DESC, centroid_id) AS rn
             FROM a1) WHERE rn = 1
     )"""
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide approximate k-NN GRAPH: every vector's k nearest
+    neighbors (self excluded) through the IVF index — the artifact
+    semantic-clustering, graph-based dedup diagnostics, and
+    hubness/quality audits consume.
+
+    Scale shape: the query side IS the corpus, so unlike ivf_search
+    (tiny broadcast query set) the candidate join is a plain SHUFFLE
+    equi-join on centroid_id — both sides corpus-scale, cost
+    Σ |cluster|·nprobe-degree, never N². The per-query top-k window is
+    bounded by the probed cluster sizes; on a skewed embedding space
+    apply the SemDeDup max_cluster_size guard upstream first.
+    Returns (query_id, id_col, sim) — round(cosine, 6).
+    """
+    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    corpus = (
+        vectors.join(assigned, on=id_col)
+        .select(id_col, vec_col, "centroid_id")
+        .withColumn("__vn", norm(F.col(vec_col)))
+    )
+    queries = vectors.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    # q_probe: (query_id, __qvec, centroid_id) — corpus-sized x nprobe;
+    # deliberately NOT broadcast below
+    q_probe = _probe_centroids(queries, centroids, nprobe, vec_col, "query_id")
+    q_probe = q_probe.withColumn("__qn", norm(F.col("__qvec")))
+    na, nb = F.col("__vn"), F.col("__qn")
+    sim = F.when(
+        (na > 0) & (nb > 0), dot(F.col(vec_col), F.col("__qvec")) / (na * nb)
+    )
+    scored = (
+        corpus.join(q_probe, on="centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(F.col("query_id"), F.col(id_col), F.round(sim, 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def knn_graph_oracle_sql(
+    dim: int,
+    n_centroids: int,
+    nprobe: int,
+    k: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`knn_graph` — ``ivf_topk_oracle_sql`` with
+    the corpus as the query set and self-matches excluded before the
+    rank (same bit-exactness argument)."""
+
+    def dot_ab(a: str, b: str, cast_b: bool) -> str:
+        return _dot_ab_sql(a, b, dim, cast_b)
+
+    e = vec_col
+    return f"""
+    WITH {index_ctes_sql(dim, n_centroids, table, id_col, vec_col)},
+    probe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.{id_col} AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.{id_col} ORDER BY
+                       (CASE WHEN sqrt(q.dn) > 0 AND sqrt(c.cdn) > 0
+                             THEN {dot_ab(f"q.{e}", "c.centroid", False)}
+                                  / (sqrt(q.dn) * sqrt(c.cdn))
+                             ELSE -2.0 END) DESC, c.centroid_id) AS rn
+            FROM v q CROSS JOIN cn c) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.query_id, ve.{id_col},
+               round(CASE WHEN sqrt(ve.dn) > 0 AND sqrt(q.dn) > 0
+                          THEN {dot_ab(f"ve.{e}", f"q.{e}", True)}
+                               / (sqrt(ve.dn) * sqrt(q.dn)) END, 6) AS sim
+        FROM probe p
+        JOIN assign1 a ON a.centroid_id = p.centroid_id
+        JOIN v ve ON ve.{id_col} = a.{id_col}
+        JOIN v q ON q.{id_col} = p.query_id
+        WHERE ve.{id_col} <> p.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, {id_col}
+        ) AS rn FROM scored
+    )
+    SELECT query_id, {id_col}, sim FROM ranked WHERE rn <= {k}
+    """

@@ -27,7 +27,7 @@ from cherry_spark.ext.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
-from cherry_spark.ext.ivf import ivf_topk_oracle_sql
+from cherry_spark.ext.ivf import ivf_topk_oracle_sql, knn_graph_oracle_sql
 from cherry_spark.ext.quantize import quantized_rerank_oracle_sql
 from cherry_spark.ext.similarity import brute_force_topk, lsh_bucket_topk
 from cherry_spark.ext.text import (
@@ -1528,3 +1528,23 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return lsh_bucket_topk(emb, qdf, dim=64, k=5, n_planes=8)
+
+
+@query(
+    "knn_graph",
+    oracle=knn_graph_oracle_sql(dim=64, n_centroids=16, nprobe=2, k=3),
+    doc="Corpus-wide approximate k-NN GRAPH through the IVF index "
+    "(ext/ivf.py:knn_graph): every vector's 3 nearest neighbors, self "
+    "excluded — the artifact semantic clustering and graph-based "
+    "dedup diagnostics consume. Unlike ann_ivf_topk (tiny broadcast "
+    "query set) the query side IS the corpus, so the candidate join "
+    "is a plain shuffle equi-join on centroid_id — cost "
+    "sum(|cluster| * probe-degree), never N². Oracle replays the "
+    "deterministic index + probe + exclusion + rank bit-exactly (same "
+    "technique as ann_ivf_topk).",
+)
+def knn_graph_query(spark, sf_dir):
+    from cherry_spark.ext.ivf import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3, n_centroids=16, nprobe=2)

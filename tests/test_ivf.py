@@ -191,3 +191,27 @@ def test_semantic_dedup_degenerate_cluster_cap(spark):
     assert stats["docs_in_capped"] == n_clone
     assert stats["pairs_dropped"] == n_clone * (n_clone - 1) // 2
     assert stats["pairs_kept"] == 1
+
+
+def test_knn_graph_planted_neighbors(spark):
+    from cherry_spark.ext.ivf import knn_graph
+
+    # 3 tight clusters of 3 + an orthogonal loner; within-cluster
+    # vectors are each other's nearest neighbors
+    rows = []
+    base = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0], 2: [0.0, 0.0, 1.0, 0.0]}
+    for c, v in base.items():
+        for j in range(3):
+            vec = [x + (0.01 * (j + 1) if i == 3 else 0.0) for i, x in enumerate(v)]
+            rows.append((c * 10 + j, vec))
+    rows.append((99, [0.0, 0.0, 0.0, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_graph(df, k=2, n_centroids=4, nprobe=2).collect()
+    nbrs = {}
+    for r in out:
+        nbrs.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert r["vec_id"] != r["query_id"]  # self excluded
+    for c in base:
+        members = {c * 10 + j for j in range(3)}
+        for m in members:
+            assert nbrs[m] == members - {m}, (m, nbrs[m])

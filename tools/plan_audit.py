@@ -28,6 +28,8 @@ NESTED_LOOP_OK = {
     "range_join_buckets",
     "ann_ivf_topk",  # centroid table (n_centroids rows) cross-joined by design
     "semantic_dedup",  # same centroid cross-join inside ivf_assign
+    "knn_graph",  # same tiny centroid cross-join; the corpus-x-corpus
+    # candidate join itself is a shuffle equi-join on centroid_id
     "mmr_diverse_topk",  # broadcast query table (3 rows) cross-joined by design
     "tfidf_top_terms",  # corpus size N: a 1-row aggregate cross-joined in
     "unigram_logprob",  # corpus token total: same 1-row aggregate cross-join
@@ -119,6 +121,7 @@ AUDIT = [
     "validate_block_report",
     "training_shards",
     "classifier_quality_gate",
+    "knn_graph",
 ]
 
 
