@@ -1547,4 +1547,9 @@ def knn_graph_query(spark, sf_dir):
     from cherry_spark.ext.ivf import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, k=3, n_centroids=16, nprobe=2)
+    # served from the shared prebuilt index (same n_centroids=16 store
+    # ann_ivf_topk probes; the index is deterministic so output is
+    # identical to an inline build — differential-tested in test_ivf)
+    return knn_graph(
+        emb, k=3, n_centroids=16, nprobe=2, index_dir=_ensure_ivf_index(spark, sf_dir)
+    )

@@ -215,3 +215,17 @@ def test_knn_graph_planted_neighbors(spark):
         members = {c * 10 + j for j in range(3)}
         for m in members:
             assert nbrs[m] == members - {m}, (m, nbrs[m])
+
+
+def test_knn_graph_stored_index_equals_inline(spark, tmp_path):
+    from cherry_spark.ext.ivf import ivf_build_index, knn_graph
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    inline = knn_graph(df, k=2, n_centroids=4, nprobe=2).collect()
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(df, idx, n_centroids=4)
+    stored = knn_graph(df, k=2, n_centroids=4, nprobe=2, index_dir=idx).collect()
+    assert sorted((r["query_id"], r["vec_id"], r["sim"]) for r in stored) == sorted(
+        (r["query_id"], r["vec_id"], r["sim"]) for r in inline
+    )
