@@ -137,3 +137,45 @@ def shard_assignments(
         F.pmod(F.col("rank"), F.lit(n_shards)).cast("long").alias("shard"),
         F.expr(f"rank div {n_shards}").alias("position"),
     )
+
+
+def chunk_doc_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    seq_len: int = 512,
+    salt: str = "pack",
+) -> DataFrame:
+    """Per-(chunk, doc) token spans of the concat-and-chunk packing:
+    which documents occupy which token interval of every training
+    sequence — the index a loader needs to build block-diagonal
+    attention masks / per-doc loss masks over packed sequences.
+
+    One row per (chunk_id, doc) overlap: ``start_in_chunk`` inclusive,
+    ``end_in_chunk`` exclusive, both in [0, seq_len]. Derived from
+    :func:`pack_sequences` by exploding each doc's chunk range — a doc
+    spanning c chunks yields c rows, so total rows = corpus_tokens /
+    seq_len + n_docs (each boundary adds one) — linear, no joins
+    beyond the prefix sum it inherits. Zero-token docs are dropped
+    (they occupy no tokens; pack_sequences pins them to a chunk for
+    bookkeeping, but a mask index must not emit empty spans).
+    """
+    packed = pack_sequences(df, id_col, token_col, seq_len, salt)
+    exploded = packed.filter(F.col(token_col) > 0).select(
+        id_col,
+        "start_tok",
+        token_col,
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+    )
+    chunk_start = F.col("chunk_id") * F.lit(seq_len)
+    doc_end = F.col("start_tok") + F.col(token_col)
+    return exploded.select(
+        "chunk_id",
+        id_col,
+        (F.greatest(F.col("start_tok"), chunk_start) - chunk_start)
+        .cast("long")
+        .alias("start_in_chunk"),
+        (F.least(doc_end, chunk_start + F.lit(seq_len)) - chunk_start)
+        .cast("long")
+        .alias("end_in_chunk"),
+    )

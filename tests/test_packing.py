@@ -154,3 +154,39 @@ def test_shard_assignments_balanced_and_disjoint(spark):
     assert {(r["doc_id"], r["shard"], r["position"]) for r in again} == {
         (r["doc_id"], r["shard"], r["position"]) for r in out
     }
+
+
+def test_chunk_doc_spans_tile_exactly(spark):
+    from cherry_spark.ext.packing import chunk_doc_spans, pack_sequences
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).cast("long").alias("n_tokens")
+    )
+    seq_len = 16
+    spans = chunk_doc_spans(df, seq_len=seq_len).collect()
+    total = df.agg(F.sum("n_tokens")).first()[0]
+    # spans tile the token stream exactly: per chunk, spans are disjoint,
+    # contiguous from 0 (or the chunk is the tail), and sum to coverage
+    by_chunk = {}
+    for r in spans:
+        assert 0 <= r["start_in_chunk"] < r["end_in_chunk"] <= seq_len
+        by_chunk.setdefault(r["chunk_id"], []).append(
+            (r["start_in_chunk"], r["end_in_chunk"])
+        )
+    n_chunks = max(by_chunk) + 1
+    assert n_chunks == (total + seq_len - 1) // seq_len
+    covered = 0
+    for cid, ivs in by_chunk.items():
+        ivs.sort()
+        assert ivs[0][0] == 0
+        for (a1, b1), (a2, b2) in zip(ivs, ivs[1:]):
+            assert b1 == a2  # contiguous, disjoint
+        covered += sum(b - a for a, b in ivs)
+        if cid < n_chunks - 1:
+            assert ivs[-1][1] == seq_len  # full chunks fully covered
+    assert covered == total
+    # agreement with pack_sequences chunk ranges
+    packed = {r["doc_id"]: r for r in pack_sequences(df, seq_len=seq_len).collect()}
+    for r in spans:
+        p = packed[r["doc_id"]]
+        assert p["first_chunk"] <= r["chunk_id"] <= p["last_chunk"]

@@ -122,6 +122,7 @@ AUDIT = [
     "training_shards",
     "classifier_quality_gate",
     "knn_graph",
+    "pack_chunk_spans",
 ]
 
 
