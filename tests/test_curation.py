@@ -79,3 +79,13 @@ def test_curation_pipeline(spark, sf_dir, tmp_path):
     }
     if True in means and False in means:
         assert means[True] > means[False]
+
+
+def test_streaming_ingestion_example(spark, sf_dir, tmp_path):
+    import examples.streaming_ingestion_pipeline as ex
+
+    res = ex.run(spark, sf_dir, str(tmp_path / "stream"), budget=5_000)
+    counts = res["counts"]
+    assert sum(counts.values()) > 0
+    assert res["spent"] <= res["budget"]
+    assert counts.get("admitted", 0) > 0
