@@ -256,3 +256,80 @@ def mixing_temperature_oracle_sql(
                AS expected_samples
     FROM counts CROSS JOIN tot
     """
+
+
+def mixing_apply(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    tau: float = 0.7,
+    budget: int = 10_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """EXECUTE the temperature mixture: materialize the epoch sample
+    the :func:`mixing_temperature` weights describe — each source
+    contributes its ``expected_samples`` quota, filled by the
+    deterministic smallest-hash-first rule (the stratified_sample
+    move, with the per-source quota joined in from the tiny weight
+    table instead of a constant). Closes the weights → sample loop:
+    (key, source, sample_rank), sample_rank 1..quota within source.
+
+    Scale shape: the weight table is sources-sized (broadcast); the
+    data side pays one per-source window — identical cost to
+    stratified_sample. When a source's quota exceeds its rows the
+    whole source is taken (floor weights can do this only for tiny
+    sources).
+    """
+    quotas = mixing_temperature(df, source_col, tau, budget).select(
+        F.col("source").alias(source_col), "expected_samples"
+    )
+    h = split_hash(F.col(key_col), salt, 8)
+    w = Window.partitionBy(source_col).orderBy(h, F.col(key_col))
+    return (
+        df.select(source_col, key_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .join(F.broadcast(quotas), source_col)
+        .filter(F.col("sample_rank") <= F.col("expected_samples"))
+        .select(key_col, source_col, F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
+def mixing_apply_oracle_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    tau: float = 0.7,
+    budget: int = 10_000,
+    salt: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`mixing_apply` — the mixing_temperature
+    CTEs plus the per-source quota-ranked fill."""
+    tau_s = repr(float(tau))
+    return f"""
+    WITH counts AS (
+        SELECT {source_col} AS source, count(*) AS n_docs,
+               CAST(round(pow(count(*)::DOUBLE, {tau_s}), 6)
+                    AS DECIMAL(18,6)) AS pw
+        FROM {table} GROUP BY 1
+    ),
+    tot AS (SELECT SUM(pw) AS tot FROM counts),
+    quota AS (
+        SELECT source,
+               CAST(floor({int(budget)} * (pw::DOUBLE / tot::DOUBLE)) AS BIGINT)
+                   AS expected_samples
+        FROM counts CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT {key_col}, {source_col} AS source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {source_col}
+                   ORDER BY substr(md5(CAST({key_col} AS VARCHAR) || '{salt}'), 1, 8),
+                            {key_col}
+               ) AS sample_rank
+        FROM {table}
+    )
+    SELECT r.{key_col}, r.source AS {source_col},
+           CAST(r.sample_rank AS BIGINT) AS sample_rank
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.sample_rank <= q.expected_samples
+    """

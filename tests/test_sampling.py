@@ -213,3 +213,28 @@ def test_mixing_temperature_token_budget(spark):
         r["source"]: r["n_docs"] for r in mixing_temperature(df, tau=0.5).collect()
     }
     assert by_rows == {"a": 2, "b": 3, "c": 1}
+
+
+def test_mixing_apply_fills_quotas(spark):
+    from cherry_spark.ext.sampling import mixing_apply, mixing_temperature
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixing_apply(df, tau=0.5, budget=40).collect()
+    quotas = {
+        r["source"]: r["expected_samples"]
+        for r in mixing_temperature(df, tau=0.5, budget=40).collect()
+    }
+    from collections import Counter
+
+    got = Counter(r["source"] for r in out)
+    assert dict(got) == {s: q for s, q in quotas.items() if q > 0}
+    # sample_rank dense 1..quota per source
+    for s, q in quotas.items():
+        ranks = sorted(r["sample_rank"] for r in out if r["source"] == s)
+        assert ranks == list(range(1, q + 1))
+    # deterministic under repartition
+    again = mixing_apply(df.repartition(7), tau=0.5, budget=40).collect()
+    assert {(r["doc_id"], r["sample_rank"]) for r in again} == {
+        (r["doc_id"], r["sample_rank"]) for r in out
+    }

@@ -123,6 +123,7 @@ AUDIT = [
     "classifier_quality_gate",
     "knn_graph",
     "pack_chunk_spans",
+    "mixing_apply",
 ]
 
 
