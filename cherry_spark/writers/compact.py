@@ -1,0 +1,103 @@
+"""Small-files compaction for parquet datasets.
+
+A continuously-ingesting pipeline (the reference's micro-batch loop,
+our streaming gates) appends one file set per batch; after thousands
+of batches a 100 TB dataset degrades into millions of KB-sized files
+— scan planning, footer reads, and the driver's file index dominate
+query time long before data volume does. The standard remedy is
+periodic compaction: rewrite each partition's many small files into
+few target-sized ones, atomically.
+
+Design:
+
+- sizing by BYTES, not row counts: files-per-partition =
+  ceil(partition_bytes / target_file_bytes) from the actual file
+  sizes on disk (cheap driver-side listing — the same listing the
+  scan would do), then a hash repartition to exactly that many files
+  per partition via ``repartition(col, ...)`` per-partition write;
+- partitioned datasets compact partition-by-partition INDEPENDENTLY
+  (each is a separate directory), so a crash mid-compaction leaves
+  untouched partitions valid; unpartitioned datasets rewrite to a
+  temp dir then atomically swap;
+- the rewrite is a plain read->write of the same data: no schema or
+  row changes, verified by row counts before the swap.
+
+The reference delegates file layout to its sink engines
+(writers/delta_lake.py OPTIMIZE-style maintenance lives outside it);
+Spark-side datasets need it done here.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _n_parquet_files(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact the parquet dataset at ``path`` (optionally
+    hive-partitioned one level, ``key=value`` subdirs) so each
+    partition holds ~``target_file_bytes`` files. Returns
+    {files_before, files_after, bytes} stats.
+
+    Local-filesystem implementation (the container's reality); on
+    object storage the same logic runs against the file index and the
+    swap is a manifest/rename step.
+    """
+    part_dirs = [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    ]
+    targets = part_dirs if part_dirs else [path]
+    files_before = _n_parquet_files(path)
+    total_bytes = 0
+    for tdir in targets:
+        nbytes = _dir_bytes(tdir)
+        if nbytes == 0:
+            continue
+        total_bytes += nbytes
+        n_files = max(1, math.ceil(nbytes / target_file_bytes))
+        if n_files >= _n_parquet_files(tdir):
+            continue  # already compact enough
+        df = spark.read.parquet(tdir)
+        n_rows = df.count()
+        tmp = f"{tdir}__compact_{uuid.uuid4().hex[:8]}"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        check = spark.read.parquet(tmp)
+        if check.count() != n_rows:  # pragma: no cover - safety net
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"compaction row-count mismatch in {tdir}")
+        # atomic-enough swap: move old aside, move new in, drop old
+        old = f"{tdir}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(tdir, old)
+        os.rename(tmp, tdir)
+        shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": _n_parquet_files(path),
+        "bytes": total_bytes,
+    }

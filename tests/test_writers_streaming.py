@@ -520,3 +520,37 @@ def test_streaming_curation_gate_composes_all_three_gates(spark, tmp_path):
     assert spark.read.parquet(os.path.join(state, "text_sigs")).count() == 3
     assert spark.read.parquet(os.path.join(state, "vecs")).count() == 3
     assert spark.read.parquet(os.path.join(state, "spent")).first()["spent"] == 90
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
+    from cherry_spark.writers.compact import compact_dataset
+
+    path = str(tmp_path / "ds")
+    # simulate 30 micro-batch appends -> 30+ tiny files, partitioned
+    for b in range(30):
+        spark.range(b * 100, b * 100 + 100).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part"
+        ).coalesce(1).write.partitionBy("part").mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    rows_before = sorted(r["id"] for r in before.collect())
+
+    stats = compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] >= 90  # 30 appends x 3 partitions
+    assert stats["files_after"] == 3  # one file per partition
+    after = spark.read.parquet(path)
+    assert sorted(r["id"] for r in after.collect()) == rows_before
+    # second run is a no-op (already compact)
+    stats2 = compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats2["files_after"] == stats2["files_before"] == 3
+
+
+def test_compact_dataset_unpartitioned(spark, tmp_path):
+    from cherry_spark.writers.compact import compact_dataset
+
+    path = str(tmp_path / "flat")
+    for b in range(10):
+        spark.range(b * 50, b * 50 + 50).coalesce(1).write.mode("append").parquet(path)
+    rows = spark.read.parquet(path).count()
+    stats = compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == rows
