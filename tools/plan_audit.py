@@ -42,6 +42,8 @@ NESTED_LOOP_OK = {
     # into the quantizer (same pattern as embedding_quantize_audit)
     "validate_block_report",  # the 1-row per-check aggregates cross-
     # joined into the single report row
+    "mixing_apply",  # the 1-row normalizer cross-join inside
+    # mixing_temperature (the quota join itself is a BroadcastHashJoin)
 }
 
 AUDIT = [
