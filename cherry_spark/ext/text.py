@@ -130,3 +130,63 @@ def doc_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
     )
     total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return F.pmod(total, F.lit(modulus))
+
+
+def split_to_chunks(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap_tokens: int = 0,
+):
+    """Document splitting for context-window-bounded consumers (RAG
+    indexing, fixed-window training ingestion): one row per (doc,
+    chunk_idx) with the chunk TEXT and its token count; optional
+    token overlap gives the standard sliding window (stride =
+    chunk_tokens - overlap_tokens, start positions 0, stride, 2·stride
+    … < n_tokens, so the final chunk may be short but nothing is
+    dropped and every token belongs to ≥1 chunk).
+
+    Scale shape: chunks are sliced from the in-hand token array — no
+    self-join, no window, no shuffle; the tokenizer result is bound
+    as a lambda variable (the _stride_chunks trick) so it runs once
+    per ROW, not once per chunk. Output rows ≈ corpus_tokens / stride.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+
+    def per_doc(tk):
+        n = F.size(tk)
+        n_windows = F.ceil(n / F.lit(stride)).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_idx"),
+                    F.concat_ws(
+                        " ", F.slice(tk, i * stride + 1, chunk_tokens)
+                    ).alias("chunk_text"),
+                    F.least(F.lit(chunk_tokens), n - i * stride)
+                    .cast("long")
+                    .alias("n_chunk_tokens"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<chunk_idx:bigint,chunk_text:string,"
+                "n_chunk_tokens:bigint>>"
+            )
+        )
+
+    chunks = F.flatten(F.transform(F.array(tokens_col(F.col(text_col))), per_doc))
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+    )

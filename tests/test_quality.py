@@ -359,3 +359,36 @@ def test_hashed_classifier_score_properties(spark):
         for r in hashed_classifier_score(df.repartition(7)).collect()
     }
     assert again == {k: v["score"] for k, v in out.items()}
+
+
+def test_split_to_chunks_coverage_and_overlap(spark):
+    from cherry_spark.ext.text import split_to_chunks
+
+    words = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, words), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = split_to_chunks(df, chunk_tokens=16, overlap_tokens=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty doc yields no chunks
+    # doc 2: one short chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    # doc 1: stride 12, starts 0,12,24,36,48 -> 5 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert len(c1) == 5
+    # every token appears in >= 1 chunk; overlap tokens in exactly 2
+    seen = []
+    for r in c1:
+        seen.extend(r["chunk_text"].split(" "))
+    assert set(seen) == {f"w{i}" for i in range(50)}
+    from collections import Counter
+
+    counts = Counter(seen)
+    # starts 0,12,24,36: tokens 12..15, 24..27, 36..39, 48..49(+?) overlap
+    assert counts["w12"] == 2 and counts["w0"] == 1
+    # reconstruct: chunk i starts at i*12 and has the right tokens
+    for r in c1:
+        start = r["chunk_idx"] * 12
+        expect = [f"w{i}" for i in range(start, min(start + 16, 50))]
+        assert r["chunk_text"].split(" ") == expect

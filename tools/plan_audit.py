@@ -126,6 +126,7 @@ AUDIT = [
     "knn_graph",
     "pack_chunk_spans",
     "mixing_apply",
+    "split_to_chunks",
 ]
 
 
