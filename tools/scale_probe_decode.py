@@ -130,7 +130,54 @@ def main() -> None:
         )
         return out["decoded_instructions"]
 
+    def dynamic():
+        # the hardest native-expression lane: dynamic ABI with two
+        # uint256[] arrays + a string (offset-walking decode) — reuse
+        # the certified query's synthesis shape via the registered
+        # query impl on a temp view of the 10x corpus
+        import cherry_spark.queries.steps as steps_mod
+        from cherry_spark.plans import EvmDecodeEventsConfig, Step, StepKind
+
+        def word_u(col):
+            return F.lpad(F.lower(F.hex(col)), 64, "0")
+
+        val0 = (
+            F.col("l_quantity").cast("long") * 1000000 + F.col("l_linenumber")
+        ).cast("long")
+        memo = F.concat_ws("-", F.col("l_orderkey"), F.col("l_partkey"))
+        memo_raw = F.encode(memo, "utf-8")
+        memo_len = F.length(memo_raw)
+        memo_pad = F.rpad(
+            memo_raw, ((memo_len + 31) / 32).cast("int") * 32, b"\x00"
+        )
+        data_hex = F.concat(
+            word_u(F.lit(128)), word_u(F.lit(224)), word_u(F.lit(320)),
+            word_u(val0),
+            word_u(F.lit(2)), word_u(val0 + 1), word_u(val0 + 2),
+            word_u(F.lit(2)), word_u(val0 + 3), word_u(val0 + 4),
+            word_u(memo_len.cast("long")),
+        )
+        logs = src.select(
+            "l_orderkey", "l_linenumber",
+            F.concat(F.unhex(data_hex), memo_pad).alias("data"),
+        ).withColumn(
+            "topic0",
+            F.unhex(F.sha2(F.lit("Batch(uint256,uint256[],uint256[],string)"), 256)),
+        )
+        out = process_steps(
+            {"logs": logs},
+            [Step(StepKind.EVM_DECODE_EVENTS, EvmDecodeEventsConfig(
+                event_signature=(
+                    "Batch(uint256 head, uint256[] ids, uint256[] vals,"
+                    " string memo)"
+                ),
+                allow_decode_fail=True,
+            ))],
+        )
+        return out["decoded_logs"]
+
     time_one("evm_fixed_transfer", fixed)
+    time_one("evm_dynamic_abi", dynamic)
     time_one("borsh_fixed", borsh)
     # skew evidence: decode output partition balance
     from pyspark.sql.functions import spark_partition_id
