@@ -190,3 +190,63 @@ def split_to_chunks(
             F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
         )
     )
+
+
+def vocab_coverage(df, ks=(10, 100, 1000), id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Tokenizer-design instrument: token-frequency head coverage — for
+    each candidate vocab size k, the fraction of ALL token occurrences
+    the k most frequent token types cover (the number that sets vocab
+    size vs OOV/byte-fallback rate before training a tokenizer).
+
+    Returns one row per k: (k, covered_tokens, total_tokens,
+    n_types, coverage) with coverage = covered/total rounded 6.
+
+    Scale shape: one tokenize+count aggregation to the vocab-sized
+    type table (map-side partials absorb hot tokens), a 1-row
+    total/type-count broadcast, and ONE bounded top-max(k) selection
+    (TakeOrderedAndProject, deterministic (count desc, token) order)
+    whose cumulative sum runs over max(ks) rows — never over the
+    corpus or the full vocab.
+    """
+    from pyspark.sql.window import Window
+
+    ks = sorted(set(int(k) for k in ks))
+    kmax = ks[-1]
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(kmax)
+    # bounded window: <= kmax rows by construction
+    w = Window.orderBy(F.col("n").desc(), F.col("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = top.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("tok")))
+    )
+    kdf = df.sparkSession.createDataFrame([(k,) for k in ks], "k long")
+    # clamp k at the actual type count: a vocab smaller than k covers
+    # everything at rank n_types (the fixture corpus has a small
+    # vocabulary, so this branch is exercised, not theoretical)
+    kt = kdf.crossJoin(F.broadcast(totals))
+    at_k = kt.join(
+        ranked,
+        F.col("rn") == F.least(F.col("k"), F.col("n_types"), F.lit(kmax)),
+    )
+    return at_k.select(
+        "k",
+        F.least(F.col("cum"), F.col("total_tokens"))
+        .cast("long")
+        .alias("covered_tokens"),
+        "total_tokens",
+        "n_types",
+        F.round(F.col("cum").cast("double") / F.col("total_tokens"), 6).alias(
+            "coverage"
+        ),
+    )

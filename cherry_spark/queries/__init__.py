@@ -31,7 +31,7 @@ Queries ADDED this round after the window was fixed
 ``approx_percentile_verdict``, ``svm_decode_logs``,
 ``include_all_blocks_scan``, ``join_block_data_step``,
 ``validate_block_report``, ``training_shards``,
-``classifier_quality_gate``, ``knn_graph``, ``pack_chunk_spans``, ``mixing_apply``, ``split_to_chunks``) register past position 50 on purpose:
+``classifier_quality_gate``, ``knn_graph``, ``pack_chunk_spans``, ``mixing_apply``, ``split_to_chunks``, ``vocab_coverage``) register past position 50 on purpose:
 displacing an r05-stale row would push it two rounds stale, which the
 round-6 verdict made the thing the cadence exists to prevent.  They
 are verify_local-green now and are the front of the round-8 window.

@@ -392,3 +392,17 @@ def test_split_to_chunks_coverage_and_overlap(spark):
         start = r["chunk_idx"] * 12
         expect = [f"w{i}" for i in range(start, min(start + 16, 50))]
         assert r["chunk_text"].split(" ") == expect
+
+
+def test_vocab_coverage_known_distribution(spark):
+    from cherry_spark.ext.text import vocab_coverage
+
+    # 10x 'a', 5x 'b', 1x 'c' -> total 16, 3 types
+    text = " ".join(["a"] * 10 + ["b"] * 5 + ["c"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r["k"]: r for r in vocab_coverage(df, ks=(1, 2, 10)).collect()}
+    assert out[1]["covered_tokens"] == 10 and out[1]["coverage"] == 0.625
+    assert out[2]["covered_tokens"] == 15
+    # k beyond vocab clamps to full coverage
+    assert out[10]["covered_tokens"] == 16 and out[10]["coverage"] == 1.0
+    assert all(r["n_types"] == 3 and r["total_tokens"] == 16 for r in out.values())

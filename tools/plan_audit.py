@@ -44,6 +44,7 @@ NESTED_LOOP_OK = {
     # joined into the single report row
     "mixing_apply",  # the 1-row normalizer cross-join inside
     # mixing_temperature (the quota join itself is a BroadcastHashJoin)
+    "vocab_coverage",  # 1-row totals cross-joined into the k rows
 }
 
 AUDIT = [
@@ -127,6 +128,7 @@ AUDIT = [
     "pack_chunk_spans",
     "mixing_apply",
     "split_to_chunks",
+    "vocab_coverage",
 ]
 
 
