@@ -886,6 +886,7 @@ def lsh_recall_audit(
     shingle_k: int = 3,
     max_bucket_size: int = 500,
     hash_family: str = "md5",
+    max_docs: int | None = 10_000,
 ) -> DataFrame:
     """Banding-recall audit — measure, don't guess: ONE row
     ``(n_true, n_lsh, n_missed, recall)`` comparing the exact-Jaccard
@@ -907,7 +908,28 @@ def lsh_recall_audit(
 
     With ``hash_family="md5"`` (default here — this is an audit, not
     a production dedup) the entire computation is replayed bit-for-bit
-    by the generated DuckDB oracle."""
+    by the generated DuckDB oracle.
+
+    ``max_docs`` (round-7 verdict item #9) bounds the audit to a
+    deterministic hash-ranked sample BY DEFAULT — the exact side is
+    all-pairs-within-shingle-buckets by contract, which on a bare
+    100 TB call is a footgun.  The sample is the ``max_docs`` docs
+    with the smallest 60-bit md5 of their id (TakeOrderedAndProject —
+    per-partition top-k merged at k rows, no global sort), so it is
+    reproducible across runs and engines.  Pass ``max_docs=None`` for
+    the explicit unbounded form (what the certified driver query does:
+    its oracle replays the FULL corpus and the fixture is sample-sized
+    already)."""
+    if max_docs is not None:
+        rank = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        df = (
+            df.withColumn("__lsh_audit_rank", rank)
+            .orderBy(F.col("__lsh_audit_rank").asc(), F.col(id_col).asc())
+            .limit(max_docs)
+            .drop("__lsh_audit_rank")
+        )
     exact = ngram_jaccard_pairs(
         df,
         id_col,

@@ -3,38 +3,43 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-for the ROUND-7 window (the standing cadence: rotate so no query's
-driver signal goes more than one round stale — round-6 verdict item #1):
+for the ROUND-8 window.
 
-1. ``_ROUND7_NEW`` — queries new or oracle-converted this round
-   (CDC-boundary passage rewrite, the int8 quantized-rerank ANN path,
-   and ``approx_distinct``'s rows-only→tolerance-verdict conversion);
-2. ``_R03_STALE`` — ``ann_lsh_topk``, whose last driver row is r03 (it
-   landed at position 51 in the round-6 window, one past the cutoff);
-3. ``_R05_STALE`` — the 46 rows whose latest driver row is r05: the
-   four rows the round-6 window arithmetic pushed to positions 52-55
-   (flagship, u256 carry sum, funnel, quantize audit) plus the 42
-   relational/steps/decode/streaming-twin rows rotated out by the
-   round-6 window.
+Standing rotation policy (round-7 verdict item #2): the registry holds
+115 queries and the driver window holds 50, so a strict "no query more
+than one round stale" cadence is arithmetically impossible (2 x 50 <
+115).  The guarantee is now **every registered query gets a driver row
+at least once every THREE rounds**, enforced mechanically:
 
-Window arithmetic (the round-6 bug was groups summing to 51): 3 new +
-1 r03-stale + 46 r05-stale = 50 exactly.  ``decode_dynamic_abi_arrow``
-(r05-stale #47) is deliberately the first row PAST the window at 51 —
-it shares its oracle with in-window ``decode_dynamic_abi`` and differs
-only in the Arrow execution lane, and verify_local still checks it
-locally every round.  Everything certified green in r06 follows in
-prior-round order; the permanent rows-only queries sit last where they
-don't burn hash-check slots.
+  round N   : [queries never driver-certified] + [oldest-stale rows]
+  round N+1 : [new since N's freeze] + [remaining oldest-stale rows] +
+              [rows certified in N-1]
+  round N+2 : sweeps whatever is left of the N-1/N sets
 
-Queries ADDED this round after the window was fixed
-(``budget_select_topq``, ``budget_select_by_lang``,
-``approx_percentile_verdict``, ``svm_decode_logs``,
-``include_all_blocks_scan``, ``join_block_data_step``,
-``validate_block_report``, ``training_shards``,
-``classifier_quality_gate``, ``knn_graph``, ``pack_chunk_spans``, ``mixing_apply``, ``split_to_chunks``, ``vocab_coverage``) register past position 50 on purpose:
-displacing an r05-stale row would push it two rounds stale, which the
-round-6 verdict made the thing the cadence exists to prevent.  They
-are verify_local-green now and are the front of the round-8 window.
+``verify_local`` still hash-checks ALL registered queries against their
+DuckDB oracles every round regardless of the window, so "past the
+window" never means "unverified" — only "not yet in a driver artifact".
+``decode_dynamic_abi_arrow`` stays verify_local-only by policy: it
+shares its oracle and result-hash with in-window ``decode_dynamic_abi``
+and differs only in the Arrow execution lane (a driver row for it would
+duplicate an existing hash check while displacing a unique one).
+
+ROUND-8 window arithmetic (round-6's bug was groups summing to 51, and
+round-7's CLAUDE.md plan miscounted 12-vs-14 — count explicitly):
+
+1. ``_NEVER_CERTIFIED`` — the **14** queries added after the r07 window
+   froze; none has ever had a driver row (round-7 verdict item #1);
+2. ``_R06_STALE_R08`` — **36** of the 50 rows whose latest driver row
+   is r06, preferring the dedup/extension family that shares code
+   touched in round 7 (simhash/minhash/cluster rows now served from
+   fingerprinted stores, doc_fingerprint's transform-lambda rewrite,
+   lsh_recall_audit's bounded-default API change this round).
+
+14 + 36 = 50 exactly.  ``_R06_STALE_R09`` (the remaining 14 r06 rows:
+quality/mixing/sampling families untouched since r06) is the front of
+the round-9 window, followed by 36 rows of the r07 window; round 10
+sweeps the remaining 14 r07 rows.  The permanent rows-only queries sit
+last where they don't burn hash-check slots.
 """
 
 from cherry_spark.catalog import REGISTRY
@@ -46,38 +51,63 @@ import cherry_spark.queries.curation  # noqa: F401,E402
 import cherry_spark.queries.multimodal  # noqa: F401,E402
 import cherry_spark.queries.extensions  # noqa: F401,E402
 
-_ROUND7_NEW = [
-    "cdc_chunk_rewrite",
-    "quantized_rerank_topk",
-    "approx_distinct",
+# The 14 queries registered after the round-7 window froze — every one
+# is verify_local-green but has never had a driver-certified row.
+_NEVER_CERTIFIED = [
+    "budget_select_topq",
+    "budget_select_by_lang",
+    "approx_percentile_verdict",
+    "svm_decode_logs",
+    "include_all_blocks_scan",
+    "join_block_data_step",
+    "validate_block_report",
+    "training_shards",
+    "classifier_quality_gate",
+    "knn_graph",
+    "pack_chunk_spans",
+    "mixing_apply",
+    "split_to_chunks",
+    "vocab_coverage",
 ]
 
-_R03_STALE = ["ann_lsh_topk"]
+# 36 of the 50 r06-certified rows.  Dedup/store/ANN family first: their
+# serving paths changed in round 7 (signature + pair-graph stores) and
+# lsh_recall_audit's default profile changes THIS round, so their
+# driver signal is the most valuable to refresh.
+_R06_STALE_R08 = [
+    "exact_dedup_docs", "minhash_lsh_dedup", "simhash_dedup",
+    "ngram_jaccard_pairs", "dedup_clusters", "dedup_clusters_star",
+    "cluster_keep_best", "delta_dedup_verdicts",
+    "delta_dedup_minhash_verdicts", "band_bucket_stats",
+    "posting_skew_stats", "lsh_recall_audit", "doc_novelty",
+    "jaccard_topk", "decontaminate_overlap", "chunk_dedup",
+    "chunk_dedup_rewrite", "cdc_chunk_dedup",
+    # embedding/ANN family (IVF store + semdedup checkpoint discipline)
+    "ann_ivf_topk", "semantic_dedup", "semdedup_cluster_stats",
+    "embed_neardup_pairs", "mmr_diverse_topk",
+    "semantic_lexical_agreement", "label_centroid_profile",
+    # text family (doc_fingerprint rewritten r7; siblings share tokenizer)
+    "doc_fingerprint", "text_stats", "token_count", "lang_id",
+    "quality_score", "token_freq_topn", "tfidf_top_terms",
+    "corpus_report", "deterministic_split",
+    # multimodal certified (fake-codec) lane
+    "media_decode_features", "media_phash_dedup",
+]
 
-_R05_STALE = [
-    # the four rows the round-6 window arithmetic skipped (ADVICE item)
-    "flagship_revenue_by_nation", "u256_sum", "funnel_conversion",
-    "embedding_quantize_audit",
-    # decode family first: a full round of drift on touched-adjacent code
-    "decode_fixedwidth", "decode_dynamic_abi", "borsh_decode_fixed",
-    "glaciers_decode", "u256_binary_roundtrip", "hex_encode",
-    "base58_encode", "cast_by_name", "cast_by_type", "set_constant_col",
-    # query-model + relational rows certified r05
-    "project_select", "filter_range", "filter_in_set", "filter_prefix",
-    "semi_join_related", "trace_query_model", "join_inner_eq",
-    "join_composite_key", "join_left_dim", "json_extract",
-    "agg_min_max", "agg_resume_cursor", "agg_count_distinct",
-    "groupby_sum", "groupby_multi", "distinct_rows", "rollup_agg",
-    "cube_agg", "pivot_status_counts", "topk_orderby_limit",
-    "union_all_batches", "intersect_keys", "except_keys",
-    "window_rownum_dedup", "window_tumbling_agg", "session_window_agg",
-    "session_window_native", "sql_step", "udf_transform_step",
-    "range_join_buckets", "retention_cohorts", "cosine_topk",
+# The remaining 14 r06 rows — front of the ROUND-9 window (stable
+# quality/mixing/sampling families, code untouched since their r06
+# certification).  Kept here so the r09 reorder is mechanical.
+_R06_STALE_R09 = [
+    "gopher_filter", "unigram_logprob", "bigram_logprob",
+    "dsir_logratio", "repetition_stats", "mixing_temperature",
+    "mixing_order", "stratified_sample_lang", "pii_scrub_docs",
+    "sequence_pack", "doc_length_percentiles", "null_group_agg",
+    "asof_join_latest_order", "media_frame_sample",
 ]
 
 _PAST_WINDOW_FIRST = [
-    # r05-stale #47: oracle twin of in-window decode_dynamic_abi,
-    # differs only in the Arrow lane; verify_local covers it locally
+    # oracle twin of in-window decode_dynamic_abi (Arrow lane only);
+    # verify_local-only by policy — see module docstring
     "decode_dynamic_abi_arrow",
 ]
 
@@ -85,9 +115,9 @@ _PAST_WINDOW_FIRST = [
 def _reorder_for_certification() -> None:
     ordered: list[str] = []
     for group in (
-        _ROUND7_NEW,
-        _R03_STALE,
-        _R05_STALE,
+        _NEVER_CERTIFIED,
+        _R06_STALE_R08,
+        _R06_STALE_R09,
         _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
@@ -98,3 +128,15 @@ def _reorder_for_certification() -> None:
 
 
 _reorder_for_certification()
+
+# Window-arithmetic invariant: the driver certifies exactly the first
+# 50 registered queries.  Fail LOUDLY at import time if the hand-listed
+# groups drift (this is the third round in a row where a count slipped
+# silently — make it impossible).
+assert len(_NEVER_CERTIFIED) + len(_R06_STALE_R08) == 50, (
+    f"round-8 window is {len(_NEVER_CERTIFIED)} + {len(_R06_STALE_R08)}"
+    " rows, expected exactly 50"
+)
+assert len(_R06_STALE_R08) + len(_R06_STALE_R09) == 50, (
+    "the two r06-stale groups must partition the 50 r06-certified rows"
+)

@@ -1390,8 +1390,13 @@ def lsh_recall_audit_query(spark, sf_dir):
     from cherry_spark.ext.dedup import lsh_recall_audit
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # max_docs=None is the EXPLICIT unbounded form: the oracle replays
+    # the full corpus and the sf fixture is already sample-sized.  The
+    # production default bounds the audit to a deterministic
+    # hash-ranked 10k-doc sample (r7 verdict item #9).
     return lsh_recall_audit(
-        docs, jaccard_threshold=0.8, n_hashes=32, bands=8, max_bucket_size=500
+        docs, jaccard_threshold=0.8, n_hashes=32, bands=8,
+        max_bucket_size=500, max_docs=None,
     )
 
 

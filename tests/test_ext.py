@@ -192,6 +192,44 @@ def test_lsh_recall_audit_accounts_for_cap_drops(spark):
     assert uncapped["n_missed"] == 0 and uncapped["recall"] == 1.0
 
 
+def test_lsh_recall_audit_bounded_default_sample(spark):
+    """r7 verdict item #9: the audit is sample-bounded BY DEFAULT (the
+    exact side is all-pairs by contract — a bare 100 TB call must not
+    explode).  The bound is a deterministic hash-ranked top-k: the
+    bounded run must equal the unbounded run over the pre-filtered
+    sample, and a bound >= corpus must equal the explicit unbounded
+    form."""
+    import pyspark.sql.functions as F
+    from cherry_spark.ext.dedup import lsh_recall_audit
+
+    rows = [
+        (i, f"document number {i} shares a long common prefix of words here")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.5, n_hashes=32, bands=8, max_bucket_size=500)
+
+    # default is bounded: signature accepts no-arg call and the default
+    # is a finite int (not None)
+    import inspect
+
+    default = inspect.signature(lsh_recall_audit).parameters["max_docs"].default
+    assert isinstance(default, int)
+
+    k = 10
+    bounded = lsh_recall_audit(docs, max_docs=k, **kw).collect()[0]
+    rank = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sample = docs.withColumn("r", rank).orderBy("r", "doc_id").limit(k).drop("r")
+    replay = lsh_recall_audit(sample, max_docs=None, **kw).collect()[0]
+    assert bounded.asDict() == replay.asDict()
+
+    big = lsh_recall_audit(docs, max_docs=10**6, **kw).collect()[0]
+    unbounded = lsh_recall_audit(docs, max_docs=None, **kw).collect()[0]
+    assert big.asDict() == unbounded.asDict()
+
+
 def test_delta_dedup_verdict_precedence(spark):
     """Planted batch: byte-identical text -> exact_dup (even though it
     is also J=1 near), paraphrase -> near_dup, fresh text -> unique."""

@@ -62,7 +62,9 @@ def test_dispatch_and_network_gating(spark, evm_tables):
     cfg = ProviderConfig(kind=ProviderKind.LOCAL_REPLAY)
     assert len(list(start_stream(cfg, spark, q, batch_size=2, tables=tables))) == 3
 
-    live = ProviderConfig(kind=ProviderKind.HYPERSYNC, url="https://example.invalid")
+    # a URL now means "use the default stdlib HTTP client", so the
+    # loud no-transport error is reserved for url=None + fetch_fn=None
+    live = ProviderConfig(kind=ProviderKind.HYPERSYNC)
     with pytest.raises(RuntimeError, match="no transport"):
         next(start_stream(live, spark, q))
 
@@ -196,3 +198,141 @@ def test_transport_over_advancing_cursor_rejected(spark):
     q = EvmQuery(from_block=10, to_block=25)
     with pytest.raises(ValueError, match="over-advancing"):
         list(start_stream(cfg, spark, q, batch_size=8))
+
+
+# ---------------------------------------------------------------------------
+# Default stdlib HTTP client (round-7 verdict item #3): the live
+# adapters get a real transport when only a URL is configured. The
+# sandbox has no outbound network, so these tests stand up a loopback
+# http.server fixture speaking the HyperSync JSON protocol — pages,
+# next_block short-page cursors, a transient 500 — and skip gracefully
+# if loopback sockets are unavailable.
+# ---------------------------------------------------------------------------
+
+
+def _loopback_server(handler_cls):
+    import http.server
+    import threading
+
+    try:
+        srv = http.server.HTTPServer(("127.0.0.1", 0), handler_cls)
+    except OSError:  # no loopback in this environment
+        return None, None
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_hypersync_json_serialization():
+    """The public HyperSync query shape: exclusive to_block, trimmed
+    topic positions, singular field_selection keys."""
+    from cherry_spark.sources.http_client import evm_query_to_hypersync_json
+
+    q = EvmQuery(
+        from_block=0,
+        to_block=99,
+        logs=[LogRequest(address=[b"\xaa" * 20], topic0=[TRANSFER_TOPIC0])],
+        fields={"logs": ["block_number", "address"], "blocks": ["number"]},
+    )
+    body = evm_query_to_hypersync_json(q, 10, 19)
+    assert body["from_block"] == 10 and body["to_block"] == 20  # exclusive
+    (lr,) = body["logs"]
+    assert lr["address"] == ["0x" + "aa" * 20]
+    assert lr["topics"] == [["0x" + TRANSFER_TOPIC0.hex()]]  # trailing trimmed
+    assert body["field_selection"] == {
+        "log": ["block_number", "address"],
+        "block": ["number"],
+    }
+
+
+def test_default_http_client_end_to_end(spark):
+    """The default urllib client against a live loopback HyperSync-JSON
+    fixture: short-page next_block pagination, one transient 500
+    absorbed by the adapter's retry, 0x-hex -> BINARY decode, and the
+    exact (batch, next_start) windowing the contract demands."""
+    import http.server
+    import json as _json
+
+    requests: list[dict] = []
+    state = {"failed_once": False}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_POST(self):
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            requests.append(body)
+            if not state["failed_once"]:
+                state["failed_once"] = True
+                self.send_response(500)
+                self.end_headers()
+                return
+            lo, hi_ex = body["from_block"], body["to_block"]
+            # short page: serve at most 5 blocks per response
+            page_hi = min(hi_ex, lo + 5)
+            logs = [
+                {
+                    "block_number": n,
+                    "address": "0x" + "ab" * 20,
+                    "topic0": "0x" + TRANSFER_TOPIC0.hex(),
+                    "data": "0x" + f"{n:064x}",
+                }
+                for n in range(lo, page_hi)
+            ]
+            resp = {"data": [{"logs": logs}], "next_block": page_hi}
+            payload = _json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv, url = _loopback_server(Handler)
+    if srv is None:
+        pytest.skip("loopback sockets unavailable")
+    try:
+        cfg = ProviderConfig(kind=ProviderKind.HYPERSYNC, url=url)
+        q = EvmQuery(
+            from_block=0,
+            to_block=13,
+            logs=[LogRequest(topic0=[TRANSFER_TOPIC0])],
+        )
+        batches = list(start_stream(cfg, spark, q, batch_size=10))
+    finally:
+        srv.shutdown()
+
+    # window [0,9] served as 5+5 short pages, window [10,13] as one page
+    assert [len(b["logs"].columns) > 0 for b in batches] == [True] * 3
+    rows = []
+    for b in batches:
+        rows += b["logs"].orderBy("block_number").collect()
+    assert [r["block_number"] for r in rows] == list(range(14))
+    # hex strings decoded to real BINARY for the query-model columns
+    assert rows[0]["address"] == bytearray(b"\xab" * 20)
+    assert rows[3]["data"] == bytearray(
+        (3).to_bytes(32, "big")
+    )
+    # the transient 500 cost exactly one extra request: 1 failed +
+    # 3 served pages
+    assert len(requests) == 4
+    # every request body is the public shape with exclusive to_block
+    assert requests[0]["from_block"] == 0 and requests[0]["to_block"] == 10
+    assert requests[-1]["from_block"] == 10 and requests[-1]["to_block"] == 14
+
+
+def test_default_http_client_offline_raises_cleanly(spark):
+    """No server behind the URL: the default client raises through the
+    retry loop (URLError family), never yields a partial batch."""
+    import urllib.error
+
+    cfg = ProviderConfig(
+        kind=ProviderKind.HYPERSYNC,
+        url="http://127.0.0.1:9",  # discard port - connection refused
+        options={"max_retries": 1},
+    )
+    q = EvmQuery(from_block=0, to_block=3)
+    with pytest.raises((urllib.error.URLError, OSError)):
+        list(start_stream(cfg, spark, q, batch_size=4))
