@@ -121,12 +121,17 @@ class ClickHouseWriter(DataWriter):
                 codecs=self.cfg.codecs.get(name),
             )
             self._execute_ddl(df.sparkSession, ddl)
-            (
-                df.write.format("jdbc")
-                .mode("append")
-                .option("url", self.cfg.url)
-                .option("dbtable", name)
-                .option("user", self.cfg.user)
-                .option("password", self.cfg.password)
-                .save()
-            )
+            self._insert(df, name)
+
+    def _insert(self, df, name: str) -> None:
+        """JDBC append — overridable seam so push_data's DDL-then-insert
+        anchor-last orchestration is testable without a server."""
+        (
+            df.write.format("jdbc")
+            .mode("append")
+            .option("url", self.cfg.url)
+            .option("dbtable", name)
+            .option("user", self.cfg.user)
+            .option("password", self.cfg.password)
+            .save()
+        )
