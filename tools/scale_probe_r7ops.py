@@ -1,0 +1,320 @@
+"""10x adversarial scale probes for the round-7 operators (round-7
+verdict item #5): ``knn_graph``, ``budget_select_grouped``, and the
+composed ``run_streaming_curation_gate``.
+
+Same methodology as the round-4..7 probes (tools/scale_probe_*.py):
+replica-clone the sf0.1 tables 10x so every doc/vector sits in a
+10-clone class — the worst shape for candidate generation — then time
+the operator and print hot-task evidence (per-partition max/median).
+
+1. knn_graph: 20k vectors (10 replicas of the 2k sf0.1 embeddings,
+   clone classes share the EXACT direction — every probe finds its 9
+   clones plus cluster neighbors). Evidence: wall time, result
+   partition skew, and IVF cluster-size skew (a collapsed clone space
+   must not produce one hot centroid holding a clone class's volume).
+2. budget_select_grouped: 50k docs, per-lang budget dict. The grouped
+   mode's only window is partitioned BY GROUP — evidence is wall time
+   plus the per-group admitted/cum_tokens roll-up (no global window
+   anywhere, so 100x groups parallelize; the probe's 5 langs x 10k
+   docs each is the worst case of FEW large groups).
+3. run_streaming_curation_gate: 10 arrivals of 5k docs against the
+   growing three-store state (text sigs + vectors + spent budget).
+   Arrival composition is adversarial per gate: ~1/3 lexical clones of
+   arrival-0 admissions (suffix-append near-dups), ~1/3 paraphrases
+   (REVERSED word order — new shingles, so only the semantic store can
+   catch them — carrying their base doc's exact embedding), ~1/3 novel
+   (per-arrival re-tokened text + direction-perturbed embedding). The
+   budget is sized to exhaust mid-stream so the over_budget frontier
+   fires with all three stores live. Evidence: per-arrival wall time
+   (flat-ish as the stores grow) + verdict counts per arrival.
+
+Run: python tools/scale_probe_r7ops.py [sf_dir] [which]
+  which in {knn, budget, gate, all} (default all)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def partition_skew(df) -> str:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .select("count")
+        .collect()
+    )
+    counts = sorted(r["count"] for r in rows)
+    mx, med = counts[-1], counts[len(counts) // 2]
+    return (
+        f"{len(counts)} populated partitions, max {mx} / median {med} rows"
+        f" = {mx / med if med else float('inf'):.2f}x"
+    )
+
+
+def probe_knn(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    from cherry_spark.ext.ivf import ivf_assign, ivf_centroids, knn_graph
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    offset = 1_000_000
+    parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * offset)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    g = knn_graph(big, k=3, n_centroids=64, nprobe=2).localCheckpoint(eager=True)
+    rows = g.count()
+    t_graph = time.perf_counter() - t0
+
+    # clone-collapse evidence: identical directions all land in ONE
+    # centroid — the probe shows whether that produces a hot cluster
+    cents = ivf_centroids(big, 64)
+    sizes = sorted(
+        r["n"]
+        for r in ivf_assign(big, cents)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mx, med = sizes[-1], sizes[len(sizes) // 2]
+    clone_hits = g.filter(
+        (F.col("query_id") % offset) == (F.col("vec_id") % offset)
+    ).count()
+    print(
+        f"[knn_graph] {n} vectors ({n_replicas}-clone classes) -> "
+        f"{rows} edges in {t_graph:.1f}s\n"
+        f"  cluster sizes: max {mx} / median {med} = "
+        f"{mx / med if med else float('inf'):.2f}x across {len(sizes)} centroids\n"
+        f"  edges landing on same-class clones: {clone_hits}/{rows} "
+        f"({clone_hits / rows:.1%}) — clone classes dominate as designed\n"
+        f"  result skew: {partition_skew(g)}"
+    )
+
+
+def probe_budget_grouped(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    from cherry_spark.ext.budget import budget_select_grouped
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"),
+            "lang",
+            (F.col("n_chars") / 5).cast("long").alias("n_tokens"),
+            (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+             .cast("double") / 65535.0).alias("quality"),
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+    langs = [r["lang"] for r in big.select("lang").distinct().collect()]
+    per_lang_tokens = {
+        r["lang"]: r["t"]
+        for r in big.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # ~10% budget for each lang except one starved and one unlisted
+    budgets = {
+        lang: int(per_lang_tokens[lang] * (0.01 if i == 0 else 0.10))
+        for i, lang in enumerate(sorted(langs)[:-1])
+    }
+    t0 = time.perf_counter()
+    sel = budget_select_grouped(
+        big, budgets, "lang", default_budget=0
+    ).localCheckpoint(eager=True)
+    admitted = sel.count()
+    t_sel = time.perf_counter() - t0
+    roll = {
+        r["lang"]: (r["n"], r["mx"])
+        for r in sel.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("cum_tokens").alias("mx"))
+        .collect()
+    }
+    ok = all(
+        roll[lang][1] <= budgets.get(lang, 0) for lang in roll
+    ) and sorted(langs)[-1] not in roll  # unlisted lang got default 0
+    print(
+        f"[budget_select_grouped] {n} docs, {len(langs)} groups -> "
+        f"{admitted} admitted in {t_sel:.1f}s (per-group frontiers "
+        f"respected: {ok})\n"
+        f"  per-group (admitted, cum<=budget): "
+        + ", ".join(
+            f"{lg}:{roll[lg][0]}/{budgets[lg]}" for lg in sorted(roll)
+        )
+    )
+
+
+def probe_gate(spark, sf_dir: str, n_arrivals: int = 10) -> None:
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+
+    work = "/tmp/cherry_probe_r7gate"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    src = f"{work}/incoming"
+
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # base rows: doc + its base embedding (vec_id = doc_id % 2000) +
+    # derived quality/tokens
+    base = (
+        docs.withColumn("vec_id", F.col("doc_id") % 2000)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "doc_id",
+            "text",
+            "embedding",
+            (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+             .cast("double") / 65535.0).alias("quality"),
+            (F.col("n_chars") / 5).cast("long").alias("n_tokens"),
+        )
+    ).localCheckpoint(eager=True)
+    n_docs = base.count()
+    tok0 = base.agg(F.sum("n_tokens")).collect()[0][0]
+    offset = 1_000_000
+    words = F.split(F.col("text"), " ")
+
+    for i in range(n_arrivals):
+        lane = F.col("doc_id") % 3
+        if i == 0:
+            text, vec = F.col("text"), F.col("embedding")
+        else:
+            text = (
+                F.when(lane == 0, F.concat(F.col("text"), F.lit(f" replica{i}")))
+                .when(
+                    lane == 1,
+                    F.concat(
+                        F.concat_ws(" ", F.reverse(words)), F.lit(f" p{i}")
+                    ),
+                )
+                .otherwise(
+                    F.concat_ws(
+                        " ",
+                        F.transform(words, lambda x: F.concat(x, F.lit(f"_{i}"))),
+                    )
+                )
+            )
+            # lanes 0/1 keep the base embedding (lane 1 is the
+            # paraphrase the semantic store must catch); lane 2 gets a
+            # direction-perturbed vector (novel)
+            vec = F.when(
+                lane < 2, F.col("embedding")
+            ).otherwise(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j: x
+                    + F.sin((F.col("doc_id") % 97 + i) * (j + 1)) * 0.8,
+                )
+            )
+        arrival = base.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"),
+            text.alias("text"),
+            vec.alias("embedding"),
+            "quality",
+            "n_tokens",
+        )
+        arrival.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = f"{work}/verdicts"
+    batch_times: list[float] = []
+    last = [time.perf_counter()]
+
+    def sink(verdicts, batch_id):
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+        now = time.perf_counter()
+        batch_times.append(now - last[0])
+        last[0] = now
+
+    # budget ~ 2.5 arrivals' worth of novel volume: arrival 0 admits
+    # ~everything, later arrivals admit ~1/3 — exhaustion mid-stream
+    budget = int(tok0 * 1.8)
+    t0 = time.perf_counter()
+    q = run_streaming_curation_gate(
+        spark,
+        stream_df,
+        f"{work}/state",
+        sink,
+        f"{work}/ckpt",
+        budget=budget,
+        n_centroids=32,
+        nprobe=2,
+        jaccard_threshold=0.5,
+        semantic_threshold=0.9,
+    )
+    q.awaitTermination(3600)
+    total = time.perf_counter() - t0
+
+    got = spark.read.parquet(out)
+    per = {
+        (r["batch_id"], r["verdict"]): r["n"]
+        for r in got.groupBy("batch_id", "verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_batches = max(b for b, _ in per) + 1
+    lines = []
+    for b in range(n_batches):
+        row = {v: per.get((b, v), 0) for v in
+               ("admitted", "exact_dup", "near_dup", "semantic_dup", "over_budget")}
+        lines.append(
+            f"  arrival {b}: {row} in {batch_times[b]:.1f}s"
+            if b < len(batch_times)
+            else f"  arrival {b}: {row}"
+        )
+    spent = spark.read.parquet(f"{work}/state/spent").first()["spent"]
+    print(
+        f"[streaming gate] {n_arrivals} arrivals x {n_docs} docs, "
+        f"budget {budget}: total {total:.1f}s\n" + "\n".join(lines) + "\n"
+        f"  spent {spent} <= budget: {spent <= budget}; "
+        f"per-batch seconds {[round(t, 1) for t in batch_times]}"
+    )
+
+
+def main() -> None:
+    from cherry_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    spark = get_spark("r7ops_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if which in ("knn", "all"):
+        probe_knn(spark, sf_dir)
+    if which in ("budget", "all"):
+        probe_budget_grouped(spark, sf_dir)
+    if which in ("gate", "all"):
+        probe_gate(spark, sf_dir)
+
+
+if __name__ == "__main__":
+    main()
