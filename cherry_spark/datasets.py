@@ -1,0 +1,166 @@
+"""High-level datasets API — the reference README's ``datasets``
+promise (reference README.md:19 names a ``datasets`` module giving
+"ready-made pipelines for common tables", but the snapshot ships no
+code under src/ for it), realized as canned compositions of the query
+model + pipeline steps.  Dataset names follow the public cryo/cherry
+dataset vocabulary: ``blocks``, ``erc20_transfers``,
+``address_appearances``.
+
+Each builder takes the same ``tables: dict[str, DataFrame]`` batch the
+providers stream and a block range, and returns ONE DataFrame with the
+dataset's canonical schema — so a user writes::
+
+    from cherry_spark import datasets
+    df = datasets.erc20_transfers(tables, 0, 10_000)
+
+instead of hand-assembling query + decode + join steps.  Everything
+underneath is the certified operator surface (``apply_evm_query``,
+``EVM_DECODE_EVENTS``, ``JOIN_BLOCK_DATA``), so plans keep the same
+pushdown/broadcast shapes the per-operator plan audits verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cherry_spark.model import (
+    EvmQuery,
+    LogRequest,
+    apply_evm_query,
+)
+from cherry_spark.plans.config import (
+    Batch,
+    EvmDecodeEventsConfig,
+    JoinBlockDataConfig,
+    Step,
+    StepKind,
+)
+from cherry_spark.plans.pipeline import process_steps
+
+TRANSFER_SIG = (
+    "Transfer(address indexed from, address indexed to, uint256 amount)"
+)
+TRANSFER_TOPIC0 = bytes.fromhex(
+    "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+)
+
+
+def blocks(
+    tables: Batch,
+    from_block: int,
+    to_block: int,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """The blocks dataset: range-filtered (and optionally projected)
+    block headers through the query model, so the range predicate and
+    column pruning reach the scan."""
+    q = EvmQuery(
+        from_block=from_block,
+        to_block=to_block,
+        include_all_blocks=True,
+        fields={"blocks": fields} if fields else {},
+    )
+    return apply_evm_query({"blocks": tables["blocks"]}, q)["blocks"]
+
+
+def erc20_transfers(
+    tables: Batch,
+    from_block: int,
+    to_block: int,
+    with_block_timestamp: bool = True,
+) -> DataFrame:
+    """The erc20_transfers dataset: Transfer-topic0 filter through the
+    query model, full-ABI decode, optional broadcast block-timestamp
+    enrich.  Canonical columns: the decoded ``from``/``to``/``amount``
+    hstacked onto the raw log columns (+ ``block_timestamp``)."""
+    q = EvmQuery(
+        from_block=from_block,
+        to_block=to_block,
+        logs=[LogRequest(topic0=[TRANSFER_TOPIC0])],
+        include_all_blocks=with_block_timestamp,
+    )
+    filtered = apply_evm_query(tables, q)
+    steps = [
+        Step(
+            StepKind.EVM_DECODE_EVENTS,
+            EvmDecodeEventsConfig(
+                TRANSFER_SIG,
+                input_table="logs",
+                output_table="erc20_transfers",
+                allow_decode_fail=True,
+                hstack=True,
+            ),
+        )
+    ]
+    if with_block_timestamp and "blocks" in filtered:
+        steps.append(
+            Step(
+                StepKind.JOIN_BLOCK_DATA,
+                JoinBlockDataConfig(tables=["erc20_transfers"]),
+            )
+        )
+    return process_steps(filtered, steps)["erc20_transfers"]
+
+
+def address_appearances(
+    tables: Batch,
+    from_block: int,
+    to_block: int,
+) -> DataFrame:
+    """The address_appearances dataset: every (address, relationship)
+    appearance count in the range, unioned across whatever tables the
+    batch carries — ``transactions.from``/``.to``, ``logs.address``,
+    ``traces.from``/``.to``.  One aggregated row per (address,
+    relationship): ``(address, relationship, n_appearances,
+    first_block, last_block)``.
+
+    Scale shape: per-source projections union into ONE map-side-
+    combinable groupBy — no joins, no windows; the block-range
+    predicate lands in each scan via the shared range filter."""
+    sources: list[DataFrame] = []
+
+    def appearances(df, addr_col: str, block_col: str, rel: str):
+        return df.filter(
+            F.col(block_col).between(from_block, to_block)
+            & F.col(addr_col).isNotNull()
+        ).select(
+            F.col(addr_col).alias("address"),
+            F.col(block_col).alias("block_number"),
+            F.lit(rel).alias("relationship"),
+        )
+
+    tx = tables.get("transactions")
+    if tx is not None:
+        if "from" in tx.columns:
+            sources.append(appearances(tx, "from", "block_number", "tx_from"))
+        if "to" in tx.columns:
+            sources.append(appearances(tx, "to", "block_number", "tx_to"))
+    logs = tables.get("logs")
+    if logs is not None and "address" in logs.columns:
+        sources.append(
+            appearances(logs, "address", "block_number", "log_emitter")
+        )
+    traces = tables.get("traces")
+    if traces is not None:
+        if "from" in traces.columns:
+            sources.append(
+                appearances(traces, "from", "block_number", "trace_from")
+            )
+        if "to" in traces.columns:
+            sources.append(
+                appearances(traces, "to", "block_number", "trace_to")
+            )
+    if not sources:
+        raise ValueError(
+            "address_appearances needs at least one of "
+            "transactions/logs/traces in the batch"
+        )
+    union = sources[0]
+    for s in sources[1:]:
+        union = union.unionByName(s)
+    return union.groupBy("address", "relationship").agg(
+        F.count(F.lit(1)).cast("long").alias("n_appearances"),
+        F.min("block_number").cast("long").alias("first_block"),
+        F.max("block_number").cast("long").alias("last_block"),
+    )

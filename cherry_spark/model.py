@@ -207,10 +207,13 @@ def apply_evm_query(tables: Batch, query: EvmQuery) -> Batch:
     Child families: logs (LogRequest) and traces (TraceRequest —
     reference declares the traces table in config.py:121-125)."""
     out: Batch = {}
-    blocks = tables["blocks"]
+    blocks = tables.get("blocks")  # a child-only batch is legitimate
     transactions = tables.get("transactions")
 
-    blocks = blocks.filter(_range_pred(F.col("number"), query.from_block, query.to_block))
+    if blocks is not None:
+        blocks = blocks.filter(
+            _range_pred(F.col("number"), query.from_block, query.to_block)
+        )
 
     block_parents: list[DataFrame] = []  # matched children wanting blocks
     tx_parents: list[DataFrame] = []  # matched children wanting transactions
@@ -234,13 +237,14 @@ def apply_evm_query(tables: Batch, query: EvmQuery) -> Batch:
         ):
             tx_parents.append(matched)
 
-    if query.include_all_blocks or not block_parents:
-        out["blocks"] = _project(blocks, query.fields.get("blocks"))
-    else:
-        out["blocks"] = _project(
-            _semi_join_union(blocks, ["number"], block_parents),
-            query.fields.get("blocks"),
-        )
+    if blocks is not None:
+        if query.include_all_blocks or not block_parents:
+            out["blocks"] = _project(blocks, query.fields.get("blocks"))
+        else:
+            out["blocks"] = _project(
+                _semi_join_union(blocks, ["number"], block_parents),
+                query.fields.get("blocks"),
+            )
 
     if transactions is not None:
         tx = transactions.filter(

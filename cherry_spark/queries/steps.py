@@ -818,3 +818,141 @@ def validate_block_report(spark, sf_dir):
         {"blocks": blocks, "logs": logs},
         EvmValidateBlockDataConfig(),
     )
+
+
+# ---------------------------------------------------------------------------
+# High-level datasets API (cherry_spark/datasets.py — the reference
+# README's `datasets` promise, README.md:19). Fixture tables are
+# synthesized deterministically from lineitem/orders, the builders run
+# the REAL composition (query model -> decode -> join / union -> agg),
+# and the oracles replay the whole dataset in SQL.
+# ---------------------------------------------------------------------------
+
+_TRANSFER_T0 = "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+
+
+@query(
+    "dataset_erc20_transfers",
+    oracle=f"""
+    WITH logs AS (
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey % 1000 AS block_number,
+               substr(sha256(CAST(l_orderkey AS VARCHAR)), 25, 40) AS from_hex,
+               substr(sha256(CAST(l_partkey AS VARCHAR)), 25, 40) AS to_hex,
+               CAST(l_quantity AS BIGINT) * 1000000 + l_linenumber AS amount
+        FROM lineitem
+    ),
+    blk AS (
+        SELECT range AS number, 1700000000 + range * 12 AS ts
+        FROM range(1000)
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.block_number,
+           l.from_hex, l.to_hex, l.amount,
+           b.ts AS block_timestamp
+    FROM logs l JOIN blk b ON b.number = l.block_number
+    WHERE l.block_number BETWEEN 100 AND 899
+    """,
+    doc="datasets.erc20_transfers — the high-level dataset builder "
+    "(README-parity API, cherry_spark/datasets.py): Transfer-topic0 "
+    "query-model filter + block-range pushdown -> full-ABI decode -> "
+    "broadcast block-timestamp join, one call. Oracle replays the "
+    "whole composition in SQL over the same synthesized fixtures.",
+)
+def dataset_erc20_transfers(spark, sf_dir):
+    from cherry_spark import datasets
+
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
+    amount = (
+        F.col("l_quantity").cast("long") * 1000000 + F.col("l_linenumber")
+    ).cast("long")
+    logs = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 1000).alias("block_number"),
+        F.unhex(F.lit(_TRANSFER_T0)).alias("topic0"),
+        F.unhex(F.sha2(F.col("l_orderkey").cast("string"), 256)).alias("topic1"),
+        F.unhex(F.sha2(F.col("l_partkey").cast("string"), 256)).alias("topic2"),
+        F.lit(None).cast("binary").alias("topic3"),
+        F.unhex(F.lpad(F.hex(amount), 64, "0")).alias("data"),
+    )
+    blocks = spark.range(1000).select(
+        F.col("id").alias("number"),
+        (F.lit(1700000000) + F.col("id") * 12).alias("ts"),
+    )
+    out = datasets.erc20_transfers(
+        {"logs": logs, "blocks": blocks}, 100, 899
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("block_number").cast("long").alias("block_number"),
+        F.lower(F.hex("from")).alias("from_hex"),
+        F.lower(F.hex("to")).alias("to_hex"),
+        F.col("amount").cast("long").alias("amount"),
+        F.col("block_ts").cast("long").alias("block_timestamp"),
+    )
+
+
+@query(
+    "dataset_address_appearances",
+    oracle="""
+    WITH tx AS (
+        SELECT o_orderkey % 500 AS block_number,
+               substr(sha256(CAST(o_custkey AS VARCHAR)), 25, 40) AS from_hex,
+               substr(sha256(CAST(o_orderkey % 50 AS VARCHAR)), 25, 40) AS to_hex
+        FROM orders
+    ),
+    lg AS (
+        SELECT l_orderkey % 500 AS block_number,
+               substr(sha256(CAST(l_suppkey AS VARCHAR)), 25, 40) AS addr_hex
+        FROM lineitem
+    ),
+    appearances AS (
+        SELECT from_hex AS address_hex, block_number,
+               'tx_from' AS relationship FROM tx
+        UNION ALL
+        SELECT to_hex, block_number, 'tx_to' FROM tx
+        UNION ALL
+        SELECT addr_hex, block_number, 'log_emitter' FROM lg
+    )
+    SELECT address_hex, relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_appearances,
+           CAST(MIN(block_number) AS BIGINT) AS first_block,
+           CAST(MAX(block_number) AS BIGINT) AS last_block
+    FROM appearances
+    WHERE block_number BETWEEN 50 AND 449
+    GROUP BY 1, 2
+    """,
+    doc="datasets.address_appearances — every (address, relationship) "
+    "appearance count in a block range, unioned across transactions "
+    "from/to and log emitters (the public cryo dataset shape): "
+    "per-source projections into one map-side-combinable groupBy, no "
+    "joins or windows (cherry_spark/datasets.py).",
+)
+def dataset_address_appearances(spark, sf_dir):
+    from cherry_spark import datasets
+
+    orders = load_table(spark, sf_dir, "orders", parallelize=True)
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
+    addr20 = lambda c: F.unhex(  # noqa: E731
+        F.substring(F.sha2(c.cast("string"), 256), 25, 40)
+    )
+    tx = orders.select(
+        (F.col("o_orderkey") % 500).alias("block_number"),
+        addr20(F.col("o_custkey")).alias("from"),
+        addr20(F.col("o_orderkey") % 50).alias("to"),
+    )
+    logs = li.select(
+        (F.col("l_orderkey") % 500).alias("block_number"),
+        addr20(F.col("l_suppkey")).alias("address"),
+    )
+    out = datasets.address_appearances(
+        {"transactions": tx, "logs": logs}, 50, 449
+    )
+    return out.select(
+        F.lower(F.hex("address")).alias("address_hex"),
+        "relationship",
+        "n_appearances",
+        "first_block",
+        "last_block",
+    )

@@ -1,0 +1,124 @@
+"""URL / domain curation queries (ext/web.py) over deterministic URLs
+synthesized from the documents table — the same fixture-synthesis
+pattern the decode queries use (queries/steps.py).  The synthesis
+deliberately exercises every normalization rule: mixed-case scheme and
+host, ``WWW.`` labels, a default ``:443`` port, trailing slashes,
+``utm_*`` tracking params in leading/trailing/lone positions, and
+fragments."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_spark.catalog import query
+from cherry_spark.sources.tables import load_table
+
+
+def _synth_url_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(d % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("Site.COM"),
+        F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), (d % 10).cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("?id="), (d % 10).cast("string"), F.lit("&utm_campaign=x")))
+        .when(d % 4 == 2, F.lit("?utm_only=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#Sec")).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END
+     || CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END
+     || source || 'Site.COM'
+     || CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END
+     || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+     || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+     || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+             WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
+             WHEN doc_id % 4 = 2 THEN '?utm_only=1' ELSE '' END
+     || CASE WHEN doc_id % 5 = 0 THEN '#Sec' ELSE '' END)
+"""
+
+
+def _url_dedup_oracle() -> str:
+    from cherry_spark.ext.web import normalize_url_sql
+
+    norm = normalize_url_sql(_SYNTH_URL_SQL)
+    return f"""
+    WITH normed AS (
+        SELECT doc_id, {norm} AS url_norm FROM documents
+    ),
+    canon AS (
+        SELECT url_norm, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+        FROM normed GROUP BY 1
+    )
+    SELECT n.doc_id, n.url_norm, c.canonical_doc_id,
+           CAST(CASE WHEN n.doc_id = c.canonical_doc_id THEN 1 ELSE 0 END
+                AS INTEGER) AS is_canonical
+    FROM normed n JOIN canon c USING (url_norm)
+    """
+
+
+@query(
+    "url_dedup_canonical",
+    oracle=_url_dedup_oracle(),
+    doc="URL-level dedup (ext/web.py:url_dedup): normalize (fragment/"
+    "case/port/www/tracking-param/trailing-slash rules, all RE2-safe "
+    "scalar expressions) then keep the lowest-id doc per normalized "
+    "URL. One min-agg + join back, no windows. The oracle replays the "
+    "identical normalization chain in DuckDB.",
+)
+def url_dedup_canonical(spark, sf_dir):
+    from cherry_spark.ext.web import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark().alias("url")
+    )
+    out = url_dedup(docs)
+    return out.select(
+        "doc_id", "url_norm", "canonical_doc_id", "is_canonical"
+    )
+
+
+def _domain_stats_oracle() -> str:
+    from cherry_spark.ext.web import normalize_url_sql, registered_domain_sql
+
+    dom = registered_domain_sql(_SYNTH_URL_SQL)
+    norm = normalize_url_sql(_SYNTH_URL_SQL)
+    return f"""
+    WITH base AS (
+        SELECT {dom} AS domain, {norm} AS u, n_chars FROM documents
+    ),
+    per_url AS (
+        SELECT domain, u, COUNT(*) AS n, SUM(n_chars) AS w
+        FROM base GROUP BY 1, 2
+    )
+    SELECT domain, CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(w) AS BIGINT) AS total_n_chars
+    FROM per_url GROUP BY 1
+    """
+
+
+@query(
+    "domain_stats_report",
+    oracle=_domain_stats_oracle(),
+    doc="Per-registered-domain corpus stats (ext/web.py:domain_stats): "
+    "doc count, distinct normalized URLs, total chars — the instrument "
+    "behind per-domain caps and blocklists. Distinct via two-level "
+    "agg (no Expand plan), naive two-label eTLD documented.",
+)
+def domain_stats_report(spark, sf_dir):
+    from cherry_spark.ext.web import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _synth_url_spark().alias("url")
+    )
+    return domain_stats(docs, weight_col="n_chars")
