@@ -1,0 +1,211 @@
+"""BPE (byte-pair-encoding) vocabulary induction + application —
+tokenizer LEARNING for a training-data engine (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"; public
+algorithm).
+
+The scale property that makes BPE learnable on Spark: after the first
+aggregation the working set is the WORD-TYPE table (word, count) —
+its size is vocabulary-shaped (10^5–10^6 rows for any natural-language
+corpus), independent of corpus size.  100 TB of text costs one
+tokenize+count pass; every merge iteration after that runs on the
+word-type table only.
+
+Learn loop shape per iteration (all DataFrame-native):
+
+- adjacent-pair counts: one explode + one map-side-combinable sum over
+  word types, weighted by word count;
+- best pair: two 1-row aggregates (max count, then lexicographically
+  smallest pair at that count — the deterministic tie-break) collected
+  to the driver: the merge RULE is a driver-side constant by nature,
+  same bounded-collect class as the decode ABI constants;
+- apply the merge to every word type: a single left-fold
+  (``F.aggregate``) that rebuilds each symbol array with non-
+  overlapping left-to-right replacement — exactly the reference
+  implementation's ``re.sub('l r', 'lr')`` semantics;
+- ``localCheckpoint(eager=True)`` per round: the symbol column is
+  rewritten every iteration, and an un-checkpointed loop grows the
+  plan linearly until the driver chokes (the CLAUDE.md iterative-
+  algorithm invariant, same as connected_components).
+
+``bpe_apply`` segments new text with the learned merge ranks inside a
+``mapInPandas`` lane that caches segmentations per word TYPE within
+each Arrow batch — Python cost scales with distinct words, not tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def _word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt): lowercased whitespace tokenization, one pass."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _merge_expr(syms, left: str, right: str):
+    """Non-overlapping left-to-right replacement of the adjacent pair
+    (left, right) with the concatenated symbol, as one array fold."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_pair_count: int = 2,
+    return_segmentations: bool = False,
+):
+    """Learn up to ``n_merges`` BPE merges from a corpus.
+
+    Returns a DataFrame ``(rank, left, right, pair_count)`` — or, with
+    ``return_segmentations``, a tuple of (merges, word-type DataFrame
+    ``(word, cnt, syms)`` holding each word's final segmentation).
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (weighted)."""
+    spark = df.sparkSession
+    words = _word_types(df, text_col).withColumn(
+        "syms",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = words.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        ).groupBy("p").agg(F.sum("cnt").alias("n"))
+        # ONE 1-row argmax: min(struct(-n, pair)) picks the highest
+        # count, then the lexicographically smallest pair at that
+        # count — the deterministic tie-break in a single job
+        # (bounded driver collect; was a max + join + agg = 2 jobs,
+        # measured 11.1 -> 10.1 s for 10 merges at sf0.1 — the
+        # remaining cost is per-round fixed job latency + the
+        # checkpointed merge fold, not this argmax)
+        best = pairs.agg(
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("p").alias("p"))
+            ).alias("b")
+        ).collect()
+        if not best or best[0]["b"] is None:
+            break
+        p, n = best[0]["b"]["p"], -best[0]["b"]["nn"]
+        if n < min_pair_count:
+            break
+        left, right = p["l"], p["r"]
+        merges.append((rank, left, right, int(n)))
+        words = words.withColumn(
+            "syms", _merge_expr(F.col("syms"), left, right)
+        ).localCheckpoint(eager=True)
+
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+    if return_segmentations:
+        return merges_df, words
+    return merges_df
+
+
+def _segment(word: str, rules: list[tuple[str, str]]) -> list[str]:
+    """Segmentation of one word by replaying the merges IN RANK ORDER
+    with the same non-overlapping left-to-right replacement the learn
+    fold uses — so applying to the training corpus reproduces the
+    learn loop's final segmentation exactly.  Runs inside the Arrow
+    batch lane, memoized per word type."""
+    syms = list(word) + [END_OF_WORD]
+    for left, right in rules:
+        if len(syms) < 2:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """``(id_col, out_col array<string>, n_bpe_tokens)`` — segment each
+    doc with the learned merges.  The merge table is a driver-side
+    constant (vocabulary-sized) shipped into a ``mapInPandas`` lane;
+    segmentations are memoized per word TYPE within each batch, so the
+    Python cost is O(distinct words), not O(tokens)."""
+    import pandas as pd
+
+    if isinstance(merges, DataFrame):
+        rules = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        rules = list(merges)
+
+    src = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), "\\s+").alias("__words"),
+    )
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+
+        def seg(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = _segment(w, rules)
+            return got
+
+        for pdf in batches:
+            toks = [
+                [t for w in words if w for t in seg(w)]
+                for words in pdf["__words"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: toks,
+                    "n_bpe_tokens": [len(t) for t in toks],
+                }
+            )
+
+    schema = (
+        f"{id_col} long, {out_col} array<string>, n_bpe_tokens long"
+    )
+    return src.mapInPandas(run, schema)

@@ -180,3 +180,48 @@ def domain_filter(
             "left_anti",
         ).drop("__dom")
     )
+
+
+_HTML_STEPS: list[tuple[str, str]] = [
+    # script/style payloads go first (their CONTENT must vanish, not
+    # just their tags); non-greedy [\s\S] spans newlines without the
+    # dotall flag, (?i) is RE2-portable
+    (r"(?i)<script[^>]*>[\s\S]*?</script>", " "),
+    (r"(?i)<style[^>]*>[\s\S]*?</style>", " "),
+    (r"<!--[\s\S]*?-->", " "),
+    (r"<[^>]+>", " "),  # every remaining tag
+    # entities: the five predefined + nbsp + decimal numerics; &amp;
+    # decodes LAST so '&amp;lt;' yields '&lt;' not '<'
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t\r\n]+", " "),  # collapse whitespace
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Plain text from an HTML payload — the content-extraction first
+    stage of a web-corpus pipeline (C4/RefinedWeb shape), as a chain of
+    RE2-portable scalar regexes: drop script/style WITH their payloads,
+    drop comments and tags, decode the predefined entities (&amp;
+    last, so double-escaped entities un-escape one level per pass like
+    every standard extractor), collapse whitespace, trim.  No UDF; the
+    DuckDB twin replays the identical chain."""
+    out = html
+    for pat, rep in _HTML_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` ('g' flags mirror Spark's
+    replace-all)."""
+    out = expr
+    for pat, rep in _HTML_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return f"trim({out})"

@@ -122,3 +122,66 @@ def domain_stats_report(spark, sf_dir):
         "doc_id", "n_chars", _synth_url_spark().alias("url")
     )
     return domain_stats(docs, weight_col="n_chars")
+
+
+_SYNTH_HTML_SQL = """
+    ('<html><head><title>' || source || '</title>'
+     || '<style>p{margin:0}</style>'
+     || '<script type="text/javascript">var t=1;</script></head>'
+     || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+     || '<!-- id ' || CAST(doc_id AS VARCHAR) || ' -->'
+     || '<p class="body">' || text
+     || CASE WHEN doc_id % 3 = 0 THEN ' &amp; more &lt;tags&gt;' ELSE '' END
+     || CASE WHEN doc_id % 5 = 0 THEN '&nbsp;&#39;q&#39;' ELSE '' END
+     || '</p></body></html>')
+"""
+
+
+def _synth_html_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit("</title>"),
+        F.lit("<style>p{margin:0}</style>"),
+        F.lit('<script type="text/javascript">var t=1;</script></head>'),
+        F.lit("<body><h1>Doc "), d.cast("string"), F.lit("</h1>"),
+        F.lit("<!-- id "), d.cast("string"), F.lit(" -->"),
+        F.lit('<p class="body">'), F.col("text"),
+        F.when(d % 3 == 0, F.lit(" &amp; more &lt;tags&gt;")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("&nbsp;&#39;q&#39;")).otherwise(F.lit("")),
+        F.lit("</p></body></html>"),
+    )
+
+
+def _html_oracle() -> str:
+    from cherry_spark.ext.web import html_to_text_sql
+
+    txt = html_to_text_sql(_SYNTH_HTML_SQL)
+    return f"""
+    SELECT doc_id, {txt} AS extracted,
+           CAST(length({txt}) AS BIGINT) AS n_chars_extracted
+    FROM documents
+    """
+
+
+@query(
+    "html_extract_text",
+    oracle=_html_oracle(),
+    doc="HTML -> text content extraction (ext/web.py:html_to_text): "
+    "script/style payload removal, comment/tag strip, predefined-"
+    "entity decode (&amp; last, one level per pass), whitespace "
+    "collapse — the C4/RefinedWeb first stage as a pure RE2-portable "
+    "scalar chain; the fixture wraps each doc in a full HTML shell "
+    "with planted entities. One scan, no UDF, no shuffle.",
+)
+def html_extract_text(spark, sf_dir):
+    from cherry_spark.ext.web import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    extracted = html_to_text(_synth_html_spark())
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_chars_extracted"),
+    )

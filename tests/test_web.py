@@ -91,3 +91,25 @@ def test_domain_stats_and_filter(spark):
     kept = domain_filter(df, ["a.com"]).collect()
     assert [r["doc_id"] for r in kept] == [3]
     assert "(__dom" not in str(kept[0].asDict())  # helper column dropped
+
+
+def test_html_to_text_contract(spark):
+    from cherry_spark.ext.web import html_to_text
+
+    cases = {
+        # script/style payloads vanish, not just their tags
+        "<p>a</p><script>var x='<b>keep out</b>';</script><p>b</p>": "a b",
+        "<style media='x'>h1{color:red}</style>hi": "hi",
+        # comments and tags
+        "<!-- note -->x<br/>y<div class='z'>w</div>": "x y w",
+        # entities; &amp; decodes LAST (one level per pass)
+        "a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp;amp;": "a <b> \"c\" 'd' e f &amp;",
+        # whitespace collapse + trim
+        "  <p>\n a\t\tb </p>\n": "a b",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "html string")
+    got = [
+        r["t"]
+        for r in df.select(html_to_text(F.col("html")).alias("t")).collect()
+    ]
+    assert got == list(cases.values())
