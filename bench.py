@@ -94,6 +94,16 @@ HEADLINE = PINNED + [
     "budget_select_by_lang",
     "classifier_quality_gate",
     "training_shards",
+    # round-8 additions (datasets API, web curation, bloom gate; plus
+    # knn_graph whose plan was rebuilt this round — BPE stays in the
+    # rotation, its 10-round learn loop is iterative by design)
+    "dataset_erc20_transfers",
+    "dataset_address_appearances",
+    "url_dedup_canonical",
+    "domain_stats_report",
+    "html_extract_text",
+    "bloom_membership_gate",
+    "knn_graph",
 ]
 
 

@@ -129,6 +129,14 @@ AUDIT = [
     "mixing_apply",
     "split_to_chunks",
     "vocab_coverage",
+    # round-8 additions
+    "dataset_erc20_transfers",
+    "dataset_address_appearances",
+    "url_dedup_canonical",
+    "domain_stats_report",
+    "html_extract_text",
+    "bloom_membership_gate",
+    "bloom_fp_report",
 ]
 
 

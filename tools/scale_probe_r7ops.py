@@ -301,6 +301,63 @@ def probe_gate(spark, sf_dir: str, n_arrivals: int = 10) -> None:
     )
 
 
+def probe_bloom(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Round-8 op: 50k-key build + 50k-key mixed probe, sized for ~1%
+    FP (m = 16·n bits, k = 5 — the textbook operating point)."""
+    from cherry_spark.ext.bloom import bloom_build, bloom_probe
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" r{i}")).alias("key"),
+        )
+        for i in range(n_replicas)
+    ]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.repartition(32).localCheckpoint(eager=True)
+    n = corpus.count()
+    m_bits = 1 << 20  # 16x n at 50k keys, ~1% FP with k=5
+    t0 = time.perf_counter()
+    bloom = bloom_build(corpus, m_bits=m_bits, k_hashes=5).localCheckpoint(
+        eager=True
+    )
+    words = bloom.count()
+    t_build = time.perf_counter() - t0
+    batch = corpus.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("key")
+        ).otherwise(F.concat(F.lit("novel:"), F.col("doc_id").cast("string"))).alias("key"),
+    )
+    t0 = time.perf_counter()
+    probed = bloom_probe(
+        batch, bloom, m_bits=m_bits, k_hashes=5
+    ).localCheckpoint(eager=True)
+    res = {
+        (r["t"], r["maybe_in_set"]): r["n"]
+        for r in probed.withColumn("t", (F.col("doc_id") % 2 == 0).cast("int"))
+        .groupBy("t", "maybe_in_set")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t_probe = time.perf_counter() - t0
+    fn = res.get((1, 0), 0)
+    fp = res.get((0, 1), 0)
+    novel = res.get((0, 0), 0) + fp
+    print(
+        f"[bloom] {n} keys -> {words} populated 32-bit words "
+        f"({words * 16 / 1e6:.1f} MB state vs a corpus join) in "
+        f"{t_build:.1f}s build; mixed {n}-key probe {t_probe:.1f}s: "
+        f"false_negatives={fn} (must be 0), "
+        f"false_positives={fp}/{novel} ({fp / max(novel, 1):.2%})"
+    )
+
+
 def main() -> None:
     from cherry_spark.session import get_spark
 
@@ -314,6 +371,8 @@ def main() -> None:
         probe_budget_grouped(spark, sf_dir)
     if which in ("gate", "all"):
         probe_gate(spark, sf_dir)
+    if which in ("bloom", "all"):
+        probe_bloom(spark, sf_dir)
 
 
 if __name__ == "__main__":
