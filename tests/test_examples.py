@@ -53,3 +53,19 @@ def test_jup_swap_pipeline_end_to_end(spark, tmp_path):
     # dim enrich matched: fixture AMMs cycle amm0..amm4; amm0/amm1 are named
     named = df.filter(df.amm_name.isNotNull()).count()
     assert 0 < named < df.count()
+
+
+def test_web_ingest_pipeline(spark, sf_dir):
+    import examples.web_ingest_pipeline as ex
+
+    out = ex.run(spark, sf_dir, blocked=["src3site.com"])
+    assert out["n_raw"] > 0
+    # URL dedup collapses the doc_id%200 path space per source
+    assert 0 < out["n_canonical"] < out["n_raw"]
+    doms = {r["domain"] for r in out["domains"].collect()}
+    assert "src3site.com" not in doms  # blocklist enforced
+    assert all(d.endswith("site.com") for d in doms)
+    # every even doc_id is a re-crawl of an admitted URL IF its URL was
+    # canonical+unblocked; bloom must flag a healthy share, and fresh
+    # URLs (odd ids) must almost all pass (FP rate ~1e-4 at this size)
+    assert out["n_recrawls_skipped"] > 0
