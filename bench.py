@@ -103,6 +103,7 @@ HEADLINE = PINNED + [
     "domain_stats_report",
     "html_extract_text",
     "bloom_membership_gate",
+    "zorder_curve_key",
     "knn_graph",
 ]
 

@@ -956,3 +956,42 @@ def dataset_address_appearances(spark, sf_dir):
         "first_block",
         "last_block",
     )
+
+
+def _zorder_oracle() -> str:
+    from cherry_spark.writers.zorder import z_value_sql
+
+    z = z_value_sql(["o_custkey % 4096", "o_orderkey % 4096"], bits=12)
+    return f"""
+    SELECT o_orderkey,
+           CAST(o_custkey % 4096 AS BIGINT) AS x,
+           CAST(o_orderkey % 4096 AS BIGINT) AS y,
+           CAST({z} AS BIGINT) AS z_key
+    FROM orders
+    """
+
+
+@query(
+    "zorder_curve_key",
+    oracle=_zorder_oracle(),
+    doc="Morton (Z-order) curve key (writers/zorder.py:z_value): the "
+    "bit-interleave that drives the multi-dimensional file layout — "
+    "range-partitioning a 100 TB write by this key gives every file a "
+    "small bounding box in EVERY dimension, so box predicates prune "
+    "files on all axes at once (test_zorder.py demonstrates 16/16 -> "
+    "<=6 files for a non-sort-dimension filter). Flat unrolled "
+    "shift/mask expression, whole-stage codegen, bit-exact DuckDB "
+    "twin.",
+)
+def zorder_curve_key(spark, sf_dir):
+    from cherry_spark.writers.zorder import z_value
+
+    orders = load_table(spark, sf_dir, "orders", parallelize=True)
+    x = (F.col("o_custkey") % 4096).cast("long")
+    y = (F.col("o_orderkey") % 4096).cast("long")
+    return orders.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        z_value([x, y], bits=12).cast("long").alias("z_key"),
+    )

@@ -1,0 +1,77 @@
+"""Z-order layout (writers/zorder.py): Morton key correctness and the
+file-pruning property the layout exists for."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_spark.writers.zorder import (
+    file_bounds,
+    files_hit_by_box,
+    write_zordered,
+    z_value,
+)
+
+
+def _morton(x: int, y: int, bits: int = 16) -> int:
+    out = 0
+    for b in range(bits):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_z_value_matches_reference(spark):
+    rows = [(3, 5), (0, 0), (65535, 65535), (1, 0), (0, 1), (1234, 4321)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [
+        r["z"]
+        for r in df.select(
+            z_value([F.col("x"), F.col("y")]).alias("z")
+        ).collect()
+    ]
+    assert got == [_morton(x, y) for x, y in rows]
+
+
+def test_z_value_masks_out_of_range(spark):
+    df = spark.createDataFrame([(1 << 20, 2)], "x long, y long")
+    (r,) = df.select(z_value([F.col("x"), F.col("y")], bits=16).alias("z")).collect()
+    assert r["z"] == _morton((1 << 20) & 0xFFFF, 2)
+
+
+def test_zordered_layout_prunes_box_queries(spark, tmp_path):
+    """The point of the layout: a box predicate on BOTH dimensions
+    touches strictly fewer files than under a single-column sort, and
+    every file's bounding box is small on both axes (not just the
+    leading sort column)."""
+    n = 1 << 14
+    grid = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        F.floor(F.col("id") / 128).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    z_path = str(tmp_path / "zordered")
+    lin_path = str(tmp_path / "linear")
+    write_zordered(grid, z_path, ["x", "y"], bits=7, n_files=16)
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(lin_path)
+    )
+
+    zb = file_bounds(spark, z_path, ["x", "y"])
+    lb = file_bounds(spark, lin_path, ["x", "y"])
+    assert len(zb) == 16 and len(lb) == 16
+    # a filter on the NON-sort dimension: the x-sorted layout spans all
+    # y in every file (reads everything); z-order keeps every file's y
+    # extent small, so most files prune
+    y_box = {"y": (32, 47)}  # 1/8 of the y range
+    assert files_hit_by_box(lb, y_box) == 16
+    assert files_hit_by_box(zb, y_box) <= 6
+    # and a 2-dim box is at least as selective under z-order
+    box = {"x": (32, 47), "y": (32, 47)}
+    assert files_hit_by_box(zb, box) <= files_hit_by_box(lb, box)
+    # rows are preserved exactly
+    assert spark.read.parquet(z_path).count() == n
+    got = spark.read.parquet(z_path).agg(F.sum("payload")).collect()[0][0]
+    assert got == n * (n - 1) // 2

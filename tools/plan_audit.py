@@ -137,6 +137,7 @@ AUDIT = [
     "html_extract_text",
     "bloom_membership_gate",
     "bloom_fp_report",
+    "zorder_curve_key",
 ]
 
 
