@@ -206,12 +206,22 @@ def run_streaming_growing_dedup(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         corpus = read_store(corpus_dir, schema)
         sigs = read_store(sig_dir, sig_schema) if use_sig_store else None
+        # sign the batch ONCE: the same signature table classifies the
+        # batch (delta_dedup's banding side) and, filtered to the
+        # admissions, folds into the store — previously the admitted
+        # docs were shingled+hashed a second time for the fold
+        batch_sigs = (
+            signatures_of(batch_df).localCheckpoint(eager=True)
+            if use_sig_store
+            else None
+        )
         verdicts = delta_dedup(
             corpus,
             batch_df,
             id_col=id_col,
             text_col=text_col,
             corpus_signatures=sigs,
+            batch_signatures=batch_sigs,
             **delta_kwargs,
         )
         # one deterministic materialization: the verdicts drive BOTH
@@ -227,13 +237,18 @@ def run_streaming_growing_dedup(
             F.col(id_col), F.col(text_col)
         )
         if use_sig_store:
-            # shingle+hash each admitted doc exactly once, at admission.
-            # Signatures are appended BEFORE the corpus text: a crash
-            # between the two writes then leaves sig-only orphans, which
-            # are harmless (ids absent from the corpus text store never
-            # reach verdicts) — the reverse order would leave corpus docs
-            # invisible to minhash banding until the micro-batch replays.
-            signatures_of(admitted).write.mode("append").parquet(sig_dir)
+            # each admitted doc's signature row is REUSED from the
+            # classification pass. Signatures are appended BEFORE the
+            # corpus text: a crash between the two writes then leaves
+            # sig-only orphans, which are harmless (ids absent from the
+            # corpus text store never reach verdicts) — the reverse
+            # order would leave corpus docs invisible to minhash
+            # banding until the micro-batch replays.
+            batch_sigs.join(
+                admitted_ids.select(F.col(id_col).alias("id")),
+                "id",
+                "left_semi",
+            ).write.mode("append").parquet(sig_dir)
         admitted.write.mode("append").parquet(corpus_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -567,17 +582,21 @@ def run_streaming_curation_gate(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
 
-        # 1. lexical gate
+        # 1. lexical gate — the batch is signed ONCE; the same table
+        # classifies (banding side) and later folds the admitted rows
+        # into the signature store
         corpus = store(text_dir, text_schema)
         if corpus is None:
             corpus = spark.createDataFrame([], text_schema)
         sigs = store(sig_dir, sig_schema)
+        batch_sigs = signatures_of(batch_df).localCheckpoint(eager=True)
         lex = delta_dedup(
             corpus,
             batch_df,
             id_col=id_col,
             text_col=text_col,
             corpus_signatures=sigs,
+            batch_signatures=batch_sigs,
             **delta_kwargs,
         ).select(F.col("id").alias(id_col), "verdict")
         lex = lex.localCheckpoint(eager=True)
@@ -662,7 +681,9 @@ def run_streaming_curation_gate(
         # fold admissions into the stores for the NEXT batch
         adm_ids = verdicts.filter(F.col("verdict") == "admitted").select(id_col)
         adm = batch_df.join(adm_ids, id_col, "left_semi").localCheckpoint(eager=True)
-        signatures_of(adm).write.mode("append").parquet(sig_dir)
+        batch_sigs.join(
+            adm_ids.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).write.mode("append").parquet(sig_dir)
         adm.select(F.col(id_col), F.col(text_col)).write.mode("append").parquet(
             text_dir
         )

@@ -70,8 +70,17 @@ def main() -> None:
         sigs = (
             spark.read.parquet(sig_dir) if os.path.isdir(sig_dir) else None
         )
+        # sign the batch once; classification AND the store fold reuse
+        # the same table (the r8 batch_signatures seam)
+        batch_sigs = minhash_signatures(
+            batch, "doc_id", "text", 128, 3, "xxhash"
+        ).localCheckpoint(eager=True)
         verdicts = delta_dedup(
-            corpus, batch, corpus_signatures=sigs, jaccard_threshold=0.5
+            corpus,
+            batch,
+            corpus_signatures=sigs,
+            batch_signatures=batch_sigs,
+            jaccard_threshold=0.5,
         ).localCheckpoint(eager=True)
         counts = {
             r["verdict"]: r["n"]
@@ -79,10 +88,9 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        admitted = batch  # admit="all": grow the corpus every arrival
-        minhash_signatures(admitted, "doc_id", "text", 128, 3, "xxhash").write.mode(
-            "append"
-        ).parquet(sig_dir)
+        # admit="all": grow the corpus every arrival
+        batch_sigs.write.mode("append").parquet(sig_dir)
+        admitted = batch
         admitted.write.mode("append").parquet(corpus_dir)
         dt = time.perf_counter() - t0
         times.append(dt)
