@@ -104,6 +104,7 @@ HEADLINE = PINNED + [
     "html_extract_text",
     "bloom_membership_gate",
     "zorder_curve_key",
+    "domain_pagerank",
     "knn_graph",
 ]
 

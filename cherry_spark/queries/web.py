@@ -185,3 +185,46 @@ def html_extract_text(spark, sf_dir):
         extracted.alias("extracted"),
         F.length(extracted).cast("long").alias("n_chars_extracted"),
     )
+
+
+_EDGES_SQL = """
+    edges AS (
+        SELECT o_custkey % 80 AS src, o_orderkey % 100 AS dst
+        FROM orders
+    )
+"""
+
+
+def _pagerank_oracle() -> str:
+    from cherry_spark.ext.graph import pagerank_oracle_sql
+
+    body = pagerank_oracle_sql("edges", n_iters=5)
+    # splice the edge synthesis CTE in front of the generated chain
+    assert body.startswith("WITH ")
+    return "WITH " + _EDGES_SQL.strip().rstrip() + ",\n" + body[len("WITH "):]
+
+
+@query(
+    "domain_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="Integer-lane PageRank (ext/graph.py:pagerank) over a "
+    "synthesized link graph — the link-centrality prior web-curation "
+    "mixes feed on next to content quality. Fixed-point BIGINT "
+    "arithmetic end to end (contribution split by integer div, exact "
+    "rational damping, uniform dangling redistribution), so 5 "
+    "iterations hash-match the oracle's unrolled CTE replay exactly — "
+    "no tolerance verdict for an iterative float algorithm. Per "
+    "iteration: one groupBy(dst) partial-agg sum + a broadcast 1-row "
+    "dangling aggregate; plan depth bounded by per-round "
+    "localCheckpoint (the CC invariant). Nodes 80-99 are dangling by "
+    "construction (never a src).",
+)
+def domain_pagerank(spark, sf_dir):
+    from cherry_spark.ext.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders", parallelize=True)
+    edges = orders.select(
+        (F.col("o_custkey") % 80).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    return pagerank(edges, n_iters=5).select("node", "rank_fp")

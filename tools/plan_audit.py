@@ -45,6 +45,7 @@ NESTED_LOOP_OK = {
     "mixing_apply",  # the 1-row normalizer cross-join inside
     # mixing_temperature (the quota join itself is a BroadcastHashJoin)
     "vocab_coverage",  # 1-row totals cross-joined into the k rows
+    "domain_pagerank",  # per-iteration 1-row dangling-mass broadcast cross-join
 }
 
 AUDIT = [
@@ -138,6 +139,7 @@ AUDIT = [
     "bloom_membership_gate",
     "bloom_fp_report",
     "zorder_curve_key",
+    "domain_pagerank",
 ]
 
 
