@@ -726,3 +726,79 @@ def run_streaming_curation_gate(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_rollup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    keys: list[str],
+    metrics: list[str],
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained grouped rollup — the corpus-stats
+    companion to the admission gates: per ``keys`` group, running
+    ``n_rows`` plus ``sum_/min_/max_`` of every ``metrics`` column,
+    folded batch by batch into a parquet state store.
+
+    The mergeable-partials shape (the reason this scales): each batch
+    pays ONE partial aggregation over the batch plus one merge
+    aggregation over (stored partials ∪ batch partials) — the state is
+    |distinct keys|-sized, never corpus-sized, and counts/sums merge
+    by sum, mins by min, maxes by max (all algebraic, map-side
+    combinable). A 100 TB corpus's running per-language/per-domain
+    stats therefore cost each batch O(batch + keys), not a rescan.
+
+    ``sink(rollup_df, batch_id)`` receives the refreshed FULL rollup
+    after each fold (one row per key seen so far). The merged state is
+    materialized (localCheckpoint) before the store overwrite so the
+    store never reads its own partially-written output. Same replay
+    caveat as the other gates: a crash between sink and state write
+    re-folds the batch on replay — pair with an idempotent sink, or
+    dedupe on batch_id downstream.
+    """
+    import os
+
+    def agg_exprs():
+        exprs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for m in metrics:
+            exprs += [
+                F.sum(m).cast("long").alias(f"sum_{m}"),
+                F.min(m).cast("long").alias(f"min_{m}"),
+                F.max(m).cast("long").alias(f"max_{m}"),
+            ]
+        return exprs
+
+    def merge_exprs():
+        exprs = [F.sum("n_rows").cast("long").alias("n_rows")]
+        for m in metrics:
+            exprs += [
+                F.sum(f"sum_{m}").cast("long").alias(f"sum_{m}"),
+                F.min(f"min_{m}").cast("long").alias(f"min_{m}"),
+                F.max(f"max_{m}").cast("long").alias(f"max_{m}"),
+            ]
+        return exprs
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(*keys).agg(*agg_exprs())
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            stored = spark.read.parquet(state_dir)
+            merged = stored.unionByName(partial).groupBy(*keys).agg(
+                *merge_exprs()
+            )
+        else:
+            merged = partial
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+        sink(merged, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -554,3 +554,72 @@ def test_compact_dataset_unpartitioned(spark, tmp_path):
     stats = compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
     assert stats["files_after"] == 1
     assert spark.read.parquet(path).count() == rows
+
+
+def test_streaming_rollup_matches_batch_groupby(spark, tmp_path):
+    """Incrementally maintained rollup (r8): after every fold the
+    store equals a from-scratch groupBy over everything seen so far —
+    the mergeable-partials contract (counts/sums by sum, mins by min,
+    maxes by max)."""
+    import time
+
+    from cherry_spark.streaming.continuous import run_streaming_rollup
+
+    arrivals = [
+        [(1, "en", 10), (2, "en", 30), (3, "de", 7)],
+        [(4, "en", 5), (5, "fr", 50)],
+        [(6, "de", 1), (7, "de", 99), (8, "fr", 2)],
+    ]
+    schema = "doc_id long, lang string, n_tokens long"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen: list[tuple[int, dict]] = []
+
+    def sink(rollup, batch_id):
+        seen.append(
+            (batch_id, {r["lang"]: r.asDict() for r in rollup.collect()})
+        )
+
+    state = str(tmp_path / "state")
+    q = run_streaming_rollup(
+        spark,
+        stream_df,
+        state,
+        sink,
+        str(tmp_path / "ckpt"),
+        keys=["lang"],
+        metrics=["n_tokens"],
+    )
+    q.awaitTermination(240)
+
+    assert len(seen) == 3
+    rows: list[tuple] = []
+    for i, (_, got) in enumerate(sorted(seen)):
+        rows += arrivals[i]
+        expect = {}
+        for _, lang, t in rows:
+            e = expect.setdefault(
+                lang,
+                {"n_rows": 0, "sum_n_tokens": 0,
+                 "min_n_tokens": t, "max_n_tokens": t},
+            )
+            e["n_rows"] += 1
+            e["sum_n_tokens"] += t
+            e["min_n_tokens"] = min(e["min_n_tokens"], t)
+            e["max_n_tokens"] = max(e["max_n_tokens"], t)
+        assert set(got) == set(expect)
+        for lang, e in expect.items():
+            assert {m: got[lang][m] for m in e} == e
+    # the store holds the final rollup (restart-ready)
+    final = {r["lang"]: r["sum_n_tokens"] for r in spark.read.parquet(state).collect()}
+    assert final == {"en": 45, "de": 107, "fr": 52}
