@@ -358,6 +358,106 @@ def probe_bloom(spark, sf_dir: str, n_replicas: int = 10) -> None:
     )
 
 
+def probe_web(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Round-8 web family at 50k docs: HTML extraction (pure scalar
+    scan), URL dedup (clone URLs collapse across replicas), domain
+    stats."""
+    from cherry_spark.ext.web import (
+        domain_stats,
+        html_to_text,
+        url_dedup,
+    )
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("Site.COM/p/"),
+        (d % 5000).cast("string"),
+        F.when(d % 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit("<html><head><style>p{}</style></head><body><p>"),
+        F.col("text"), F.lit("</p><script>t()</script></body></html>"),
+    )
+    parts = [
+        docs.select(
+            (d + F.lit(i * offset)).alias("doc_id"),
+            url.alias("url"), html.alias("html"), "n_chars",
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    extracted = big.withColumn("text", html_to_text(F.col("html")))
+    n_ex = extracted.filter(F.length("text") > 0).count()
+    t_html = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dd = url_dedup(big).localCheckpoint(eager=True)
+    n_canon = dd.filter(F.col("is_canonical") == 1).count()
+    t_dedup = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ds = domain_stats(big, weight_col="n_chars").localCheckpoint(eager=True)
+    n_dom = ds.count()
+    t_stats = time.perf_counter() - t0
+    print(
+        f"[web] {n} docs: html_to_text {t_html:.1f}s ({n_ex} non-empty), "
+        f"url_dedup {t_dedup:.1f}s ({n_canon} canonical — each URL "
+        f"cloned {n_replicas}x collapses), domain_stats {t_stats:.1f}s "
+        f"({n_dom} domains)"
+    )
+
+
+def probe_bpe(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Round-8 BPE at 50k docs: the claim under test is corpus-size
+    INDEPENDENCE after the first count pass — replica clones add rows
+    but barely any word TYPES, so learn cost should approach the 1x
+    cost, not 10x it."""
+    from cherry_spark.ext.bpe import bpe_learn
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    m1 = bpe_learn(docs, n_merges=10)
+    k1 = m1.count()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m10 = bpe_learn(big, n_merges=10)
+    k10 = m10.count()
+    t10 = time.perf_counter() - t0
+    same = [
+        (a["left"], a["right"]) for a in m1.orderBy("rank").collect()
+    ] == [(b["left"], b["right"]) for b in m10.orderBy("rank").collect()]
+    print(
+        f"[bpe] learn 10 merges: 1x ({docs.count()} docs) {t1:.1f}s vs "
+        f"{n_replicas}x ({n} docs) {t10:.1f}s = {t10 / t1:.2f}x cost for "
+        f"{n_replicas}x data (word-TYPE table is the working set); "
+        f"merge sequences identical across scales: {same} "
+        f"({k1}/{k10} merges)"
+    )
+
+
 def main() -> None:
     from cherry_spark.session import get_spark
 
@@ -373,6 +473,10 @@ def main() -> None:
         probe_gate(spark, sf_dir)
     if which in ("bloom", "all"):
         probe_bloom(spark, sf_dir)
+    if which in ("web", "all"):
+        probe_web(spark, sf_dir)
+    if which in ("bpe", "all"):
+        probe_bpe(spark, sf_dir)
 
 
 if __name__ == "__main__":
