@@ -1,0 +1,223 @@
+"""BM25 ranked retrieval over an inverted token index.
+
+The search-side sibling of ``ext/dedup.py:jaccard_topk`` (set overlap)
+and ``ext/similarity.py:brute_force_topk`` (dense cosine): the
+standard lexical relevance ranking (Robertson/Sparck Jones; the
+Lucene-default ``ln(1 + (N-df+0.5)/(df+0.5))`` idf form, which is
+always positive) — the retrieval step of a RAG/data-curation stack.
+
+Scale shape (nothing corpus x corpus):
+
+- term frequencies / doc lengths / doc frequencies are one explode +
+  hash aggregates (map-side combinable);
+- candidates come from the inverted index equi-join — a query only
+  meets corpus docs SHARING a term, never the full corpus;
+- corpus stats (N, total length) ride a broadcast 1-row aggregate;
+- the final per-query ranking is the salted two-phase top-k (per
+  (query, salt) k-best via ``slice(array_sort(collect_list))``, then
+  an exact window over <= k * n_salt survivors) — no task ever sorts
+  a query's full candidate set.
+
+Determinism (the oracle story): BM25 scores are sums of per-term
+float contributions, and engine SUM order over doubles is not
+deterministic — the repo invariant forbids hash-comparing it.  So the
+score lane is FIXED-POINT: each per-term contribution (a pure scalar
+double expression, identical in both engines) is floored to integer
+micro-units BEFORE the aggregation, and the (query, doc) score is an
+order-free BIGINT sum that both engines produce bit-for-bit — the
+``domain_pagerank`` trick applied to retrieval.  Ranking ties break
+on doc id, a total order.  TRIAGE NOTE (the ``tfidf_top_terms``
+caveat): a 1-ulp ``ln()`` divergence between libm builds could in
+principle flip one floor() at an exact micro-unit boundary; bit-exact
+on the shipped fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t != '')"
+_SCALE = 1_000_000
+
+
+def _consts(k1: float, b: float) -> tuple[str, str, str]:
+    """SQL-side constants, explicitly DOUBLE (DuckDB parses a bare
+    ``1.2`` as DECIMAL(2,1)) so both engines run the identical float
+    arithmetic."""
+    return (
+        f"CAST({float(k1)!r} AS DOUBLE)",
+        f"CAST({float(k1) + 1.0!r} AS DOUBLE)",
+        f"CAST({float(b)!r} AS DOUBLE)",
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    n_salt: int = 64,
+) -> DataFrame:
+    """Top-k BM25-ranked corpus docs per query doc.
+
+    Returns ``(query_id, doc_id, score_fp, score)`` — ``score_fp`` is
+    the exact micro-unit BIGINT the ranking is defined over,
+    ``score`` its double rendering (score_fp / 1e6).
+    """
+    from cherry_spark.ext.dedup import tokens_col
+
+    # doubles, never F.expr over a decimal literal (Spark SQL parses
+    # "1.2" as DECIMAL(2,1), which silently changes the arithmetic)
+    c_k1 = F.lit(float(k1))
+    c_k1p1 = F.lit(float(k1) + 1.0)
+    c_b = F.lit(float(b))
+
+    tf = (
+        corpus.select(
+            F.col(id_col).alias("__cid"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("__cid", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = tf.groupBy("__cid").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    qterms = query.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).distinct()
+
+    # per-(query, candidate, term) contribution — every float op in
+    # the same order as the generated oracle SQL
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + c_k1 * (
+        F.lit(1.0) - c_b + c_b * (F.col("dl") / avgdl)
+    )
+    contrib = idf * F.col("tf") * c_k1p1 / denom
+    contrib_fp = F.floor(contrib * F.lit(float(_SCALE))).cast("long")
+
+    scored = (
+        qterms.join(tf, "term")
+        .join(dfreq, "term")
+        .join(dl, "__cid")
+        .crossJoin(F.broadcast(stats))
+        .select("__qid", "__cid", contrib_fp.alias("c"))
+        .groupBy("__qid", "__cid")
+        .agg(F.sum("c").cast("long").alias("score_fp"))
+    )
+
+    # salted two-phase top-k: ascending struct sort == (score DESC, id)
+    salt = F.pmod(F.col("__cid"), F.lit(n_salt))
+    phase1 = (
+        scored.groupBy(F.col("__qid"), salt.alias("__salt"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score_fp")).alias("negs"),
+                            F.col("__cid").alias("id"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("best")
+        )
+        .select("__qid", F.explode("best").alias("b"))
+        .select(
+            "__qid",
+            F.col("b.id").alias("__cid"),
+            (-F.col("b.negs")).alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score_fp").desc(), F.col("__cid")
+    )
+    return (
+        phase1.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            "score_fp",
+            (F.col("score_fp") / F.lit(float(_SCALE))).alias("score"),
+        )
+    )
+
+
+def bm25_topk_oracle_sql(
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_ids: list[int] | None = None,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` over the ``documents`` view,
+    with the query set being the corpus docs in ``query_ids`` —
+    replays the identical float-expression order and micro-unit floor,
+    so the BIGINT score lane matches bit-for-bit."""
+    qids = ", ".join(str(i) for i in (query_ids or [0, 1, 2]))
+    s_k1, s_k1p1, s_b = _consts(k1, b)
+    return f"""
+    WITH tf AS (
+        SELECT doc_id AS cid, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents, UNNEST({_TOKS}) AS u(t)
+        GROUP BY 1, 2
+    ),
+    len AS (
+        SELECT cid, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM len
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    qt AS (
+        SELECT DISTINCT doc_id AS qid, t AS term
+        FROM documents, UNNEST({_TOKS}) AS u(t)
+        WHERE doc_id IN ({qids})
+    ),
+    contrib AS (
+        SELECT q.qid, tf.cid,
+               CAST(FLOOR(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * {s_k1p1}
+                   / (tf.tf + {s_k1} * (1.0 - {s_b} + {s_b}
+                      * (l.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+                   * {float(_SCALE)!r}
+               ) AS BIGINT) AS c
+        FROM qt q
+        JOIN tf ON q.term = tf.term
+        JOIN dfreq d ON q.term = d.term
+        JOIN len l ON tf.cid = l.cid
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT qid, cid, CAST(SUM(c) AS BIGINT) AS score_fp
+        FROM contrib GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY score_fp DESC, cid
+        ) AS rn FROM scored
+    )
+    SELECT qid AS query_id, cid AS doc_id, score_fp,
+           score_fp / {float(_SCALE)!r} AS score
+    FROM ranked WHERE rn <= {k}
+    """

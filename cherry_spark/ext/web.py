@@ -182,6 +182,74 @@ def domain_filter(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    cap: int = 5,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Per-registered-domain document cap — the CommonCrawl-style
+    balancing step that stops one mega-domain from dominating a
+    training mix: keep each domain's ``cap`` best docs by
+    (``quality_col`` DESC, ``id_col`` ASC — a total order, so the
+    survivor set is deterministic).  Returns
+    ``(id_col, domain, quality_col, rk)`` with ``rk`` in 1..cap.
+
+    Scale shape: a bare ``row_number() OVER (PARTITION BY domain)``
+    puts a mega-domain's every row into ONE task; instead the salted
+    two-phase top-k (the ``jaccard_topk`` /  ``brute_force_topk``
+    trick): per (domain, salt) keep the k best via
+    ``slice(array_sort(collect_list(struct)))`` in pure JVM
+    expressions — map-side combinable, a hot domain spreads over
+    ``n_salt`` partial groups — then an exact window over
+    <= cap * n_salt survivors per domain.  The salt is deterministic
+    (``pmod(id, n_salt)``) so replays are stable."""
+    base = df.select(
+        F.col(id_col),
+        registered_domain(F.col(url_col)).alias("domain"),
+        F.col(quality_col),
+        F.pmod(F.col(id_col), F.lit(n_salt)).alias("__salt"),
+    )
+    # ascending struct sort == (quality DESC, id ASC): negate the
+    # quality lane (plain BIGINT — the DECIMAL unary-minus trap does
+    # not apply at int64 scale)
+    phase1 = (
+        base.groupBy("domain", "__salt")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col(quality_col)).alias("negq"),
+                            F.col(id_col).alias("id"),
+                        )
+                    )
+                ),
+                1,
+                cap,
+            ).alias("best")
+        )
+        .select("domain", F.explode("best").alias("b"))
+        .select(
+            "domain",
+            F.col("b.id").alias(id_col),
+            (-F.col("b.negq")).alias(quality_col),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        phase1.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cap)
+        .select(id_col, "domain", quality_col, "rk")
+    )
+
+
 _HTML_STEPS: list[tuple[str, str]] = [
     # script/style payloads go first (their CONTENT must vanish, not
     # just their tags); non-greedy [\s\S] spans newlines without the

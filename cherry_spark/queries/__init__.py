@@ -35,11 +35,13 @@ round-7's CLAUDE.md plan miscounted 12-vs-14 — count explicitly):
    fingerprinted stores, doc_fingerprint's transform-lambda rewrite,
    lsh_recall_audit's bounded-default API change this round).
 
-14 + 36 = 50 exactly.  ``_R06_STALE_R09`` (the remaining 14 r06 rows:
-quality/mixing/sampling families untouched since r06) is the front of
-the round-9 window, followed by 36 rows of the r07 window; round 10
-sweeps the remaining 14 r07 rows.  The permanent rows-only queries sit
-last where they don't burn hash-check slots.
+14 + 36 = 50 exactly.  The round-9 window leads with the queries
+added during round 8 (after this window froze), then ``_R06_STALE_R09``
+(the remaining 14 r06 rows: quality/mixing/sampling families untouched
+since r06), then as many r07-window rows as fit; round 10 sweeps the
+remaining r07 rows plus the r08 window as it goes stale (see
+CLAUDE.md's rotation note for the current arithmetic).  The permanent
+rows-only queries sit last where they don't burn hash-check slots.
 """
 
 from cherry_spark.catalog import REGISTRY
@@ -53,6 +55,7 @@ import cherry_spark.queries.extensions  # noqa: F401,E402
 import cherry_spark.queries.web  # noqa: F401,E402
 import cherry_spark.queries.membership  # noqa: F401,E402
 import cherry_spark.queries.vocab  # noqa: F401,E402
+import cherry_spark.queries.sketch  # noqa: F401,E402
 
 # The 14 queries registered after the round-7 window froze — every one
 # is verify_local-green but has never had a driver-certified row.

@@ -1558,3 +1558,33 @@ def knn_graph_query(spark, sf_dir):
     return knn_graph(
         emb, k=3, n_centroids=16, nprobe=2, index_dir=_ensure_ivf_index(spark, sf_dir)
     )
+
+
+def _bm25_oracle() -> str:
+    from cherry_spark.ext.bm25 import bm25_topk_oracle_sql
+
+    return bm25_topk_oracle_sql(k=5, query_ids=[0, 1, 2])
+
+
+@query(
+    "bm25_topk",
+    oracle=_bm25_oracle(),
+    doc="BM25 ranked retrieval (ext/bm25.py): top-5 corpus docs per "
+    "query doc via the inverted token index — tf/df/doclen hash aggs, "
+    "corpus stats as a broadcast 1-row aggregate, candidates from the "
+    "postings equi-join (a query only meets docs sharing a term), "
+    "salted two-phase top-k. The score lane is FIXED-POINT: per-term "
+    "contributions floor to BIGINT micro-units before the order-free "
+    "integer sum, so an engine-aggregated double never reaches the "
+    "hash compare (the domain_pagerank trick applied to retrieval). "
+    "TRIAGE NOTE: a 1-ulp ln() divergence could in principle flip one "
+    "floor() at an exact boundary; bit-exact on shipped fixtures.",
+)
+def bm25_topk_q(spark, sf_dir):
+    from cherry_spark.ext.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    q = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, q, k=5)

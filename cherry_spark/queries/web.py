@@ -228,3 +228,45 @@ def domain_pagerank(spark, sf_dir):
         (F.col("o_orderkey") % 100).alias("dst"),
     )
     return pagerank(edges, n_iters=5).select("node", "rank_fp")
+
+
+def _domain_cap_oracle() -> str:
+    from cherry_spark.ext.web import registered_domain_sql
+
+    dom = registered_domain_sql(_SYNTH_URL_SQL)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {dom} AS domain, n_chars FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, domain, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY domain ORDER BY n_chars DESC, doc_id
+               ) AS INTEGER) AS rk
+        FROM base
+    )
+    SELECT doc_id, domain, CAST(n_chars AS BIGINT) AS n_chars, rk
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@query(
+    "domain_cap_sample",
+    oracle=_domain_cap_oracle(),
+    doc="Per-domain document cap (ext/web.py:domain_cap) — the "
+    "balancing step that stops a mega-domain from dominating the "
+    "training mix: keep each registered domain's 5 best docs by "
+    "(n_chars DESC, doc_id) — a total order, so the survivor set is "
+    "deterministic and the oracle's bare window replay matches "
+    "exactly. The engine side is the salted two-phase top-k (per "
+    "(domain, salt) k-best via slice(array_sort(collect_list)), "
+    "map-side combinable, then an exact window over <= cap*n_salt "
+    "survivors) — a hot domain never lands in one task.",
+)
+def domain_cap_sample(spark, sf_dir):
+    from cherry_spark.ext.web import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _synth_url_spark().alias("url")
+    )
+    return domain_cap(docs, cap=5)

@@ -802,3 +802,55 @@ def run_streaming_rollup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_cms(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained Count-Min sketch — the sub-linear
+    sibling of :func:`run_streaming_rollup` for when the key domain
+    itself is unbounded (URLs, user ids, shingles): the state is a
+    constant ``depth x width`` counter table, NOT |distinct keys|.
+
+    Because the sketch is additive (ext/sketch.py:cms_merge), each
+    batch pays one bounded-cardinality build over the batch plus a
+    cell-wise sum with the stored cells — the fold is exact, so the
+    streamed sketch equals a from-scratch build over everything seen
+    (tests/test_sketch.py asserts bit-equality), and any downstream
+    heavy-hitter threshold gate keeps its no-false-negative guarantee
+    mid-stream.  ``sink(cms_df, batch_id)`` receives the refreshed
+    cell table after each fold.  Same replay caveat as the other
+    gates: a crash between sink and state write re-folds the batch on
+    replay — pair with an idempotent sink.
+    """
+    import os
+
+    from cherry_spark.ext.sketch import cms_build, cms_merge
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = cms_build(batch_df, key_col, depth, width)
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            stored = spark.read.parquet(state_dir)
+            merged = cms_merge(stored, partial)
+        else:
+            merged = partial
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+        sink(merged, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -113,3 +113,29 @@ def test_html_to_text_contract(spark):
         for r in df.select(html_to_text(F.col("html")).alias("t")).collect()
     ]
     assert got == list(cases.values())
+
+
+def test_domain_cap_keeps_best_k_under_skew(spark):
+    from cherry_spark.ext.web import domain_cap
+
+    # one mega-domain (900 docs) + one small domain: the cap must keep
+    # exactly the 3 highest-quality docs of each, ranked, regardless of
+    # how the salt spread the hot domain's rows
+    rows = [(i, f"https://big.com/p/{i}", (i * 37) % 1000) for i in range(900)]
+    rows += [(1000 + i, f"https://small.org/p/{i}", i) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    got = {
+        (r["domain"], r["rk"]): (r["doc_id"], r["n_chars"])
+        for r in domain_cap(df, cap=3).collect()
+    }
+    assert len(got) == 6
+    big = sorted(
+        ((i * 37) % 1000, i) for i in range(900)
+    )  # quality asc
+    expect_big = sorted(
+        [(-q, i) for q, i in big]
+    )[:3]  # quality desc, id asc
+    for rk, (negq, i) in enumerate(expect_big, start=1):
+        assert got[("big.com", rk)] == (i, -negq)
+    assert got[("small.org", 1)] == (1003, 3)
+    assert got[("small.org", 3)] == (1001, 1)

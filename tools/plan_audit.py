@@ -46,6 +46,10 @@ NESTED_LOOP_OK = {
     # mixing_temperature (the quota join itself is a BroadcastHashJoin)
     "vocab_coverage",  # 1-row totals cross-joined into the k rows
     "domain_pagerank",  # per-iteration 1-row dangling-mass broadcast cross-join
+    "cms_heavy_hitters",  # 1-row stream-total aggregate cross-joined
+    # into the threshold scan (the sketch/count tables join by key)
+    "bm25_topk",  # 1-row corpus-stats aggregate (N, total_len)
+    # broadcast cross-joined into the contribution expression
 }
 
 AUDIT = [
@@ -140,6 +144,11 @@ AUDIT = [
     "bloom_fp_report",
     "zorder_curve_key",
     "domain_pagerank",
+    # round-8 continuation additions
+    "cms_freq_report",
+    "cms_heavy_hitters",
+    "domain_cap_sample",
+    "bm25_topk",
 ]
 
 

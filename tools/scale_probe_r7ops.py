@@ -458,6 +458,96 @@ def probe_bpe(spark, sf_dir: str, n_replicas: int = 10) -> None:
     )
 
 
+def probe_sketch(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Round-8-continuation CMS family at 10x: the state table must
+    stay depth x width regardless of stream size (the sub-linear
+    claim), the heavy-hitter scan must keep its no-false-negative
+    guarantee under clone fan-out, and — because replica-cloning
+    multiplies every key count uniformly — the 10x estimates must be
+    EXACTLY 10x the 1x estimates (additivity demonstrated at scale,
+    not asserted)."""
+    from cherry_spark.ext.dedup import tokens_col
+    from cherry_spark.ext.sketch import cms_build, cms_probe
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks1 = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    parts = [toks1 for _ in range(n_replicas)]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    cms10 = cms_build(big, "token", 4, 64).localCheckpoint(eager=True)
+    n_cells = cms10.count()
+    t_build = time.perf_counter() - t0
+
+    cms1 = cms_build(toks1, "token", 4, 64)
+    both = (
+        cms1.withColumnsRenamed({"cnt": "cnt1"})
+        .join(cms10.withColumnsRenamed({"cnt": "cnt10"}), ["depth", "bucket"])
+    )
+    n_off = both.filter(
+        F.col("cnt10") != F.col("cnt1") * n_replicas
+    ).count()
+
+    t0 = time.perf_counter()
+    counts = big.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    probed = cms_probe(counts, cms10, "token", 4, 64).localCheckpoint(
+        eager=True
+    )
+    n_under = probed.filter(F.col("est_n") < F.col("exact_n")).count()
+    t_probe = time.perf_counter() - t0
+
+    print(
+        f"[sketch] {n} tokens 10x: build {t_build:.1f}s ({n_cells} cells"
+        f" — bounded by 4x64 regardless of scale), probe {t_probe:.1f}s"
+        f" ({n_under} underestimates — must be 0), cells where "
+        f"cnt10 != 10*cnt1: {n_off} (additivity at scale — must be 0)"
+    )
+
+
+def probe_bm25(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """BM25 at 10x with adversarial clone collapse: every corpus doc
+    (including each query doc) exists in a 10-clone class, so each
+    query's candidate set and its top-k tie group are maximal.
+    Evidence: wall time + scored-pair partition skew (the postings
+    equi-join fans out linearly with replicas, never quadratically)."""
+    from cherry_spark.ext.bm25 import bm25_topk
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    q = big.filter(F.col("doc_id").isin(0, 1, 2)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    t0 = time.perf_counter()
+    out = bm25_topk(big, q, k=5).localCheckpoint(eager=True)
+    n_rows = out.count()
+    t = time.perf_counter() - t0
+    print(
+        f"[bm25] {n} docs 10x corpus: top-5 for 3 queries {t:.1f}s "
+        f"({n_rows} rows; every doc in a 10-clone class, ties broken "
+        f"by id); result skew: {partition_skew(out)}"
+    )
+
+
 def main() -> None:
     from cherry_spark.session import get_spark
 
@@ -477,6 +567,10 @@ def main() -> None:
         probe_web(spark, sf_dir)
     if which in ("bpe", "all"):
         probe_bpe(spark, sf_dir)
+    if which in ("sketch", "all"):
+        probe_sketch(spark, sf_dir)
+    if which in ("bm25", "all"):
+        probe_bm25(spark, sf_dir)
 
 
 if __name__ == "__main__":
