@@ -149,6 +149,7 @@ AUDIT = [
     "cms_heavy_hitters",
     "domain_cap_sample",
     "bm25_topk",
+    "fuzzy_record_linkage",
 ]
 
 
