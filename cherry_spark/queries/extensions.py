@@ -1588,3 +1588,98 @@ def bm25_topk_q(spark, sf_dir):
         F.col("doc_id").alias("query_id"), "text"
     )
     return bm25_topk(docs, q, k=5)
+
+
+_DENSE_DOT = (
+    "(SELECT SUM(e.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)"
+    " FROM UNNEST(range(64)) AS r(i))"
+)
+_DENSE_NORM_E = (
+    "sqrt((SELECT SUM(e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)"
+    " FROM UNNEST(range(64)) AS r(i)))"
+)
+_DENSE_NORM_Q = (
+    "sqrt((SELECT SUM(q.embedding[i+1]::DOUBLE * q.embedding[i+1]::DOUBLE)"
+    " FROM UNNEST(range(64)) AS r(i)))"
+)
+
+
+def _hybrid_oracle() -> str:
+    from cherry_spark.ext.bm25 import bm25_topk_oracle_sql
+    from cherry_spark.ext.hybrid import rrf_fuse_sql
+
+    bm25 = bm25_topk_oracle_sql(k=10, query_ids=[0, 1, 2])
+    fuse = rrf_fuse_sql("lex", "den", k=5, c=60)
+    return f"""
+    WITH lex AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score_fp DESC, doc_id
+               ) AS INTEGER) AS rank
+        FROM ({bm25})
+    ),
+    den_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               round({_DENSE_DOT} / ({_DENSE_NORM_E} * {_DENSE_NORM_Q}), 6)
+                   AS sim
+        FROM embeddings e,
+             (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id IN (0, 1, 2)) q
+    ),
+    den AS (
+        SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, doc_id
+            ) AS rn FROM den_scored
+        ) WHERE rn <= 10
+    )
+    {fuse}
+    """
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=_hybrid_oracle(),
+    doc="Hybrid retrieval (ext/hybrid.py): reciprocal-rank fusion of "
+    "the BM25 lexical top-10 and the dense cosine top-10 per query "
+    "(doc ids and vec ids share the fixture id space). Rank-based "
+    "fusion keeps the whole lane exact: ranks are small integers, the "
+    "fused score is SCALE//(c+rank) integer division summed as "
+    "BIGINT — no float aggregation near the hash compare. The fusion "
+    "itself touches only the 2k retrieved rows per query; the corpus "
+    "passes live inside the retrievers with their own scale "
+    "contracts (postings equi-join / salted two-phase top-k).",
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cherry_spark.ext.bm25 import bm25_topk
+    from cherry_spark.ext.hybrid import rrf_fuse
+    from cherry_spark.ext.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    qdocs = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = bm25_topk(docs, qdocs, k=10)
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id")
+    )
+    lexr = lex.select(
+        "query_id", "doc_id", F.row_number().over(wl).cast("int").alias("rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qemb = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    den = brute_force_topk(emb, qemb, k=10)
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    denr = den.select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).cast("int").alias("rank"),
+    )
+    return rrf_fuse(lexr, denr, k=5, c=60)

@@ -50,6 +50,8 @@ NESTED_LOOP_OK = {
     # into the threshold scan (the sketch/count tables join by key)
     "bm25_topk",  # 1-row corpus-stats aggregate (N, total_len)
     # broadcast cross-joined into the contribution expression
+    "hybrid_rrf_topk",  # inherits bm25's 1-row stats cross-join plus
+    # the dense retriever's broadcast 3-row query-vector cross-join
 }
 
 AUDIT = [
@@ -150,6 +152,7 @@ AUDIT = [
     "domain_cap_sample",
     "bm25_topk",
     "fuzzy_record_linkage",
+    "hybrid_rrf_topk",
 ]
 
 
