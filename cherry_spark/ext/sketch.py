@@ -194,3 +194,81 @@ def cms_probe_sql(
         f"FROM (\n        {branches}\n    ) pr "
         f"LEFT JOIN {cells_cte} c USING (depth, bucket) GROUP BY {key_out}"
     )
+
+
+def mg_summary(
+    df: DataFrame,
+    key_col: str = "token",
+    k: int = 64,
+) -> DataFrame:
+    """Misra-Gries frequent-items summary: ``(key_col, w)`` with at
+    most ``k`` rows — the bounded-memory top-k companion to the CMS
+    (CMS answers "how often is THIS key", MG answers "which keys are
+    frequent" without enumerating the key domain).
+
+    Shape: each partition runs classic MG over its rows inside ONE
+    mapInPandas pass (k counters; on overflow decrement all — O(k)
+    amortized against the k inserts that filled them), emitting a
+    <= k-row summary; the partition summaries merge by the Agarwal/
+    Cormode/Huang mergeable-summaries rule — sum weights per key,
+    subtract the (k+1)-th largest merged weight, drop non-positives.
+    The merge window runs over <= n_partitions * k rows (KBs), never
+    the stream.
+
+    Guarantee (what the verdict query certifies): for every key,
+    ``true_count - N/(k+1) <= w <= true_count`` — so any key with
+    ``count * (k+1) > N`` MUST survive.  The summary CONTENT is
+    partition-order dependent (like any MG); only the bound is
+    deterministic, which is why the driver query certifies the bound,
+    not the weights.
+
+    The pandas lane is deliberately closure-only (no module refs), so
+    it pickles standalone and runs on executors from any cwd.
+    """
+    import pandas as pd  # noqa: F401  (imported for type clarity)
+
+    def run_mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for t in pdf["__k"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"__k": list(counters.keys()), "w": list(counters.values())}
+        )
+
+    partials = df.select(F.col(key_col).alias("__k")).mapInPandas(
+        run_mg, "__k string, w long"
+    )
+    summed = partials.groupBy("__k").agg(F.sum("w").cast("long").alias("w"))
+    from pyspark.sql import Window
+
+    ranked = summed.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.orderBy(F.col("w").desc(), F.col("__k"))
+        ),
+    )
+    thr = ranked.agg(
+        F.max(F.when(F.col("__rn") == k + 1, F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("__thr")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(thr))
+        .withColumn("w", F.col("w") - F.col("__thr"))
+        .where(F.col("w") > 0)
+        .select(F.col("__k").alias(key_col), "w")
+    )

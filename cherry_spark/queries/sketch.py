@@ -158,3 +158,64 @@ def cms_heavy_hitters(spark, sf_dir):
             (F.col("exact_n") >= thr).cast("int").alias("is_true_heavy"),
         )
     )
+
+
+_MG_K = 64
+
+
+def _mg_oracle() -> str:
+    return f"""
+    WITH keys AS (
+        SELECT {_SKEW_KEY_SQL} AS token FROM events
+    ),
+    counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM keys GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(exact_n) AS BIGINT) AS n FROM counts)
+    SELECT c.token, c.exact_n,
+           CAST(1 AS INTEGER) AS captured,
+           CAST(1 AS INTEGER) AS weight_in_bounds
+    FROM counts c CROSS JOIN total t
+    WHERE c.exact_n * {_MG_K + 1} > t.n
+    """
+
+
+@query(
+    "mg_heavy_verdict",
+    oracle=_mg_oracle(),
+    doc="Misra-Gries guarantee verdict (ext/sketch.py:mg_summary): "
+    "per-partition MG in one bounded-memory mapInPandas pass (64 "
+    "counters), partition summaries merged by the mergeable-summaries "
+    "rule (sum, subtract the 65th-largest, clamp) — the summary "
+    "CONTENT is partition-order dependent, so the query certifies the "
+    "deterministic BOUND instead: every key with count*(k+1) > N must "
+    "be captured with exact_n - N/(k+1) <= w <= exact_n (integer "
+    "cross-multiplied, no division). The oracle emits the provably-"
+    "heavy set with both verdicts true; any MG bug shows as a 0.",
+)
+def mg_heavy_verdict(spark, sf_dir):
+    from cherry_spark.ext.sketch import mg_summary
+
+    events = load_table(spark, sf_dir, "events")
+    keys = events.select(_skew_key_spark().alias("token"))
+    mg = mg_summary(keys, "token", k=_MG_K)
+    counts = keys.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    total = counts.agg(F.sum("exact_n").cast("long").alias("n"))
+    heavy = counts.crossJoin(F.broadcast(total)).where(
+        F.col("exact_n") * (_MG_K + 1) > F.col("n")
+    )
+    joined = heavy.join(mg, "token", "left")
+    in_bounds = (
+        F.col("w").isNotNull()
+        & (F.col("w") <= F.col("exact_n"))
+        & ((F.col("exact_n") - F.col("w")) * (_MG_K + 1) <= F.col("n"))
+    )
+    return joined.select(
+        "token",
+        "exact_n",
+        F.col("w").isNotNull().cast("int").alias("captured"),
+        in_bounds.cast("int").alias("weight_in_bounds"),
+    )

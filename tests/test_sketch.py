@@ -126,3 +126,36 @@ def test_streaming_cms_fold_equals_batch_build(spark, tmp_path):
     assert _cells(spark.read.parquet(state)) == _cells(
         cms_build(everything, "token", 4, 8)
     )
+
+
+def test_mg_exact_when_counters_never_overflow(spark):
+    from cherry_spark.ext.sketch import mg_summary
+
+    rows = [("a",)] * 7 + [("b",)] * 5 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    got = {r["token"]: r["w"] for r in mg_summary(df, "token", k=10).collect()}
+    # k exceeds the distinct-key count on every partition, so MG is
+    # exact and the merge threshold is 0
+    assert got == {"a": 7, "b": 5, "c": 3, "d": 1}
+
+
+def test_mg_bound_holds_under_pressure(spark):
+    from pyspark.sql import functions as F
+    from cherry_spark.ext.sketch import mg_summary
+
+    # skewed stream: key k appears 2k+1 times, keys 0..29, N=900
+    rows = [(f"k{k:02d}",) for k in range(30) for _ in range(2 * k + 1)]
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    k = 5
+    summ = mg_summary(df, "token", k=k)
+    got = {r["token"]: r["w"] for r in summ.collect()}
+    assert len(got) <= k
+    n = len(rows)
+    exact = {f"k{kk:02d}": 2 * kk + 1 for kk in range(30)}
+    for tok, w in got.items():
+        assert w <= exact[tok]  # never overestimates
+        assert (exact[tok] - w) * (k + 1) <= n  # error bound
+    # provably-heavy keys (count*(k+1) > N) must survive
+    for tok, c in exact.items():
+        if c * (k + 1) > n:
+            assert tok in got

@@ -52,6 +52,8 @@ NESTED_LOOP_OK = {
     # broadcast cross-joined into the contribution expression
     "hybrid_rrf_topk",  # inherits bm25's 1-row stats cross-join plus
     # the dense retriever's broadcast 3-row query-vector cross-join
+    "mg_heavy_verdict",  # 1-row stream-total + 1-row merge-threshold
+    # aggregates broadcast cross-joined into the verdict row
 }
 
 AUDIT = [
@@ -153,6 +155,7 @@ AUDIT = [
     "bm25_topk",
     "fuzzy_record_linkage",
     "hybrid_rrf_topk",
+    "mg_heavy_verdict",
 ]
 
 
