@@ -162,11 +162,27 @@ def cms_heavy_hitters(spark, sf_dir):
 
 _MG_K = 64
 
+# MG stream = the sqrt-skew tail plus a planted ultra-hot key (10% of
+# the stream), so the provably-heavy set is non-empty at EVERY scale
+# factor: the sqrt tail's max relative frequency decays as sf grows
+# (at sf0.1 no bare sqrt key clears N/(k+1)), while 10% always does.
+_MG_KEY_SQL = (
+    "(CASE WHEN event_id % 10 = 0 THEN 'hot' ELSE "
+    + _SKEW_KEY_SQL
+    + " END)"
+)
+
+
+def _mg_key_spark():
+    return F.when(F.col("event_id") % 10 == 0, F.lit("hot")).otherwise(
+        _skew_key_spark()
+    )
+
 
 def _mg_oracle() -> str:
     return f"""
     WITH keys AS (
-        SELECT {_SKEW_KEY_SQL} AS token FROM events
+        SELECT {_MG_KEY_SQL} AS token FROM events
     ),
     counts AS (
         SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
@@ -198,7 +214,7 @@ def mg_heavy_verdict(spark, sf_dir):
     from cherry_spark.ext.sketch import mg_summary
 
     events = load_table(spark, sf_dir, "events")
-    keys = events.select(_skew_key_spark().alias("token"))
+    keys = events.select(_mg_key_spark().alias("token"))
     mg = mg_summary(keys, "token", k=_MG_K)
     counts = keys.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("exact_n")
