@@ -252,7 +252,24 @@ def mg_summary(
     partials = df.select(F.col(key_col).alias("__k")).mapInPandas(
         run_mg, "__k string, w long"
     )
-    summed = partials.groupBy("__k").agg(F.sum("w").cast("long").alias("w"))
+    return mg_merge(
+        partials.select(F.col("__k").alias(key_col), "w"), key_col=key_col, k=k
+    )
+
+
+def mg_merge(*summaries: DataFrame, key_col: str = "token", k: int = 64) -> DataFrame:
+    """Mergeable-summaries combine (Agarwal/Cormode/Huang): sum
+    weights per key across the input summaries, subtract the
+    (k+1)-th largest merged weight, drop non-positives — the error
+    bounds ADD, so folding batch summaries into a stored summary
+    (streaming/continuous.py:run_streaming_mg) keeps the global
+    ``count - N_total/(k+1) <= w <= count`` guarantee.  Inputs are
+    <= k-row tables, so the ranking window is KB-sized by
+    construction."""
+    merged = summaries[0].select(F.col(key_col).alias("__k"), "w")
+    for s in summaries[1:]:
+        merged = merged.unionByName(s.select(F.col(key_col).alias("__k"), "w"))
+    summed = merged.groupBy("__k").agg(F.sum("w").cast("long").alias("w"))
     from pyspark.sql import Window
 
     ranked = summed.withColumn(

@@ -854,3 +854,51 @@ def run_streaming_cms(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_mg(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    key_col: str = "token",
+    k: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained Misra-Gries top-k summary — the
+    "which keys are hot so far" companion to :func:`run_streaming_cms`
+    (which answers point frequency queries).  State is a <= k-row
+    (key, weight) table; each batch pays one bounded-memory MG pass
+    over the batch plus a KB-sized mergeable-summaries combine with
+    the stored summary.  Error bounds ADD across folds, so the stored
+    summary always satisfies ``count - N_seen/(k+1) <= w <= count``
+    and every key with ``count*(k+1) > N_seen`` is present
+    (tests/test_sketch.py certifies the bound after the fold).
+    ``sink(summary_df, batch_id)`` receives the refreshed summary.
+    Same replay caveat as the other gates: pair with an idempotent
+    sink.
+    """
+    import os
+
+    from cherry_spark.ext.sketch import mg_merge, mg_summary
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = mg_summary(batch_df, key_col, k=k)
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            stored = spark.read.parquet(state_dir)
+            merged = mg_merge(stored, partial, key_col=key_col, k=k)
+        else:
+            merged = partial
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+        sink(merged, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

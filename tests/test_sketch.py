@@ -159,3 +159,48 @@ def test_mg_bound_holds_under_pressure(spark):
     for tok, c in exact.items():
         if c * (k + 1) > n:
             assert tok in got
+
+
+def test_streaming_mg_fold_keeps_guarantee(spark, tmp_path):
+    from cherry_spark.streaming.continuous import run_streaming_mg
+
+    # 3 arrivals; key 'hh' is 1/3 of every batch -> provably heavy
+    # at k=4 (1/3 > 1/5) no matter how the fold splits the stream
+    arrivals = [
+        [("hh",), ("a",), ("hh",), ("b",), ("hh",), ("c",)],
+        [("hh",), ("d",), ("hh",), ("e",), ("hh",), ("f",)],
+        [("hh",), ("g",), ("hh",), ("h",), ("hh",), ("i",)],
+    ]
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, "token string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen = []
+    q = run_streaming_mg(
+        spark,
+        stream_df,
+        str(tmp_path / "state"),
+        lambda s, b: seen.append(b),
+        str(tmp_path / "ckpt"),
+        key_col="token",
+        k=4,
+    )
+    q.awaitTermination(240)
+    assert len(seen) == 3
+    got = {
+        r["token"]: r["w"]
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    n, exact_hh, kk = 18, 9, 4
+    assert len(got) <= kk
+    assert "hh" in got  # 9*(4+1) > 18: must survive the folds
+    assert got["hh"] <= exact_hh
+    assert (exact_hh - got["hh"]) * (kk + 1) <= n  # additive bound
