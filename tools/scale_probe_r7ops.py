@@ -548,6 +548,56 @@ def probe_bm25(spark, sf_dir: str, n_replicas: int = 10) -> None:
     )
 
 
+def probe_linkage(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Record linkage at 10x with the adversarial clone shape: every
+    customer name replicated 10x under distinct ids, so each blocking
+    block grows 10x and its candidate pairs 100x — linkage output is
+    LEGITIMATELY quadratic in the clone factor (clones all match each
+    other), which is exactly why the hot-block cap exists.  Evidence:
+    wall time + pair count at the default cap, then the capped run
+    (max_block below the inflated block size) proving the guard zeroes
+    the degenerate blocks instead of melting down."""
+    from cherry_spark.ext.linkage import blocked_linkage_pairs
+    from cherry_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer", parallelize=True)
+    offset = 10_000_000
+    parts = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(i * offset)).alias("rec_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nat"),
+            F.substring("c_name", 1, 16).alias("blk"),
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    pairs = blocked_linkage_pairs(
+        big, ["nat", "blk"], "rec_id", "name", max_dist=2, max_block=1000
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    t_full = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    capped = blocked_linkage_pairs(
+        big, ["nat", "blk"], "rec_id", "name", max_dist=2, max_block=50
+    )
+    n_capped = capped.count()
+    t_cap = time.perf_counter() - t0
+    print(
+        f"[linkage] {n} records 10x clones: full {t_full:.1f}s "
+        f"({n_pairs} pairs — quadratic in clones by construction, "
+        f"skew: {partition_skew(pairs)}); cap=50 {t_cap:.1f}s "
+        f"({n_capped} pairs — inflated blocks zeroed by the guard)"
+    )
+
+
 def main() -> None:
     from cherry_spark.session import get_spark
 
@@ -571,6 +621,8 @@ def main() -> None:
         probe_sketch(spark, sf_dir)
     if which in ("bm25", "all"):
         probe_bm25(spark, sf_dir)
+    if which in ("linkage", "all"):
+        probe_linkage(spark, sf_dir)
 
 
 if __name__ == "__main__":
