@@ -1683,3 +1683,56 @@ def hybrid_rrf_topk(spark, sf_dir):
         F.row_number().over(wd).cast("int").alias("rank"),
     )
     return rrf_fuse(lexr, denr, k=5, c=60)
+
+
+_LEAK_SPLITS = {"train": 0.8, "heldout": 0.2}
+_LEAK_SALT = "leakage"
+
+
+def _leakage_split_oracle() -> str:
+    from cherry_spark.ext.sampling import split_case_sql
+
+    case = split_case_sql(
+        "COALESCE(l.cluster_id, d.doc_id)", _LEAK_SPLITS, salt=_LEAK_SALT
+    )
+    return (
+        _CLUSTER_LABELS_CTE
+        + f"""
+    SELECT d.doc_id,
+           CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS group_id,
+           {case} AS split,
+           CAST(CASE WHEN l.cluster_id IS NOT NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_clustered
+    FROM documents d LEFT JOIN labels l USING (doc_id)
+    """
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    doc="Leakage-safe train/heldout split: near-duplicate CLUSTERS "
+    "co-travel across the split boundary — a doc's split key is its "
+    "connected-component label (from the stored exact-Jaccard pair "
+    "graph), so two near-identical docs can never land on opposite "
+    "sides and leak eval content into training. Singletons key on "
+    "their own id. Composition of certified parts: CC over the "
+    "threshold-keyed pair store + the deterministic md5 hash_split "
+    "(repartition-stable, engine-portable); membership in a cluster "
+    "is itself the is_clustered audit column.",
+)
+def leakage_safe_split(spark, sf_dir):
+    from cherry_spark.ext.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = spark.read.parquet(
+        _ensure_jaccard_pairs(spark, sf_dir, threshold=0.6)
+    )
+    cc = connected_components(pairs).withColumnsRenamed({"id": "doc_id"})
+    grouped = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").cast("long").alias("group_id"),
+        F.col("cluster_id").isNotNull().cast("int").alias("is_clustered"),
+    )
+    out = hash_split(grouped, "group_id", _LEAK_SPLITS, salt=_LEAK_SALT)
+    return out.select("doc_id", "group_id", "split", "is_clustered")

@@ -238,3 +238,18 @@ def test_mixing_apply_fills_quotas(spark):
     assert {(r["doc_id"], r["sample_rank"]) for r in again} == {
         (r["doc_id"], r["sample_rank"]) for r in out
     }
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from cherry_spark.catalog import REGISTRY
+    import cherry_spark.queries  # noqa: F401  (registration)
+
+    rows = REGISTRY["leakage_safe_split"].fn(spark, sf_dir).collect()
+    assert rows and {r["split"] for r in rows} <= {"train", "heldout"}
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    # THE property: no group straddles the boundary
+    assert all(len(s) == 1 for s in by_group.values())
+    # clustered groups exist at fixture scale (planted near-dups)
+    assert any(r["is_clustered"] == 1 for r in rows)
