@@ -1736,3 +1736,90 @@ def leakage_safe_split(spark, sf_dir):
     )
     out = hash_split(grouped, "group_id", _LEAK_SPLITS, salt=_LEAK_SALT)
     return out.select("doc_id", "group_id", "split", "is_clustered")
+
+
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "collocation_pmi_topn",
+    oracle=f"""
+    WITH toks AS (
+        SELECT t FROM documents, UNNEST({_TOKS}) AS u(t)
+    ),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT bg FROM documents, UNNEST(list_transform(
+                range(greatest(len({_TOKS}) - 1, 0)),
+                i -> concat_ws(' ', {_TOKS}[i+1], {_TOKS}[i+2])
+            )) AS u(bg)
+        ) GROUP BY 1
+    ),
+    m_bi AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM bi),
+    scored AS (
+        SELECT b.bg AS bigram, b.c AS n_pair,
+               round(ln((CAST(b.c AS DOUBLE) * n.n * n.n)
+                        / (CAST(m.m AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        FROM bi b
+        JOIN uni u1 ON u1.t = string_split(b.bg, ' ')[1]
+        JOIN uni u2 ON u2.t = string_split(b.bg, ' ')[2]
+        CROSS JOIN n_uni n CROSS JOIN m_bi m
+        WHERE b.c >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, n_pair, pmi FROM scored
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    doc="Collocation mining: top-20 adjacent-token bigrams by "
+    "pointwise mutual information (min pair count 5) — the "
+    "multiword-expression/phrase-boundary instrument of a corpus "
+    "analysis stack. Counts are exact integer aggregates; PMI is a "
+    "pure SCALAR double on those integers with the expression order "
+    "written identically in both engines and rounded to 6 digits "
+    "before the rank (the tfidf_top_terms convention, same ln() "
+    "TRIAGE NOTE). Shape: one bigram hash agg + one unigram hash agg "
+    "+ two broadcast unigram joins + 1-row totals; nothing "
+    "corpus x corpus.",
+)
+def collocation_pmi_topn(spark, sf_dir):
+    from cherry_spark.ext.dedup import tokens_col, word_shingles_raw
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n"))
+    bi = (
+        docs.select(
+            F.explode(word_shingles_raw(F.col("text"), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    m_bi = bi.agg(F.sum("n_pair").cast("long").alias("m"))
+    u1 = uni.withColumnsRenamed({"t": "__w1", "c": "__c1"})
+    u2 = uni.withColumnsRenamed({"t": "__w2", "c": "__c2"})
+    scored = (
+        bi.where(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .withColumn("__w1", F.split("bigram", " ")[0])
+        .withColumn("__w2", F.split("bigram", " ")[1])
+        .join(F.broadcast(u1), "__w1")
+        .join(F.broadcast(u2), "__w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(m_bi))
+        .select(
+            "bigram",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("n") * F.col("n"))
+                    / (F.col("m").cast("double") * F.col("__c1") * F.col("__c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(20)

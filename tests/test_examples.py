@@ -69,3 +69,22 @@ def test_web_ingest_pipeline(spark, sf_dir):
     # canonical+unblocked; bloom must flag a healthy share, and fresh
     # URLs (odd ids) must almost all pass (FP rate ~1e-4 at this size)
     assert out["n_recrawls_skipped"] > 0
+
+
+def test_hybrid_search_pipeline(spark, sf_dir):
+    import examples.hybrid_search_pipeline as ex
+
+    out = ex.run(spark, sf_dir, query_ids=(0, 1, 2), k=5)
+    assert out["n_results"] == 15
+    rows = out["fused"].collect()
+    # each query's own doc tops its FUSED list: cosine(self) = 1.0
+    # pins dense rank 1, and BM25 places self high (not necessarily
+    # first — a short doc dense in a rare query term can out-score
+    # it), so the combined RRF score wins
+    top1 = {}
+    for r in rows:
+        cur = top1.get(r["query_id"])
+        if cur is None or r["rrf_fp"] > cur[1]:
+            top1[r["query_id"]] = (r["doc_id"], r["rrf_fp"])
+    assert {q: d for q, (d, _) in top1.items()} == {0: 0, 1: 1, 2: 2}
+    assert 0 < out["n_in_both_views"] <= 15

@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     # the dense retriever's broadcast 3-row query-vector cross-join
     "mg_heavy_verdict",  # 1-row stream-total + 1-row merge-threshold
     # aggregates broadcast cross-joined into the verdict row
+    "collocation_pmi_topn",  # 1-row unigram/bigram totals broadcast
+    # cross-joined into the scalar PMI expression
 }
 
 AUDIT = [
@@ -156,6 +158,7 @@ AUDIT = [
     "fuzzy_record_linkage",
     "hybrid_rrf_topk",
     "mg_heavy_verdict",
+    "collocation_pmi_topn",
 ]
 
 
