@@ -1823,3 +1823,37 @@ def collocation_pmi_topn(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "bigram").limit(20)
+
+
+_PHRASES = [
+    (0, "table table"),
+    (1, "value fast merge"),
+    (2, "scan query big"),
+    (3, "the data window"),
+]
+
+
+def _phrase_oracle() -> str:
+    from cherry_spark.ext.phrase import phrase_search_topk_oracle_sql
+
+    return phrase_search_topk_oracle_sql(_PHRASES, k=10)
+
+
+@query(
+    "phrase_search_topk",
+    oracle=_phrase_oracle(),
+    doc="Exact-phrase search over a positional inverted index "
+    "(ext/phrase.py): the quoted-query lane next to bm25_topk (bag of "
+    "words) and jaccard_topk (set overlap). A phrase of ANY length m "
+    "is ONE broadcast join + ONE aggregate — phrase term i at posting "
+    "position p votes for start p-i, and exactly-m votes is a "
+    "complete occurrence (positions unique per doc) — never m-1 "
+    "self-joins. Overlapping occurrences counted; salted two-phase "
+    "top-k per phrase. All-integer lane, hash-exact oracle.",
+)
+def phrase_search_topk_q(spark, sf_dir):
+    from cherry_spark.ext.phrase import phrase_search_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(_PHRASES, "phrase_id long, phrase string")
+    return phrase_search_topk(docs, phrases, k=10)
