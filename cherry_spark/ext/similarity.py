@@ -37,6 +37,91 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
+def score_query_pairs(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """(query_id, id, sim) cosine for every (query × corpus) pair —
+    the shared scoring stage under brute_force_topk and
+    hard_negatives_topk. The query side is broadcast (small by
+    contract), so the corpus scan is one pass with no shuffle; the
+    corpus norm is computed once per ROW, not once per pair (the HOF
+    folds are interpreted — per-pair norms triple the hot loop), and
+    scalars/division order match cosine_similarity bit-for-bit.
+    NaN sims (a corpus vector with a NaN component) normalize to NULL
+    so they sort LAST, like the zero-norm case."""
+    q = F.broadcast(
+        query.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    corpus = vectors.withColumn("__vn", norm(F.col(vec_col)))
+    na, nb = F.col("__vn"), F.col("__qn")
+    sim = F.when(
+        (na > 0) & (nb > 0), dot(F.col(vec_col), F.col("__qvec")) / (na * nb)
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    sim = F.when(F.isnan(sim), F.lit(None).cast("double")).otherwise(sim)
+    return corpus.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        sim.alias("sim"),
+    )
+
+
+def hard_negatives_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    neardup_ceiling: float = 0.9,
+    positives: DataFrame | None = None,
+    exclude_self: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    anchor, the k MOST similar corpus vectors that are still allowed
+    to be negatives — similarity strictly below ``neardup_ceiling``
+    (anything at/above it is an unlabeled near-duplicate whose use as
+    a negative would push apart true positives — the classic
+    false-negative trap), not the anchor itself, and not in the
+    caller's ``positives`` (query_id, id) label set.
+
+    Shape: the brute-force scoring pass (broadcast query side, one
+    corpus scan) with the ceiling applied BEFORE the top-k shuffle —
+    a map-side filter — then the positives anti-join (broadcast:
+    label sets are small by contract) and the salted two-phase top-k.
+    For large anchor sets, run the same filters over
+    ``ext/ivf.knn_graph`` candidates instead; this operator is the
+    exact lane.
+    """
+    scored = score_query_pairs(
+        vectors, query, id_col, vec_col, query_id_col, round_digits
+    )
+    scored = scored.where(
+        F.col("sim").isNull() | (F.col("sim") < F.lit(float(neardup_ceiling)))
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    if positives is not None:
+        pos = positives.select(
+            F.col(query_id_col), F.col(id_col)
+        )
+        scored = scored.join(
+            F.broadcast(pos), [query_id_col, id_col], "left_anti"
+        )
+    return topk_per_query(scored, k, query_id_col, id_col, "sim")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -84,28 +169,8 @@ def brute_force_topk(
     NULL to +inf under the negated ascending order for the same
     reason).
     """
-    q = F.broadcast(
-        query.select(
-            F.col(query_id_col).alias("__qid"),
-            F.col(vec_col).alias("__qvec"),
-            norm(F.col(vec_col)).alias("__qn"),
-        )
-    )
-    # corpus norm once per row, not once per (row × query) — the HOF
-    # folds are interpreted, so per-pair norms triple the hot loop;
-    # scalars and division order match cosine_similarity bit-for-bit
-    corpus = vectors.withColumn("__vn", norm(F.col(vec_col)))
-    na, nb = F.col("__vn"), F.col("__qn")
-    sim = F.when(
-        (na > 0) & (nb > 0), dot(F.col(vec_col), F.col("__qvec")) / (na * nb)
-    )
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    sim = F.when(F.isnan(sim), F.lit(None).cast("double")).otherwise(sim)
-    scored = corpus.crossJoin(q).select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col),
-        sim.alias("sim"),
+    scored = score_query_pairs(
+        vectors, query, id_col, vec_col, query_id_col, round_digits
     )
     from pyspark.sql.window import Window
 

@@ -1857,3 +1857,67 @@ def phrase_search_topk_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     phrases = spark.createDataFrame(_PHRASES, "phrase_id long, phrase string")
     return phrase_search_topk(docs, phrases, k=10)
+
+
+_HN_POSITIVES = [(q, v) for q in (0, 1, 2) for v in (q, q + 100, q + 200)]
+
+
+def _hard_negatives_oracle() -> str:
+    values = ", ".join(f"({q}, {v})" for q, v in _HN_POSITIVES)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+        WHERE vec_id IN (0, 1, 2)
+    ),
+    positives(query_id, vec_id) AS (VALUES {values}),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(
+                 (SELECT SUM(e.embedding[i+1]::DOUBLE * q.qvec[i+1]::DOUBLE)
+                  FROM UNNEST(range(64)) AS r(i))
+                 / (sqrt((SELECT SUM(e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i)))
+                  * sqrt((SELECT SUM(q.qvec[i+1]::DOUBLE * q.qvec[i+1]::DOUBLE)
+                          FROM UNNEST(range(64)) AS r(i))))
+               , 6) AS sim
+        FROM embeddings e, q
+    ),
+    negs AS (
+        SELECT s.query_id, s.vec_id, s.sim
+        FROM scored s
+        WHERE s.sim < 0.9 AND s.vec_id <> s.query_id
+          AND NOT EXISTS (SELECT 1 FROM positives p
+                          WHERE p.query_id = s.query_id
+                            AND p.vec_id = s.vec_id)
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM negs
+    )
+    SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 5
+    """
+
+
+@query(
+    "hard_negatives_topk",
+    oracle=_hard_negatives_oracle(),
+    doc="Hard-negative mining for contrastive training "
+    "(ext/similarity.py:hard_negatives_topk): per anchor, the 5 most "
+    "similar vectors that may legally be negatives — sim strictly "
+    "below the 0.9 near-dup ceiling (the false-negative trap: an "
+    "unlabeled near-duplicate used as a negative pushes apart true "
+    "positives), anchor excluded, labeled positives removed by "
+    "broadcast anti-join. Ceiling applies map-side BEFORE the top-k "
+    "shuffle; salted two-phase top-k after.",
+)
+def hard_negatives_topk_q(spark, sf_dir):
+    from cherry_spark.ext.similarity import hard_negatives_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pos = spark.createDataFrame(_HN_POSITIVES, "query_id long, vec_id long")
+    return hard_negatives_topk(emb, q, k=5, neardup_ceiling=0.9, positives=pos)
