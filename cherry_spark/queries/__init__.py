@@ -60,6 +60,7 @@ import cherry_spark.queries.linkage  # noqa: F401,E402
 import cherry_spark.queries.timeseries  # noqa: F401,E402
 import cherry_spark.queries.versioning  # noqa: F401,E402
 import cherry_spark.queries.profile  # noqa: F401,E402
+import cherry_spark.queries.ireval  # noqa: F401,E402
 
 # The 14 queries registered after the round-7 window froze — every one
 # is verify_local-green but has never had a driver-certified row.
