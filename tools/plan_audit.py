@@ -25,6 +25,8 @@ if _REPO_DIR not in sys.path:
 # queries where a nested-loop join is the intended plan (tiny broadcast side)
 NESTED_LOOP_OK = {
     "cosine_topk",
+    "hard_negatives_topk",  # same 3-row broadcast query-side cross-join
+    "retrieval_eval_report",  # id. (score_query_pairs under the eval)
     "range_join_buckets",
     "ann_ivf_topk",  # centroid table (n_centroids rows) cross-joined by design
     "semantic_dedup",  # same centroid cross-join inside ivf_assign
@@ -159,6 +161,15 @@ AUDIT = [
     "hybrid_rrf_topk",
     "mg_heavy_verdict",
     "collocation_pmi_topn",
+    # round-8 second continuation additions
+    "resample_gapfill",
+    "rolling_resampled_stats",
+    "corpus_diff_report",
+    "corpus_reprocess_manifest",
+    "phrase_search_topk",
+    "hard_negatives_topk",
+    "profile_table_report",
+    "retrieval_eval_report",
 ]
 
 
