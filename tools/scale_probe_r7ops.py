@@ -598,6 +598,144 @@ def probe_linkage(spark, sf_dir: str, n_replicas: int = 10) -> None:
     )
 
 
+def probe_phrase(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Phrase search at 10x with the maximal-hot-term shape: the
+    fixture vocabulary is ~31 tokens, so EVERY phrase term's posting
+    list covers most of the corpus — the worst fan-out a positional
+    index can see. The vote join is linear in replicas (one vote per
+    matching (term, position) pair); the per-(phrase,doc,start)
+    aggregate bounds everything downstream. Evidence: wall time,
+    vote/result volumes, result partition skew."""
+    from cherry_spark.ext.phrase import phrase_search_topk
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    parts = [
+        docs.select((F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text")
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+    phrases = spark.createDataFrame(
+        [(0, "table table"), (1, "value fast merge"), (2, "scan query big")],
+        "phrase_id long, phrase string",
+    )
+    t0 = time.perf_counter()
+    out = phrase_search_topk(big, phrases, k=10).localCheckpoint(eager=True)
+    n_rows = out.count()
+    t = time.perf_counter() - t0
+    print(
+        f"[phrase] {n} docs 10x corpus, 3 phrases over a ~31-token "
+        f"vocabulary (every term hot): top-10 in {t:.1f}s ({n_rows} "
+        f"rows); result skew: {partition_skew(out)}"
+    )
+
+
+def probe_timeseries(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Resample+gapfill at 10x along the TIME axis (the dimension the
+    grid explode actually scales with): each replica shifts the whole
+    event stream by i x 32 days, so per-key spans — and the dense
+    grids — grow ~10x while the per-bucket aggregate stays the same
+    shape. Key = user_id (many medium series, the realistic shape).
+    Evidence: wall time, grid size vs 1x, gap fraction, grid
+    partition skew (per-key windows must stay balanced)."""
+    from cherry_spark.ext.timeseries import resample_gapfill
+    from cherry_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    parts = [
+        ev.select(
+            "user_id",
+            (F.col("ts") + F.expr(f"INTERVAL {i * 32} DAYS")).alias("ts"),
+            "value",
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    g1 = resample_gapfill(ev, "user_id", "ts", "value", 3600)
+    n1 = g1.count()
+    t1 = time.perf_counter() - t0
+
+    # On the local fixture the grid's compressed shuffle bytes sit
+    # under AQE's 64 MB advisory size, so AQE coalesces the per-key
+    # window's input to ONE partition and a single core sorts the
+    # whole 11M-row grid (measured 16.5 s vs 6.7 s balanced). That is
+    # a small-data artifact — at 100 TB the shuffle dwarfs the
+    # advisory size and AQE keeps the parallelism — but the probe
+    # disables coalescing so the evidence shows the operator's true
+    # distributed shape.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t0 = time.perf_counter()
+        g10 = resample_gapfill(
+            big, "user_id", "ts", "value", 3600
+        ).localCheckpoint(eager=True)
+        n10 = g10.count()
+        gaps = g10.agg(F.sum("is_gap")).collect()[0][0]
+        t10 = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    print(
+        f"[timeseries] {n} events, time axis x10: 1x grid {n1} rows "
+        f"{t1:.1f}s -> 10x grid {n10} rows {t10:.1f}s "
+        f"({n10 / max(n1, 1):.1f}x rows, {gaps / n10:.0%} gap rows "
+        f"filled); grid skew: {partition_skew(g10)}"
+    )
+
+
+def probe_versioning(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Snapshot diff at 10x: both sides 10x-cloned, v2 derived with
+    the registered churn rules. The diff is one full-outer join on
+    (id, hash, len) 40-byte rows — evidence that the cost is the
+    hash-join shuffle, not text movement: wall time + per-class
+    counts + result skew."""
+    from cherry_spark.ext.versioning import corpus_diff_report
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    parts = [
+        docs.select((F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text")
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+    d = F.col("doc_id")
+    v2 = (
+        big.filter(d % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(" [v2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            big.filter(d % 13 == 0).select(
+                (d + F.lit(100_000_000)).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    t0 = time.perf_counter()
+    rpt = corpus_diff_report(big, v2).collect()
+    t = time.perf_counter() - t0
+    classes = {r.change_class: r.n_docs for r in rpt}
+    print(f"[versioning] {n}-doc snapshot diff at 10x: {t:.1f}s, classes {classes}")
+
+
 def main() -> None:
     from cherry_spark.session import get_spark
 
@@ -623,6 +761,12 @@ def main() -> None:
         probe_bm25(spark, sf_dir)
     if which in ("linkage", "all"):
         probe_linkage(spark, sf_dir)
+    if which in ("phrase", "all"):
+        probe_phrase(spark, sf_dir)
+    if which in ("timeseries", "all"):
+        probe_timeseries(spark, sf_dir)
+    if which in ("versioning", "all"):
+        probe_versioning(spark, sf_dir)
 
 
 if __name__ == "__main__":
