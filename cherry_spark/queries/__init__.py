@@ -35,12 +35,17 @@ round-7's CLAUDE.md plan miscounted 12-vs-14 — count explicitly):
    fingerprinted stores, doc_fingerprint's transform-lambda rewrite,
    lsh_recall_audit's bounded-default API change this round).
 
-14 + 36 = 50 exactly.  The round-9 window leads with the queries
-added during round 8 (after this window froze), then ``_R06_STALE_R09``
-(the remaining 14 r06 rows: quality/mixing/sampling families untouched
-since r06), then as many r07-window rows as fit; round 10 sweeps the
-remaining r07 rows plus the r08 window as it goes stale (see
-CLAUDE.md's rotation note for the current arithmetic).  The permanent
+14 + 36 = 50 exactly.  The round-9 window leads with the **28**
+queries added during round 8 (after this window froze — 20 from the
+first continuation sessions + 8 from the second: timeseries x2,
+versioning x2, phrase, hard_negatives, profile, retrieval_eval), then
+``_R06_STALE_R09`` (the remaining 14 r06 rows: quality/mixing/
+sampling families untouched since r06), then the first 8 r07-window
+rows: 28 + 14 + 8 = 50.  Round 10 sweeps the remaining 42 r07 rows +
+the 8 oldest r08-window rows; round 11 takes the remaining 42 r08
+rows + the oldest r09 rows — at 143 registered the 3-round guarantee
+holds with 7 slots of headroom (3 x 50 = 150 >= 143; adding an 8th+
+query beyond 150 requires pruning a twin first).  The permanent
 rows-only queries sit last where they don't burn hash-check slots.
 """
 
