@@ -88,3 +88,27 @@ def test_hybrid_search_pipeline(spark, sf_dir):
             top1[r["query_id"]] = (r["doc_id"], r["rrf_fp"])
     assert {q: d for q, (d, _) in top1.items()} == {0: 0, 1: 1, 2: 2}
     assert 0 < out["n_in_both_views"] <= 15
+
+
+def test_refresh_pipeline_is_o_churn(spark, sf_dir):
+    import examples.refresh_pipeline as ex
+    from pyspark.sql import functions as F
+
+    out = ex.refresh(spark, sf_dir)
+    classes = {r.change_class: r.n_docs for r in out["report"].collect()}
+    assert set(classes) == {"added", "removed", "changed", "unchanged"}
+    # the churn set is exactly added+changed
+    n_churn = out["manifest"].count()
+    assert n_churn == classes["added"] + classes["changed"]
+    # admitted docs are a subset of the churn set
+    extra = out["admitted"].join(out["manifest"], "doc_id", "left_anti")
+    assert extra.count() == 0
+    # next corpus = unchanged survivors + admitted churn, disjoint ids
+    n_admit = out["admitted"].count()
+    assert out["v_next"].count() == classes["unchanged"] + n_admit
+    assert (
+        out["v_next"].groupBy("doc_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    # every verdict covers every churn doc
+    assert out["verdicts"].count() == n_churn
