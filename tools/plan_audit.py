@@ -27,6 +27,7 @@ NESTED_LOOP_OK = {
     "cosine_topk",
     "hard_negatives_topk",  # same 3-row broadcast query-side cross-join
     "retrieval_eval_report",  # id. (score_query_pairs under the eval)
+    "funnel_conversion_report",  # 1-row first-stage count cross-joined in
     "range_join_buckets",
     "ann_ivf_topk",  # centroid table (n_centroids rows) cross-joined by design
     "semantic_dedup",  # same centroid cross-join inside ivf_assign
@@ -170,6 +171,8 @@ AUDIT = [
     "hard_negatives_topk",
     "profile_table_report",
     "retrieval_eval_report",
+    "funnel_conversion_report",
+    "cohort_retention_matrix",
 ]
 
 
