@@ -270,3 +270,39 @@ def domain_cap_sample(spark, sf_dir):
         "doc_id", "n_chars", _synth_url_spark().alias("url")
     )
     return domain_cap(docs, cap=5)
+
+
+_BLOCKED = ["src3site.com", "src7site.com", "src12site.com"]
+
+
+def _blocklist_oracle() -> str:
+    from cherry_spark.ext.web import registered_domain_sql
+
+    dom = registered_domain_sql(_SYNTH_URL_SQL)
+    blocked = ", ".join(f"'{d}'" for d in _BLOCKED)
+    return f"""
+    SELECT doc_id, {dom} AS domain
+    FROM documents
+    WHERE {dom} NOT IN ({blocked})
+    """
+
+
+@query(
+    "domain_blocklist_filter",
+    oracle=_blocklist_oracle(),
+    doc="Domain blocklist enforcement (ext/web.py:domain_filter): drop "
+    "docs whose registered domain is blocklisted — broadcast "
+    "anti-join (the blocklist is always small relative to the "
+    "corpus), registered-domain extraction as the RE2-portable "
+    "scalar chain. Survivors returned with their domain.",
+)
+def domain_blocklist_filter(spark, sf_dir):
+    from cherry_spark.ext.web import domain_filter, registered_domain
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark().alias("url")
+    )
+    kept = domain_filter(docs, _BLOCKED)
+    return kept.select(
+        "doc_id", registered_domain(F.col("url")).alias("domain")
+    )

@@ -173,6 +173,7 @@ AUDIT = [
     "retrieval_eval_report",
     "funnel_conversion_report",
     "cohort_retention_matrix",
+    "domain_blocklist_filter",
 ]
 
 
