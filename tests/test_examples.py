@@ -112,3 +112,23 @@ def test_refresh_pipeline_is_o_churn(spark, sf_dir):
     )
     # every verdict covers every churn doc
     assert out["verdicts"].count() == n_churn
+
+
+def test_events_analytics_pipeline(spark, sf_dir):
+    import examples.events_analytics_pipeline as ex
+    from pyspark.sql import functions as F
+
+    out = ex.analyze(spark, sf_dir)
+    prof = {r.col_name: r for r in out["profile"].collect()}
+    assert set(prof) == {"event_id", "user_id", "event_type", "value", "ts_us"}
+    assert prof["event_type"].n_distinct == 5
+    grid = out["grid"]
+    # the dense grid has no holes: per key, rows == (hi-lo)/width + 1
+    spans = grid.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        ((F.max("bucket_s") - F.min("bucket_s")) / 900 + 1).alias("want"),
+    )
+    assert spans.filter(F.col("n") != F.col("want")).count() == 0
+    funnel = {r.stage_idx: r.n_users for r in out["funnel"].collect()}
+    assert funnel[0] >= funnel[1] >= funnel[2]  # monotone by construction
+    assert out["cohorts"].filter(F.col("week_offset") == 0).count() >= 1
