@@ -153,3 +153,73 @@ def streaming_sessionizer(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("funnel_depth", T.IntegerType()),
+        T.StructField("t_prev", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("t_prev", T.LongType()),
+    ]
+)
+
+
+def streaming_funnel_tracker(
+    events_stream: DataFrame,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stateful twin of the batch ``ext/events.funnel_conversion``:
+    each user's greedy first-qualifying stage chain advanced
+    incrementally across micro-batches, O(1) state per user
+    (current depth + last stage time — never an event buffer).
+
+    Exactness contract: under in-order delivery (each user's events
+    non-decreasing in timestamp across batches — the watermark/
+    ordered-replay assumption the sessionizer also carries), the
+    greedy in-order advance IS the batch min-chain: the first seen
+    qualifying stage-k event is the minimal one, so final depths
+    replayed == batch funnel counts (asserted by the differential
+    test). A late out-of-order stage event can only under-advance,
+    never mis-advance.
+    """
+    n_stages = len(stages)
+
+    def step(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (uid,) = key
+        depth, t_prev = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col)
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                if depth < n_stages and et == stages[depth] and (
+                    depth == 0 or int(ts) > t_prev
+                ):
+                    t_prev = int(ts)
+                    depth += 1
+        state.update((depth, t_prev))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "funnel_depth": [depth],
+                "t_prev": [t_prev],
+            }
+        )
+
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        step,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -94,3 +94,86 @@ def test_streaming_sessionizer(spark, tmp_path):
     assert (1, 0, 100, 2, 3.0) in got
     assert (1, 5000, 5000, 1, 3.0) in got
     assert (2, 50, 1000, 2, 12.0) in got
+
+
+def test_streaming_funnel_tracker_matches_batch(spark, tmp_path):
+    """Journeys split MID-FUNNEL across micro-batches; final streamed
+    depths must replay the batch funnel exactly (including the
+    order-sensitive cases: click-before-view, purchase-before-click)."""
+    import datetime as dt
+
+    from cherry_spark.ext.events import funnel_conversion
+    from cherry_spark.streaming.stateful import streaming_funnel_tracker
+
+    stages = ["view", "click", "purchase"]
+    # same journeys as test_events_analytics: expected depths
+    # u1=3, u2=1 (clicked before viewing), u3=1, u4=0, u5=2
+    journeys = [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+        (2, 0, "click"), (2, 10, "view"),
+        (3, 0, "view"), (3, 5, "purchase"),
+        (4, 0, "click"), (4, 5, "purchase"),
+        (5, 0, "view"), (5, 2, "purchase"), (5, 4, "click"),
+    ]
+    # time-sliced batches (in-order delivery contract): [0,4], [5,10], rest
+    slices = [
+        [r for r in journeys if r[1] <= 4],
+        [r for r in journeys if 5 <= r[1] <= 10],
+        [r for r in journeys if r[1] > 10],
+    ]
+    src = str(tmp_path / "funnel_src")
+    schema = "user_id long, ts_sec long, event_type string"
+    for rows in slices:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = streaming_funnel_tracker(stream, stages)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    from pyspark.sql.window import Window
+
+    updates = spark.sql("SELECT * FROM funnel_state")
+    final = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("funnel_depth").desc(), F.col("t_prev").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    depths = {r["user_id"]: r["funnel_depth"] for r in final.collect()}
+    assert depths == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+    # streamed stage counts == the batch funnel report
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [(u, base + dt.timedelta(seconds=s), t) for u, s, t in journeys],
+        "user_id long, ts timestamp, event_type string",
+    )
+    batch = {
+        r.stage_idx: r.n_users for r in funnel_conversion(ev, stages).collect()
+    }
+    streamed = [
+        sum(1 for d in depths.values() if d > k) for k in range(len(stages))
+    ]
+    assert streamed == [batch[i] for i in range(len(stages))]
+    # state genuinely crossed batches: u1 completed over 3 slices
+    u1_updates = updates.filter(F.col("user_id") == 1).count()
+    assert u1_updates >= 2
