@@ -333,3 +333,126 @@ def mixing_apply_oracle_sql(
     FROM ranked r JOIN quota q USING (source)
     WHERE r.sample_rank <= q.expected_samples
     """
+
+
+def weighted_systematic_sample(
+    df: "DataFrame",
+    id_col: str,
+    weight_col: str,
+    m: int,
+    salt: str = "",
+    out_col: str = "n_picks",
+) -> "DataFrame":
+    """Exact weighted sampling without a global window: systematic
+    (fixed-step) selection proportional to an integer weight.
+
+    Lay the corpus on a line in the deterministic md5 order (the
+    ext/packing.py coordinate), each item occupying an interval of
+    its weight; drop exactly ``m`` equally-spaced points with a
+    deterministic offset and pick every item whose interval contains
+    a point. Properties (all exact, not in expectation):
+
+    - total multiplicity Σ n_picks == m, always;
+    - every item's multiplicity is floor(w*m/W) or ceil(w*m/W) — no
+      weighted-reservoir variance, no ln()/pow() float keys whose
+      last-ulp could flip a rank across engines (the reason this is
+      the cross-engine-certifiable formulation of weighted sampling);
+    - pure function of (id, weight, salt): stable under repartition,
+      rescale, and engine.
+
+    Scale shape: the only non-map stage is the two-phase prefix sum
+    (256-bucket scan, see ext/packing.py:global_prefix_sum) plus one
+    broadcast 1-row total — no global single-task window, no
+    per-item RNG. The arithmetic lane is LONG: products are bounded
+    by (W + w_max)·m, so at fixture scale (W≈5e6 chars, m=100) the
+    headroom to 2^63 is ~10^9; a 100 TB corpus with a large m moves
+    the same expressions to DECIMAL(38,0) (swap the casts — the
+    formula is unchanged).
+
+    The offset constant is md5-derived and EMBEDDED identically in
+    the Spark plan and the DuckDB oracle (the portable-constant
+    pattern of ext/dedup.py:_portable_hash_constants).
+
+    No counterpart in the reference (training-pipeline extension
+    surface); nearest reference concern is deterministic batch
+    replay (src/cherry_etl/pipeline.py).
+    """
+    import hashlib
+
+    from cherry_spark.ext.packing import global_prefix_sum
+
+    o_num = int(
+        hashlib.md5(("offset" + salt).encode()).hexdigest()[:15], 16
+    )
+    clamped = df.select(
+        F.col(id_col),
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1).cast("long")).alias(
+            "_w"
+        ),
+    )
+    pref = global_prefix_sum(clamped, id_col, "_w", salt=salt, out_col="_start")
+    tot = clamped.agg(F.sum("_w").cast("long").alias("_tw"))
+    off = F.pmod(F.lit(o_num), F.col("_tw"))
+    j = (
+        pref.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_en",
+            (F.col("_start") + F.col("_w")) * F.lit(int(m))
+            - off
+            - F.lit(1)
+            + F.col("_tw"),
+        )
+        .withColumn(
+            "_sn",
+            F.col("_start") * F.lit(int(m)) - off - F.lit(1) + F.col("_tw"),
+        )
+        .withColumn(
+            out_col,
+            (F.expr("_en div _tw") - F.expr("_sn div _tw")).cast("long"),
+        )
+    )
+    return (
+        j.filter(F.col(out_col) >= 1)
+        .select(F.col(id_col), F.col("_w").alias("weight"), F.col(out_col))
+    )
+
+
+def weighted_systematic_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    weight_sql: str = "n_chars",
+    m: int = 100,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`weighted_systematic_sample` — identical
+    md5 order key, single-window prefix sum (fine at oracle scale),
+    same embedded offset constant and integer-division formula."""
+    import hashlib
+
+    o_num = int(
+        hashlib.md5(("offset" + salt).encode()).hexdigest()[:15], 16
+    )
+    picks = (
+        f"((c.s + c.w) * {int(m)} - ({o_num} % t.tw) - 1 + t.tw) // t.tw"
+        f" - (c.s * {int(m)} - ({o_num} % t.tw) - 1 + t.tw) // t.tw"
+    )
+    return f"""
+    WITH w AS (
+        SELECT {id_col} AS id,
+               GREATEST(CAST({weight_sql} AS BIGINT), 1) AS w,
+               md5(CAST({id_col} AS VARCHAR) || '{salt}') AS hkey
+        FROM {table}
+    ),
+    c AS (
+        SELECT id, w,
+               CAST(COALESCE(SUM(w) OVER (ORDER BY hkey, id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS s
+        FROM w
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w)
+    SELECT c.id AS {id_col}, c.w AS weight,
+           CAST({picks} AS BIGINT) AS n_picks
+    FROM c, t
+    WHERE {picks} >= 1
+    """

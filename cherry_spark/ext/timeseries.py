@@ -159,3 +159,59 @@ def rolling_resampled_stats(
         .cast("long")
         .alias("rolling_n_events"),
     )
+
+
+def spike_report(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width_s: int = 3600,
+    z_threshold: int = 3,
+) -> DataFrame:
+    """Per-key bucket-count anomaly flags with INTEGER-EXACT z-test.
+
+    The monitoring primitive next to the resample family: bucket the
+    stream per key, then flag every bucket whose count sits more than
+    ``z_threshold`` population standard deviations ABOVE its key's
+    mean. The naive form compares doubles (mean/stddev) — engine
+    sqrt/stddev implementations differ in the last ulp, so a verdict
+    column built on them is not certifiable. Clearing denominators
+    makes the whole test integer algebra::
+
+        z > t  ⇔  (c·N − S) > 0  and  (c·N − S)² > t²·(N·Q − S²)
+
+    with S = Σc, Q = Σc², N = #buckets per key — every term a BIGINT
+    (bound: (c·N)² ≤ (S·N)²; at 10⁵ events × 10⁴ buckets per key the
+    headroom to 2^63 is ~10⁴; beyond that swap the two squares to
+    DECIMAL(38,0), formula unchanged).
+
+    Scale shape: one grouped count (map-side partial) to the bucket
+    table, then the per-key moment window runs over BUCKETS, never raw
+    events — a key's window is span/width rows regardless of event
+    volume, and keys distribute across tasks. No counterpart in the
+    reference (its aggregation surface stops at MIN/MAX — see
+    src/cherry_etl/steps, queries/relational.py:agg_min_max).
+    """
+    b = df.groupBy(
+        F.col(key_col).alias("key"),
+        time_bucket_s(F.col(ts_col), width_s).alias("bucket_s"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("key")
+    t2 = int(z_threshold) * int(z_threshold)
+    s = F.sum("n_events").over(w)
+    q = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    n = F.count("*").over(w)
+    dev = F.col("n_events") * n - s
+    num = (dev * dev).cast("long")
+    den = (F.lit(t2) * (n * q - s * s)).cast("long")
+    return b.select(
+        "key",
+        "bucket_s",
+        "n_events",
+        num.alias("zsq_num"),
+        den.alias("zsq_den"),
+        F.when((dev > 0) & (num > den), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_spike"),
+    )

@@ -35,19 +35,20 @@ round-7's CLAUDE.md plan miscounted 12-vs-14 — count explicitly):
    fingerprinted stores, doc_fingerprint's transform-lambda rewrite,
    lsh_recall_audit's bounded-default API change this round).
 
-14 + 36 = 50 exactly.  The round-9 window leads with the **31**
+14 + 36 = 50 exactly.  The round-9 window leads with the **33**
 queries added during round 8 (after this window froze — 20 from the
-first continuation sessions + 11 from the second: timeseries x2,
+first continuation sessions, 11 from the second: timeseries x2,
 versioning x2, phrase, hard_negatives, profile, retrieval_eval,
-funnel, cohort, domain_blocklist), then ``_R06_STALE_R09`` (the
-remaining 14 r06 rows: quality/mixing/sampling families untouched
-since r06), then the first 5 r07-window rows: 31 + 14 + 5 = 50.
-Round 10 sweeps the remaining 45 r07 rows + the 5 oldest r08-window
-rows; round 11 takes the remaining 45 r08 rows + the oldest r09 rows
-— at 146 registered the 3-round guarantee holds with 4 slots of
-headroom (3 x 50 = 150 >= 146; adding a 5th+ query beyond 150
-requires pruning a twin first).  The permanent rows-only queries sit
-last where they don't burn hash-check slots.
+funnel, cohort, domain_blocklist, and 2 from the third:
+event_spike_report, weighted_sample_exact), then ``_R06_STALE_R09``
+(the remaining 14 r06 rows: quality/mixing/sampling families
+untouched since r06), then the first 3 r07-window rows:
+33 + 14 + 3 = 50.  Round 10 sweeps the remaining 47 r07 rows + the
+3 oldest r08-window rows; round 11 takes the remaining 45 r08 rows
++ the oldest r09 rows — at 148 registered the 3-round guarantee
+holds with 2 slots of headroom (3 x 50 = 150 >= 148; adding a 3rd+
+query beyond 150 requires pruning a twin first).  The permanent
+rows-only queries sit last where they don't burn hash-check slots.
 """
 
 from cherry_spark.catalog import REGISTRY

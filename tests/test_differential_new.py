@@ -147,3 +147,44 @@ def test_resample_gapfill_matches_python_replay(spark):
                 assert gv is None
             else:
                 assert gv is not None and math.isclose(gv, ev, abs_tol=1e-9)
+
+
+def test_spike_report_matches_python_replay(spark):
+    from cherry_spark.ext.timeseries import spike_report
+
+    rng = random.Random(0x5B1E)
+    base = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+    width = 600
+    rows = []
+    # background noise on two keys + one planted burst bucket on k1
+    for key, n in [("k1", 120), ("k2", 80)]:
+        for _ in range(n):
+            rows.append((key, base + dt.timedelta(seconds=rng.randint(0, 40_000))))
+    burst = base + dt.timedelta(seconds=12_345)
+    rows += [("k1", burst)] * 60
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    from collections import Counter
+
+    counts = Counter(
+        (k, (int(t.timestamp()) // width) * width) for k, t in rows
+    )
+    expected = {}
+    for key in ("k1", "k2"):
+        cs = {b: c for (k, b), c in counts.items() if k == key}
+        S, Q, N = sum(cs.values()), sum(c * c for c in cs.values()), len(cs)
+        for b, c in cs.items():
+            dev = c * N - S
+            expected[(key, b)] = (
+                c, dev * dev, 9 * (N * Q - S * S),
+                1 if dev > 0 and dev * dev > 9 * (N * Q - S * S) else 0,
+            )
+
+    got = {
+        (r.key, r.bucket_s): (r.n_events, r.zsq_num, r.zsq_den, r.is_spike)
+        for r in spike_report(ev, "event_type", "ts", width).collect()
+    }
+    assert got == expected
+    # the planted burst IS flagged
+    bb = (int(burst.timestamp()) // width) * width
+    assert got[("k1", bb)][3] == 1

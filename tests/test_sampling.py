@@ -253,3 +253,33 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     assert all(len(s) == 1 for s in by_group.values())
     # clustered groups exist at fixture scale (planted near-dups)
     assert any(r["is_clustered"] == 1 for r in rows)
+
+
+def test_weighted_systematic_sample_exact_properties(spark):
+    import math
+
+    from cherry_spark.ext.sampling import weighted_systematic_sample
+
+    rows = [(i, 1 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    W = sum(w for _, w in rows)
+    m = 25
+    out = weighted_systematic_sample(df, "doc_id", "w", m=m, salt="t").collect()
+    # exactly m total picks, always
+    assert sum(r["n_picks"] for r in out) == m
+    picks = {r["doc_id"]: r["n_picks"] for r in out}
+    weights = dict(rows)
+    # every multiplicity within floor/ceil of its proportional share
+    for i, w in rows:
+        p = picks.get(i, 0)
+        assert math.floor(w * m / W) <= p <= math.ceil(w * m / W)
+    # an item heavier than the step is ALWAYS picked
+    heavy = [i for i, w in rows if w * m >= W]
+    assert all(i in picks for i in heavy)
+    # deterministic under repartition
+    again = weighted_systematic_sample(
+        df.repartition(7), "doc_id", "w", m=m, salt="t"
+    ).collect()
+    assert {(r["doc_id"], r["n_picks"]) for r in again} == {
+        (r["doc_id"], r["n_picks"]) for r in out
+    }
