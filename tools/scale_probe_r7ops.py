@@ -736,6 +736,130 @@ def probe_versioning(spark, sf_dir: str, n_replicas: int = 10) -> None:
     print(f"[versioning] {n}-doc snapshot diff at 10x: {t:.1f}s, classes {classes}")
 
 
+def probe_events(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Funnel + cohort at 10x along the USER axis (each replica is a
+    distinct user population with identical journeys). The exactness
+    invariant: every funnel stage count and every cohort cell must be
+    EXACTLY 10x its 1x value — the operators are per-user aggregates,
+    so a population clone scales counts linearly or the chain logic is
+    broken. Evidence: wall times + the 10x-equality check."""
+    from cherry_spark.ext.events import cohort_retention, funnel_conversion
+    from cherry_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    stages = ["view", "click", "purchase"]
+    parts = [
+        ev.select(
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    f1 = {r.stage_idx: r.n_users for r in funnel_conversion(ev, stages).collect()}
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    f10 = {r.stage_idx: r.n_users for r in funnel_conversion(big, stages).collect()}
+    t10 = time.perf_counter() - t0
+    exact = all(f10[k] == 10 * v for k, v in f1.items())
+    print(
+        f"[events] funnel on {n} events: 1x {t1:.1f}s {f1} -> 10x "
+        f"{t10:.1f}s {f10}; stage counts exactly 10x: {exact}"
+    )
+
+    t0 = time.perf_counter()
+    c1 = {
+        (r.cohort_s, r.week_offset): r.n_active
+        for r in cohort_retention(ev).collect()
+    }
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    c10 = {
+        (r.cohort_s, r.week_offset): r.n_active
+        for r in cohort_retention(big).collect()
+    }
+    t10 = time.perf_counter() - t0
+    exact = set(c1) == set(c10) and all(c10[k] == 10 * v for k, v in c1.items())
+    print(
+        f"[events] cohort matrix: 1x {len(c1)} cells {t1:.1f}s -> 10x "
+        f"{len(c10)} cells {t10:.1f}s; every cell exactly 10x: {exact}"
+    )
+
+
+def probe_anomaly_wsample(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Spike report + weighted sampling at 10x.
+
+    Spike: clone every EVENT 10x in place — every bucket count c
+    scales to 10c, so S scales 10x, N is unchanged, and both sides of
+    the cleared-denominator test scale by exactly 100: the flag set
+    must be IDENTICAL to 1x (scale-invariance of z). Weighted sample:
+    10x distinct-id doc clones — total picks must still be EXACTLY m,
+    and the per-item floor/ceil bracket holds by construction; wall
+    time shows the two-phase prefix sum distributing."""
+    from cherry_spark.ext.sampling import weighted_systematic_sample
+    from cherry_spark.ext.timeseries import spike_report
+    from cherry_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    rep = F.explode(F.sequence(F.lit(1), F.lit(n_replicas))).alias("_r")
+    big = ev.select("event_type", "ts", rep).drop("_r")
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    s1 = {
+        (r.key, r.bucket_s): (r.n_events, r.is_spike)
+        for r in spike_report(ev, "event_type", "ts", 3600).collect()
+    }
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s10 = {
+        (r.key, r.bucket_s): (r.n_events, r.is_spike)
+        for r in spike_report(big, "event_type", "ts", 3600).collect()
+    }
+    t10 = time.perf_counter() - t0
+    invariant = set(s1) == set(s10) and all(
+        s10[k] == (10 * c, flag) for k, (c, flag) in s1.items()
+    )
+    n_spikes = sum(flag for _, flag in s1.values())
+    print(
+        f"[anomaly] spike_report on {n} events: 1x {len(s1)} buckets "
+        f"({n_spikes} spikes) {t1:.1f}s -> 10x {t10:.1f}s; flags "
+        f"scale-invariant and counts exactly 10x: {invariant}"
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"), "n_chars"
+        )
+        for i in range(n_replicas)
+    ]
+    bigd = parts[0]
+    for p in parts[1:]:
+        bigd = bigd.unionByName(p)
+    bigd = bigd.repartition(32).localCheckpoint(eager=True)
+    nd = bigd.count()
+    m = 1000
+    t0 = time.perf_counter()
+    out = weighted_systematic_sample(bigd, "doc_id", "n_chars", m=m).collect()
+    t = time.perf_counter() - t0
+    total = sum(r.n_picks for r in out)
+    print(
+        f"[anomaly] weighted_sample on {nd} docs, m={m}: {t:.1f}s, "
+        f"{len(out)} picked rows, total picks == m: {total == m}"
+    )
+
+
 def main() -> None:
     from cherry_spark.session import get_spark
 
@@ -767,6 +891,10 @@ def main() -> None:
         probe_timeseries(spark, sf_dir)
     if which in ("versioning", "all"):
         probe_versioning(spark, sf_dir)
+    if which in ("events", "all"):
+        probe_events(spark, sf_dir)
+    if which in ("anomaly", "all"):
+        probe_anomaly_wsample(spark, sf_dir)
 
 
 if __name__ == "__main__":
