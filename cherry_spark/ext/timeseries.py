@@ -196,6 +196,17 @@ def spike_report(
         F.col(key_col).alias("key"),
         time_bucket_s(F.col(ts_col), width_s).alias("bucket_s"),
     ).agg(F.count("*").cast("long").alias("n_events"))
+    return spike_flags_from_buckets(b, z_threshold)
+
+
+def spike_flags_from_buckets(
+    buckets: DataFrame, z_threshold: int = 3
+) -> DataFrame:
+    """The verdict stage of :func:`spike_report`, split out so the
+    streaming monitor (streaming/continuous.py:
+    run_streaming_spike_monitor) can run the identical integer
+    algebra over its folded bucket-count store. Input schema:
+    (key, bucket_s, n_events LONG)."""
     w = Window.partitionBy("key")
     t2 = int(z_threshold) * int(z_threshold)
     s = F.sum("n_events").over(w)
@@ -204,7 +215,7 @@ def spike_report(
     dev = F.col("n_events") * n - s
     num = (dev * dev).cast("long")
     den = (F.lit(t2) * (n * q - s * s)).cast("long")
-    return b.select(
+    return buckets.select(
         "key",
         "bucket_s",
         "n_events",

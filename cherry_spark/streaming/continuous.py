@@ -902,3 +902,76 @@ def run_streaming_mg(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_spike_monitor(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width_s: int = 3600,
+    z_threshold: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of ext/timeseries.py:spike_report — an
+    incrementally maintained per-(key, bucket) count store with the
+    identical integer-exact z-test recomputed after each fold.
+
+    Mergeable shape (the same reason run_streaming_rollup scales):
+    bucket counts merge by SUM, so each batch pays one grouped count
+    over the batch plus one merge over (stored ∪ batch partials).
+    State is |keys × observed buckets|-sized — bounded by time span /
+    width per key, never by event volume — and the verdict stage runs
+    over that bucket table, so re-flagging after every batch is cheap
+    by construction (the batch operator's own scale argument).
+
+    Because counts merge exactly and the verdict is pure integer
+    algebra over the merged counts, the streamed report after batch k
+    EQUALS the batch spike_report over the concatenation of batches
+    1..k — no approximation, no late-data caveat beyond bucket
+    placement itself (an event always lands in its timestamp's
+    bucket, however late it arrives: count-based spikes tolerate
+    out-of-order delivery by construction).
+
+    ``sink(report_df, batch_id)`` receives the refreshed FULL flag
+    report after each fold. Crash-replay caveat as the sibling gates:
+    state write is materialized (localCheckpoint) before overwrite;
+    a crash between sink and state write re-folds on replay — pair
+    with an idempotent sink.
+    """
+    import os
+
+    from cherry_spark.ext.timeseries import (
+        spike_flags_from_buckets,
+        time_bucket_s,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(
+            F.col(key_col).alias("key"),
+            time_bucket_s(F.col(ts_col), width_s).alias("bucket_s"),
+        ).agg(F.count("*").cast("long").alias("n_events"))
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            stored = spark.read.parquet(state_dir)
+            merged = (
+                stored.unionByName(partial)
+                .groupBy("key", "bucket_s")
+                .agg(F.sum("n_events").cast("long").alias("n_events"))
+            )
+        else:
+            merged = partial
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+        sink(spike_flags_from_buckets(merged, z_threshold), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -623,3 +623,84 @@ def test_streaming_rollup_matches_batch_groupby(spark, tmp_path):
     # the store holds the final rollup (restart-ready)
     final = {r["lang"]: r["sum_n_tokens"] for r in spark.read.parquet(state).collect()}
     assert final == {"en": 45, "de": 107, "fr": 52}
+
+
+def test_streaming_spike_monitor_matches_batch(spark, tmp_path):
+    """Streamed flag report after batch k == batch spike_report over
+    batches 1..k — counts merge exactly, the verdict is integer
+    algebra, so equality is exact (incl. a spike that only EMERGES
+    once enough batches accumulate the burst bucket)."""
+    import datetime as dt
+    import time
+
+    from cherry_spark.ext.timeseries import spike_report
+    from cherry_spark.streaming.continuous import run_streaming_spike_monitor
+
+    base = dt.datetime(2024, 7, 1, tzinfo=dt.timezone.utc)
+
+    def at(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    width = 600
+    # background: 1 event per bucket on k1 across 12 buckets; the
+    # burst bucket (index 3) receives 20 extra events SPREAD ACROSS
+    # the three arrivals — no single batch contains the whole spike
+    background = [("k1", at(i * width + 5)) for i in range(12)]
+    burst = [("k1", at(3 * width + 30 + i)) for i in range(20)]
+    arrivals = [
+        background[:4] + burst[:5],
+        background[4:8] + burst[5:12],
+        background[8:] + burst[12:],
+    ]
+    schema = "event_type string, ts timestamp"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen: list[tuple[int, dict]] = []
+
+    def sink(report, batch_id):
+        seen.append(
+            (
+                batch_id,
+                {
+                    (r.key, r.bucket_s): (r.n_events, r.is_spike)
+                    for r in report.collect()
+                },
+            )
+        )
+
+    q = run_streaming_spike_monitor(
+        spark,
+        stream_df,
+        str(tmp_path / "state"),
+        sink,
+        str(tmp_path / "ckpt"),
+        key_col="event_type",
+        ts_col="ts",
+        width_s=width,
+    )
+    q.awaitTermination(240)
+
+    assert len(seen) == 3
+    prefix: list = []
+    for i, (_, got) in enumerate(sorted(seen)):
+        prefix += arrivals[i]
+        ref = spark.createDataFrame(prefix, schema)
+        expect = {
+            (r.key, r.bucket_s): (r.n_events, r.is_spike)
+            for r in spike_report(ref, "event_type", "ts", width).collect()
+        }
+        assert got == expect
+    # the burst bucket IS flagged in the final report
+    final = dict(sorted(seen)[-1][1])
+    burst_bucket = int(at(3 * width).timestamp()) // width * width
+    assert final[("k1", burst_bucket)] == (1 + 20, 1)

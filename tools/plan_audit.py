@@ -174,6 +174,8 @@ AUDIT = [
     "funnel_conversion_report",
     "cohort_retention_matrix",
     "domain_blocklist_filter",
+    "event_spike_report",
+    "weighted_sample_exact",
 ]
 
 
