@@ -6,10 +6,11 @@ over the events table:
            ──► trailing 4-hour rolling load per type
            ──► ordered funnel view → click → purchase
            ──► weekly cohort retention matrix
+           ──► hourly spike flags (integer-exact z>3 per event type)
 
 Every stage is a registered certified operator (profile_table,
 resample_gapfill, rolling_resampled_stats, funnel_conversion,
-cohort_retention) composed as plain DataFrames — one events scan
+cohort_retention, spike_report) composed as plain DataFrames — one events scan
 feeds the grid pair (lazy localCheckpoint at the fan-out point, the
 CLAUDE.md multi-consumer invariant), the funnel and cohort read the
 scan directly (their per-stage filters push down).
@@ -33,6 +34,7 @@ def analyze(spark, sf_dir: str) -> dict[str, DataFrame]:
     from cherry_spark.ext.timeseries import (
         resample_gapfill,
         rolling_resampled_stats,
+        spike_report,
     )
     from cherry_spark.sources.tables import load_table
 
@@ -56,12 +58,14 @@ def analyze(spark, sf_dir: str) -> dict[str, DataFrame]:
 
     funnel = funnel_conversion(ev, ["view", "click", "purchase"])
     cohorts = cohort_retention(ev)
+    spikes = spike_report(evc, "event_type", "ts", 3600)
     return {
         "profile": profile,
         "grid": grid,
         "rolling": rolling,
         "funnel": funnel,
         "cohorts": cohorts,
+        "spikes": spikes,
     }
 
 
@@ -82,6 +86,10 @@ def main() -> None:
     for r in out["funnel"].orderBy("stage_idx").collect():
         print(f"  {r.stage_name}: {r.n_users} users (from first: {r.conv_from_first})")
     print(f"cohort matrix: {out['cohorts'].count()} cells")
+    sp = out["spikes"]
+    n_buckets = sp.count()
+    n_spikes = sp.agg(F.sum("is_spike")).collect()[0][0]
+    print(f"spike monitor: {n_buckets} hourly buckets, {n_spikes} flagged")
 
 
 if __name__ == "__main__":

@@ -132,3 +132,10 @@ def test_events_analytics_pipeline(spark, sf_dir):
     funnel = {r.stage_idx: r.n_users for r in out["funnel"].collect()}
     assert funnel[0] >= funnel[1] >= funnel[2]  # monotone by construction
     assert out["cohorts"].filter(F.col("week_offset") == 0).count() >= 1
+    spikes = out["spikes"]
+    assert spikes.count() >= 1
+    # flags obey the integer inequality they encode
+    bad = spikes.filter(
+        (F.col("is_spike") == 1) & (F.col("zsq_num") <= F.col("zsq_den"))
+    )
+    assert bad.count() == 0
