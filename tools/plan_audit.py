@@ -49,6 +49,8 @@ NESTED_LOOP_OK = {
     # mixing_temperature (the quota join itself is a BroadcastHashJoin)
     "vocab_coverage",  # 1-row totals cross-joined into the k rows
     "domain_pagerank",  # per-iteration 1-row dangling-mass broadcast cross-join
+    "weighted_sample_exact",  # the 1-row total-weight aggregate broadcast
+    # cross-joined into every row (ext/sampling.py:weighted_systematic_sample)
     "cms_heavy_hitters",  # 1-row stream-total aggregate cross-joined
     # into the threshold scan (the sketch/count tables join by key)
     "bm25_topk",  # 1-row corpus-stats aggregate (N, total_len)
