@@ -123,6 +123,48 @@ _R06_STALE_R09 = [
     "asof_join_latest_order", "media_frame_sample",
 ]
 
+# The 33 queries registered DURING round 8 (after the r08 window above
+# froze) — none can have a driver row before round 9.  This is the
+# round-9 window's leading group, pinned as data so the r09 reorder is
+# a mechanical swap (lead with _ADDED_R08, then _R06_STALE_R09, then
+# the first 3 r07-window rows: 33 + 14 + 3 = 50) instead of a
+# hand-recount (the error class that slipped in rounds 6 AND 7).
+_ADDED_R08 = [
+    "dataset_erc20_transfers",
+    "dataset_address_appearances",
+    "zorder_curve_key",
+    "weighted_sample_exact",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "leakage_safe_split",
+    "collocation_pmi_topn",
+    "phrase_search_topk",
+    "hard_negatives_topk",
+    "url_dedup_canonical",
+    "domain_stats_report",
+    "html_extract_text",
+    "domain_pagerank",
+    "domain_cap_sample",
+    "domain_blocklist_filter",
+    "bloom_membership_gate",
+    "bloom_fp_report",
+    "bpe_learn_merges",
+    "bpe_tokenize_stats",
+    "cms_freq_report",
+    "cms_heavy_hitters",
+    "mg_heavy_verdict",
+    "fuzzy_record_linkage",
+    "resample_gapfill",
+    "rolling_resampled_stats",
+    "funnel_conversion_report",
+    "cohort_retention_matrix",
+    "event_spike_report",
+    "corpus_diff_report",
+    "corpus_reprocess_manifest",
+    "profile_table_report",
+    "retrieval_eval_report",
+]
+
 _PAST_WINDOW_FIRST = [
     # oracle twin of in-window decode_dynamic_abi (Arrow lane only);
     # verify_local-only by policy — see module docstring
@@ -157,4 +199,14 @@ assert len(_NEVER_CERTIFIED) + len(_R06_STALE_R08) == 50, (
 )
 assert len(_R06_STALE_R08) + len(_R06_STALE_R09) == 50, (
     "the two r06-stale groups must partition the 50 r06-certified rows"
+)
+assert len(_ADDED_R08) == 33 and not (
+    set(_ADDED_R08)
+    & (set(_NEVER_CERTIFIED) | set(_R06_STALE_R08) | set(_R06_STALE_R09))
+), "round-8 additions must be exactly the 33 rows outside every r07-era group"
+assert set(_ADDED_R08) <= set(REGISTRY), (
+    "every pinned round-8 addition must be registered"
+)
+assert len(_ADDED_R08) + len(_R06_STALE_R09) + 3 == 50, (
+    "round-9 window arithmetic: 33 added + 14 r06-stale + 3 r07 rows"
 )
