@@ -40,3 +40,24 @@ def test_window_groups_contain_only_registered_names():
     for group in (Q._NEVER_CERTIFIED, Q._R06_STALE_R08, Q._R06_STALE_R09):
         missing = [n for n in group if n not in REGISTRY]
         assert not missing, f"window group names not registered: {missing}"
+
+
+def test_added_r08_is_exactly_the_post_r07_registrations():
+    """_ADDED_R08 (the r09 window's leading group) must be EXACTLY the
+    registered queries outside every r07-era set: the r07 driver
+    window, the r07-frozen never-certified group, both r06-stale
+    groups, and the policy past-window twin. Derived from the archived
+    artifacts so a hand-edit of the pinned list (or a new registration
+    that forgets to join it) fails here, not in round 9."""
+    r07 = _round_keys(7)
+    r07_era = (
+        r07
+        | set(Q._NEVER_CERTIFIED)
+        | set(Q._R06_STALE_R08)
+        | set(Q._R06_STALE_R09)
+        | set(Q._PAST_WINDOW_FIRST)
+    )
+    derived = [n for n in REGISTRY if n not in r07_era]
+    assert sorted(Q._ADDED_R08) == sorted(derived)
+    # r09 window arithmetic stays exact
+    assert len(Q._ADDED_R08) + len(Q._R06_STALE_R09) + 3 == 50
