@@ -283,3 +283,23 @@ def test_weighted_systematic_sample_exact_properties(spark):
     assert {(r["doc_id"], r["n_picks"]) for r in again} == {
         (r["doc_id"], r["n_picks"]) for r in out
     }
+
+
+def test_weighted_systematic_sample_adversarial_skew(spark):
+    """One item holding ~99% of the total weight (the celebrity-key
+    shape): it must take ~m picks (floor/ceil of its share) and the
+    total must still be exactly m — the systematic formulation cannot
+    over- or under-sample under any skew."""
+    import math
+
+    rows = [(0, 990_000)] + [(i, 100) for i in range(1, 101)]
+    W = sum(w for _, w in rows)
+    m = 50
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    from cherry_spark.ext.sampling import weighted_systematic_sample
+
+    out = weighted_systematic_sample(df, "doc_id", "w", m=m, salt="sk").collect()
+    picks = {r["doc_id"]: r["n_picks"] for r in out}
+    assert sum(picks.values()) == m
+    share = 990_000 * m / W
+    assert math.floor(share) <= picks[0] <= math.ceil(share)
