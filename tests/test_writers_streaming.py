@@ -704,3 +704,70 @@ def test_streaming_spike_monitor_matches_batch(spark, tmp_path):
     final = dict(sorted(seen)[-1][1])
     burst_bucket = int(at(3 * width).timestamp()) // width * width
     assert final[("k1", burst_bucket)] == (1 + 20, 1)
+
+
+def test_streaming_spike_monitor_restart_resumes_exactly(spark, tmp_path):
+    """Kill-and-restart: a NEW query resuming from the same checkpoint
+    + state store processes only the files that arrived while down,
+    and the post-restart report equals the batch operator over
+    EVERYTHING ever streamed — the state store is the restart
+    contract, not executor memory."""
+    import datetime as dt
+
+    from cherry_spark.ext.timeseries import spike_report
+    from cherry_spark.streaming.continuous import run_streaming_spike_monitor
+
+    base = dt.datetime(2024, 8, 1, tzinfo=dt.timezone.utc)
+    width = 600
+    # 12 background buckets: with N buckets a single outlier's z² is
+    # bounded by N-1, so N must exceed 10 for a lone burst to clear
+    # z>3 at all (N=12: num=121B² > den=99B² for any burst size B)
+    first = [("k1", base + dt.timedelta(seconds=i * width + 7)) for i in range(12)]
+    burst = [("k1", base + dt.timedelta(seconds=2 * width + 40 + i)) for i in range(15)]
+    schema = "event_type string, ts timestamp"
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(src)
+
+    reports: list[dict] = []
+
+    def sink(report, batch_id):
+        reports.append(
+            {
+                (r.key, r.bucket_s): (r.n_events, r.is_spike)
+                for r in report.collect()
+            }
+        )
+
+    def start():
+        stream_df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_streaming_spike_monitor(
+            spark, stream_df, state, sink, ckpt,
+            key_col="event_type", ts_col="ts", width_s=width,
+        )
+
+    q = start()
+    q.awaitTermination(180)
+    assert len(reports) == 1
+
+    # monitor is DOWN while the burst arrives
+    spark.createDataFrame(burst, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = start()
+    q2.awaitTermination(180)
+    assert len(reports) == 2  # exactly one new fold — no reprocessing
+
+    ref = spark.createDataFrame(first + burst, schema)
+    expected = {
+        (r.key, r.bucket_s): (r.n_events, r.is_spike)
+        for r in spike_report(ref, "event_type", "ts", width).collect()
+    }
+    assert reports[-1] == expected
+    # the emerged burst bucket is flagged post-restart
+    bb = int((base + dt.timedelta(seconds=2 * width)).timestamp()) // width * width
+    assert reports[-1][("k1", bb)] == (1 + 15, 1)
