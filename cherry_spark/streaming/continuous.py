@@ -975,3 +975,71 @@ def run_streaming_spike_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_weighted_sample(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    id_col: str,
+    weight_col: str,
+    m: int,
+    salt: str = "",
+    trigger_available_now: bool = True,
+):
+    """Maintain the EXACT m-pick weighted sample of a growing corpus.
+
+    Streaming twin of ext/sampling.py:weighted_systematic_sample —
+    the "keep a fixed-size quality-weighted sample of everything
+    we've ever ingested" primitive. Each batch folds its (id, weight)
+    pairs into a parquet state store (duplicate ids keep the max
+    weight — idempotent under arrival replay), then re-draws the
+    systematic sample OVER THE STORE.
+
+    Why re-drawing per fold is cheap and exact: the sample is a pure
+    function of the (id, weight) SET — the md5 line order never
+    depends on arrival order — so the streamed sample after batch k
+    EQUALS the batch operator over batches 1..k, with exactly m total
+    picks at every point in time (no reservoir variance, no decaying
+    approximation). The state is two scalar columns per distinct id —
+    at 100 TB of documents that is GB-scale id/weight pairs, and the
+    re-draw's only non-map stage is the 256-bucket two-phase prefix
+    sum over that store, never the corpus text.
+
+    ``sink(sample_df, batch_id)`` receives the refreshed sample
+    (id, weight, n_picks). Crash-replay caveat as the sibling gates.
+    """
+    import os
+
+    from cherry_spark.ext.sampling import weighted_systematic_sample
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(id_col).agg(
+            F.max(weight_col).cast("long").alias("_w_in")
+        )
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            stored = spark.read.parquet(state_dir)
+            merged = (
+                stored.unionByName(partial.withColumnRenamed("_w_in", "_w"))
+                .groupBy(id_col)
+                .agg(F.max("_w").cast("long").alias("_w"))
+            )
+        else:
+            merged = partial.withColumnRenamed("_w_in", "_w")
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(state_dir)
+        sink(
+            weighted_systematic_sample(merged, id_col, "_w", m=m, salt=salt),
+            batch_id,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

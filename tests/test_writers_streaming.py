@@ -771,3 +771,67 @@ def test_streaming_spike_monitor_restart_resumes_exactly(spark, tmp_path):
     # the emerged burst bucket is flagged post-restart
     bb = int((base + dt.timedelta(seconds=2 * width)).timestamp()) // width * width
     assert reports[-1][("k1", bb)] == (1 + 15, 1)
+
+
+def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
+    """The maintained sample after batch k == the batch operator over
+    batches 1..k (pure function of the (id, weight) set — arrival
+    order CANNOT matter), with exactly m total picks at every fold."""
+    import time
+
+    from cherry_spark.ext.sampling import weighted_systematic_sample
+    from cherry_spark.streaming.continuous import run_streaming_weighted_sample
+
+    arrivals = [
+        [(i, 1 + (i * 37) % 400) for i in range(0, 60)],
+        [(i, 1 + (i * 37) % 400) for i in range(60, 140)],
+        # arrival 3 replays id 10 (same weight — idempotent fold)
+        [(10, 1 + (10 * 37) % 400)] + [(i, 1 + (i * 37) % 400) for i in range(140, 200)],
+    ]
+    schema = "doc_id long, w long"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen: list[tuple[int, dict]] = []
+
+    def sink(sample, batch_id):
+        seen.append(
+            (batch_id, {r["doc_id"]: r["n_picks"] for r in sample.collect()})
+        )
+
+    m = 20
+    q = run_streaming_weighted_sample(
+        spark,
+        stream_df,
+        str(tmp_path / "state"),
+        sink,
+        str(tmp_path / "ckpt"),
+        id_col="doc_id",
+        weight_col="w",
+        m=m,
+        salt="sw",
+    )
+    q.awaitTermination(240)
+
+    assert len(seen) == 3
+    prefix: list = []
+    for i, (_, got) in enumerate(sorted(seen)):
+        prefix += arrivals[i]
+        ref = spark.createDataFrame(sorted(set(prefix)), schema)
+        expect = {
+            r["doc_id"]: r["n_picks"]
+            for r in weighted_systematic_sample(
+                ref, "doc_id", "w", m=m, salt="sw"
+            ).collect()
+        }
+        assert got == expect
+        assert sum(got.values()) == m
