@@ -373,6 +373,12 @@ def weighted_systematic_sample(
     the Spark plan and the DuckDB oracle (the portable-constant
     pattern of ext/dedup.py:_portable_hash_constants).
 
+    ``id_col`` values are assumed UNIQUE (a duplicate id would occupy
+    two line intervals and double its selection mass); the streaming
+    maintainer (streaming/continuous.py:run_streaming_weighted_sample)
+    enforces this by folding duplicates with max-weight before
+    drawing.
+
     No counterpart in the reference (training-pipeline extension
     surface); nearest reference concern is deterministic batch
     replay (src/cherry_etl/pipeline.py).
