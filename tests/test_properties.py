@@ -56,3 +56,35 @@ def test_u256_limb_math(v):
     b = v.to_bytes(32, "big")
     assert int.from_bytes(b[16:24], "big") == hi % 2**64 or hi < 2**64
     assert int.from_bytes(b[24:32], "big") == lo
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=0, max_value=10**18),
+)
+def test_weighted_systematic_formula_exact(weights, m, o_seed):
+    """The integer formula both engines execute for
+    ext/sampling.py:weighted_systematic_sample, checked over random
+    weights, sample sizes, and offsets: Σ multiplicities == m EXACTLY
+    and every item's multiplicity is within floor/ceil of its
+    proportional share — for ANY offset, not just the md5-derived one
+    (the +W shift makes truncating division equal floor division on
+    every numerator the formula can produce)."""
+    import math
+
+    W = sum(weights)
+    o = o_seed % W
+    start = 0
+    total = 0
+    for w in weights:
+        end = start + w
+        # the exact expression from the Spark plan / DuckDB oracle:
+        # truncating int division after the +W shift
+        picks = (end * m - o - 1 + W) // W - (start * m - o - 1 + W) // W
+        # count of W-spaced lattice points in a length-(w*m) interval:
+        # floor or ceil of w*m/W, exactly w*m/W when W divides it
+        assert (w * m) // W <= picks <= -((-w * m) // W)
+        total += picks
+        start = end
+    assert total == m
