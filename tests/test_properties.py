@@ -71,8 +71,6 @@ def test_weighted_systematic_formula_exact(weights, m, o_seed):
     proportional share — for ANY offset, not just the md5-derived one
     (the +W shift makes truncating division equal floor division on
     every numerator the formula can produce)."""
-    import math
-
     W = sum(weights)
     o = o_seed % W
     start = 0
