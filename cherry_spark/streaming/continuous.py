@@ -1043,3 +1043,93 @@ def run_streaming_weighted_sample(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_decontamination_gate(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    test_df: DataFrame,
+    eval_store_dir: str,
+    sink,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    min_shared: int = 1,
+    trigger_available_now: bool = True,
+):
+    """Block eval-set contamination AT INGESTION — the admission-gate
+    twin of ext/dedup.py:contamination_overlap, completing the gate
+    family (lexical dedup / semantic dedup / budget / decontamination).
+
+    Dedup gates protect corpus uniqueness; this gate protects the
+    EVALS: a training document sharing any word ``shingle_k``-gram
+    with a held-out document is flagged before it ever lands in the
+    corpus (after training it is too late — the benchmark number is
+    already contaminated).
+
+    Scale shape: the eval set is STATIC, so its shingle postings are
+    built ONCE into ``eval_store_dir`` (first call builds, later runs
+    and restarts reuse) — each micro-batch then pays only its own
+    tokenize+shingle plus one equi-join against the stored eval
+    postings (eval postings are tiny relative to any training stream;
+    Catalyst broadcasts them). Per-batch cost is O(batch), flat in
+    both stream length and eval-set age, and the gate never rescans
+    admitted documents — contamination is a property of (doc, eval)
+    alone, unlike near-dup, so there is no growing-corpus state at
+    all.
+
+    ``sink(verdicts_df, batch_id)`` receives one row per batch doc:
+    (id, verdict 'contaminated'|'clean', n_shared_shingles,
+    n_test_docs — zeros for clean docs).
+    """
+    import os
+
+    from cherry_spark.ext.dedup import shingle_postings
+
+    def store_exists(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+
+    if not store_exists(eval_store_dir):
+        shingle_postings(test_df, id_col, text_col, shingle_k).select(
+            F.col("id").alias("test_id"), "shingle"
+        ).write.mode("overwrite").parquet(eval_store_dir)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        te = spark.read.parquet(eval_store_dir)
+        bp = shingle_postings(batch_df, id_col, text_col, shingle_k)
+        hits = (
+            bp.join(F.broadcast(te), on="shingle")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(
+                F.countDistinct("shingle").alias("n_shared_shingles"),
+                F.countDistinct("test_id").alias("n_test_docs"),
+            )
+            .filter(F.col("n_shared_shingles") >= int(min_shared))
+        )
+        verdicts = (
+            batch_df.select(id_col)
+            .join(hits, on=id_col, how="left")
+            .select(
+                id_col,
+                F.when(F.col("n_shared_shingles").isNotNull(), "contaminated")
+                .otherwise("clean")
+                .alias("verdict"),
+                F.coalesce("n_shared_shingles", F.lit(0))
+                .cast("long")
+                .alias("n_shared_shingles"),
+                F.coalesce("n_test_docs", F.lit(0))
+                .cast("long")
+                .alias("n_test_docs"),
+            )
+        )
+        sink(verdicts, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -835,3 +835,87 @@ def test_streaming_weighted_sample_matches_batch(spark, tmp_path):
         }
         assert got == expect
         assert sum(got.values()) == m
+
+
+def test_streaming_decontamination_gate_matches_batch(spark, tmp_path):
+    """Streamed contamination verdicts across 2 arrivals == the batch
+    contamination_overlap replay over everything streamed, with the
+    eval-posting store built ONCE (a contaminated doc arriving in
+    arrival 2 is caught by the same store arrival 1 used)."""
+    import time
+
+    from cherry_spark.ext.dedup import contamination_overlap
+    from cherry_spark.streaming.continuous import (
+        run_streaming_decontamination_gate,
+    )
+
+    evals = spark.createDataFrame(
+        [
+            (900, "what is the capital of france paris is the answer"),
+            (901, "solve the integral of x squared dx equals x cubed over three"),
+        ],
+        "doc_id long, text string",
+    )
+    arrivals = [
+        [
+            # shares a 5-gram with eval 900 -> contaminated
+            (1, "trivia night asked what is the capital of france paris"),
+            (2, "completely clean training document about spark physical plans"),
+        ],
+        [
+            # shares a 5-gram with eval 901 -> contaminated (store reused)
+            (3, "homework help the integral of x squared dx equals easy"),
+            (4, "another clean document on parquet row group statistics"),
+        ],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen: list[tuple[int, dict]] = []
+
+    def sink(verdicts, batch_id):
+        seen.append(
+            (batch_id, {r["doc_id"]: r["verdict"] for r in verdicts.collect()})
+        )
+
+    store = str(tmp_path / "eval_postings")
+    q = run_streaming_decontamination_gate(
+        spark,
+        stream_df,
+        evals,
+        store,
+        sink,
+        str(tmp_path / "ckpt"),
+        shingle_k=5,
+    )
+    q.awaitTermination(240)
+
+    assert len(seen) == 2
+    streamed = {}
+    for _, got in seen:
+        streamed.update(got)
+    all_docs = spark.createDataFrame(
+        [d for a in arrivals for d in a], schema
+    )
+    flagged = {
+        r["doc_id"]
+        for r in contamination_overlap(all_docs, evals, shingle_k=5).collect()
+    }
+    assert flagged == {1, 3}
+    assert streamed == {
+        d: ("contaminated" if d in flagged else "clean") for d in (1, 2, 3, 4)
+    }
+    # the store was built once and persists for restarts
+    import os
+
+    assert any(f.endswith(".parquet") for f in os.listdir(store))
