@@ -351,12 +351,12 @@ def run_streaming_growing_semdedup(
         else:
             # bootstrap: seed the quantizer from the first batch
             cents = ivf_centroids(
-                batch_df.select(F.col(id_col), F.col(vec_col)),
+                clean_batch.select(F.col(id_col), F.col(vec_col)),
                 n_centroids,
                 id_col,
                 vec_col,
             ).localCheckpoint(eager=True)
-            built_n = batch_df.count()
+            built_n = clean_batch.count()
             write_centroids(cents, built_n)
         corpus = (
             spark.read.parquet(corpus_dir)
@@ -516,12 +516,20 @@ def run_streaming_curation_gate(
     nprobe: int = 2,
     reseed_factor: float = 4.0,
     trigger_available_now: bool = True,
+    test_df: DataFrame | None = None,
+    decon_shingle_k: int = 5,
     **delta_kwargs,
 ):
     """The COMPOSED ingestion gate: every micro-batch runs the full
     admission pipeline a training-data stream needs, cheapest filter
     first, budget last (so duplicate arrivals never spend budget):
 
+    0. DECONTAMINATION (when ``test_df`` is given) — any doc sharing a
+       word ``decon_shingle_k``-gram with the held-out set is rejected
+       outright: it must never be admitted regardless of uniqueness or
+       budget, so it runs first and rejected docs are not even signed.
+       Eval postings build once into ``<state_dir>/eval_postings``
+       (static eval set; restarts reuse);
     1. LEXICAL — ``delta_dedup`` against the accumulated text corpus
        (stored minhash signatures; exact_dup / near_dup rejected);
     2. SEMANTIC — ``semantic_delta_dedup`` of the lexical survivors
@@ -532,8 +540,8 @@ def run_streaming_curation_gate(
        the batch; once the budget is spent, later arrivals reject).
 
     ``sink(verdicts_df, batch_id)`` receives one row per batch doc:
-    ``verdict`` in (exact_dup, near_dup, semantic_dup, over_budget,
-    admitted) and ``cum_tokens`` (global running total, admitted rows
+    ``verdict`` in (contaminated, exact_dup, near_dup, semantic_dup,
+    over_budget, admitted) and ``cum_tokens`` (global running total, admitted rows
     only). Admitted docs fold into all three stores for the NEXT
     batch — signatures before text, centroids before vectors (the
     established crash-ordering rules), each doc shingled/hashed/
@@ -550,10 +558,11 @@ def run_streaming_curation_gate(
     import os
 
     from cherry_spark.ext.budget import budget_select
-    from cherry_spark.ext.dedup import delta_dedup, minhash_signatures
+    from cherry_spark.ext.dedup import delta_dedup, minhash_signatures, shingle_postings
     from cherry_spark.ext.ivf import ivf_assign, ivf_centroids
     from cherry_spark.ext.semdedup import semantic_delta_dedup
 
+    eval_dir = os.path.join(state_dir, "eval_postings")
     text_dir = os.path.join(state_dir, "text")
     sig_dir = os.path.join(state_dir, "text_sigs")
     vec_dir = os.path.join(state_dir, "vecs")
@@ -579,8 +588,28 @@ def run_streaming_curation_gate(
             df, id_col, text_col, n_hashes, shingle_k, hash_family
         )
 
+    if test_df is not None and store(eval_dir) is None:
+        shingle_postings(test_df, id_col, text_col, decon_shingle_k).select(
+            F.col("id").alias("test_id"), "shingle"
+        ).write.mode("overwrite").parquet(eval_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
+
+        # 0. decontamination gate — rejected docs never reach the
+        # signing/dedup/budget stages and never touch a store
+        if test_df is not None:
+            bp = shingle_postings(batch_df, id_col, text_col, decon_shingle_k)
+            contaminated = (
+                bp.join(F.broadcast(spark.read.parquet(eval_dir)), "shingle")
+                .select(F.col("id").alias(id_col))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            clean_batch = batch_df.join(contaminated, id_col, "left_anti")
+        else:
+            contaminated = None
+            clean_batch = batch_df
 
         # 1. lexical gate — the batch is signed ONCE; the same table
         # classifies (banding side) and later folds the admitted rows
@@ -589,10 +618,10 @@ def run_streaming_curation_gate(
         if corpus is None:
             corpus = spark.createDataFrame([], text_schema)
         sigs = store(sig_dir, sig_schema)
-        batch_sigs = signatures_of(batch_df).localCheckpoint(eager=True)
+        batch_sigs = signatures_of(clean_batch).localCheckpoint(eager=True)
         lex = delta_dedup(
             corpus,
-            batch_df,
+            clean_batch,
             id_col=id_col,
             text_col=text_col,
             corpus_signatures=sigs,
@@ -600,7 +629,7 @@ def run_streaming_curation_gate(
             **delta_kwargs,
         ).select(F.col("id").alias(id_col), "verdict")
         lex = lex.localCheckpoint(eager=True)
-        lex_ok = batch_df.join(
+        lex_ok = clean_batch.join(
             lex.filter(F.col("verdict") == "unique").select(id_col),
             id_col,
             "left_semi",
@@ -625,7 +654,7 @@ def run_streaming_curation_gate(
         vecs = store(vec_dir)
         if vecs is None:
             vecs = (
-                batch_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+                clean_batch.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
                 .withColumn("centroid_id", F.lit(0))
                 .limit(0)
             )
@@ -657,17 +686,24 @@ def run_streaming_curation_gate(
             (F.col("cum_tokens") + F.lit(spent)).cast("long").alias("cum_tokens"),
         )
 
-        # verdict precedence: lexical > semantic > budget
+        # verdict precedence: contamination > lexical > semantic > budget
+        base = batch_df.select(id_col, quality_col, token_col)
+        if contaminated is not None:
+            base = base.join(
+                contaminated.withColumn("_contam", F.lit(1)), id_col, "left"
+            )
+        else:
+            base = base.withColumn("_contam", F.lit(None).cast("int"))
         verdicts = (
-            batch_df.select(id_col, quality_col, token_col)
-            .join(lex, id_col, "left")
+            base.join(lex, id_col, "left")
             .join(sem, id_col, "left")
             .join(admitted, id_col, "left")
             .select(
                 id_col,
                 quality_col,
                 token_col,
-                F.when(F.col("verdict") != "unique", F.col("verdict"))
+                F.when(F.col("_contam").isNotNull(), F.lit("contaminated"))
+                .when(F.col("verdict") != "unique", F.col("verdict"))
                 .when(F.col("sem_verdict") == "semantic_dup", F.lit("semantic_dup"))
                 .when(F.col("cum_tokens").isNotNull(), F.lit("admitted"))
                 .otherwise(F.lit("over_budget"))

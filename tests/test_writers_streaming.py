@@ -919,3 +919,90 @@ def test_streaming_decontamination_gate_matches_batch(spark, tmp_path):
     import os
 
     assert any(f.endswith(".parquet") for f in os.listdir(store))
+
+
+def test_streaming_curation_gate_with_decontamination_stage(spark, tmp_path):
+    """Four-gate composition: a doc sharing a 5-gram with the eval set
+    is 'contaminated' with TOP precedence — it never spends budget,
+    never enters any store, and an exact clone of it in a later
+    arrival is NOT an exact_dup (the contaminated original was never
+    admitted) but is itself caught by the eval store."""
+    import os
+    import time
+
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+
+    eval_text = "what is the boiling point of water at sea level exactly"
+    text_b = "spark catalyst optimizer rewrites logical plans into physical plans"
+    text_c = "parquet row groups store columnar chunks with statistics footers"
+    evals = spark.createDataFrame(
+        [(900, eval_text)], "doc_id long, text string"
+    )
+    a1 = [
+        # contaminated: shares "what is the boiling point" with eval
+        (1, "quiz what is the boiling point of water answer below",
+         [1.0, 0.0, 0.0, 0.0], 0.99, 30),
+        (2, text_b, [0.0, 1.0, 0.0, 0.0], 0.5, 30),
+    ]
+    a2 = [
+        # exact clone of the CONTAMINATED doc — still contaminated,
+        # not exact_dup (doc 1 never entered the corpus store)
+        (3, "quiz what is the boiling point of water answer below",
+         [1.0, 0.0, 0.0, 0.0], 0.99, 30),
+        (4, text_c, [0.0, 0.0, 1.0, 0.0], 0.8, 30),
+    ]
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+    src_dir = str(tmp_path / "incoming")
+    for arrival in (a1, a2):
+        spark.createDataFrame(arrival, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)
+
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = str(tmp_path / "verdicts")
+
+    def sink(verdicts, batch_id):
+        verdicts.write.mode("append").parquet(out)
+
+    state = str(tmp_path / "state")
+    q = run_streaming_curation_gate(
+        spark,
+        stream_df,
+        state,
+        sink,
+        str(tmp_path / "ckpt"),
+        budget=100,
+        semantic_threshold=0.9,
+        n_centroids=2,
+        nprobe=2,
+        jaccard_threshold=0.5,
+        test_df=evals,
+        decon_shingle_k=5,
+    )
+    q.awaitTermination(240)
+
+    verdict_of = {
+        r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
+    }
+    assert verdict_of == {
+        1: "contaminated",
+        2: "admitted",
+        3: "contaminated",
+        4: "admitted",
+    }
+    # contaminated docs never touched a store or the budget
+    assert spark.read.parquet(os.path.join(state, "text")).count() == 2
+    assert spark.read.parquet(os.path.join(state, "spent")).first()["spent"] == 60
+    # the eval-posting store was built once and persists
+    assert any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(state, "eval_postings"))
+    )
