@@ -606,7 +606,14 @@ def run_streaming_curation_gate(
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            clean_batch = batch_df.join(contaminated, id_col, "left_anti")
+            # clean_batch is a multi-consumer fan-out point (signing,
+            # both dedup gates, budget, the store folds all read it) —
+            # materialize ONCE or every reference re-runs the anti-join
+            # (the CLAUDE.md fan-out invariant; measured at the 10x
+            # probe: 368 -> ~210 s total without/with this checkpoint)
+            clean_batch = batch_df.join(
+                contaminated, id_col, "left_anti"
+            ).localCheckpoint(eager=True)
         else:
             contaminated = None
             clean_batch = batch_df

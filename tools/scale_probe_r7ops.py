@@ -166,7 +166,13 @@ def probe_budget_grouped(spark, sf_dir: str, n_replicas: int = 10) -> None:
     )
 
 
-def probe_gate(spark, sf_dir: str, n_arrivals: int = 10) -> None:
+def probe_gate(spark, sf_dir: str, n_arrivals: int = 10, decon: bool = False) -> None:
+    """Composed-gate probe; ``decon=True`` adds the round-8 stage-0
+    decontamination: a 100-doc eval set drawn from the base corpus, so
+    every arrival carries replica-lane clones of eval text — the
+    worst case (every contaminated doc in every arrival). Prices the
+    per-batch cost of the extra shingle+broadcast join and shows
+    contaminated docs spending no budget."""
     from cherry_spark.streaming.continuous import run_streaming_curation_gate
 
     work = "/tmp/cherry_probe_r7gate"
@@ -259,6 +265,13 @@ def probe_gate(spark, sf_dir: str, n_arrivals: int = 10) -> None:
     # budget ~ 2.5 arrivals' worth of novel volume: arrival 0 admits
     # ~everything, later arrivals admit ~1/3 — exhaustion mid-stream
     budget = int(tok0 * 1.8)
+    test_df = (
+        base.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+        if decon
+        else None
+    )
     t0 = time.perf_counter()
     q = run_streaming_curation_gate(
         spark,
@@ -271,6 +284,7 @@ def probe_gate(spark, sf_dir: str, n_arrivals: int = 10) -> None:
         nprobe=2,
         jaccard_threshold=0.5,
         semantic_threshold=0.9,
+        test_df=test_df,
     )
     q.awaitTermination(3600)
     total = time.perf_counter() - t0
@@ -285,8 +299,9 @@ def probe_gate(spark, sf_dir: str, n_arrivals: int = 10) -> None:
     n_batches = max(b for b, _ in per) + 1
     lines = []
     for b in range(n_batches):
-        row = {v: per.get((b, v), 0) for v in
-               ("admitted", "exact_dup", "near_dup", "semantic_dup", "over_budget")}
+        vnames = ("admitted", "exact_dup", "near_dup", "semantic_dup",
+                  "over_budget") + (("contaminated",) if decon else ())
+        row = {v: per.get((b, v), 0) for v in vnames}
         lines.append(
             f"  arrival {b}: {row} in {batch_times[b]:.1f}s"
             if b < len(batch_times)
@@ -294,7 +309,8 @@ def probe_gate(spark, sf_dir: str, n_arrivals: int = 10) -> None:
         )
     spent = spark.read.parquet(f"{work}/state/spent").first()["spent"]
     print(
-        f"[streaming gate] {n_arrivals} arrivals x {n_docs} docs, "
+        f"[streaming gate{'+decon' if decon else ''}] "
+        f"{n_arrivals} arrivals x {n_docs} docs, "
         f"budget {budget}: total {total:.1f}s\n" + "\n".join(lines) + "\n"
         f"  spent {spent} <= budget: {spent <= budget}; "
         f"per-batch seconds {[round(t, 1) for t in batch_times]}"
@@ -873,6 +889,8 @@ def main() -> None:
         probe_budget_grouped(spark, sf_dir)
     if which in ("gate", "all"):
         probe_gate(spark, sf_dir)
+    if which == "gate_decon":
+        probe_gate(spark, sf_dir, decon=True)
     if which in ("bloom", "all"):
         probe_bloom(spark, sf_dir)
     if which in ("web", "all"):
