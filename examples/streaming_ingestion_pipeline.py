@@ -1,8 +1,9 @@
 """Streaming ingestion with the full admission gate — the unbounded
 twin of examples/curation_pipeline.py: documents arrive over time, and
-every micro-batch runs lexical dedup → semantic dedup → global token
-budget BEFORE anything reaches the corpus, with all state in
-parquet-backed stores (restart-safe, nothing executor-memory-bound).
+every micro-batch runs eval-set decontamination → lexical dedup →
+semantic dedup → global token budget BEFORE anything reaches the
+corpus, with all state in parquet-backed stores (restart-safe,
+nothing executor-memory-bound).
 
 The reference's pipeline loop is batch-pull → steps → writer
 (reference src/cherry_etl/pipeline.py:110-126); this is the same loop
@@ -52,6 +53,12 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 20_000) -> dict:
         )
         .localCheckpoint(eager=True)
     )
+    # a small held-out eval set, drawn from the corpus so the stream
+    # genuinely contains contaminated docs (every 25th doc's text)
+    evals = staged.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+
     for i in range(3):
         staged.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "append"
@@ -82,6 +89,7 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 20_000) -> dict:
         budget=budget,
         jaccard_threshold=0.5,
         semantic_threshold=0.95,
+        test_df=evals,
     )
     q.awaitTermination(300)
 

@@ -89,3 +89,5 @@ def test_streaming_ingestion_example(spark, sf_dir, tmp_path):
     assert sum(counts.values()) > 0
     assert res["spent"] <= res["budget"]
     assert counts.get("admitted", 0) > 0
+    # the eval set is drawn from the corpus, so contamination MUST fire
+    assert counts.get("contaminated", 0) > 0
