@@ -1006,3 +1006,74 @@ def test_streaming_curation_gate_with_decontamination_stage(spark, tmp_path):
         f.endswith(".parquet")
         for f in os.listdir(os.path.join(state, "eval_postings"))
     )
+
+
+def test_streaming_curation_gate_restart_uses_persisted_stores(spark, tmp_path):
+    """Stop the gate, let an arrival land while it is down, restart
+    with the SAME state/checkpoint dirs: the new arrival must be
+    classified against the persisted stores (an exact clone of a
+    pre-restart admission is exact_dup; the global budget keeps
+    counting from the persisted spent row) and pre-restart batches
+    are not reprocessed."""
+    import os
+    import time
+
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+
+    text_a = "the quick brown fox jumps over the lazy dog tonight"
+    text_b = "spark catalyst optimizer rewrites logical plans into physical plans"
+    a1 = [
+        (1, text_a, [1.0, 0.0, 0.0, 0.0], 0.9, 30),
+        (2, text_b, [0.0, 1.0, 0.0, 0.0], 0.5, 30),
+    ]
+    # lands while the gate is DOWN: a clone of doc 1 + a novel doc
+    a2 = [
+        (3, text_a, [0.0, 0.0, 1.0, 0.0], 0.9, 10),
+        (4, "parquet row groups store columnar chunks with statistics",
+         [0.0, 0.0, 0.0, 1.0], 0.8, 25),
+    ]
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+    src_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "verdicts")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(verdicts, batch_id):
+        verdicts.write.mode("append").parquet(out)
+
+    def start():
+        stream_df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return run_streaming_curation_gate(
+            spark, stream_df, state, sink, ckpt,
+            budget=100, semantic_threshold=0.9, n_centroids=2,
+            nprobe=2, jaccard_threshold=0.5,
+        )
+
+    spark.createDataFrame(a1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    q = start()
+    q.awaitTermination(240)
+    assert spark.read.parquet(out).count() == 2
+
+    time.sleep(1.1)
+    spark.createDataFrame(a2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = start()
+    q2.awaitTermination(240)
+
+    got = {r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()}
+    assert got == {
+        1: "admitted",
+        2: "admitted",
+        3: "exact_dup",       # caught by the PERSISTED signature store
+        4: "admitted",
+    }
+    assert len(got) == 4  # docs 1/2 classified exactly once
+    # budget resumed from the persisted spent row: 30 + 30 + 25
+    assert spark.read.parquet(os.path.join(state, "spent")).first()["spent"] == 85
+    assert spark.read.parquet(os.path.join(state, "text")).count() == 3
