@@ -876,6 +876,99 @@ def probe_anomaly_wsample(spark, sf_dir: str, n_replicas: int = 10) -> None:
     )
 
 
+def probe_maintainers(spark, sf_dir: str, n_arrivals: int = 10) -> None:
+    """Per-batch cost curves for the round-8 streaming maintainers.
+
+    Spike monitor: 10 arrivals x 100k events (1M total) — state is the
+    per-(key, bucket) table, so per-batch cost must stay FLAT while
+    the folded stream grows 10x. Weighted-sample maintainer: 10
+    arrivals x 5k distinct-id docs — the re-draw runs over the
+    (id, weight) store (50k rows by the end), so the curve may grow
+    with the STORE (tiny rows) but never with text volume; exactly m
+    picks after every fold."""
+    import shutil
+
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import (
+        run_streaming_spike_monitor,
+        run_streaming_weighted_sample,
+    )
+
+    work = "/tmp/cherry_probe_maintainers"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+
+    # --- spike monitor over replicated event arrivals ---
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    src = f"{work}/ev_in"
+    for i in range(n_arrivals):
+        ev.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+    stream_df = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    times: list[float] = []
+    last = [time.perf_counter()]
+    flags: list[int] = []
+
+    def sink(report, batch_id):
+        flags.append(report.agg(F.sum("is_spike")).first()[0])
+        now = time.perf_counter()
+        times.append(now - last[0])
+        last[0] = now
+
+    q = run_streaming_spike_monitor(
+        spark, stream_df, f"{work}/ev_state", sink, f"{work}/ev_ckpt",
+        key_col="event_type", ts_col="ts", width_s=3600,
+    )
+    q.awaitTermination(1800)
+    print(
+        f"[maintainers] spike monitor: {n_arrivals} x {ev.count()} events, "
+        f"per-batch seconds {[round(t, 1) for t in times]} "
+        f"(first->last {times[-1] / times[0]:.2f}x); "
+        f"flag count stable under uniform growth: "
+        f"{len(set(flags)) == 1} ({flags[0]} spikes)"
+    )
+
+    # --- weighted-sample maintainer over distinct-id doc arrivals ---
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    src2 = f"{work}/doc_in"
+    for i in range(n_arrivals):
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"), "n_chars"
+        ).coalesce(1).write.mode("append").parquet(src2)
+        time.sleep(1.05)
+    stream2 = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    times2: list[float] = []
+    last2 = [time.perf_counter()]
+    totals: list[int] = []
+
+    def sink2(sample, batch_id):
+        totals.append(sample.agg(F.sum("n_picks")).first()[0])
+        now = time.perf_counter()
+        times2.append(now - last2[0])
+        last2[0] = now
+
+    m = 500
+    q2 = run_streaming_weighted_sample(
+        spark, stream2, f"{work}/doc_state", sink2, f"{work}/doc_ckpt",
+        id_col="doc_id", weight_col="n_chars", m=m,
+    )
+    q2.awaitTermination(1800)
+    print(
+        f"[maintainers] weighted sample: {n_arrivals} x {docs.count()} docs, "
+        f"m={m}: per-batch seconds {[round(t, 1) for t in times2]} "
+        f"(first->last {times2[-1] / times2[0]:.2f}x); "
+        f"exactly m after every fold: {all(t == m for t in totals)}"
+    )
+
+
 def main() -> None:
     from cherry_spark.session import get_spark
 
@@ -891,6 +984,8 @@ def main() -> None:
         probe_gate(spark, sf_dir)
     if which == "gate_decon":
         probe_gate(spark, sf_dir, decon=True)
+    if which == "maintainers":
+        probe_maintainers(spark, sf_dir)
     if which in ("bloom", "all"):
         probe_bloom(spark, sf_dir)
     if which in ("web", "all"):
