@@ -70,12 +70,76 @@ def _merge_expr(syms, left: str, right: str):
     )
 
 
+_SEP = "\x00"  # never appears in a symbol: words are whitespace-split
+
+
+def _merge_batch_expr(syms, rules: list[tuple[str, str]]):
+    """Apply a SYMBOL-DISJOINT batch of merge rules in one left-to-right
+    fold pass.  Disjointness (no symbol — including each rule's merged
+    output — appears in any other rule, enforced by the greedy selector)
+    means at most one rule can match at any boundary and no rule can
+    consume or produce another rule's symbols, so one combined pass
+    equals applying the rules' individual folds sequentially in rank
+    order.  The rule set rides in a map literal keyed by
+    ``left SEP right`` — per-element cost is one O(1) lookup however
+    large the batch (a when-chain would cost O(batch) per element,
+    erasing the batching win).  ``try_element_at``: ANSI mode makes
+    plain map ``element_at`` throw on missing keys."""
+    m = F.create_map(
+        *[
+            lit
+            for left, right in rules
+            for lit in (F.lit(left + _SEP + right), F.lit(left + right))
+        ]
+    )
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & F.try_element_at(
+                m, F.concat(F.element_at(acc, -1), F.lit(_SEP), x)
+            ).isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.try_element_at(
+                        m, F.concat(F.element_at(acc, -1), F.lit(_SEP), x)
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def select_disjoint_batch(
+    ranked_pairs: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of (count DESC, pair lex ASC)-ranked pairs such
+    that no symbol is shared BETWEEN selected rules and no rule's
+    merged output collides with another rule's symbol — the standard
+    batched-BPE compatibility condition.  Driver-side over a bounded
+    candidate list (pure function, unit-tested directly)."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for left, right, n in ranked_pairs:
+        merged = left + right
+        if left in used or right in used or merged in used:
+            continue
+        out.append((left, right, n))
+        used |= {left, right, merged}
+        if len(out) >= batch:
+            break
+    return out
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 100,
     min_pair_count: int = 2,
     return_segmentations: bool = False,
+    batch: int = 1,
 ):
     """Learn up to ``n_merges`` BPE merges from a corpus.
 
@@ -83,7 +147,23 @@ def bpe_learn(
     ``return_segmentations``, a tuple of (merges, word-type DataFrame
     ``(word, cnt, syms)`` holding each word's final segmentation).
     Stops early when the best remaining pair occurs fewer than
-    ``min_pair_count`` times (weighted)."""
+    ``min_pair_count`` times (weighted).
+
+    ``batch`` (r9, verdict item #6 — production merge counts): with
+    ``batch=1`` each round learns exactly one merge (classic sequential
+    BPE: one count job + one fold job per merge — fine at 100 merges,
+    32k jobs at a 32k-merge production vocabulary).  With ``batch=N``
+    each round counts pairs ONCE, greedily selects the top-N
+    SYMBOL-DISJOINT pairs from a bounded driver-side candidate list
+    (count DESC, pair lex ASC — ``select_disjoint_batch``), and applies
+    them in one combined fold — O(n_merges / batch) Spark jobs.
+    Batched selection is a deliberate, deterministic approximation of
+    sequential BPE (a merge CREATED by an earlier rule in the same
+    round cannot be selected until the next round; counts are
+    round-start counts); rules within a round can never interact
+    because their symbol sets are disjoint.  The pure-Python
+    differential twin in tests replays the identical batched algorithm
+    exactly."""
     spark = df.sparkSession
     words = _word_types(df, text_col).withColumn(
         "syms",
@@ -91,7 +171,7 @@ def bpe_learn(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
         pairs = words.select(
             "cnt",
             F.explode(
@@ -102,28 +182,48 @@ def bpe_learn(
                 )
             ).alias("p"),
         ).groupBy("p").agg(F.sum("cnt").alias("n"))
-        # ONE 1-row argmax: min(struct(-n, pair)) picks the highest
-        # count, then the lexicographically smallest pair at that
-        # count — the deterministic tie-break in a single job
-        # (bounded driver collect; was a max + join + agg = 2 jobs,
-        # measured 11.1 -> 10.1 s for 10 merges at sf0.1 — the
-        # remaining cost is per-round fixed job latency + the
-        # checkpointed merge fold, not this argmax)
-        best = pairs.agg(
-            F.min(
-                F.struct((-F.col("n")).alias("nn"), F.col("p").alias("p"))
-            ).alias("b")
-        ).collect()
-        if not best or best[0]["b"] is None:
-            break
-        p, n = best[0]["b"]["p"], -best[0]["b"]["nn"]
-        if n < min_pair_count:
-            break
-        left, right = p["l"], p["r"]
-        merges.append((rank, left, right, int(n)))
-        words = words.withColumn(
-            "syms", _merge_expr(F.col("syms"), left, right)
-        ).localCheckpoint(eager=True)
+        take = min(batch, n_merges - len(merges))
+        if take <= 1:
+            # ONE 1-row argmax: min(struct(-n, pair)) picks the highest
+            # count, then the lexicographically smallest pair at that
+            # count — the deterministic tie-break in a single job
+            # (bounded driver collect; was a max + join + agg = 2 jobs,
+            # measured 11.1 -> 10.1 s for 10 merges at sf0.1 — the
+            # remaining cost is per-round fixed job latency + the
+            # checkpointed merge fold, not this argmax)
+            best = pairs.agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("nn"), F.col("p").alias("p"))
+                ).alias("b")
+            ).collect()
+            if not best or best[0]["b"] is None:
+                break
+            p, n = best[0]["b"]["p"], -best[0]["b"]["nn"]
+            if n < min_pair_count:
+                break
+            selected = [(p["l"], p["r"], int(n))]
+        else:
+            # bounded candidate collect: 3x the batch + slack absorbs
+            # greedy conflicts; a TakeOrderedAndProject, never a full
+            # pair-table sort on one task
+            cands = [
+                (r["p"]["l"], r["p"]["r"], int(r["n"]))
+                for r in pairs.filter(F.col("n") >= min_pair_count)
+                .orderBy(F.desc("n"), F.col("p"))
+                .limit(take * 3 + 10)
+                .collect()
+            ]
+            selected = select_disjoint_batch(cands, take)
+            if not selected:
+                break
+        for left, right, n in selected:
+            merges.append((len(merges), left, right, n))
+        rules = [(left, right) for left, right, _ in selected]
+        if len(rules) == 1:
+            new_syms = _merge_expr(F.col("syms"), *rules[0])
+        else:
+            new_syms = _merge_batch_expr(F.col("syms"), rules)
+        words = words.withColumn("syms", new_syms).localCheckpoint(eager=True)
 
     merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"

@@ -414,6 +414,8 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_dir: str | None = None,
+    method: str = "numpy",
+    pad: int = 8,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN GRAPH: every vector's k nearest
     neighbors (self excluded) through the IVF index — the artifact
@@ -430,14 +432,38 @@ def knn_graph(
     ivf_build_index store (the repeated-run path — identical output,
     the index is deterministic); inline build otherwise.
     Returns (query_id, id_col, sim) — round(cosine, 6).
+
+    ``method`` picks the candidate-scoring lane (r9, verdict item #4):
+
+    - ``"numpy"`` (default): the Σ|cluster|·nprobe pair scoring runs as
+      a cogrouped ``applyInPandas`` per centroid_id — one Arrow batch
+      per cluster, one BLAS matmul for the cluster×probe similarity
+      block, per-query top-(k+pad) selection inside the batch. Only
+      those ≤ nprobe·(k+pad) candidates per query reach the JVM rerank,
+      which recomputes their similarity with the CERTIFIED fold
+      expression and ranks with the same (round(sim,6) DESC, id) total
+      order as the fold lane. Output identity argument: global top-k
+      under a total order is contained in the per-cluster top-k, so
+      equality holds whenever each per-cluster numpy top-(k+pad) by
+      float64-matmul proxy (ties broken by id via a stable sort over
+      id-sorted rows — duplicate-vector ties select the LOWEST ids,
+      matching the fold lane) covers the per-cluster top-k by fold
+      cosine; proxy and fold differ only in IEEE summation order
+      (≲1e-13), so a miss needs ``pad`` boundary pairs inside that
+      margin of a 0.5e-6 rounding edge.  Differentially asserted equal
+      to the fold lane in tests at multiple SFs and on an adversarial
+      duplicate-heavy fixture.  The interpreted 64-dim fold was the
+      dominant cost of the fold lane (sf0.1: 5.9 s warm — candidate
+      volume × HOF fold); the matmul lane removes it from the
+      per-pair path entirely.
+    - ``"fold"``: the original all-pairs JVM expression lane (also the
+      automatic fallback when numpy/pandas are unavailable).
     """
     if index_dir is not None:
         spark = vectors.sparkSession
         centroids = spark.read.parquet(f"{index_dir}/centroids")
-        corpus = (
-            spark.read.parquet(f"{index_dir}/corpus")
-            .select(id_col, vec_col, "centroid_id")
-            .withColumn("__vn", norm(F.col(vec_col)))
+        corpus = spark.read.parquet(f"{index_dir}/corpus").select(
+            id_col, vec_col, "centroid_id"
         )
     else:
         # centroids (n_centroids rows) is referenced by BOTH the corpus
@@ -449,15 +475,23 @@ def knn_graph(
             vectors, n_centroids, id_col, vec_col
         ).localCheckpoint(eager=True)
         assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-        corpus = (
-            vectors.join(assigned, on=id_col)
-            .select(id_col, vec_col, "centroid_id")
-            .withColumn("__vn", norm(F.col(vec_col)))
+        corpus = vectors.join(assigned, on=id_col).select(
+            id_col, vec_col, "centroid_id"
         )
     queries = vectors.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     # q_probe: (query_id, __qvec, centroid_id) — corpus-sized x nprobe;
     # deliberately NOT broadcast below
     q_probe = _probe_centroids(queries, centroids, nprobe, vec_col, "query_id")
+    if method == "numpy":
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+        except ImportError:  # pragma: no cover - both baked into the env
+            method = "fold"
+    if method == "numpy":
+        cand = _knn_candidates_numpy(corpus, q_probe, k + pad, id_col, vec_col)
+        return _exact_rerank(cand, corpus, k, id_col, vec_col)
+    corpus = corpus.withColumn("__vn", norm(F.col(vec_col)))
     q_probe = q_probe.withColumn("__qn", norm(F.col("__qvec")))
     # Repartition BOTH join inputs on the join key: the sortless
     # exchange is the materialization point for the __vn/__qn norm
@@ -477,6 +511,112 @@ def knn_graph(
         corpus.join(q_probe, on="centroid_id")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(F.col("query_id"), F.col(id_col), F.round(sim, 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _knn_candidates_numpy(
+    corpus: DataFrame,
+    q_probe: DataFrame,
+    k_buf: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-cluster per-query top-``k_buf`` candidate pairs via one
+    float64 matmul per (cluster × its probes) Arrow batch.
+
+    Selection order inside a batch: rows pre-sorted by corpus id, then
+    a STABLE argsort on descending proxy — so equal proxies (duplicate
+    vectors) select the lowest ids first, the same tie-break as the
+    certified (sim DESC, id ASC) rank. Zero-norm rows score -inf
+    (ranked last, mirroring the fold lane's NULLS LAST); self-pairs are
+    dropped after selection exactly like the fold lane's pre-rank
+    filter.  Memory per task is one |cluster| × |probes-of-cluster|
+    float64 block — bounded by the cluster-size guard upstream, never
+    corpus-bounded."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = corpus.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("__cand", id_type),
+        ]
+    )
+
+    left = corpus.select(
+        "centroid_id", F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    right = q_probe.select("centroid_id", "query_id", "__qvec")
+
+    def score_block(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"query_id": [], "__cand": []}).astype(
+                {"query_id": "int64", "__cand": "int64"}
+            )
+        lpdf = lpdf.sort_values("__cid", kind="mergesort")
+        A = np.asarray(lpdf["__cvec"].tolist(), dtype=np.float64)
+        B = np.asarray(rpdf["__qvec"].tolist(), dtype=np.float64)
+        an = np.sqrt((A * A).sum(axis=1))
+        bn = np.sqrt((B * B).sum(axis=1))
+        denom = np.outer(an, bn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            P = np.where(denom > 0, (A @ B.T) / np.where(denom > 0, denom, 1.0), -np.inf)
+        cids = lpdf["__cid"].to_numpy()
+        qids = rpdf["query_id"].to_numpy()
+        # stable sort over id-sorted rows: descending proxy, id tiebreak
+        order = np.argsort(-P, axis=0, kind="stable")
+        take = min(k_buf + 1, len(cids))  # +1 absorbs the self row
+        sel = order[:take, :]  # take × m candidate row indices
+        q_rep = np.broadcast_to(qids, sel.shape)
+        c_sel = cids[sel]
+        keep = c_sel != q_rep
+        return pd.DataFrame(
+            {"query_id": q_rep[keep], "__cand": c_sel[keep]}
+        )
+
+    return (
+        left.groupBy("centroid_id")
+        .cogroup(right.groupBy("centroid_id"))
+        .applyInPandas(score_block, schema=out_schema)
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rank candidate pairs with the CERTIFIED fold cosine and the
+    (round(sim,6) DESC, id ASC) total order — the arithmetic the
+    DuckDB oracle replays. Per-query group size is ≤ nprobe·(k_buf)
+    rows by construction, so the rank window is bounded."""
+    side = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__vn", norm(F.col(vec_col))
+    )
+    qside = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qn", norm(F.col("__qvec")))
+    na, nb = F.col("__vn"), F.col("__qn")
+    sim = F.when(
+        (na > 0) & (nb > 0), dot(F.col(vec_col), F.col("__qvec")) / (na * nb)
+    )
+    scored = (
+        cand.withColumnRenamed("__cand", id_col)
+        .join(side, on=id_col)
+        .join(qside, on="query_id")
+        .select("query_id", F.col(id_col), F.round(sim, 6).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
     return (

@@ -3,7 +3,7 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-for the ROUND-8 window.
+for the ROUND-9 window (_ADDED_R08 + _R06_STALE_R09 + _R07_FIRST3).
 
 Standing rotation policy (round-7 verdict item #2): the registry holds
 115 queries and the driver window holds 50, so a strict "no query more
@@ -171,13 +171,52 @@ _PAST_WINDOW_FIRST = [
     "decode_dynamic_abi_arrow",
 ]
 
+# Queries registered DURING round 9 (after the r09 window froze) —
+# they join the certification queue in round 10.  Pinned as data the
+# moment they are registered (the _ADDED_R08 discipline).
+_ADDED_R09 = [
+    "trained_quality_gate",
+]
+
+# The first 3 rows of the archived ROUND-7 driver window
+# (CORRECTNESS_r07.json key order) — they close the r09 window to
+# exactly 50.  Pinned as data (tests/test_registry_window.py re-derives
+# them from the artifact) so the r10 plan "remaining 47 r07 rows" has
+# an unambiguous complement.
+_R07_FIRST3 = [
+    "cdc_chunk_rewrite",
+    "quantized_rerank_topk",
+    "approx_distinct",
+]
+
+# ---------------------------------------------------------------------
+# Registry-pruning policy (round-8 verdict item #2, adopted round 9):
+# the 3-round certification guarantee requires registered <= 3 x 50 =
+# 150.  The registry holds 148, leaving 2 free slots.  RULE: a change
+# that would push the registry past 150 must, in the SAME commit, move
+# a named twin to verify_local-only (append it to _PAST_WINDOW_FIRST
+# and record the displacement here).  Twin = a query whose oracle
+# family and serving path are already certified by a sibling row.
+# Ranked displacement candidates, in order:
+#   1. dedup_clusters_star   (same CC pipeline as dedup_clusters; only
+#      the star-edge generation differs, covered by unit tests)
+#   2. bloom_fp_report       (same bitmap build as bloom_membership_gate;
+#      the FP-rate arithmetic is covered by tests/test_membership.py)
+#   3. cms_freq_report       (same CMS state as cms_heavy_hitters)
+# The import-time assert below makes exceeding the ceiling loud.
+# ---------------------------------------------------------------------
+
 
 def _reorder_for_certification() -> None:
+    """Rebuild the registry in ROUND-9 certification order:
+    the 33 round-8 additions (never driver-certified), then the 14
+    remaining r06-stale rows, then the first 3 r07 rows = 50 exactly;
+    past-window rows follow."""
     ordered: list[str] = []
     for group in (
-        _NEVER_CERTIFIED,
-        _R06_STALE_R08,
+        _ADDED_R08,
         _R06_STALE_R09,
+        _R07_FIRST3,
         _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
@@ -191,10 +230,10 @@ _reorder_for_certification()
 
 # Window-arithmetic invariant: the driver certifies exactly the first
 # 50 registered queries.  Fail LOUDLY at import time if the hand-listed
-# groups drift (this is the third round in a row where a count slipped
-# silently — make it impossible).
+# groups drift (rounds 6 AND 7 each shipped a silent miscount — make it
+# impossible).
 assert len(_NEVER_CERTIFIED) + len(_R06_STALE_R08) == 50, (
-    f"round-8 window is {len(_NEVER_CERTIFIED)} + {len(_R06_STALE_R08)}"
+    f"round-8 window was {len(_NEVER_CERTIFIED)} + {len(_R06_STALE_R08)}"
     " rows, expected exactly 50"
 )
 assert len(_R06_STALE_R08) + len(_R06_STALE_R09) == 50, (
@@ -207,6 +246,24 @@ assert len(_ADDED_R08) == 33 and not (
 assert set(_ADDED_R08) <= set(REGISTRY), (
     "every pinned round-8 addition must be registered"
 )
-assert len(_ADDED_R08) + len(_R06_STALE_R09) + 3 == 50, (
+assert len(_ADDED_R08) + len(_R06_STALE_R09) + len(_R07_FIRST3) == 50, (
     "round-9 window arithmetic: 33 added + 14 r06-stale + 3 r07 rows"
+)
+assert list(REGISTRY)[:50] == _ADDED_R08 + _R06_STALE_R09 + _R07_FIRST3, (
+    "round-9 window order must be exactly the three pinned groups"
+)
+assert set(_ADDED_R09) <= set(REGISTRY) and not (
+    set(_ADDED_R09)
+    & (
+        set(_ADDED_R08)
+        | set(_NEVER_CERTIFIED)
+        | set(_R06_STALE_R08)
+        | set(_R06_STALE_R09)
+        | set(_R07_FIRST3)
+    )
+), "round-9 additions must be registered and outside every earlier group"
+assert len(REGISTRY) <= 150, (
+    f"registry holds {len(REGISTRY)} queries — the 3-round certification"
+    " guarantee caps it at 150; displace a twin to _PAST_WINDOW_FIRST"
+    " (see the pruning policy above) before registering more"
 )

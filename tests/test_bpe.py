@@ -111,3 +111,110 @@ def test_apply_handles_oov_words(spark):
     # OOV word falls back to (partially) character-level — never lost
     joined = "".join(toks).replace(END_OF_WORD, "")
     assert joined == "lowestzzz"
+
+
+def _reference_bpe_batched(
+    texts: list[str], n_merges: int, batch: int, min_count: int = 2
+):
+    """Pure-Python twin of the BATCHED learn loop: round-start pair
+    counts, greedy symbol-disjoint selection over the (count desc,
+    pair lex asc) ranking, rules of one round applied sequentially in
+    rank order (equivalent to the combined fold because the rule
+    symbol sets are disjoint)."""
+    from cherry_spark.ext.bpe import select_disjoint_batch
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                words[w] += 1
+    segs = {w: list(w) + [END_OF_WORD] for w in words}
+    merges = []
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        ranked = sorted(
+            ((l, r, n) for (l, r), n in pairs.items() if n >= min_count),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )
+        take = min(batch, n_merges - len(merges))
+        selected = select_disjoint_batch(ranked[: take * 3 + 10], take)
+        if not selected:
+            break
+        for left, right, n in selected:
+            merges.append((len(merges), left, right, n))
+            for w, syms in segs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == (left, right)
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                segs[w] = out
+    return merges, segs
+
+
+def test_select_disjoint_batch_guards_symbol_collisions():
+    from cherry_spark.ext.bpe import select_disjoint_batch
+
+    ranked = [
+        ("a", "b", 10),   # selected; uses a, b, ab
+        ("b", "c", 9),    # rejected: b used
+        ("a", "d", 8),    # rejected: a used
+        ("c", "d", 7),    # selected; uses c, d, cd
+        ("x", "y", 6),    # selected
+        ("xy", "z", 5),   # rejected: xy is the merged output of (x, y)
+        ("p", "q", 4),    # selected (batch cap below)
+        ("u", "v", 3),
+    ]
+    got = select_disjoint_batch(ranked, 4)
+    assert got == [("a", "b", 10), ("c", "d", 7), ("x", "y", 6), ("p", "q", 4)]
+
+
+def test_batched_learn_matches_batched_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    for batch in (2, 4):
+        got = [
+            (r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_learn(df, n_merges=12, batch=batch)
+            .orderBy("rank")
+            .collect()
+        ]
+        expected, _ = _reference_bpe_batched(CORPUS, 12, batch)
+        assert got == expected, f"batch={batch}"
+        assert len(got) > 5
+
+
+def test_batched_segmentations_match_batched_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges, words = bpe_learn(
+        df, n_merges=12, batch=4, return_segmentations=True
+    )
+    learned = {r["word"]: list(r["syms"]) for r in words.collect()}
+    _, ref_segs = _reference_bpe_batched(CORPUS, 12, 4)
+    assert learned == ref_segs
+    # apply replays the same ranked rules -> reproduces the learn segs
+    df_id = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    for r in bpe_apply(df_id, merges).collect():
+        expect = [
+            t
+            for w in CORPUS[r["doc_id"]].lower().split()
+            for t in learned[w]
+        ]
+        assert list(r["bpe_tokens"]) == expect
+
+
+def test_batch_one_is_exactly_sequential(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    seq = [tuple(r) for r in bpe_learn(df, n_merges=8).collect()]
+    b1 = [tuple(r) for r in bpe_learn(df, n_merges=8, batch=1).collect()]
+    assert seq == b1

@@ -229,3 +229,62 @@ def test_knn_graph_stored_index_equals_inline(spark, tmp_path):
     assert sorted((r["query_id"], r["vec_id"], r["sim"]) for r in stored) == sorted(
         (r["query_id"], r["vec_id"], r["sim"]) for r in inline
     )
+
+
+def _graph_rows(df):
+    return sorted((r["query_id"], r["vec_id"], r["sim"]) for r in df.collect())
+
+
+def test_knn_graph_numpy_equals_fold_fixture(spark, sf_dir):
+    """The matmul candidate lane must reproduce the fold lane's graph
+    EXACTLY on the certification fixture (the registered query's
+    config: k=3, 16 centroids, nprobe=2)."""
+    from cherry_spark.ext.ivf import knn_graph
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = _graph_rows(knn_graph(emb, k=3, n_centroids=16, nprobe=2, method="fold"))
+    fast = _graph_rows(knn_graph(emb, k=3, n_centroids=16, nprobe=2, method="numpy"))
+    assert fast == fold and len(fast) > 0
+
+
+def test_knn_graph_numpy_equals_fold_adversarial_ties(spark):
+    """Duplicate-heavy corpus: 20 identical vectors share sim 1.0 with
+    each other, so the k-th boundary is a pure id tie-break — the
+    candidate stage must select the LOWEST ids (stable sort over
+    id-sorted rows), or the graph diverges.  Also plants zero-norm
+    vectors (NULL sim in the fold lane, -inf proxy in the numpy lane:
+    both rank last) and forces tiny k_buf coverage via k=2, pad=0."""
+    from cherry_spark.ext.ivf import knn_graph
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(200, [0.0, 0.0, 0.0, 0.0]), (201, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for pad in (0, 8):
+        fold = _graph_rows(
+            knn_graph(df, k=2, n_centroids=3, nprobe=2, method="fold")
+        )
+        fast = _graph_rows(
+            knn_graph(df, k=2, n_centroids=3, nprobe=2, method="numpy", pad=pad)
+        )
+        assert fast == fold, f"pad={pad}"
+    # the duplicate block's neighbors are the lowest-id duplicates
+    got = {q: [] for q, _, _ in fast}
+    for q, v, s in fast:
+        got[q].append((v, s))
+    assert sorted(v for v, _ in got[19]) == [0, 1]
+
+
+def test_knn_graph_numpy_stored_index(spark, tmp_path):
+    from cherry_spark.ext.ivf import ivf_build_index, knn_graph
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(df, idx, n_centroids=4)
+    fold = _graph_rows(knn_graph(df, k=2, n_centroids=4, nprobe=2, method="fold"))
+    fast = _graph_rows(
+        knn_graph(df, k=2, n_centroids=4, nprobe=2, index_dir=idx, method="numpy")
+    )
+    assert fast == fold

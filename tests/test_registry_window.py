@@ -1,7 +1,8 @@
-"""Certification-window invariants (round-7 verdict items #1/#2).
+"""Certification-window invariants (round-7 verdict items #1/#2,
+rotated to the ROUND-9 window per the round-8 verdict item #1).
 
 The driver certifies exactly the first 50 registered queries, so the
-window composition is load-bearing: these tests pin the round-8
+window composition is load-bearing: these tests pin the round-9
 contract against the archived driver artifacts — a reorder mistake
 fails HERE, not in the next driver round."""
 
@@ -21,34 +22,54 @@ def _round_keys(n: int) -> set[str]:
         return set(json.load(f))
 
 
-def test_window_is_never_certified_plus_r06_stale():
+def _round_order(n: int) -> list[str]:
+    with open(os.path.join(_REPO, f"CORRECTNESS_r0{n}.json")) as f:
+        return list(json.load(f))
+
+
+def test_r09_window_is_added_r08_plus_r06_stale_plus_r07_head():
     window = list(REGISTRY)[:50]
-    r06, r07 = _round_keys(6), _round_keys(7)
+    r07, r08 = _round_keys(7), _round_keys(8)
     # no slot wasted on a row certified last round
-    assert not set(window) & r07
-    # the 14 never-driver-certified queries lead the window
-    assert set(Q._NEVER_CERTIFIED) <= set(window)
-    assert window[: len(Q._NEVER_CERTIFIED)] == Q._NEVER_CERTIFIED
-    # the rest are exactly r06-stale rows
-    assert set(window) - set(Q._NEVER_CERTIFIED) <= r06
-    # group arithmetic partitions r06 exactly
+    assert not set(window) & r08
+    # the 33 never-driver-certified round-8 additions lead the window
+    assert window[: len(Q._ADDED_R08)] == Q._ADDED_R08
+    # then the 14 remaining r06-stale rows
+    assert window[33:47] == Q._R06_STALE_R09
+    # then the first 3 rows of the archived r07 window, in artifact order
+    assert window[47:] == Q._R07_FIRST3
+    assert Q._R07_FIRST3 == _round_order(7)[:3]
+    assert set(Q._R07_FIRST3) <= r07
+
+
+def test_r08_window_groups_still_partition_r06():
+    """The archived group data the r10/r11 plans derive from."""
+    r06 = _round_keys(6)
     assert set(Q._R06_STALE_R08) | set(Q._R06_STALE_R09) == r06
     assert not set(Q._R06_STALE_R08) & set(Q._R06_STALE_R09)
+    # r08's window was exactly the never-certified 14 + 36 stale rows
+    assert set(Q._NEVER_CERTIFIED) | set(Q._R06_STALE_R08) == _round_keys(8)
 
 
 def test_window_groups_contain_only_registered_names():
-    for group in (Q._NEVER_CERTIFIED, Q._R06_STALE_R08, Q._R06_STALE_R09):
+    for group in (
+        Q._ADDED_R08,
+        Q._R06_STALE_R09,
+        Q._R07_FIRST3,
+        Q._NEVER_CERTIFIED,
+        Q._R06_STALE_R08,
+    ):
         missing = [n for n in group if n not in REGISTRY]
         assert not missing, f"window group names not registered: {missing}"
 
 
 def test_added_r08_is_exactly_the_post_r07_registrations():
-    """_ADDED_R08 (the r09 window's leading group) must be EXACTLY the
-    registered queries outside every r07-era set: the r07 driver
-    window, the r07-frozen never-certified group, both r06-stale
-    groups, and the policy past-window twin. Derived from the archived
-    artifacts so a hand-edit of the pinned list (or a new registration
-    that forgets to join it) fails here, not in round 9."""
+    """_ADDED_R08 must be EXACTLY the registered queries outside every
+    r07-era set: the r07 driver window, the r07-frozen never-certified
+    group, both r06-stale groups, and the policy past-window twin.
+    Derived from the archived artifacts so a hand-edit of the pinned
+    list (or a new registration that forgets to join a window plan)
+    fails here, not in a driver round."""
     r07 = _round_keys(7)
     r07_era = (
         r07
@@ -56,8 +77,29 @@ def test_added_r08_is_exactly_the_post_r07_registrations():
         | set(Q._R06_STALE_R08)
         | set(Q._R06_STALE_R09)
         | set(Q._PAST_WINDOW_FIRST)
+        | set(Q._ADDED_R09)
     )
     derived = [n for n in REGISTRY if n not in r07_era]
     assert sorted(Q._ADDED_R08) == sorted(derived)
     # r09 window arithmetic stays exact
-    assert len(Q._ADDED_R08) + len(Q._R06_STALE_R09) + 3 == 50
+    assert len(Q._ADDED_R08) + len(Q._R06_STALE_R09) + len(Q._R07_FIRST3) == 50
+
+
+def test_r10_plan_complement_is_well_defined():
+    """r10 sweeps the 47 r07 rows not already in the r09 window, plus
+    the 3 oldest r08-window rows; r11 takes the remaining 45.  Check
+    the arithmetic holds against the artifacts so the plan note in
+    queries/__init__.py cannot rot silently."""
+    r07, r08 = _round_order(7), _round_order(8)
+    r07_remaining = [n for n in r07 if n not in set(Q._R07_FIRST3)]
+    assert len(r07_remaining) == 47
+    assert len(r08) == 50
+    # 47 + 3 oldest r08 rows = 50; r11 = remaining 45 r08 rows (+ head
+    # of the r09 window as it goes stale) — fits the 150-row ceiling
+    assert len(REGISTRY) <= 150
+
+
+def test_registry_ceiling_leaves_headroom_or_policy_applies():
+    """148 registered, ceiling 150: at most 2 net additions without a
+    displacement.  The policy in queries/__init__.py names the twins."""
+    assert len(REGISTRY) <= 150
