@@ -43,6 +43,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
     max_cluster_size: int | None = None,
+    method: str = "numpy",
 ) -> DataFrame:
     """(id, centroid_id, is_dup): is_dup = 1 iff a lower-id vector in
     the same IVF cluster has round(cosine, 6) >= threshold.
@@ -71,6 +72,25 @@ def semantic_dedup(
     monitor the volume with ``semdedup_cluster_stats`` (the dropped-
     pair accounting twin, same cap). Default ``None`` preserves the
     exact SemDeDup semantics the certified oracle models.
+
+    ``method`` (r9 — the knn_graph matmul lane applied to the
+    within-cluster self-compare):
+
+    - ``"numpy"`` (default, requires ``threshold > 0``; automatic
+      fallback otherwise): each cluster scores its pair block with one
+      float64 matmul inside ``applyInPandas`` (column-chunked so task
+      memory is |cluster| × chunk doubles, never |cluster|²-unbounded).
+      The certified decision ``round(fold_cos, 6) >= threshold`` is
+      monotone in the raw cosine with a single boundary at
+      ``threshold - 0.5e-6``; matmul and fold cosine differ only by
+      IEEE summation order (≲1e-13), so any pair whose matmul cosine
+      sits outside a ±1e-9 band around the boundary is decided
+      outright, and ONLY the band pairs (empty on real data) are
+      re-checked with the certified JVM fold expression.  Output is
+      bit-identical to the fold lane by construction; differential
+      tests cover exact-duplicate, orthogonal, zero-norm, and
+      planted exactly-at-boundary cosines.
+    - ``"fold"``: the original all-pairs JVM expression lane.
     """
     if assigned is None:
         centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
@@ -98,30 +118,43 @@ def semantic_dedup(
         joinable = corpus.join(F.broadcast(small), "centroid_id")
     else:
         joinable = corpus
-    a = joinable.select(
-        "centroid_id",
-        F.col(id_col).alias("__aid"),
-        F.col(vec_col).alias("__av"),
-        F.col("__n").alias("__an"),
-    )
-    b = joinable.select(
-        "centroid_id",
-        F.col(id_col).alias("__bid"),
-        F.col(vec_col).alias("__bv"),
-        F.col("__n").alias("__bn"),
-    )
-    sim = F.when(
-        (F.col("__an") > 0) & (F.col("__bn") > 0),
-        dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")),
-    )
-    dup_ids = (
-        a.join(b, on="centroid_id")
-        .filter(F.col("__aid") < F.col("__bid"))
-        .filter(F.round(sim, 6) >= F.lit(threshold))
-        .select(F.col("__bid").alias(id_col))
-        .distinct()
-        .withColumn("__dup", F.lit(1))
-    )
+    if method == "numpy" and threshold > 0:
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+        except ImportError:  # pragma: no cover - both baked into the env
+            method = "fold"
+    else:
+        method = "fold"
+    if method == "numpy":
+        dup_ids = _semdedup_dup_ids_numpy(
+            joinable, threshold, id_col, vec_col
+        ).withColumn("__dup", F.lit(1))
+    else:
+        a = joinable.select(
+            "centroid_id",
+            F.col(id_col).alias("__aid"),
+            F.col(vec_col).alias("__av"),
+            F.col("__n").alias("__an"),
+        )
+        b = joinable.select(
+            "centroid_id",
+            F.col(id_col).alias("__bid"),
+            F.col(vec_col).alias("__bv"),
+            F.col("__n").alias("__bn"),
+        )
+        sim = F.when(
+            (F.col("__an") > 0) & (F.col("__bn") > 0),
+            dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")),
+        )
+        dup_ids = (
+            a.join(b, on="centroid_id")
+            .filter(F.col("__aid") < F.col("__bid"))
+            .filter(F.round(sim, 6) >= F.lit(threshold))
+            .select(F.col("__bid").alias(id_col))
+            .distinct()
+            .withColumn("__dup", F.lit(1))
+        )
     return (
         corpus.join(dup_ids, on=id_col, how="left")
         .select(
@@ -130,6 +163,117 @@ def semantic_dedup(
             F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
         )
     )
+
+
+def _semdedup_dup_ids_numpy(
+    joinable: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    band: float = 1e-9,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Distinct duplicate ids via the per-cluster matmul block with a
+    certified-boundary band (see semantic_dedup docstring).  Emits
+    per cluster: kind=1 rows (member decisively duplicated) and kind=2
+    rows (boundary pair needing the exact fold re-check); the handful
+    of kind=2 pairs rejoin the float vectors and rerun the CERTIFIED
+    rounded-fold comparison."""
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_type = joinable.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("__bid", id_type),
+            StructField("__aid", id_type),
+            StructField("__kind", IntegerType()),
+        ]
+    )
+    # decision boundary of round(x, 6) >= threshold (half-up, x > 0)
+    cutoff = float(threshold) - 0.5e-6
+    lo, hi = cutoff - band, cutoff + band
+    src = joinable.select(
+        "centroid_id", F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+
+    def score_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"__bid": [], "__aid": [], "__kind": []}
+        ).astype({"__bid": "int64", "__aid": "int64", "__kind": "int32"})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = pdf["__id"].to_numpy()
+        A = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((A * A).sum(axis=1))
+        rows = np.arange(n)
+        out = []
+        for j0 in range(1, n, chunk):
+            j1 = min(j0 + chunk, n)
+            jidx = np.arange(j0, j1)
+            S = A @ A[j0:j1].T
+            denom = np.outer(norms, norms[j0:j1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                P = np.where(
+                    denom > 0, S / np.where(denom > 0, denom, 1.0), -np.inf
+                )
+            valid = rows[:, None] < jidx[None, :]
+            decided = ((P >= hi) & valid).any(axis=0)
+            if decided.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "__bid": ids[jidx[decided]],
+                            "__aid": ids[jidx[decided]],
+                            "__kind": np.int32(1),
+                        }
+                    )
+                )
+            bmask = (P > lo) & (P < hi) & valid & ~decided[None, :]
+            bi, bj = np.nonzero(bmask)
+            if len(bi):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "__bid": ids[jidx[bj]],
+                            "__aid": ids[bi],
+                            "__kind": np.int32(2),
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    res = src.groupBy("centroid_id").applyInPandas(score_cluster, out_schema)
+    decided = res.filter(F.col("__kind") == 1).select(
+        F.col("__bid").alias(id_col)
+    )
+    checks = res.filter(F.col("__kind") == 2).select("__aid", "__bid")
+    av = joinable.select(
+        F.col(id_col).alias("__aid"),
+        F.col(vec_col).alias("__av"),
+        F.col("__n").alias("__an"),
+    )
+    bv = joinable.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        F.col("__n").alias("__bn"),
+    )
+    sim = F.when(
+        (F.col("__an") > 0) & (F.col("__bn") > 0),
+        dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")),
+    )
+    confirmed = (
+        checks.join(av, "__aid")
+        .join(bv, "__bid")
+        .filter(F.round(sim, 6) >= F.lit(threshold))
+        .select(F.col("__bid").alias(id_col))
+    )
+    return decided.unionByName(confirmed).distinct()
 
 
 def semantic_delta_dedup(

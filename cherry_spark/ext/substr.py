@@ -1,0 +1,178 @@
+"""Cross-document repeated-substring span detection — the ExactSubstr
+half of the standard training-data dedup recipe (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better": exact
+substring matches ≥ N tokens are memorization fuel even when the DOCS
+are not near-duplicates, so they are found and cut at span level).
+
+Suffix arrays (the paper's single-node tool) don't distribute; the
+equivalent distributed formulation rides on stride-1 token n-grams:
+
+- any shared token run of length M ≥ ``min_len`` contains exactly
+  M - min_len + 1 aligned stride-1 ``min_len``-grams on ONE diagonal
+  (pos_a - pos_b constant), so
+- gram postings (ONE pass, volume = corpus token count) self-joined on
+  the gram hash find every such run, and
+- a gaps-and-islands pass per (doc_a, doc_b, diagonal) merges the
+  consecutive gram hits back into MAXIMAL spans — the per-window group
+  is bounded by the longest shared run, never the corpus.
+
+Scale shape: postings are linear in tokens; join fan-out per gram is
+df² (df = docs containing that gram), so ``max_gram_df`` caps
+stop-gram diagonals exactly like the minhash/ngram posting caps
+(capped grams are dropped from pair generation and accounted in
+``repeated_gram_stats``-style monitors; a run is still found if ANY of
+its grams is below the cap — long runs span many grams, so only a run
+made ENTIRELY of ultra-hot grams can hide).  All arithmetic is
+integer/hash — the DuckDB oracle replays it bit-for-bit.
+
+Reference parity: no counterpart (the reference has no text ops);
+extends the dedup family (ext/dedup.py) at SPAN granularity — the
+chunk_dedup/cdc family detects shared fixed/content-defined chunks,
+this finds maximal shared runs at any alignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cherry_spark.ext.dedup import tokens_col
+
+_SEP = "\x00"  # never inside a whitespace token
+
+
+def _gram_postings(
+    df: DataFrame, min_len: int, doc_col: str, text_col: str
+) -> DataFrame:
+    """(doc, pos, h): md5 of the SEP-joined stride-1 ``min_len``-gram
+    at each 1-based token position.  The token array is bound as a
+    lambda VARIABLE (flatten-transform-over-singleton) so the
+    tokenizer runs once per row — slicing inside the binary transform
+    sees the bound array, not a re-evaluated expression (the CLAUDE.md
+    per-element-trap escape).  Docs shorter than ``min_len`` yield no
+    postings (the F.sequence(1, 0)-descends guard)."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.flatten(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.transform(
+                F.when(
+                    F.size(tk) >= min_len,
+                    F.sequence(F.lit(1), F.size(tk) - min_len + 1),
+                ).otherwise(F.expr("CAST(array() AS array<int>)")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(_SEP, F.slice(tk, i, min_len))
+                    ).alias("h"),
+                ),
+            ),
+        )
+    )
+    return df.select(
+        F.col(doc_col).alias("__doc"), F.explode(grams).alias("g")
+    ).select("__doc", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, start_a, start_b, span_len): every MAXIMAL token
+    run of length >= ``min_len`` shared by a document pair
+    (doc_a < doc_b), at any alignment, overlapping runs per pair
+    included (one row per diagonal island).  Positions are 1-based
+    token offsets; ``span_len`` counts tokens.
+
+    ``max_gram_df``: drop grams present in more than this many
+    DOCUMENTS from pair generation (stop-gram guard — see module
+    docstring for what the cap can and cannot hide)."""
+    grams = _gram_postings(df, min_len, doc_col, text_col)
+    if max_gram_df is not None:
+        hot = (
+            grams.select("h", "__doc")
+            .distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_gram_df)
+            .select("h")
+        )
+        grams = grams.join(F.broadcast(hot), "h", "left_anti")
+    a = grams.select(
+        F.col("h"), F.col("__doc").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = grams.select(
+        F.col("h"), F.col("__doc").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    hits = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    # gaps-and-islands per (pair, diagonal): consecutive pa values are
+    # one maximal run; pa - row_number() is constant within an island
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = hits.withColumn(
+        "__isl", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "__isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + F.lit(min_len)).alias("span_len"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+            F.col("span_len").cast("long").alias("span_len"),
+        )
+    )
+
+
+def repeated_substring_spans_oracle_sql(
+    min_len: int = 8,
+    source: str = "documents",
+    id_sql: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`repeated_substring_spans` (uncapped form):
+    identical tokenization, identical SEP-joined md5 gram (string_agg
+    over a list slice preserves order, chr(0) == the Spark separator),
+    identical diagonal islands — pure hash/integer arithmetic, so the
+    compare is exact."""
+    toks = "list_filter(string_split(text, ' '), t -> t != '')"
+    return f"""
+    WITH tk AS (
+        SELECT {id_sql} AS doc, {toks} AS t FROM {source}
+    ),
+    grams AS (
+        SELECT doc, g.i AS pos,
+               md5(list_aggregate(t[g.i : g.i + {min_len} - 1],
+                                  'string_agg', chr(0))) AS h
+        FROM tk, UNNEST(range(1, len(t) - {min_len} + 2)) AS g(i)
+        WHERE len(t) >= {min_len}
+    ),
+    hits AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb,
+               a.pos - b.pos AS diag
+        FROM grams a JOIN grams b USING (h)
+        WHERE a.doc < b.doc
+    ),
+    isl AS (
+        SELECT *, pa - row_number() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        FROM hits
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS BIGINT) AS start_a,
+           CAST(MIN(pb) AS BIGINT) AS start_b,
+           CAST(MAX(pa) - MIN(pa) + {min_len} AS BIGINT) AS span_len
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, grp
+    """

@@ -176,6 +176,7 @@ _PAST_WINDOW_FIRST = [
 # moment they are registered (the _ADDED_R08 discipline).
 _ADDED_R09 = [
     "trained_quality_gate",
+    "repeated_substring_spans",
 ]
 
 # The first 3 rows of the archived ROUND-7 driver window

@@ -1511,6 +1511,31 @@ def decontaminate_overlap(spark, sf_dir):
     )
 
 
+def _substr_oracle() -> str:
+    from cherry_spark.ext.substr import repeated_substring_spans_oracle_sql
+
+    return repeated_substring_spans_oracle_sql(min_len=8)
+
+
+@query(
+    "repeated_substring_spans",
+    oracle=_substr_oracle(),
+    doc="ExactSubstr span dedup (Lee et al. 2022, distributed "
+    "formulation — ext/substr.py): every MAXIMAL cross-doc token run "
+    ">= 8 tokens at any alignment. Stride-1 8-gram postings (linear "
+    "in corpus tokens) self-joined on the md5 gram, then one "
+    "gaps-and-islands window per (pair, diagonal) merges aligned "
+    "hits back into maximal spans — the suffix-array result without "
+    "a suffix array. Pure hash/integer lane; the oracle replays "
+    "postings, diagonals, and islands exactly.",
+)
+def repeated_substring_spans_q(spark, sf_dir):
+    from cherry_spark.ext.substr import repeated_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_substring_spans(docs, min_len=8)
+
+
 def _lsh_topk_oracle() -> str:
     from cherry_spark.ext.similarity import lsh_topk_oracle_sql
 

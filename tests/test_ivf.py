@@ -288,3 +288,68 @@ def test_knn_graph_numpy_stored_index(spark, tmp_path):
         knn_graph(df, k=2, n_centroids=4, nprobe=2, index_dir=idx, method="numpy")
     )
     assert fast == fold
+
+
+def _sd_rows(df):
+    return sorted((r["vec_id"], r["centroid_id"], r["is_dup"]) for r in df.collect())
+
+
+def test_semantic_dedup_numpy_equals_fold_fixture(spark, sf_dir):
+    from cherry_spark.ext.semdedup import semantic_dedup
+    from cherry_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = _sd_rows(semantic_dedup(emb, threshold=0.3, n_centroids=16, method="fold"))
+    fast = _sd_rows(semantic_dedup(emb, threshold=0.3, n_centroids=16, method="numpy"))
+    assert fast == fold and len(fast) > 0
+    assert any(d for _, _, d in fast)  # the fixture contains real dups
+
+
+def test_semantic_dedup_numpy_boundary_band(spark):
+    """Cosines planted exactly AT the round-half-up decision boundary
+    (0.2999995 for threshold 0.3) fall inside the matmul band and must
+    be resolved by the certified fold re-check — plus exact clones,
+    a just-below pair, orthogonal, and zero-norm vectors."""
+    import math
+
+    from cherry_spark.ext.semdedup import semantic_dedup
+
+    def unit(c):
+        return [c, math.sqrt(1.0 - c * c), 0.0, 0.0]
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact clone of 0 -> dup
+        (2, unit(0.2999995)),        # cos to v0 at the boundary -> band
+        (3, unit(0.3)),              # just above -> decided dup
+        (4, unit(0.29999)),          # below -> decided not-dup vs v0
+        (5, [0.0, 0.0, 0.0, 0.0]),   # zero norm: never dup
+        (6, [0.0, 0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # single cluster so every pair is compared
+    fold = _sd_rows(semantic_dedup(df, threshold=0.3, n_centroids=1, method="fold"))
+    fast = _sd_rows(semantic_dedup(df, threshold=0.3, n_centroids=1, method="numpy"))
+    assert fast == fold
+    verdicts = {v: d for v, _, d in fast}
+    assert verdicts[1] == 1 and verdicts[3] == 1
+    assert verdicts[5] == 0 and verdicts[0] == 0
+
+
+def test_semantic_dedup_numpy_respects_cluster_cap(spark):
+    from cherry_spark.ext.semdedup import semantic_dedup
+
+    # seeds (ids 0, 1) are DISTINCT directions so the 2-centroid split
+    # is real; 10 extra clones blow cluster A past the cap while
+    # cluster B stays a dedupable pair
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows += [(10 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    rows += [(30, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for m in ("fold", "numpy"):
+        out = {r["vec_id"]: r["is_dup"] for r in semantic_dedup(
+            df, threshold=0.9, n_centroids=2, max_cluster_size=5, method=m
+        ).collect()}
+        # capped cluster members all kept; small cluster deduped
+        assert out[0] == 0 and all(out[10 + i] == 0 for i in range(10)), m
+        assert out[1] == 0 and out[30] == 1, m
