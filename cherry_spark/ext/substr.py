@@ -176,3 +176,93 @@ def repeated_substring_spans_oracle_sql(
     FROM isl
     GROUP BY doc_a, doc_b, diag, grp
     """
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The remediation half of ExactSubstr dedup (Lee et al. 2022 cut
+    duplicated substrings, keeping ONE occurrence): for every span row
+    (doc_a < doc_b), the LATER document loses tokens
+    [start_b, start_b + span_len); overlapping cut intervals per doc
+    are merged with an in-row sort+fold before the cut, so nested /
+    overlapping diagonals never double-cut or corrupt offsets.
+
+    Returns every input doc as ``(doc_col, text_clean, n_tokens_cut)``
+    — uncut docs pass through with n_tokens_cut = 0.
+
+    Shape: one groupBy collecting each doc's (tiny) interval list, one
+    broadcast-size-agnostic equi-join back to the corpus, and the cut
+    itself is an in-row ``F.filter`` over the token array with an
+    ``exists`` probe of the merged interval array — no explode of
+    token positions, no shuffle beyond the interval agg.  Interval
+    lists are bounded by matches per doc, never corpus-sized.
+    """
+    ivals = (
+        spans.select(
+            F.col("doc_b").alias(doc_col),
+            F.struct(
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_len")).alias("e"),
+            ).alias("iv"),
+        )
+        .groupBy(doc_col)
+        .agg(F.sort_array(F.collect_list("iv")).alias("__ivs"))
+        # merge overlapping/adjacent intervals: left fold over the
+        # start-sorted list extending or appending the last interval
+        .select(
+            doc_col,
+            F.aggregate(
+                "__ivs",
+                F.expr(
+                    "CAST(array() AS array<struct<s: bigint, e: bigint>>)"
+                ),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (x["s"] <= F.element_at(acc, -1)["e"]),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                F.greatest(
+                                    F.element_at(acc, -1)["e"], x["e"]
+                                ).alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("__cut"),
+        )
+    )
+    toks = tokens_col(F.col(text_col))
+    src = df.select(F.col(doc_col), F.array(toks).alias("__tkw"))
+    joined = src.join(ivals, on=doc_col, how="left")
+    tk = F.element_at(F.col("__tkw"), 1)
+    cut = F.coalesce(
+        F.col("__cut"),
+        F.expr("CAST(array() AS array<struct<s: bigint, e: bigint>>)"),
+    )
+    # F.sequence(1, 0) DESCENDS (CLAUDE.md trap): guard the empty doc
+    positions = F.when(
+        F.size(tk) > 0, F.sequence(F.lit(1), F.size(tk))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    kept = F.zip_with(
+        tk,
+        positions,
+        lambda t, i: F.when(
+            ~F.exists(cut, lambda iv: (i >= iv["s"]) & (i < iv["e"])), t
+        ),
+    )
+    return joined.select(
+        F.col(doc_col),
+        F.concat_ws(" ", F.filter(kept, lambda t: t.isNotNull())).alias(
+            "text_clean"
+        ),
+        F.aggregate(
+            cut, F.lit(0).cast("long"), lambda a, iv: a + (iv["e"] - iv["s"])
+        ).alias("n_tokens_cut"),
+    )

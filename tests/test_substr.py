@@ -3,6 +3,8 @@ maximal-span merging, alignment, short-doc guard, hot-gram cap."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cherry_spark.ext.substr import repeated_substring_spans
 
 
@@ -100,3 +102,63 @@ def test_fixture_matches_oracle_shape(spark, sf_dir):
         ).fetchall()
     )
     assert got == exp and len(got) > 0
+
+
+def test_cut_repeated_spans_keeps_first_occurrence(spark):
+    from cherry_spark.ext.substr import cut_repeated_spans
+
+    shared = "q w e r t y"
+    docs = _mk(spark, [(1, f"a b {shared} c"), (2, f"x {shared} z z")])
+    spans = repeated_substring_spans(docs, min_len=3)
+    out = {r["doc_id"]: (r["text_clean"], r["n_tokens_cut"])
+           for r in cut_repeated_spans(docs, spans).collect()}
+    # earlier doc untouched; later doc loses exactly the shared run
+    assert out[1] == (f"a b {shared} c", 0)
+    assert out[2] == ("x z z", 6)
+
+
+def test_cut_merges_overlapping_intervals(spark):
+    """Two span rows with overlapping [s, e) on the same doc must cut
+    the union once — tokens in the overlap are not double-counted."""
+    from cherry_spark.ext.substr import cut_repeated_spans
+
+    docs = _mk(spark, [(5, "t0 t1 t2 t3 t4 t5 t6 t7")])
+    spans = spark.createDataFrame(
+        [(1, 5, 1, 2, 4), (1, 5, 1, 4, 3)],  # cut [2,6) and [4,7)
+        "doc_a long, doc_b long, start_a long, start_b long, span_len long",
+    )
+    (row,) = cut_repeated_spans(docs, spans).collect()
+    assert row["text_clean"] == "t0 t6 t7"
+    assert row["n_tokens_cut"] == 5  # union [2,7), never 4+3
+
+
+def test_cut_passthrough_and_empty_docs(spark):
+    from cherry_spark.ext.substr import cut_repeated_spans
+
+    docs = _mk(spark, [(1, "a b c"), (2, "")])
+    spans = spark.createDataFrame(
+        [],
+        "doc_a long, doc_b long, start_a long, start_b long, span_len long",
+    )
+    out = {r["doc_id"]: (r["text_clean"], r["n_tokens_cut"])
+           for r in cut_repeated_spans(docs, spans).collect()}
+    assert out == {1: ("a b c", 0), 2: ("", 0)}
+
+
+def test_detect_then_cut_round_trip_removes_repeats(spark):
+    """After cutting, re-detection finds NO cross-doc span at the same
+    min_len (the fixed point the paper's pipeline converges to in one
+    step for pairwise-disjoint spans)."""
+    from cherry_spark.ext.substr import cut_repeated_spans
+
+    shared = "s1 s2 s3 s4 s5"
+    docs = _mk(
+        spark,
+        [(1, f"a a a {shared}"), (2, f"b {shared} b b"), (3, f"{shared} c")],
+    )
+    spans = repeated_substring_spans(docs, min_len=5)
+    cut = cut_repeated_spans(docs, spans).select(
+        F.col("doc_id"), F.col("text_clean").alias("text")
+    )
+    again = repeated_substring_spans(cut, min_len=5)
+    assert again.count() == 0

@@ -969,6 +969,108 @@ def probe_maintainers(spark, sf_dir: str, n_arrivals: int = 10) -> None:
     )
 
 
+def probe_substr(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """repeated_substring_spans at 10x with the adversarial clone
+    shape: every doc cloned 10x under distinct ids, so every gram's
+    doc-frequency multiplies by 10 and every clone PAIR shares its
+    full document as one span — span output grows quadratically in the
+    clone factor BY SEMANTICS (clones really do share those runs),
+    which is what the max_gram_df cap prices.  Evidence: wall time +
+    span volume uncapped vs capped (cap below the inflated df zeroes
+    the clone-saturated grams), result partition skew."""
+    from cherry_spark.ext.substr import repeated_substring_spans
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    parts = [
+        docs.select((F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text")
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    t0 = time.perf_counter()
+    spans = repeated_substring_spans(big, min_len=8).localCheckpoint(eager=True)
+    n_spans = spans.count()
+    t_full = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    capped = repeated_substring_spans(big, min_len=8, max_gram_df=n_replicas - 1)
+    n_capped = capped.count()
+    t_cap = time.perf_counter() - t0
+    print(
+        f"[substr] {n} docs 10x clones: uncapped {t_full:.1f}s "
+        f"({n_spans} spans — quadratic in clones by semantics, skew: "
+        f"{partition_skew(spans)}); cap=df<{n_replicas} {t_cap:.1f}s "
+        f"({n_capped} spans — clone-saturated grams zeroed by the guard)"
+    )
+
+
+def probe_trained(spark, sf_dir: str, n_replicas: int = 10) -> None:
+    """Classifier training at 10x with the EXACTNESS invariant: clone
+    every labeled doc 10x and every aggregate scales uniformly —
+    per-bucket mean labels unchanged, gradients and the N·lr_inv
+    denominator both x10, and trunc((10g)/(10d)) == trunc(g/d) — so
+    the trained WEIGHT TABLE must be bit-identical to the 1x run.
+    Evidence: wall time for 8 GD rounds at 10x + weight-table equality
+    (the invariant a distributed trainer must keep under data
+    replication)."""
+    from cherry_spark.ext.dedup import tokens_col
+    from cherry_spark.ext.train import train_hashed_classifier
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = tokens_col(F.col("text"))
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        (
+            F.size(F.filter(toks, lambda t: t == F.lit("spark"))) * 20
+            >= F.size(toks)
+        )
+        .cast("long")
+        .alias("label"),
+    )
+    offset = 1_000_000
+    parts = [
+        labeled.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"),
+            "text",
+            "label",
+        )
+        for i in range(n_replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(32).localCheckpoint(eager=True)
+    n = big.count()
+
+    w1 = {
+        r["bucket"]: r["w"]
+        for r in train_hashed_classifier(
+            labeled, "label", n_iters=8, lr_inv=1
+        ).collect()
+    }
+    t0 = time.perf_counter()
+    w10 = {
+        r["bucket"]: r["w"]
+        for r in train_hashed_classifier(
+            big, "label", n_iters=8, lr_inv=1
+        ).collect()
+    }
+    t = time.perf_counter() - t0
+    print(
+        f"[trained] {n} labeled docs 10x clones: 8 GD rounds in {t:.1f}s; "
+        f"weight table identical to 1x: {w10 == w1} "
+        f"({len(w10)} buckets — clone-invariance of the fixed-point lane)"
+    )
+
+
 def main() -> None:
     from cherry_spark.session import get_spark
 
@@ -1008,6 +1110,10 @@ def main() -> None:
         probe_events(spark, sf_dir)
     if which in ("anomaly", "all"):
         probe_anomaly_wsample(spark, sf_dir)
+    if which in ("substr", "all"):
+        probe_substr(spark, sf_dir)
+    if which in ("trained", "all"):
+        probe_trained(spark, sf_dir)
 
 
 if __name__ == "__main__":
