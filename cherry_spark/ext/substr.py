@@ -178,30 +178,101 @@ def repeated_substring_spans_oracle_sql(
     """
 
 
-def cut_repeated_spans(
-    df: DataFrame,
-    spans: DataFrame,
+def delta_repeated_spans(
+    corpus: DataFrame | None,
+    batch: DataFrame,
+    min_len: int = 8,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = None,
+    corpus_grams: DataFrame | None = None,
+    batch_grams: DataFrame | None = None,
 ) -> DataFrame:
-    """The remediation half of ExactSubstr dedup (Lee et al. 2022 cut
-    duplicated substrings, keeping ONE occurrence): for every span row
-    (doc_a < doc_b), the LATER document loses tokens
-    [start_b, start_b + span_len); overlapping cut intervals per doc
-    are merged with an in-row sort+fold before the cut, so nested /
-    overlapping diagonals never double-cut or corrupt offsets.
+    """Incremental ExactSubstr: every maximal token run >= ``min_len``
+    a BATCH document shares with the existing CORPUS — the ingestion-
+    time form of :func:`repeated_substring_spans` (the delta_dedup /
+    decontaminate pattern at SPAN granularity).  Returns
+    (doc_a = corpus doc, doc_b = batch doc, start_a, start_b,
+    span_len); feed the result to :func:`span_overlap_verdicts` for a
+    per-batch-doc gate decision or to :func:`cut_repeated_spans` to
+    strip the duplicated spans from the batch before admission.
 
-    Returns every input doc as ``(doc_col, text_clean, n_tokens_cut)``
-    — uncut docs pass through with n_tokens_cut = 0.
+    ``corpus_grams``: the stored corpus posting table
+    (``_gram_postings`` output columns ``__doc, pos, h``), computed
+    once at ingest and appended as docs are admitted — the corpus side
+    then contributes only the equi-join per batch and its
+    tokenize+hash pipeline never re-executes (the
+    ``delta_dedup(corpus_signatures=...)`` seam; with it set,
+    ``corpus`` may be None).  ``batch_grams`` is the same seam for a
+    gate that also folds admitted postings into the store — one
+    tokenize+hash per doc per lifetime (streaming span gate).
+    ``max_gram_df`` caps on the CORPUS side's doc-frequency (the
+    hot-gram guard — at 100 TB the cap table is computed with the
+    store, not per batch)."""
+    cg = (
+        corpus_grams
+        if corpus_grams is not None
+        else _gram_postings(corpus, min_len, doc_col, text_col)
+    )
+    if max_gram_df is not None:
+        hot = (
+            cg.select("h", "__doc")
+            .distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_gram_df)
+            .select("h")
+        )
+        cg = cg.join(F.broadcast(hot), "h", "left_anti")
+    bg = (
+        batch_grams
+        if batch_grams is not None
+        else _gram_postings(batch, min_len, doc_col, text_col)
+    )
+    hits = (
+        cg.select("h", F.col("__doc").alias("doc_a"), F.col("pos").alias("pa"))
+        .join(
+            bg.select(
+                "h", F.col("__doc").alias("doc_b"), F.col("pos").alias("pb")
+            ),
+            "h",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "pa",
+            "pb",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = hits.withColumn("__isl", F.col("pa") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "__isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + F.lit(min_len)).alias("span_len"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+            F.col("span_len").cast("long").alias("span_len"),
+        )
+    )
 
-    Shape: one groupBy collecting each doc's (tiny) interval list, one
-    broadcast-size-agnostic equi-join back to the corpus, and the cut
-    itself is an in-row ``F.filter`` over the token array with an
-    ``exists`` probe of the merged interval array — no explode of
-    token positions, no shuffle beyond the interval agg.  Interval
-    lists are bounded by matches per doc, never corpus-sized.
-    """
-    ivals = (
+
+def _merged_cut_intervals(
+    spans: DataFrame, doc_col: str
+) -> DataFrame:
+    """(doc_col, __cut array<struct<s,e>>): each batch/later doc's
+    [start_b, start_b + span_len) intervals, start-sorted and merged
+    (overlapping/adjacent intervals union via an in-row fold) — shared
+    by the cut and the verdict lanes so overlap accounting can never
+    double-count."""
+    return (
         spans.select(
             F.col("doc_b").alias(doc_col),
             F.struct(
@@ -211,8 +282,6 @@ def cut_repeated_spans(
         )
         .groupBy(doc_col)
         .agg(F.sort_array(F.collect_list("iv")).alias("__ivs"))
-        # merge overlapping/adjacent intervals: left fold over the
-        # start-sorted list extending or appending the last interval
         .select(
             doc_col,
             F.aggregate(
@@ -238,6 +307,85 @@ def cut_repeated_spans(
             ).alias("__cut"),
         )
     )
+
+
+def span_overlap_verdicts(
+    batch: DataFrame,
+    spans: DataFrame,
+    overlap_frac: float = 0.5,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-batch-doc gate decision over delta spans: (doc_col,
+    n_tokens, n_overlap_tokens, n_spans, verdict) — verdict is
+    ``span_dup`` when the UNION of corpus-overlapping intervals covers
+    more than ``overlap_frac`` of the doc's tokens, else ``unique``
+    (docs with partial overlap pass the gate but carry the counts, so
+    a caller can cut instead of reject).  Overlap counting rides the
+    merged interval union — nested diagonals never double-count."""
+    ivals = _merged_cut_intervals(spans, doc_col)
+    nsp = spans.groupBy(F.col("doc_b").alias(doc_col)).agg(
+        F.count(F.lit(1)).alias("__nsp")
+    )
+    toks = tokens_col(F.col(text_col))
+    base = batch.select(
+        F.col(doc_col), F.size(toks).cast("long").alias("n_tokens")
+    )
+    j = base.join(ivals, doc_col, "left").join(nsp, doc_col, "left")
+    cut = F.coalesce(
+        F.col("__cut"),
+        F.expr("CAST(array() AS array<struct<s: bigint, e: bigint>>)"),
+    )
+    # clamp to the doc's actual length: a span can reference positions
+    # past a shorter doc only if inputs disagree, but clamping keeps
+    # the fraction well-defined regardless
+    overlap = F.aggregate(
+        cut,
+        F.lit(0).cast("long"),
+        lambda a, iv: a
+        + F.greatest(
+            F.least(iv["e"], F.col("n_tokens") + 1) - iv["s"], F.lit(0)
+        ),
+    )
+    return j.select(
+        F.col(doc_col),
+        "n_tokens",
+        overlap.alias("n_overlap_tokens"),
+        F.coalesce(F.col("__nsp"), F.lit(0)).cast("long").alias("n_spans"),
+        F.when(
+            overlap * F.lit(100)
+            > F.col("n_tokens") * F.lit(int(overlap_frac * 100)),
+            F.lit("span_dup"),
+        )
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+    )
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The remediation half of ExactSubstr dedup (Lee et al. 2022 cut
+    duplicated substrings, keeping ONE occurrence): for every span row
+    (doc_a < doc_b), the LATER document loses tokens
+    [start_b, start_b + span_len); overlapping cut intervals per doc
+    are merged with an in-row sort+fold before the cut, so nested /
+    overlapping diagonals never double-cut or corrupt offsets.
+
+    Returns every input doc as ``(doc_col, text_clean, n_tokens_cut)``
+    — uncut docs pass through with n_tokens_cut = 0.
+
+    Shape: one groupBy collecting each doc's (tiny) interval list, one
+    broadcast-size-agnostic equi-join back to the corpus, and the cut
+    itself is an in-row ``F.filter`` over the token array with an
+    ``exists`` probe of the merged interval array — no explode of
+    token positions, no shuffle beyond the interval agg.  Interval
+    lists are bounded by matches per doc, never corpus-sized.
+    """
+    ivals = _merged_cut_intervals(spans, doc_col)
     toks = tokens_col(F.col(text_col))
     src = df.select(F.col(doc_col), F.array(toks).alias("__tkw"))
     joined = src.join(ivals, on=doc_col, how="left")

@@ -1176,3 +1176,90 @@ def run_streaming_decontamination_gate(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_span_gate(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    min_len: int = 8,
+    overlap_frac: float = 0.5,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming ExactSubstr admission gate (r9): each micro-batch is
+    span-matched against the GRAM POSTING STORE of everything admitted
+    so far (`ext/substr.delta_repeated_spans` with the stored-postings
+    seam), classified by `span_overlap_verdicts` (``span_dup`` when
+    the merged overlap union covers more than ``overlap_frac`` of the
+    doc), and ONLY non-span_dup docs fold their postings into the
+    store — a rejected doc's grams never enter the state, so a later
+    clone of a rejected doc is judged against the ORIGINAL admitted
+    content (the composed-curation-gate precedence discipline).
+
+    State = the admitted corpus's posting table (linear in admitted
+    tokens, partition-appended per batch — each fold writes ONLY the
+    batch's postings, never rewrites history; the 100 TB analogue is a
+    date-partitioned posting store).  Each batch pays: one batch
+    tokenize+hash pass, one equi-join against the store, one bounded
+    interval rollup.  ``sink(verdicts_df, batch_id)`` sees
+    (doc, n_tokens, n_overlap_tokens, n_spans, verdict) per batch
+    row.  Same crash-replay caveat as the sibling gates: a crash
+    between sink and the store append re-folds the batch on replay —
+    pair with an idempotent sink or dedupe on batch_id downstream.
+    """
+    import os
+
+    from cherry_spark.ext.substr import (
+        _gram_postings,
+        delta_repeated_spans,
+        span_overlap_verdicts,
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        have_state = os.path.isdir(state_dir) and any(
+            not f.startswith((".", "_")) for f in os.listdir(state_dir)
+        )
+        grams = _gram_postings(
+            batch_df, min_len, doc_col, text_col
+        ).localCheckpoint(eager=True)  # ONE tokenize+hash per batch:
+        # spans, verdicts, and the store fold all reuse this seam
+        if have_state:
+            stored = spark.read.parquet(state_dir)
+            spans = delta_repeated_spans(
+                None,
+                batch_df,
+                min_len,
+                doc_col,
+                text_col,
+                corpus_grams=stored,
+                batch_grams=grams,
+            )
+        else:
+            spans = spark.createDataFrame(
+                [],
+                "doc_a long, doc_b long, start_a long, start_b long,"
+                " span_len long",
+            )
+        verdicts = span_overlap_verdicts(
+            batch_df, spans, overlap_frac, doc_col, text_col
+        ).localCheckpoint(eager=True)
+        admitted = verdicts.filter(F.col("verdict") != "span_dup").select(
+            F.col(doc_col)
+        )
+        admitted_grams = grams.join(
+            admitted.withColumnRenamed(doc_col, "__doc"), "__doc", "left_semi"
+        )
+        admitted_grams.write.mode("append").parquet(state_dir)
+        sink(verdicts, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -162,3 +162,89 @@ def test_detect_then_cut_round_trip_removes_repeats(spark):
     )
     again = repeated_substring_spans(cut, min_len=5)
     assert again.count() == 0
+
+
+def test_delta_spans_batch_vs_corpus(spark):
+    from cherry_spark.ext.substr import delta_repeated_spans
+
+    shared = "d1 d2 d3 d4"
+    corpus = _mk(spark, [(1, f"a {shared} b"), (2, "unrelated words here zz")])
+    batch = _mk(spark, [(100, f"x y {shared}"), (101, "novel text only ok")])
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_len"])
+        for r in delta_repeated_spans(corpus, batch, min_len=4).collect()
+    )
+    assert got == [(1, 100, 2, 3, 4)]
+
+
+def test_delta_spans_stored_grams_equal_inline(spark):
+    from cherry_spark.ext.substr import _gram_postings, delta_repeated_spans
+
+    shared = "d1 d2 d3 d4 d5"
+    corpus = _mk(spark, [(1, f"{shared} t u"), (2, f"v {shared}")])
+    batch = _mk(spark, [(100, f"w {shared} w2")])
+    inline = sorted(
+        tuple(r)
+        for r in delta_repeated_spans(corpus, batch, min_len=4).collect()
+    )
+    stored = _gram_postings(corpus, 4, "doc_id", "text")
+    via_store = sorted(
+        tuple(r)
+        for r in delta_repeated_spans(
+            corpus, batch, min_len=4, corpus_grams=stored
+        ).collect()
+    )
+    assert via_store == inline and len(inline) == 2
+
+
+def test_span_overlap_verdicts_gate(spark):
+    from cherry_spark.ext.substr import (
+        delta_repeated_spans,
+        span_overlap_verdicts,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6"
+    corpus = _mk(spark, [(1, f"pre {shared} post")])
+    batch = _mk(
+        spark,
+        [
+            (100, f"{shared} x y"),          # 6/8 overlap -> span_dup
+            (101, f"{shared} a b c d e f"),  # 6/12 overlap -> unique at 0.5
+            (102, "completely novel doc right here"),
+        ],
+    )
+    spans = delta_repeated_spans(corpus, batch, min_len=4)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_overlap_tokens"],
+            r["n_spans"],
+            r["verdict"],
+        )
+        for r in span_overlap_verdicts(batch, spans, overlap_frac=0.5).collect()
+    }
+    assert got[100] == (8, 6, 1, "span_dup")
+    assert got[101] == (12, 6, 1, "unique")
+    assert got[102] == (5, 0, 0, "unique")
+
+
+def test_delta_then_cut_admission_flow(spark):
+    """The ingestion composition: detect batch-vs-corpus spans, cut
+    them from the batch, and the cleaned batch shares nothing >= L
+    with the corpus anymore."""
+    from cherry_spark.ext.substr import (
+        cut_repeated_spans,
+        delta_repeated_spans,
+    )
+
+    shared = "c1 c2 c3 c4 c5"
+    corpus = _mk(spark, [(1, f"{shared} tail")])
+    batch = _mk(spark, [(100, f"head {shared} mid {shared}")])
+    spans = delta_repeated_spans(corpus, batch, min_len=5)
+    cleaned = cut_repeated_spans(batch, spans).select(
+        F.col("doc_id"), F.col("text_clean").alias("text")
+    )
+    again = delta_repeated_spans(corpus, cleaned, min_len=5)
+    assert again.count() == 0
+    (row,) = cleaned.collect()
+    assert row["text"] == "head mid"

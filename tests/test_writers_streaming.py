@@ -1077,3 +1077,91 @@ def test_streaming_curation_gate_restart_uses_persisted_stores(spark, tmp_path):
     # budget resumed from the persisted spent row: 30 + 30 + 25
     assert spark.read.parquet(os.path.join(state, "spent")).first()["spent"] == 85
     assert spark.read.parquet(os.path.join(state, "text")).count() == 3
+
+
+def test_streaming_span_gate_rejects_and_restarts(spark, tmp_path):
+    """Streaming ExactSubstr gate (r9): batch docs are span-matched
+    against the admitted-postings store; span_dup docs never fold
+    their grams (a later clone is judged against the ORIGINAL admitted
+    content), and a restarted query serves verdicts from the persisted
+    store, processing only the downtime arrivals."""
+    import time
+
+    from cherry_spark.streaming.continuous import run_streaming_span_gate
+
+    R = "r1 r2 r3 r4 r5 r6"
+    arrivals = [
+        [(1, f"{R} tail1 tail2"), (2, "novel n2 n3 n4 n5")],
+        # 3: 6/7 overlap -> span_dup (rejected, grams NOT stored)
+        # 4: 6/12 overlap == frac 0.5, not > 0.5 -> unique (stored)
+        [(3, f"{R} x"), (4, f"{R} a b c d e f")],
+        # 5 overlaps R -> must be span_dup via docs 1/4's stored grams
+        [(5, f"y {R}"), (6, "fresh f2 f3 f4 f5 f6")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    seen: list[tuple[int, dict]] = []
+
+    def sink(verdicts, batch_id):
+        seen.append(
+            (batch_id, {r["doc_id"]: r.asDict() for r in verdicts.collect()})
+        )
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_span_gate(
+        spark, stream(), state, sink, ckpt, min_len=4, overlap_frac=0.5
+    )
+    q.awaitTermination(240)
+
+    assert len(seen) == 3
+    got = {d: r for _, batch in seen for d, r in batch.items()}
+    assert {d: r["verdict"] for d, r in got.items()} == {
+        1: "unique", 2: "unique",
+        3: "span_dup", 4: "unique",
+        5: "span_dup", 6: "unique",
+    }
+    assert got[3]["n_overlap_tokens"] == 6 and got[3]["n_tokens"] == 7
+    assert got[4]["n_overlap_tokens"] == 6 and got[4]["n_tokens"] == 12
+    # the store holds postings ONLY for admitted docs
+    stored_docs = {
+        r["__doc"] for r in spark.read.parquet(state).select("__doc").distinct().collect()
+    }
+    assert stored_docs == {1, 2, 4, 6}
+
+    # downtime arrival: an exact clone of R must be span_dup on restart
+    spark.createDataFrame([(7, R)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    seen2: list[tuple[int, dict]] = []
+
+    def sink2(verdicts, batch_id):
+        seen2.append(
+            (batch_id, {r["doc_id"]: r.asDict() for r in verdicts.collect()})
+        )
+
+    q2 = run_streaming_span_gate(
+        spark, stream(), state, sink2, ckpt, min_len=4, overlap_frac=0.5
+    )
+    q2.awaitTermination(240)
+    assert len(seen2) == 1  # only the downtime arrival replays
+    (_, batch) = seen2[0]
+    assert batch[7]["verdict"] == "span_dup"
+    assert batch[7]["n_overlap_tokens"] == 6
+    stored_docs = {
+        r["__doc"] for r in spark.read.parquet(state).select("__doc").distinct().collect()
+    }
+    assert stored_docs == {1, 2, 4, 6}  # the rejected clone stored nothing
