@@ -80,6 +80,8 @@ def quantized_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    method: str = "fold",
+    buffer: int = 16,
 ) -> DataFrame:
     """Two-stage ANN: score CANDIDATES on int8 codes, rerank exactly.
 
@@ -100,6 +102,28 @@ def quantized_rerank_topk(
     glaciers ABI enumeration; data volume never flows to the driver.
     ``rerank`` (default 10x k) buffers the residual quantization error;
     recall is asserted against brute force in tests.
+
+    ``method="numpy"`` (r9, NON-default — the knn_graph lane applied
+    to the code-space pass): the full-corpus proxy scoring runs as one
+    ``mapInPandas`` matmul over the raw vectors (quantize half-up ==
+    Spark HALF_UP via floor(x+0.5), dequantize with the IDENTICAL
+    driver-computed (mn, scale) doubles); the numpy proxy top
+    ``rerank + buffer`` per query (salted two-phase) is a superset of
+    the certified fold-proxy top-``rerank`` (proxies differ only in
+    matmul-vs-fold summation order, ≲1e-13; duplicate-code ties rank
+    identically by id in both), and the exact rerank-boundary CUT is
+    re-established by fold-scoring ONLY those ≤ (rerank+buffer)·nq
+    candidates with the certified expression.  Output bit-identical
+    to ``method="fold"`` (differential tests + oracle hash-match).
+    MEASURED NEGATIVE at the registered config (r9, same-session A/B
+    at sf0.1, nq=3): fold 1.84 s vs numpy 2.51 s median — with 3
+    queries the corpus×nq fold volume (~18k folds) is cheaper than
+    the Arrow corpus pass + extra joins the numpy lane adds; the
+    matmul lane only wins when the QUERY SET is large (corpus×nq
+    fold volume grows linearly in nq, the numpy pass doesn't — the
+    knn_graph case is exactly nq = corpus): at nq=200 the same A/B
+    reads numpy 4.9 s vs fold 5.9 s and diverging.  Default stays
+    "fold"; switch per call for batch-query workloads.
     """
     # ONE stats aggregation: collect the dim-bounded rows, then rebuild
     # the broadcast side from them — the corpus is scanned once for
@@ -133,12 +157,39 @@ def quantized_rerank_topk(
         topk_per_query,
     )
 
-    # dequantized code arrays + norms ONCE per row, not once per
-    # (row × query) pair — the HOF folds are interpreted, so per-pair
-    # norms triple the hot loop (same reasoning as brute_force_topk)
-    cor = codes(vectors, id_col).select(
-        "id", deq("qvec").alias("__d")
-    ).withColumn("__dn", norm(F.col("__d")))
+    if method == "numpy":
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+        except ImportError:  # pragma: no cover - both baked into the env
+            method = "fold"
+    if method == "numpy":
+        pre = _quantized_candidates_numpy(
+            vectors,
+            query,
+            stat_rows,
+            rerank + buffer,
+            id_col,
+            vec_col,
+            query_id_col,
+        )
+        # fold-proxy re-score of the buffered superset re-establishes
+        # the certified rerank-boundary cut exactly: candidate volume
+        # is ≤ (rerank+buffer)·nq rows, so the interpreted folds run
+        # on hundreds of rows, not the corpus
+        sub = vectors.join(
+            pre.select(F.col(id_col)).distinct(), id_col
+        )
+        cor = codes(sub, id_col).select(
+            "id", deq("qvec").alias("__d")
+        ).withColumn("__dn", norm(F.col("__d")))
+    else:
+        # dequantized code arrays + norms ONCE per row, not once per
+        # (row × query) pair — the HOF folds are interpreted, so
+        # per-pair norms triple the hot loop (as brute_force_topk)
+        cor = codes(vectors, id_col).select(
+            "id", deq("qvec").alias("__d")
+        ).withColumn("__dn", norm(F.col("__d")))
     qc = F.broadcast(
         codes(query, query_id_col)
         .select(F.col("id").alias("__qid"), deq("qvec").alias("__qdeq"))
@@ -148,11 +199,23 @@ def quantized_rerank_topk(
         (F.col("__dn") > 0) & (F.col("__qn") > 0),
         dot(F.col("__d"), F.col("__qdeq")) / (F.col("__dn") * F.col("__qn")),
     )
-    scored = cor.crossJoin(qc).select(
-        F.col("__qid").alias(query_id_col),
-        F.col("id").alias(id_col),
-        proxy.alias("__proxy"),
-    )
+    if method == "numpy":
+        scored = (
+            pre.join(cor.withColumnRenamed("id", id_col), id_col)
+            .join(
+                qc.select(
+                    F.col("__qid").alias(query_id_col), "__qdeq", "__qn"
+                ),
+                query_id_col,
+            )
+            .select(query_id_col, F.col(id_col), proxy.alias("__proxy"))
+        )
+    else:
+        scored = cor.crossJoin(qc).select(
+            F.col("__qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            proxy.alias("__proxy"),
+        )
     # salted two-phase selection: no single task ever sorts a whole
     # query's scored corpus (the pre-r7 form was one corpus-bounded
     # window per query — a single-task sort at scale)
@@ -177,6 +240,76 @@ def quantized_rerank_topk(
         )
     )
     return topk_per_query(exact, k, query_id_col, id_col, "sim")
+
+
+def _quantized_candidates_numpy(
+    vectors: DataFrame,
+    query: DataFrame,
+    stat_rows,
+    k_buf: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """(query_id, id) numpy-proxy top-``k_buf`` per query: quantize +
+    dequantize + matmul proxy in one ``mapInPandas`` corpus pass, then
+    the salted two-phase selection on the emitted (corpus × nq) proxy
+    rows.  Quantization replicates Spark's expression exactly on real
+    data: same (v-mn)/(mx-mn)*255 IEEE order, HALF_UP == floor(x+0.5)
+    for these non-negative sub-255 operands (a divergence needs x
+    within ~3e-14 of an exact .5 — and any such flip is absorbed by
+    the caller's buffer anyway).  The query side is collected
+    driver-side (small by the operator's broadcast contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from cherry_spark.ext.similarity import topk_per_query
+
+    mn = np.array([float(r["mn"]) for r in stat_rows])
+    mx = np.array([float(r["mx"]) for r in stat_rows])
+    rng = mx - mn
+    scale = rng / 255.0
+    ok = rng > 0
+
+    def quant_deq(V: "np.ndarray") -> "np.ndarray":
+        X = (V - mn) / np.where(ok, rng, 1.0) * 255.0
+        C = np.where(ok, np.floor(X + 0.5), 0.0)
+        return C * scale + mn
+
+    q_rows = query.select(F.col(query_id_col), F.col(vec_col)).collect()
+    qids = np.array([r[query_id_col] for r in q_rows])
+    Qd = quant_deq(np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64))
+    qn = np.sqrt((Qd * Qd).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            D = quant_deq(V)
+            dn = np.sqrt((D * D).sum(axis=1))
+            denom = np.outer(dn, qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                P = np.where(
+                    denom > 0,
+                    (D @ Qd.T) / np.where(denom > 0, denom, 1.0),
+                    -np.inf,
+                )
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(qids, n),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), len(qids)),
+                    "__np": P.ravel(),
+                }
+            )
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, __np double"
+    )
+    return topk_per_query(scored, k_buf, query_id_col, id_col, "__np").select(
+        query_id_col, id_col
+    )
 
 
 def quantized_rerank_oracle_sql(

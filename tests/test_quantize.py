@@ -89,3 +89,55 @@ def test_quantize_audit_mixed_length_vectors(spark):
     assert rows[1]["mean_abs_err"] == 0.0
     assert rows[2]["max_abs_err"] < 0.01
     assert 0.0 <= rows[2]["mean_abs_err"] <= rows[2]["max_abs_err"]
+
+
+def test_quantized_rerank_numpy_equals_fold(spark, emb):
+    """The mapInPandas matmul candidate lane must reproduce the fold
+    lane's output EXACTLY (the registered query's config), including
+    on an adversarial duplicate-heavy corpus where the rerank boundary
+    is a pure id tie-break."""
+    from cherry_spark.ext.quantize import quantized_rerank_topk
+
+    q = emb.filter(F.col("vec_id").isin(3, 47, 111)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fold = sorted(
+        tuple(r)
+        for r in quantized_rerank_topk(
+            emb, q, k=10, rerank=100, method="fold"
+        ).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in quantized_rerank_topk(
+            emb, q, k=10, rerank=100, method="numpy"
+        ).collect()
+    )
+    assert fast == fold and len(fast) == 30
+
+
+def test_quantized_rerank_numpy_duplicate_ties_and_zero_norm(spark):
+    from cherry_spark.ext.quantize import quantized_rerank_topk
+
+    # 30 identical vectors: rerank=8 cut is entirely an id tie-break;
+    # zero-norm rows exercise the NULL/-inf lanes
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    rows += [(100, [0.0, 0.0, 0.0, 0.0]), (101, [4.0, 3.0, 2.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id").isin(0, 100)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for buf in (0, 16):
+        fold = sorted(
+            tuple(r)
+            for r in quantized_rerank_topk(
+                df, q, k=5, rerank=8, method="fold"
+            ).collect()
+        )
+        fast = sorted(
+            tuple(r)
+            for r in quantized_rerank_topk(
+                df, q, k=5, rerank=8, method="numpy", buffer=buf
+            ).collect()
+        )
+        assert fast == fold, f"buffer={buf}"
