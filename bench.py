@@ -106,6 +106,9 @@ HEADLINE = PINNED + [
     "zorder_curve_key",
     "domain_pagerank",
     "knn_graph",
+    # round-9 additions (compare totals only on equal sets — see note)
+    "trained_quality_gate",
+    "repeated_substring_spans",
 ]
 
 

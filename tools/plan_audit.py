@@ -48,6 +48,8 @@ NESTED_LOOP_OK = {
     "mixing_apply",  # the 1-row normalizer cross-join inside
     # mixing_temperature (the quota join itself is a BroadcastHashJoin)
     "vocab_coverage",  # 1-row totals cross-joined into the k rows
+    "trained_quality_gate",  # 1-row calibrated-threshold aggregate
+    # cross-joined into the verdict rows (broadcast by construction)
     "domain_pagerank",  # per-iteration 1-row dangling-mass broadcast cross-join
     "weighted_sample_exact",  # the 1-row total-weight aggregate broadcast
     # cross-joined into every row (ext/sampling.py:weighted_systematic_sample)
@@ -178,6 +180,9 @@ AUDIT = [
     "domain_blocklist_filter",
     "event_spike_report",
     "weighted_sample_exact",
+    # round-9 additions
+    "trained_quality_gate",
+    "repeated_substring_spans",
 ]
 
 
