@@ -33,6 +33,106 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def probe_span_gate(sf_dir: str, n_arrivals: int = 10) -> None:
+    """run_streaming_span_gate's handle_batch body, serial-timed: 10
+    arrivals of 5k docs against the growing admitted-postings store.
+    Adversarial composition per arrival: the ODD half of each batch is
+    its base doc + ONE novel token (overlap ≈ L/(L+1) > 0.5 →
+    span_dup, postings never stored), the EVEN half is base + an
+    equal-length per-arrival novel suffix (overlap exactly 0.5 → NOT >
+    0.5 → admitted, store grows).  Every admitted doc carries its base
+    text, so arrival i's doc d genuinely overlaps ALL i of its prior
+    admitted versions — per-batch match volume grows linearly BY
+    SEMANTICS (the clone classes really do share those runs); the
+    evidence is that per-batch cost tracks the true match volume and
+    verdict counts stay exact, with the store holding admitted docs
+    only."""
+    from cherry_spark.ext.substr import (
+        _gram_postings,
+        delta_repeated_spans,
+        span_overlap_verdicts,
+    )
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+
+    work = "/tmp/cherry_probe_span_gate"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    state_dir = f"{work}/grams"
+
+    spark = get_spark("span_gate_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    offset = 1_000_000
+    times, hit_counts = [], []
+    for i in range(n_arrivals):
+        # novel suffix the same length as the doc (token-for-token):
+        # md5-salted per (arrival, doc) so suffixes never collide
+        toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        suffix_full = F.concat_ws(
+            " ",
+            F.transform(
+                toks,
+                lambda t, j: F.md5(
+                    F.concat(t, F.lit(f"|{i}|"), F.col("doc_id").cast("string"), j.cast("string"))
+                ),
+            ),
+        )
+        batch = docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.concat(F.col("text"), F.lit(f" odd{i}x")),
+            )
+            .otherwise(F.concat(F.col("text"), F.lit(" "), suffix_full))
+            .alias("text"),
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        grams = _gram_postings(batch, 8, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        if os.path.isdir(state_dir):
+            stored = spark.read.parquet(state_dir)
+            spans = delta_repeated_spans(
+                None, batch, 8, corpus_grams=stored, batch_grams=grams
+            ).localCheckpoint(eager=True)
+        else:
+            spans = spark.createDataFrame(
+                [],
+                "doc_a long, doc_b long, start_a long, start_b long,"
+                " span_len long",
+            )
+        n_spans = spans.count()
+        verdicts = span_overlap_verdicts(batch, spans, 0.5).localCheckpoint(
+            eager=True
+        )
+        counts = {
+            r["verdict"]: r["n"]
+            for r in verdicts.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        admitted = verdicts.filter(F.col("verdict") != "span_dup").select(
+            "doc_id"
+        )
+        grams.join(
+            admitted.withColumnRenamed("doc_id", "__doc"), "__doc", "left_semi"
+        ).write.mode("append").parquet(state_dir)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        hit_counts.append(n_spans)
+        print(f"arrival {i}: spans {n_spans} -> {counts} in {dt:.1f}s")
+    stored_docs = (
+        spark.read.parquet(state_dir).select("__doc").distinct().count()
+    )
+    print(
+        f"[span_gate] per-batch seconds: {[round(t, 1) for t in times]}; "
+        f"spans per batch: {hit_counts} (growing with TRUE clone-class "
+        f"size); store holds {stored_docs} admitted docs "
+        f"(rejected halves never folded)"
+    )
+
+
 def main() -> None:
     from cherry_spark.ext.dedup import delta_dedup, minhash_signatures
     from cherry_spark.sources.tables import load_table
@@ -105,4 +205,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "span_gate" in sys.argv:
+        probe_span_gate(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        )
+    else:
+        main()
