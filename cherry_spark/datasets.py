@@ -164,3 +164,100 @@ def address_appearances(
         F.min("block_number").cast("long").alias("first_block"),
         F.max("block_number").cast("long").alias("last_block"),
     )
+
+
+def svm_swaps(
+    tables: Batch,
+    from_slot: int,
+    to_slot: int,
+    program_id: bytes,
+    instruction_name: str = "swap",
+    params: list | None = None,
+    accounts_names: list[str] | None = None,
+) -> DataFrame:
+    """The SVM swaps dataset — the reference's second end-to-end
+    example as one call (reference examples/jup_swap.py: instruction
+    program/discriminator filter -> Borsh decode -> join blocks on
+    block_slot -> join transactions on (block_slot,
+    transaction_index)).
+
+    ``program_id`` narrows the instruction scan; the Anchor
+    discriminator is derived from ``instruction_name``
+    (sha256('global:<name>')[:8], functions/crypto.py) exactly like
+    the reference's InstructionSignature setup.  ``params`` /
+    ``accounts_names`` default to a minimal swap shape
+    (amount_in/min_amount_out u64; user + source/dest token
+    accounts); pass the real program's layout for production.
+
+    Plan shape: the filters land in the instructions scan (query
+    model), decode is the zero-UDF Borsh expression compiler, both
+    enrich joins broadcast the parent side (one row per block/tx vs
+    many instructions)."""
+    from cherry_spark.functions.crypto import svm_anchor_discriminator
+    from cherry_spark.model import (
+        InstructionRequest,
+        SvmQuery,
+        apply_svm_query,
+    )
+    from cherry_spark.operators.decode_svm import (
+        InstructionSignature,
+        ParamInput,
+    )
+    from cherry_spark.plans.config import (
+        JoinTransactionDataConfig,
+        SvmDecodeInstructionsConfig,
+    )
+
+    disc = svm_anchor_discriminator(instruction_name)
+    q = SvmQuery(
+        from_slot=from_slot,
+        to_slot=to_slot,
+        instructions=[
+            InstructionRequest(
+                program_id=[program_id],
+                discriminator=[disc],
+                include_blocks=True,
+                include_transactions=True,
+            )
+        ],
+    )
+    filtered = apply_svm_query(tables, q)
+    sig = InstructionSignature(
+        discriminator=disc,
+        params=params
+        or [
+            ParamInput("amount_in", "u64"),
+            ParamInput("min_amount_out", "u64"),
+        ],
+        accounts_names=accounts_names
+        or ["user", "source_mint", "dest_mint"],
+    )
+    steps = [
+        Step(
+            StepKind.SVM_DECODE_INSTRUCTIONS,
+            SvmDecodeInstructionsConfig(
+                sig,
+                input_table="instructions",
+                output_table="svm_swaps",
+                allow_decode_fail=True,
+                hstack=True,
+            ),
+        ),
+        Step(
+            StepKind.JOIN_BLOCK_DATA,
+            JoinBlockDataConfig(
+                tables=["svm_swaps"], join_key="block_slot", blocks_key="slot"
+            ),
+        ),
+    ]
+    if "transactions" in filtered:
+        steps.append(
+            Step(
+                StepKind.JOIN_SVM_TRANSACTION_DATA,
+                JoinTransactionDataConfig(
+                    tables=["svm_swaps"],
+                    on=("block_slot", "transaction_index"),
+                ),
+            )
+        )
+    return process_steps(filtered, steps)["svm_swaps"]

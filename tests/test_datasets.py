@@ -81,3 +81,71 @@ def test_address_appearances_counts_and_relationships(spark):
 def test_address_appearances_requires_a_source(spark):
     with pytest.raises(ValueError, match="at least one"):
         datasets.address_appearances({"blocks": spark.range(1)}, 0, 10)
+
+
+def test_svm_swaps_dataset_end_to_end(spark):
+    """The jup_swap example shape as one call: synthesize Anchor swap
+    instructions (disc + u64 amount_in + u64 min_amount_out LE +
+    3 account pubkeys), plus decoys (wrong program, wrong
+    discriminator, out of range), and check filter -> Borsh decode ->
+    block + transaction enrich."""
+    import struct
+
+    from cherry_spark.functions.crypto import svm_anchor_discriminator
+
+    prog = b"\x01" * 32
+    other_prog = b"\x02" * 32
+    disc = svm_anchor_discriminator("swap")
+    bad_disc = svm_anchor_discriminator("not_swap")
+
+    def payload(d, a_in, a_out):
+        return d + struct.pack("<QQ", a_in, a_out)
+
+    rows = []
+    for i in range(6):
+        rows.append(
+            (
+                100 + i,           # block_slot
+                0,                 # transaction_index
+                0,                 # instruction_index
+                prog,
+                payload(disc, 1000 + i, 900 + i),
+                b"\x0a" * 32, b"\x0b" * 32, b"\x0c" * 32,
+                *[None] * 7,
+            )
+        )
+    rows.append((102, 1, 0, other_prog, payload(disc, 5, 5),
+                 b"\x0a" * 32, None, None, *[None] * 7))   # wrong program
+    rows.append((103, 1, 0, prog, payload(bad_disc, 6, 6),
+                 b"\x0a" * 32, None, None, *[None] * 7))   # wrong disc
+    rows.append((999, 0, 0, prog, payload(disc, 7, 7),
+                 b"\x0a" * 32, None, None, *[None] * 7))   # out of range
+    schema = (
+        "block_slot long, transaction_index long, instruction_index long,"
+        " program_id binary, data binary,"
+        + ",".join(f" a{i} binary" for i in range(10))
+    )
+    instructions = spark.createDataFrame(rows, schema)
+    blocks = spark.createDataFrame(
+        [(100 + i, 1_700_000_000 + i) for i in range(10)] + [(999, 2_000_000_000)],
+        "slot long, timestamp long",
+    )
+    txs = spark.createDataFrame(
+        [(100 + i, 0, f"sig{i}") for i in range(10)],
+        "block_slot long, transaction_index long, signature string",
+    )
+    out = datasets.svm_swaps(
+        {"instructions": instructions, "blocks": blocks, "transactions": txs},
+        from_slot=100,
+        to_slot=110,
+        program_id=prog,
+    ).collect()
+    got = {r["block_slot"]: r for r in out}
+    assert sorted(got) == [100, 101, 102, 103, 104, 105]
+    for i in range(6):
+        r = got[100 + i]
+        assert r["amount_in"] == 1000 + i
+        assert r["min_amount_out"] == 900 + i
+        assert bytes(r["user"]) == b"\x0a" * 32
+        assert r["block_timestamp"] == 1_700_000_000 + i
+        assert r["signature"] == f"sig{i}"
