@@ -172,11 +172,44 @@ _PAST_WINDOW_FIRST = [
 ]
 
 # Queries registered DURING round 9 (after the r09 window froze) —
-# they join the certification queue in round 10.  Pinned as data the
-# moment they are registered (the _ADDED_R08 discipline).
+# pinned as data the moment they are registered (the _ADDED_R08
+# discipline).  They certify in ROUND 11 (within the 3-round window).
 _ADDED_R09 = [
     "trained_quality_gate",
     "repeated_substring_spans",
+]
+
+# ---------------------------------------------------------------------
+# ROUND-10 window, PRE-STAGED (swap `_reorder_for_certification`'s
+# group tuple to `(_R07_REMAINING_R10, _R08_FIRST3_R10,
+# _PAST_WINDOW_FIRST)` at the start of round 10 — nothing to recount).
+# 47 r07 rows (CORRECTNESS_r07.json order minus _R07_FIRST3) + the
+# first 3 rows of the archived r08 artifact = 50.
+# tests/test_registry_window.py::test_r10_plan_complement_is_well_defined
+# re-derives the 47 from the artifact.
+# ROUND-11 window: the remaining 47 r08 rows + _ADDED_R09 (2) + the
+# first(oldest) r09-window row (47 + 2 + 1 = 50).
+# ---------------------------------------------------------------------
+_R07_REMAINING_R10 = [
+    "ann_lsh_topk", "flagship_revenue_by_nation", "u256_sum",
+    "funnel_conversion", "embedding_quantize_audit", "decode_fixedwidth",
+    "decode_dynamic_abi", "borsh_decode_fixed", "glaciers_decode",
+    "u256_binary_roundtrip", "hex_encode", "base58_encode",
+    "cast_by_name", "cast_by_type", "set_constant_col", "project_select",
+    "filter_range", "filter_in_set", "filter_prefix", "semi_join_related",
+    "trace_query_model", "join_inner_eq", "join_composite_key",
+    "join_left_dim", "json_extract", "agg_min_max", "agg_resume_cursor",
+    "agg_count_distinct", "groupby_sum", "groupby_multi", "distinct_rows",
+    "rollup_agg", "cube_agg", "pivot_status_counts", "topk_orderby_limit",
+    "union_all_batches", "intersect_keys", "except_keys",
+    "window_rownum_dedup", "window_tumbling_agg", "session_window_agg",
+    "session_window_native", "sql_step", "udf_transform_step",
+    "range_join_buckets", "retention_cohorts", "cosine_topk",
+]
+_R08_FIRST3_R10 = [
+    "budget_select_topq",
+    "budget_select_by_lang",
+    "approx_percentile_verdict",
 ]
 
 # The first 3 rows of the archived ROUND-7 driver window
@@ -263,6 +296,15 @@ assert set(_ADDED_R09) <= set(REGISTRY) and not (
         | set(_R07_FIRST3)
     )
 ), "round-9 additions must be registered and outside every earlier group"
+assert len(_R07_REMAINING_R10) + len(_R07_FIRST3) == 50 and not (
+    set(_R07_REMAINING_R10) & set(_R07_FIRST3)
+), "r10 pre-stage: the two r07 groups must partition the 50 r07 rows"
+assert len(_R07_REMAINING_R10) + len(_R08_FIRST3_R10) == 50, (
+    "round-10 window arithmetic: 47 r07 rows + 3 r08 rows"
+)
+assert set(_R07_REMAINING_R10) | set(_R08_FIRST3_R10) <= set(REGISTRY), (
+    "every pre-staged round-10 row must be registered"
+)
 assert len(REGISTRY) <= 150, (
     f"registry holds {len(REGISTRY)} queries — the 3-round certification"
     " guarantee caps it at 150; displace a twin to _PAST_WINDOW_FIRST"

@@ -103,3 +103,17 @@ def test_registry_ceiling_leaves_headroom_or_policy_applies():
     """148 registered, ceiling 150: at most 2 net additions without a
     displacement.  The policy in queries/__init__.py names the twins."""
     assert len(REGISTRY) <= 150
+
+
+def test_r10_prestaged_window_matches_artifacts():
+    """The pre-staged r10 groups must be derivable from the archived
+    artifacts: _R07_REMAINING_R10 == r07 order minus _R07_FIRST3, and
+    _R08_FIRST3_R10 == the first 3 rows of the r08 artifact."""
+    r07 = _round_order(7)
+    assert Q._R07_REMAINING_R10 == [
+        n for n in r07 if n not in set(Q._R07_FIRST3)
+    ]
+    assert Q._R08_FIRST3_R10 == _round_order(8)[:3]
+    # r11 closes the books: 47 remaining r08 + 2 r09 adds + 1 = 50
+    r08_remaining = [n for n in _round_order(8) if n not in set(Q._R08_FIRST3_R10)]
+    assert len(r08_remaining) + len(Q._ADDED_R09) + 1 == 50
