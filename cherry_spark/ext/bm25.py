@@ -52,30 +52,13 @@ def _consts(k1: float, b: float) -> tuple[str, str, str]:
     )
 
 
-def bm25_topk(
-    corpus: DataFrame,
-    query: DataFrame,
-    k: int = 5,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    query_id_col: str = "query_id",
-    n_salt: int = 64,
-) -> DataFrame:
-    """Top-k BM25-ranked corpus docs per query doc.
-
-    Returns ``(query_id, doc_id, score_fp, score)`` — ``score_fp`` is
-    the exact micro-unit BIGINT the ranking is defined over,
-    ``score`` its double rendering (score_fp / 1e6).
-    """
+def _index_tables(
+    corpus: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(tf, dl, dfreq, stats) — the BM25 inverted index, all exact
+    BIGINT aggregates (so a parquet round-trip is lossless and a
+    store-served search is bit-identical to inline)."""
     from cherry_spark.ext.dedup import tokens_col
-
-    # doubles, never F.expr over a decimal literal (Spark SQL parses
-    # "1.2" as DECIMAL(2,1), which silently changes the arithmetic)
-    c_k1 = F.lit(float(k1))
-    c_k1p1 = F.lit(float(k1) + 1.0)
-    c_b = F.lit(float(b))
 
     tf = (
         corpus.select(
@@ -91,6 +74,76 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_len"),
     )
+    return tf, dl, dfreq, stats
+
+
+def bm25_build_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the BM25 inverted index ONCE (tf partition-pruned by a
+    term hash would be the 100 TB layout; here one parquet dir per
+    table): tf (posting list), dl (doc lengths), dfreq (document
+    frequencies), stats (1 row).  Searches against the store skip the
+    corpus tokenize + three aggregations per run — the ivf_build_index
+    'index once, query many' contract applied to lexical retrieval."""
+    tf, dl, dfreq, stats = _index_tables(corpus, id_col, text_col)
+    tf.write.mode("overwrite").parquet(f"{index_dir}/tf")
+    dl.write.mode("overwrite").parquet(f"{index_dir}/dl")
+    dfreq.write.mode("overwrite").parquet(f"{index_dir}/dfreq")
+    stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def bm25_index_exists(index_dir: str) -> bool:
+    import os
+
+    return all(
+        os.path.exists(f"{index_dir}/{t}/_SUCCESS")
+        for t in ("tf", "dl", "dfreq", "stats")
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame | None,
+    query: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    n_salt: int = 64,
+    index_dir: str | None = None,
+) -> DataFrame:
+    """Top-k BM25-ranked corpus docs per query doc.
+
+    Returns ``(query_id, doc_id, score_fp, score)`` — ``score_fp`` is
+    the exact micro-unit BIGINT the ranking is defined over,
+    ``score`` its double rendering (score_fp / 1e6).
+
+    ``index_dir``: serve tf/dl/dfreq/stats from a prebuilt
+    ``bm25_build_index`` store (``corpus`` may be None) — identical
+    results (the index is exact integers, lossless through parquet),
+    no corpus pass per query run.
+    """
+    from cherry_spark.ext.dedup import tokens_col
+
+    # doubles, never F.expr over a decimal literal (Spark SQL parses
+    # "1.2" as DECIMAL(2,1), which silently changes the arithmetic)
+    c_k1 = F.lit(float(k1))
+    c_k1p1 = F.lit(float(k1) + 1.0)
+    c_b = F.lit(float(b))
+
+    if index_dir is not None:
+        spark = query.sparkSession
+        tf = spark.read.parquet(f"{index_dir}/tf")
+        dl = spark.read.parquet(f"{index_dir}/dl")
+        dfreq = spark.read.parquet(f"{index_dir}/dfreq")
+        stats = spark.read.parquet(f"{index_dir}/stats")
+    else:
+        tf, dl, dfreq, stats = _index_tables(corpus, id_col, text_col)
     qterms = query.select(
         F.col(query_id_col).alias("__qid"),
         F.explode(tokens_col(F.col(text_col))).alias("term"),

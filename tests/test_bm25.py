@@ -81,3 +81,44 @@ def test_bm25_rare_term_outranks_common(spark):
     rows = bm25_topk(cdf, qdf, k=2).collect()
     assert rows[0]["doc_id"] == 2
     assert len(rows) == 1  # no other doc shares a query term
+
+
+def test_bm25_prebuilt_index_equals_inline_and_no_rebuild(spark, tmp_path):
+    """Store-served search must be BIT-identical to inline (the index
+    is exact BIGINTs through parquet) and must not rewrite the store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cherry_spark.ext.bm25 import (
+        bm25_build_index,
+        bm25_index_exists,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark query engine fast query"),
+            (1, "query planner spark catalyst"),
+            (2, "slow table scan"),
+            (3, "fast vector engine"),
+            (4, "unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    q = docs.filter(F.col("doc_id").isin(0, 2)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    inline = sorted(tuple(r) for r in bm25_topk(docs, q, k=3).collect())
+    idx = str(tmp_path / "bm25")
+    assert not bm25_index_exists(idx)
+    bm25_build_index(docs, idx)
+    assert bm25_index_exists(idx)
+    marker = os.path.getmtime(f"{idx}/tf/_SUCCESS")
+    for _ in range(2):
+        served = sorted(
+            tuple(r)
+            for r in bm25_topk(None, q, k=3, index_dir=idx).collect()
+        )
+        assert served == inline
+    assert os.path.getmtime(f"{idx}/tf/_SUCCESS") == marker
