@@ -1389,7 +1389,7 @@ def _rewrite_tail_sql(table: str, id_col: str) -> str:
 
 
 def jaccard_topk(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     query: DataFrame,
     k: int = 5,
     shingle_k: int = 3,
@@ -1398,6 +1398,7 @@ def jaccard_topk(
     query_id_col: str = "query_id",
     n_salt: int = 64,
     max_shingle_freq: int = 500,
+    corpus_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Text similarity SEARCH: for each query document, the top-k most
     Jaccard-similar corpus documents over distinct ``shingle_k``-gram
@@ -1427,7 +1428,14 @@ def jaccard_topk(
 
     Documents shorter than ``shingle_k`` tokens — or whose every
     shingle is hot — have no profile and produce no rows (as query or
-    candidate)."""
+    candidate).
+
+    ``corpus_postings``: the stored corpus posting table
+    (``shingle_postings`` columns ``id, shingle``, same shingle_k),
+    computed once at ingest — the corpus tokenize+shingle pipeline
+    then never re-executes per search (``corpus`` may be None); its
+    multiple references below become cheap parquet scans, so no
+    barrier is needed either."""
     qp = shingle_postings(query, query_id_col, text_col, shingle_k).withColumnsRenamed(
         {"id": "__qid"}
     )
@@ -1437,9 +1445,11 @@ def jaccard_topk(
     # scan+shingle pass (1.78 vs 1.63 s warm parallelized) — the
     # rollup reference reduces map-side to O(distinct shingles) before
     # its exchange, so the duplicated work is cheap by construction.
-    cp = shingle_postings(corpus, id_col, text_col, shingle_k).withColumnsRenamed(
-        {"id": "__cid"}
-    )
+    cp = (
+        corpus_postings
+        if corpus_postings is not None
+        else shingle_postings(corpus, id_col, text_col, shingle_k)
+    ).withColumnsRenamed({"id": "__cid"})
     # hot list from CORPUS doc-freq (map-side partial count -> tiny
     # rollup), dropped from both sides before the candidate equi-join
     hot = (

