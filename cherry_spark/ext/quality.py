@@ -297,8 +297,34 @@ def dsir_logratio_oracle_sql(
     """
 
 
-def bigram_logprob(
+def bigram_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(prev, cur, c2) corpus bigram counts — the bigram LM's "model"
+    table, corpus-static: build once per corpus version and serve
+    every ``bigram_logprob`` scoring run from the store (exact BIGINT
+    counts, lossless through parquet)."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    bigrams_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams_arr).alias("b")
+    ).select("id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    return bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram-LM-proxy quality score: corpus bigram MLE
     ``P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} as context)``,
@@ -315,7 +341,14 @@ def bigram_logprob(
     per-doc shuffle), one O(distinct-bigram) count aggregate, a
     context-count aggregate derived FROM it (no second corpus pass),
     one equi-join back. Same round-then-DECIMAL-sum determinism as
-    ``unigram_logprob``."""
+    ``unigram_logprob``.
+
+    ``counts``: a stored :func:`bigram_counts` model table — the
+    "train the cheap LM once, score many corpora" seam (r9).  Model
+    prep (c1 context totals + the c2⋈c1 pre-join) happens at MODEL
+    size (distinct bigrams), so the corpus-scale bigram stream
+    shuffles through exactly ONE join — the pre-r9 form joined it
+    twice (once on (prev, cur), again on prev)."""
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
     bigrams_arr = F.when(
@@ -329,14 +362,15 @@ def bigram_logprob(
     bg = df.select(
         F.col(id_col).alias("id"), F.explode(bigrams_arr).alias("b")
     ).select("id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    c2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = counts if counts is not None else bigram_counts(df, id_col, text_col)
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     lp = F.round(
         F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 6
     ).cast("decimal(18,6)")
+    # model-size pre-join: the corpus bigram stream meets ONE table
+    model = c2.join(c1, on="prev")
     scores = (
-        bg.join(c2, on=["prev", "cur"])
-        .join(c1, on="prev")
+        bg.join(model, on=["prev", "cur"])
         .select("id", lp.alias("lp"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("slp"))
