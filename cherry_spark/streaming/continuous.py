@@ -1263,3 +1263,73 @@ def run_streaming_span_gate(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_bm25_index(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained BM25 inverted index (r9): each
+    micro-batch of NEW documents folds into the same four-table store
+    layout ``ext/bm25.bm25_build_index`` writes — so a search job
+    serves ``bm25_topk(index_dir=state_dir)`` against an
+    always-fresh index, and after EVERY fold the store is bit-equal
+    to a from-scratch build over all documents seen (the
+    run_streaming_rollup mergeable-partials contract applied to a
+    search index):
+
+    - ``tf`` (doc, term, tf) and ``dl`` (doc, length): rows for new
+      docs only — partition-APPENDED, history never rewritten;
+    - ``dfreq`` (term, df): additive for disjoint doc sets — one
+      vocab-bounded merge aggregate per fold, rewritten;
+    - ``stats`` (1 row): additive counters, rewritten.
+
+    ``sink(stats_df, batch_id)`` sees the refreshed 1-row corpus
+    stats after each fold.  Batches must carry documents with UNSEEN
+    ids (the ingestion contract — dedup gates run upstream); same
+    crash-replay caveat as the sibling maintainers."""
+    import os
+
+    from cherry_spark.ext.bm25 import _index_tables
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tf, dl, dfreq, stats = _index_tables(batch_df, doc_col, text_col)
+        tf = tf.localCheckpoint(eager=True)
+        dl = dl.localCheckpoint(eager=True)
+        have = os.path.exists(f"{state_dir}/stats/_SUCCESS")
+        if have:
+            old_df = spark.read.parquet(f"{state_dir}/dfreq")
+            dfreq = (
+                old_df.unionByName(dfreq)
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+            old_st = spark.read.parquet(f"{state_dir}/stats")
+            stats = (
+                old_st.unionByName(stats)
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_len").cast("long").alias("total_len"),
+                )
+            )
+        # materialize merges BEFORE overwriting their own inputs
+        dfreq = dfreq.localCheckpoint(eager=True)
+        stats = stats.localCheckpoint(eager=True)
+        tf.write.mode("append").parquet(f"{state_dir}/tf")
+        dl.write.mode("append").parquet(f"{state_dir}/dl")
+        dfreq.write.mode("overwrite").parquet(f"{state_dir}/dfreq")
+        stats.write.mode("overwrite").parquet(f"{state_dir}/stats")
+        sink(stats, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1165,3 +1165,86 @@ def test_streaming_span_gate_rejects_and_restarts(spark, tmp_path):
         r["__doc"] for r in spark.read.parquet(state).select("__doc").distinct().collect()
     }
     assert stored_docs == {1, 2, 4, 6}  # the rejected clone stored nothing
+
+
+def test_streaming_bm25_index_equals_from_scratch(spark, tmp_path):
+    """Streaming BM25 index maintainer (r9): after every fold the
+    store serves search results BIT-identical to an inline build over
+    everything streamed so far; restart processes only downtime
+    arrivals and the store stays exact."""
+    import time
+
+    from cherry_spark.ext.bm25 import bm25_topk
+    from cherry_spark.streaming.continuous import run_streaming_bm25_index
+
+    arrivals = [
+        [(0, "spark query engine fast query"), (1, "query planner spark")],
+        [(2, "slow table scan"), (3, "fast vector engine spark")],
+        [(4, "unrelated words entirely"), (5, "query engine query")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    folds: list[tuple[int, tuple]] = []
+
+    def sink(stats, batch_id):
+        (r,) = stats.collect()
+        folds.append((batch_id, (r["n_docs"], r["total_len"])))
+
+    state = str(tmp_path / "bm25")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_bm25_index(spark, stream(), state, sink, ckpt)
+    q.awaitTermination(240)
+    assert len(folds) == 3
+    assert sorted(folds)[-1][1] == (6, 21)  # all docs, total token count
+
+    # served search == inline build over everything streamed
+    all_docs = spark.createDataFrame(
+        [d for a in arrivals for d in a], schema
+    )
+    qdf = all_docs.filter(F.col("doc_id").isin(0, 2)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    inline = sorted(
+        tuple(r) for r in bm25_topk(all_docs, qdf, k=3).collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in bm25_topk(None, qdf, k=3, index_dir=state).collect()
+    )
+    assert served == inline
+
+    # downtime arrival, then restart with the same checkpoint
+    spark.createDataFrame(
+        [(6, "fresh spark doc arrives late")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    folds2: list[tuple[int, tuple]] = []
+
+    def sink2(stats, batch_id):
+        (r,) = stats.collect()
+        folds2.append((batch_id, (r["n_docs"], r["total_len"])))
+
+    q2 = run_streaming_bm25_index(spark, stream(), state, sink2, ckpt)
+    q2.awaitTermination(240)
+    assert len(folds2) == 1 and folds2[0][1] == (7, 26)
+    all7 = all_docs.unionByName(
+        spark.createDataFrame([(6, "fresh spark doc arrives late")], schema)
+    )
+    inline7 = sorted(tuple(r) for r in bm25_topk(all7, qdf, k=3).collect())
+    served7 = sorted(
+        tuple(r)
+        for r in bm25_topk(None, qdf, k=3, index_dir=state).collect()
+    )
+    assert served7 == inline7
