@@ -24,30 +24,20 @@ shares its oracle and result-hash with in-window ``decode_dynamic_abi``
 and differs only in the Arrow execution lane (a driver row for it would
 duplicate an existing hash check while displacing a unique one).
 
-ROUND-8 window arithmetic (round-6's bug was groups summing to 51, and
-round-7's CLAUDE.md plan miscounted 12-vs-14 — count explicitly):
+ROUND-9 window (live): ``_ADDED_R08`` (33, never driver-certified) +
+``_R06_STALE_R09`` (14) + ``_R07_FIRST3`` (3) = 50 exactly, asserted
+at import (rounds 6 AND 7 each shipped a silent hand-recount bug —
+every group here is pinned data, and the window tests re-derive them
+from the archived driver artifacts).
 
-1. ``_NEVER_CERTIFIED`` — the **14** queries added after the r07 window
-   froze; none has ever had a driver row (round-7 verdict item #1);
-2. ``_R06_STALE_R08`` — **36** of the 50 rows whose latest driver row
-   is r06, preferring the dedup/extension family that shares code
-   touched in round 7 (simhash/minhash/cluster rows now served from
-   fingerprinted stores, doc_fingerprint's transform-lambda rewrite,
-   lsh_recall_audit's bounded-default API change this round).
+ROUND-10 window (pre-staged below as ``_R07_REMAINING_R10`` +
+``_R08_FIRST3_R10`` = 47 + 3): at round-10 start, swap the group tuple
+in ``_reorder_for_certification`` — nothing to recount.  Round 11 =
+the remaining 47 r08 rows + ``_ADDED_R09`` (2) + the oldest r09 row.
 
-14 + 36 = 50 exactly.  The round-9 window leads with the **33**
-queries added during round 8 (after this window froze — 20 from the
-first continuation sessions, 11 from the second: timeseries x2,
-versioning x2, phrase, hard_negatives, profile, retrieval_eval,
-funnel, cohort, domain_blocklist, and 2 from the third:
-event_spike_report, weighted_sample_exact), then ``_R06_STALE_R09``
-(the remaining 14 r06 rows: quality/mixing/sampling families
-untouched since r06), then the first 3 r07-window rows:
-33 + 14 + 3 = 50.  Round 10 sweeps the remaining 47 r07 rows + the
-3 oldest r08-window rows; round 11 takes the remaining 45 r08 rows
-+ the oldest r09 rows — at 148 registered the 3-round guarantee
-holds with 2 slots of headroom (3 x 50 = 150 >= 148; adding a 3rd+
-query beyond 150 requires pruning a twin first).  The permanent
+At 150 registered the 3-round guarantee is EXACTLY saturated
+(3 x 50 = 150): any further registration must displace a named twin
+to verify_local-only — see the pruning policy below.  The permanent
 rows-only queries sit last where they don't burn hash-check slots.
 """
 
