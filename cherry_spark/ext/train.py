@@ -180,6 +180,7 @@ def train_then_gate(
     n_iters: int = 2,
     lr_inv: int = 2,
     threshold_micro: int | None = None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Train on ``df`` labeled by the boolean ``label_expr`` column
     expression, then score the SAME corpus — the round-trip the
@@ -191,11 +192,22 @@ def train_then_gate(
     ``((s1 div n1) + (s0 div n0)) div 2`` — the standard
     post-training threshold calibration, still pure BIGINT (requires
     both classes present).  The 1-row threshold rides a broadcast
-    crossJoin."""
+    crossJoin.
+
+    ``weights``: a stored :func:`train_hashed_classifier` result
+    (bucket, w) for the SAME (corpus version, label recipe,
+    hyperparameters) — training is deterministic integer arithmetic
+    and the table is BIGINT (lossless through parquet), so serving a
+    stored model is bit-identical to retraining; per-run cost drops
+    to the gate scoring + calibration passes (the bm25-index "train
+    once per corpus version, score many" contract applied to model
+    fitting)."""
     labeled = df.withColumn("__lbl", label_expr.cast("long"))
-    w = train_hashed_classifier(
-        labeled, "__lbl", id_col, text_col, n_buckets, n_iters, lr_inv
-    )
+    w = weights
+    if w is None:
+        w = train_hashed_classifier(
+            labeled, "__lbl", id_col, text_col, n_buckets, n_iters, lr_inv
+        )
     gated = trained_classifier_gate(labeled, w, id_col, text_col, n_buckets)
     j = gated.drop("keep").join(
         labeled.select(F.col(id_col), F.col("__lbl").cast("int").alias("y")),

@@ -149,3 +149,30 @@ def test_train_then_gate_on_fixture_accuracy(spark, sf_dir):
     # the calibrated threshold is one constant, between the class means
     thrs = out.select("thr_micro").distinct().collect()
     assert len(thrs) == 1 and agg[0] < thrs[0][0] < agg[1]
+
+
+def test_stored_weights_serve_bit_identical(spark, sf_dir):
+    """The registered query serves the trained model from a
+    fingerprinted store (train once per corpus version, score many).
+    Stored ≡ retrained bit-for-bit — training is deterministic BIGINT
+    arithmetic and the weight table is BIGINT, lossless through
+    parquet — and a second serve never rebuilds."""
+    import os
+
+    from cherry_spark.queries.curation import (
+        _density_label_col,
+        _ensure_trained_weights,
+        trained_quality_gate,
+    )
+    from cherry_spark.sources.tables import load_table
+
+    store = _ensure_trained_weights(spark, sf_dir)
+    marker = os.path.getmtime(f"{store}/_SUCCESS")
+    served = trained_quality_gate(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    inline = train_then_gate(
+        docs, _density_label_col(), n_buckets=256, n_iters=8, lr_inv=1
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert canon(served) == canon(inline)
+    assert os.path.getmtime(f"{store}/_SUCCESS") == marker
