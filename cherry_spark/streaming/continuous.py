@@ -1333,3 +1333,52 @@ def run_streaming_bm25_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_positional_index(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained positional inverted index (r9): each
+    micro-batch of NEW documents appends its ``(doc_id, pos, term)``
+    posting rows to the store ``phrase_search_topk(postings=...)``
+    serves, so exact-phrase search stays fresh under ingestion — the
+    ``run_streaming_bm25_index`` contract for the retrieval family's
+    positional lane.
+
+    Positions are per-document, so the index is PURELY additive for
+    disjoint doc sets: one tokenize+posexplode per document per
+    lifetime, partition-APPENDED (history never rewritten — the 100 TB
+    analogue is a date-partitioned posting store), no merge tables at
+    all, and after every fold the store is row-identical to a
+    from-scratch ``positional_postings`` build over all documents seen.
+
+    ``sink(summary_df, batch_id)`` sees a 1-row (n_docs, n_postings)
+    summary of the batch just folded.  Batches must carry documents
+    with UNSEEN ids (the ingestion contract — dedup gates run
+    upstream); same crash-replay caveat as the sibling maintainers.
+    """
+    from cherry_spark.ext.phrase import positional_postings
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = positional_postings(batch_df, doc_col, text_col)
+        rows = rows.localCheckpoint(eager=True)
+        rows.write.mode("append").parquet(state_dir)
+        summary = rows.agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+        )
+        sink(summary, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1248,3 +1248,93 @@ def test_streaming_bm25_index_equals_from_scratch(spark, tmp_path):
         for r in bm25_topk(None, qdf, k=3, index_dir=state).collect()
     )
     assert served7 == inline7
+
+
+def test_streaming_positional_index_equals_from_scratch(spark, tmp_path):
+    """Streaming positional-index maintainer (r9): after every fold
+    the store serves exact-phrase search identical to an inline
+    positional_postings build over everything streamed; restart
+    processes only downtime arrivals and stays exact."""
+    import time
+
+    from cherry_spark.ext.phrase import phrase_search_topk, positional_postings
+    from cherry_spark.streaming.continuous import run_streaming_positional_index
+
+    arrivals = [
+        [(0, "spark query engine fast query engine"), (1, "query engine spark")],
+        [(2, "slow table scan"), (3, "query engine query engine query engine")],
+        [(4, "unrelated words entirely"), (5, "engine query engine")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    folds: list[tuple[int, tuple]] = []
+
+    def sink(summary, batch_id):
+        (r,) = summary.collect()
+        folds.append((batch_id, (r["n_docs"], r["n_postings"])))
+
+    state = str(tmp_path / "pos")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_positional_index(spark, stream(), state, sink, ckpt)
+    q.awaitTermination(240)
+    assert len(folds) == 3
+    assert sum(n for _, (n, _) in folds) == 6  # every doc folded once
+
+    phrases = spark.createDataFrame(
+        [(0, "query engine"), (1, "engine query engine")],
+        "phrase_id long, phrase string",
+    )
+    all_docs = spark.createDataFrame([d for a in arrivals for d in a], schema)
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    inline = canon(phrase_search_topk(all_docs, phrases, k=3))
+    served = canon(
+        phrase_search_topk(
+            None, phrases, k=3, postings=spark.read.parquet(state)
+        )
+    )
+    assert served == inline
+    # overlapping-occurrence semantics survive the store round-trip:
+    # "query engine" occurs twice in doc 0 and thrice in doc 3
+    got = {(r[0], r[1]): r[2] for r in served}
+    assert got[(0, 0)] == 2 and got[(0, 3)] == 3
+
+    # store is row-identical to a from-scratch build (not just same ranks)
+    assert canon(spark.read.parquet(state)) == canon(
+        positional_postings(all_docs)
+    )
+
+    # downtime arrival, then restart with the same checkpoint
+    late = [(6, "query engine arrives late")]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    folds2: list[tuple[int, tuple]] = []
+
+    def sink2(summary, batch_id):
+        (r,) = summary.collect()
+        folds2.append((batch_id, (r["n_docs"], r["n_postings"])))
+
+    q2 = run_streaming_positional_index(spark, stream(), state, sink2, ckpt)
+    q2.awaitTermination(240)
+    assert len(folds2) == 1 and folds2[0][1] == (1, 4)
+    all7 = all_docs.unionByName(spark.createDataFrame(late, schema))
+    inline7 = canon(phrase_search_topk(all7, phrases, k=3))
+    served7 = canon(
+        phrase_search_topk(
+            None, phrases, k=3, postings=spark.read.parquet(state)
+        )
+    )
+    assert served7 == inline7
