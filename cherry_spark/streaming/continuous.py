@@ -1382,3 +1382,154 @@ def run_streaming_positional_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_pair_graph(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    max_bucket_size: int = 500,
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained EXACT-Jaccard near-dup pair graph (r9):
+    each micro-batch of NEW documents is pair-matched against
+    everything seen so far and the resulting ``(id1, id2, jaccard)``
+    edges append to the same table the cluster consumers (min-label /
+    star connected components, keep-best) iterate — so dedup clusters
+    stay fresh under ingestion without ever re-running the corpus×
+    corpus pair job (``ngram_jaccard_pairs`` is the from-scratch twin;
+    ``delta_dedup`` is the minhash-banded sibling that judges a batch
+    without growing a graph).
+
+    State tables under ``state_dir``:
+
+    - ``postings`` (id, shingle): per-doc distinct shingles, appended —
+      one tokenize+shingle per document per lifetime;
+    - ``dfreq`` (shingle, df): additive merge per fold (disjoint doc
+      sets — the ``run_streaming_bm25_index`` dfreq contract), so the
+      hot-shingle cap never needs a corpus recount;
+    - ``sizes`` (id, n_total): per-doc distinct-shingle totals,
+      appended once at the doc's fold;
+    - ``pairs`` (id1, id2, jaccard): edges ≥ threshold, appended.
+
+    Per fold, corpus-wide access is RESTRICTED: the probe join touches
+    stored postings only on the batch's shingles, and the hot-size
+    correction only on the (tiny by construction) over-cap shingle
+    list — at 100 TB the posting store is partitioned by shingle hash
+    and both probes partition-prune; nothing re-shingles old docs.
+
+    Semantics are FOLD-TIME (the span-gate contract): every pair is
+    judged under the capped profile (doc_freq ≤ ``max_bucket_size``)
+    measured over the corpus AS OF its fold. Document frequencies only
+    grow, so a shingle that later crosses the cap does not retro-edit
+    edges already emitted; on corpora where no shingle crosses the cap
+    mid-stream the graph is row-identical to the from-scratch build
+    after every fold (tested). ``sink(summary_df, batch_id)`` sees a
+    1-row (n_docs, n_new_pairs) summary. Batches must carry UNSEEN doc
+    ids; same crash-replay caveat as the sibling maintainers.
+    """
+    import os
+
+    from cherry_spark.ext.dedup import shingle_postings
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bpost = shingle_postings(
+            batch_df, doc_col, text_col, shingle_k
+        ).localCheckpoint(eager=True)
+        bsizes = bpost.groupBy("id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_total")
+        )
+        bdfreq = bpost.groupBy("shingle").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        have = os.path.exists(f"{state_dir}/dfreq/_SUCCESS")
+        if have:
+            old = spark.read.parquet(f"{state_dir}/dfreq")
+            dfreq = (
+                old.unionByName(bdfreq)
+                .groupBy("shingle")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+        else:
+            dfreq = bdfreq
+        dfreq = dfreq.localCheckpoint(eager=True)
+        hot = F.broadcast(
+            dfreq.filter(F.col("df") > max_bucket_size).select("shingle")
+        )
+
+        if have:
+            stored_post = spark.read.parquet(f"{state_dir}/postings")
+            all_post = stored_post.unionByName(bpost)
+            all_sizes = spark.read.parquet(f"{state_dir}/sizes").unionByName(
+                bsizes
+            )
+        else:
+            all_post = bpost
+            all_sizes = bsizes
+        capped_b = bpost.join(hot, "shingle", "left_anti")
+        # probe restricted to batch shingles by the equi-join itself
+        capped_all = all_post.join(hot, "shingle", "left_anti")
+        cand = (
+            capped_b.select(F.col("id").alias("bid"), "shingle")
+            .join(capped_all.select(F.col("id").alias("oid"), "shingle"), "shingle")
+            .where(F.col("bid") != F.col("oid"))
+            .select(
+                F.least("bid", "oid").alias("id1"),
+                F.greatest("bid", "oid").alias("id2"),
+                "shingle",
+            )
+            .distinct()  # collapses the both-in-batch double count
+        )
+        shared = cand.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("c"))
+        # capped size NOW = stored total − hits on the current hot list
+        hot_hits = (
+            all_post.join(hot, "shingle")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        n_sh = (
+            all_sizes.join(hot_hits, "id", "left")
+            .select(
+                "id",
+                (F.col("n_total") - F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+                    "n_sh"
+                ),
+            )
+        )
+        pairs = (
+            shared.join(n_sh.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
+            .join(n_sh.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
+            .withColumn(
+                "jaccard",
+                F.col("c").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("c")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+        bpost.write.mode("append").parquet(f"{state_dir}/postings")
+        bsizes.write.mode("append").parquet(f"{state_dir}/sizes")
+        dfreq.write.mode("overwrite").parquet(f"{state_dir}/dfreq")
+        pairs.write.mode("append").parquet(f"{state_dir}/pairs")
+        summary = bpost.select("id").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        ).crossJoin(
+            F.broadcast(
+                pairs.agg(F.count(F.lit(1)).cast("long").alias("n_new_pairs"))
+            )
+        )
+        sink(summary, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

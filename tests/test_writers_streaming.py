@@ -1338,3 +1338,130 @@ def test_streaming_positional_index_equals_from_scratch(spark, tmp_path):
         )
     )
     assert served7 == inline7
+
+
+def _pair_graph_stream(spark, tmp_path, arrivals, schema, src):
+    import time
+
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_streaming_pair_graph_equals_from_scratch(spark, tmp_path):
+    """Streaming pair-graph maintainer (r9): on a corpus whose shingle
+    frequencies stay under the cap, the appended edge table is
+    row-identical to ngram_jaccard_pairs over everything streamed,
+    after every fold and across a kill-and-restart."""
+    from cherry_spark.ext.dedup import ngram_jaccard_pairs
+    from cherry_spark.streaming.continuous import run_streaming_pair_graph
+
+    arrivals = [
+        [(0, "the quick brown fox jumps"), (1, "the quick brown fox leaps")],
+        [(2, "a completely different doc here"),
+         (3, "the quick brown fox jumps high")],
+        [(4, "quick brown fox jumps over"),
+         (5, "a completely different doc here too")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    stream = _pair_graph_stream(spark, tmp_path, arrivals, schema, src)
+
+    folds: list[tuple[int, tuple]] = []
+
+    def sink(summary, batch_id):
+        (r,) = summary.collect()
+        folds.append((batch_id, (r["n_docs"], r["n_new_pairs"])))
+
+    state = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_streaming_pair_graph(
+        spark, stream, state, sink, ckpt, threshold=0.3
+    )
+    q.awaitTermination(240)
+    assert len(folds) == 3
+    assert sum(n for _, (n, _) in folds) == 6
+
+    all_docs = spark.createDataFrame([d for a in arrivals for d in a], schema)
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    inline = canon(ngram_jaccard_pairs(all_docs, threshold=0.3))
+    served = canon(spark.read.parquet(f"{state}/pairs"))
+    assert served == inline and len(inline) >= 3
+
+    # downtime arrival, then restart from the same checkpoint: only
+    # the new doc folds, and the graph stays exact
+    late = [(6, "the quick brown fox jumps")]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    folds2: list[tuple[int, tuple]] = []
+
+    def sink2(summary, batch_id):
+        (r,) = summary.collect()
+        folds2.append((batch_id, (r["n_docs"], r["n_new_pairs"])))
+
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = run_streaming_pair_graph(
+        spark, stream2, state, sink2, ckpt, threshold=0.3
+    )
+    q2.awaitTermination(240)
+    assert len(folds2) == 1 and folds2[0][1][0] == 1
+    all7 = all_docs.unionByName(spark.createDataFrame(late, schema))
+    inline7 = canon(ngram_jaccard_pairs(all7, threshold=0.3))
+    served7 = canon(spark.read.parquet(f"{state}/pairs"))
+    assert served7 == inline7
+
+
+def test_streaming_pair_graph_fold_time_cap_semantics(spark, tmp_path):
+    """A shingle crossing the cap mid-stream stops contributing to NEW
+    pairs but never retro-edits edges already emitted (the span-gate
+    fold-time contract) — where a from-scratch rebuild would drop the
+    old edge too."""
+    from cherry_spark.ext.dedup import ngram_jaccard_pairs
+    from cherry_spark.streaming.continuous import run_streaming_pair_graph
+
+    arrivals = [
+        [(0, "x y z w"), (1, "x y z q")],  # df("x y z") = 2 == cap
+        [(2, "x y z r")],  # pushes "x y z" over cap=2 -> hot
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    stream = _pair_graph_stream(spark, tmp_path, arrivals, schema, src)
+
+    folds = []
+    state = str(tmp_path / "graph")
+    q = run_streaming_pair_graph(
+        spark,
+        stream,
+        state,
+        lambda s, b: folds.append(s.collect()[0]["n_new_pairs"]),
+        str(tmp_path / "ckpt"),
+        threshold=0.3,
+        max_bucket_size=2,
+    )
+    q.awaitTermination(240)
+    # fold 1: pair (0,1) via shared "x y z" (J = 1/3); fold 2: "x y z"
+    # now hot -> doc 2 shares nothing capped with anyone, no new edges
+    assert folds == [1, 0]
+    rows = sorted(tuple(r) for r in spark.read.parquet(f"{state}/pairs").collect())
+    assert rows == [(0, 1, 1.0 / 3.0)]
+    # the from-scratch twin under the SAME cap drops the old edge too —
+    # the fold-time graph is the more-history-preserving of the two
+    all_docs = spark.createDataFrame(
+        [d for a in arrivals for d in a], schema
+    )
+    assert (
+        ngram_jaccard_pairs(all_docs, threshold=0.3, max_bucket_size=2).count()
+        == 0
+    )
