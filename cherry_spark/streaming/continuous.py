@@ -1434,96 +1434,16 @@ def run_streaming_pair_graph(
     1-row (n_docs, n_new_pairs) summary. Batches must carry UNSEEN doc
     ids; same crash-replay caveat as the sibling maintainers.
     """
-    import os
-
-    from cherry_spark.ext.dedup import shingle_postings
-
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bpost = shingle_postings(
-            batch_df, doc_col, text_col, shingle_k
-        ).localCheckpoint(eager=True)
-        bsizes = bpost.groupBy("id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_total")
-        )
-        bdfreq = bpost.groupBy("shingle").agg(
-            F.count(F.lit(1)).cast("long").alias("df")
-        )
-        have = os.path.exists(f"{state_dir}/dfreq/_SUCCESS")
-        if have:
-            old = spark.read.parquet(f"{state_dir}/dfreq")
-            dfreq = (
-                old.unionByName(bdfreq)
-                .groupBy("shingle")
-                .agg(F.sum("df").cast("long").alias("df"))
-            )
-        else:
-            dfreq = bdfreq
-        dfreq = dfreq.localCheckpoint(eager=True)
-        hot = F.broadcast(
-            dfreq.filter(F.col("df") > max_bucket_size).select("shingle")
-        )
-
-        if have:
-            stored_post = spark.read.parquet(f"{state_dir}/postings")
-            all_post = stored_post.unionByName(bpost)
-            all_sizes = spark.read.parquet(f"{state_dir}/sizes").unionByName(
-                bsizes
-            )
-        else:
-            all_post = bpost
-            all_sizes = bsizes
-        capped_b = bpost.join(hot, "shingle", "left_anti")
-        # probe restricted to batch shingles by the equi-join itself
-        capped_all = all_post.join(hot, "shingle", "left_anti")
-        cand = (
-            capped_b.select(F.col("id").alias("bid"), "shingle")
-            .join(capped_all.select(F.col("id").alias("oid"), "shingle"), "shingle")
-            .where(F.col("bid") != F.col("oid"))
-            .select(
-                F.least("bid", "oid").alias("id1"),
-                F.greatest("bid", "oid").alias("id2"),
-                "shingle",
-            )
-            .distinct()  # collapses the both-in-batch double count
-        )
-        shared = cand.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("c"))
-        # capped size NOW = stored total − hits on the current hot list
-        hot_hits = (
-            all_post.join(hot, "shingle")
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("n_hot"))
-        )
-        n_sh = (
-            all_sizes.join(hot_hits, "id", "left")
-            .select(
-                "id",
-                (F.col("n_total") - F.coalesce(F.col("n_hot"), F.lit(0))).alias(
-                    "n_sh"
-                ),
-            )
-        )
-        pairs = (
-            shared.join(n_sh.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
-            .join(n_sh.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
-            .withColumn(
-                "jaccard",
-                F.col("c").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("c")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id1", "id2", "jaccard")
-            .localCheckpoint(eager=True)
-        )
-        bpost.write.mode("append").parquet(f"{state_dir}/postings")
-        bsizes.write.mode("append").parquet(f"{state_dir}/sizes")
-        dfreq.write.mode("overwrite").parquet(f"{state_dir}/dfreq")
-        pairs.write.mode("append").parquet(f"{state_dir}/pairs")
-        summary = bpost.select("id").distinct().agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs")
-        ).crossJoin(
-            F.broadcast(
-                pairs.agg(F.count(F.lit(1)).cast("long").alias("n_new_pairs"))
-            )
+        summary = pair_graph_fold(
+            spark,
+            batch_df,
+            state_dir,
+            doc_col=doc_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
         )
         sink(summary, batch_id)
 
@@ -1533,3 +1453,109 @@ def run_streaming_pair_graph(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pair_graph_fold(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """One :func:`run_streaming_pair_graph` fold, callable directly
+    (the probe/batch seam — the maintainer's foreachBatch body IS this
+    function).  Returns the 1-row (n_docs, n_new_pairs) summary."""
+    import os
+
+    from cherry_spark.ext.dedup import shingle_postings
+
+    bpost = shingle_postings(
+        batch_df, doc_col, text_col, shingle_k
+    ).localCheckpoint(eager=True)
+    bsizes = bpost.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    bdfreq = bpost.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    have = os.path.exists(f"{state_dir}/dfreq/_SUCCESS")
+    if have:
+        old = spark.read.parquet(f"{state_dir}/dfreq")
+        dfreq = (
+            old.unionByName(bdfreq)
+            .groupBy("shingle")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+    else:
+        dfreq = bdfreq
+    dfreq = dfreq.localCheckpoint(eager=True)
+    hot = F.broadcast(
+        dfreq.filter(F.col("df") > max_bucket_size).select("shingle")
+    )
+
+    if have:
+        stored_post = spark.read.parquet(f"{state_dir}/postings")
+        all_post = stored_post.unionByName(bpost)
+        all_sizes = spark.read.parquet(f"{state_dir}/sizes").unionByName(
+            bsizes
+        )
+    else:
+        all_post = bpost
+        all_sizes = bsizes
+    capped_b = bpost.join(hot, "shingle", "left_anti")
+    # probe restricted to batch shingles by the equi-join itself
+    capped_all = all_post.join(hot, "shingle", "left_anti")
+    cand = (
+        capped_b.select(F.col("id").alias("bid"), "shingle")
+        .join(capped_all.select(F.col("id").alias("oid"), "shingle"), "shingle")
+        .where(F.col("bid") != F.col("oid"))
+        .select(
+            F.least("bid", "oid").alias("id1"),
+            F.greatest("bid", "oid").alias("id2"),
+            "shingle",
+        )
+        .distinct()  # collapses the both-in-batch double count
+    )
+    shared = cand.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("c"))
+    # capped size NOW = stored total − hits on the current hot list
+    hot_hits = (
+        all_post.join(hot, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    n_sh = (
+        all_sizes.join(hot_hits, "id", "left")
+        .select(
+            "id",
+            (F.col("n_total") - F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+                "n_sh"
+            ),
+        )
+    )
+    pairs = (
+        shared.join(n_sh.withColumnsRenamed({"id": "id1", "n_sh": "n1"}), "id1")
+        .join(n_sh.withColumnsRenamed({"id": "id2", "n_sh": "n2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    bpost.write.mode("append").parquet(f"{state_dir}/postings")
+    bsizes.write.mode("append").parquet(f"{state_dir}/sizes")
+    dfreq.write.mode("overwrite").parquet(f"{state_dir}/dfreq")
+    pairs.write.mode("append").parquet(f"{state_dir}/pairs")
+    summary = bpost.select("id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        F.broadcast(
+            pairs.agg(F.count(F.lit(1)).cast("long").alias("n_new_pairs"))
+        )
+    )
+    return summary

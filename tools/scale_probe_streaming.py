@@ -204,8 +204,76 @@ def main() -> None:
     )
 
 
+def probe_pair_graph(sf_dir: str, n_arrivals: int = 10) -> None:
+    """run_streaming_pair_graph's fold (pair_graph_fold, the exact
+    production body), serial-timed: n arrivals, each the FULL sf0.1
+    documents table with shifted ids — so arrival i's doc d is an
+    exact clone of every prior replica of d. Adversarial by
+    construction: TRUE new-edge volume grows linearly per fold
+    (5000*i clone edges at fold i, quadratic in total), every batch
+    doc finds candidates, and every shingle's doc_freq grows by a
+    full corpus per arrival. The cap is scaled with the replication
+    factor (cap = 500 * n_arrivals): clone replication multiplies
+    every doc_freq by exactly the arrival count, so the scaled cap
+    reproduces the 1x measured profile at end state.
+
+    Invariants checked: clone pairs are exact (J == 1.0), and their
+    count after the run == 5000 * C(n, 2); per-fold new-pair counts
+    are printed next to per-fold seconds so the reader can see cost
+    tracking TRUE volume (the span-gate probe's framing).
+    """
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import pair_graph_fold
+
+    work = "/tmp/cherry_probe_pair_graph"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    state = f"{work}/graph"
+
+    spark = get_spark("pair_graph_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    offset = 1_000_000
+    times, new_pairs = [], []
+    for i in range(n_arrivals):
+        batch = docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        summary = pair_graph_fold(
+            spark,
+            batch,
+            state,
+            threshold=0.8,
+            max_bucket_size=500 * n_arrivals,
+        )
+        (r,) = summary.collect()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        new_pairs.append(r["n_new_pairs"])
+        print(f"arrival {i}: {r['n_new_pairs']} new edges in {dt:.1f}s")
+    pairs = spark.read.parquet(f"{state}/pairs")
+    n_docs = docs.count()
+    n_clone = pairs.filter(F.col("jaccard") == 1.0).count()
+    expect = n_docs * n_arrivals * (n_arrivals - 1) // 2
+    total = pairs.count()
+    print(
+        f"[pair_graph] per-batch seconds: {[round(t, 1) for t in times]}; "
+        f"new edges per batch: {new_pairs} (linear by semantics); "
+        f"exact-clone edges {n_clone} (expected >= {expect}: "
+        f"{'OK' if n_clone >= expect else 'MISMATCH'}); total edges {total}"
+    )
+
+
 if __name__ == "__main__":
-    if "span_gate" in sys.argv:
+    if "pair_graph" in sys.argv:
+        probe_pair_graph(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        )
+    elif "span_gate" in sys.argv:
         probe_span_gate(
             sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
         )
