@@ -139,3 +139,12 @@ def test_events_analytics_pipeline(spark, sf_dir):
         (F.col("is_spike") == 1) & (F.col("zsq_num") <= F.col("zsq_den"))
     )
     assert bad.count() == 0
+
+
+def test_ingest_serve_pipeline(spark, sf_dir):
+    import examples.ingest_serve_pipeline as ex
+
+    out = ex.run(spark, sf_dir)
+    assert len(out["stores"]) >= 10
+    assert not out["rebuilt_during_serve"]
+    assert all(st["rows"] > 0 for st in out["served"].values())
