@@ -1294,38 +1294,12 @@ def run_streaming_bm25_index(
     stats after each fold.  Batches must carry documents with UNSEEN
     ids (the ingestion contract — dedup gates run upstream); same
     crash-replay caveat as the sibling maintainers."""
-    import os
-
-    from cherry_spark.ext.bm25 import _index_tables
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tf, dl, dfreq, stats = _index_tables(batch_df, doc_col, text_col)
-        tf = tf.localCheckpoint(eager=True)
-        dl = dl.localCheckpoint(eager=True)
-        have = os.path.exists(f"{state_dir}/stats/_SUCCESS")
-        if have:
-            old_df = spark.read.parquet(f"{state_dir}/dfreq")
-            dfreq = (
-                old_df.unionByName(dfreq)
-                .groupBy("term")
-                .agg(F.sum("df").cast("long").alias("df"))
-            )
-            old_st = spark.read.parquet(f"{state_dir}/stats")
-            stats = (
-                old_st.unionByName(stats)
-                .agg(
-                    F.sum("n_docs").cast("long").alias("n_docs"),
-                    F.sum("total_len").cast("long").alias("total_len"),
-                )
-            )
-        # materialize merges BEFORE overwriting their own inputs
-        dfreq = dfreq.localCheckpoint(eager=True)
-        stats = stats.localCheckpoint(eager=True)
-        tf.write.mode("append").parquet(f"{state_dir}/tf")
-        dl.write.mode("append").parquet(f"{state_dir}/dl")
-        dfreq.write.mode("overwrite").parquet(f"{state_dir}/dfreq")
-        stats.write.mode("overwrite").parquet(f"{state_dir}/stats")
-        sink(stats, batch_id)
+        sink(
+            bm25_index_fold(spark, batch_df, state_dir, doc_col, text_col),
+            batch_id,
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -1333,6 +1307,49 @@ def run_streaming_bm25_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bm25_index_fold(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One :func:`run_streaming_bm25_index` fold, callable directly
+    (the probe/batch seam — the maintainer's foreachBatch body IS this
+    function).  Returns the refreshed 1-row corpus stats."""
+    import os
+
+    from cherry_spark.ext.bm25 import _index_tables
+
+    tf, dl, dfreq, stats = _index_tables(batch_df, doc_col, text_col)
+    tf = tf.localCheckpoint(eager=True)
+    dl = dl.localCheckpoint(eager=True)
+    have = os.path.exists(f"{state_dir}/stats/_SUCCESS")
+    if have:
+        old_df = spark.read.parquet(f"{state_dir}/dfreq")
+        dfreq = (
+            old_df.unionByName(dfreq)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        old_st = spark.read.parquet(f"{state_dir}/stats")
+        stats = (
+            old_st.unionByName(stats)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_len").cast("long").alias("total_len"),
+            )
+        )
+    # materialize merges BEFORE overwriting their own inputs
+    dfreq = dfreq.localCheckpoint(eager=True)
+    stats = stats.localCheckpoint(eager=True)
+    tf.write.mode("append").parquet(f"{state_dir}/tf")
+    dl.write.mode("append").parquet(f"{state_dir}/dl")
+    dfreq.write.mode("overwrite").parquet(f"{state_dir}/dfreq")
+    stats.write.mode("overwrite").parquet(f"{state_dir}/stats")
+    return stats
 
 
 def run_streaming_positional_index(

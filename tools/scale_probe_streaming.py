@@ -268,8 +268,60 @@ def probe_pair_graph(sf_dir: str, n_arrivals: int = 10) -> None:
     )
 
 
+def probe_bm25_index(sf_dir: str, n_arrivals: int = 10) -> None:
+    """run_streaming_bm25_index's fold (bm25_index_fold, the exact
+    production body), serial-timed: n arrivals, each the FULL sf0.1
+    documents table with shifted ids. Per-fold cost must stay FLAT:
+    tf/dl are batch-linear appends, and the dfreq/stats merges are
+    vocab-bounded (the fixture vocabulary is shared across arrivals,
+    so the stored dfreq table STOPS GROWING after arrival 1 — the
+    shape that holds at 100 TB, where vocabulary grows sublinearly in
+    corpus size). Exactness invariant: final stats equal
+    (n_docs, total_len) of one arrival times n.
+    """
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import bm25_index_fold
+
+    work = "/tmp/cherry_probe_bm25_index"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    state = f"{work}/bm25"
+
+    spark = get_spark("bm25_index_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    offset = 1_000_000
+    times, stats_rows = [], []
+    for i in range(n_arrivals):
+        batch = docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        (r,) = bm25_index_fold(spark, batch, state).collect()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        stats_rows.append((r["n_docs"], r["total_len"]))
+        print(f"arrival {i}: stats {stats_rows[-1]} in {dt:.1f}s")
+    vocab = spark.read.parquet(f"{state}/dfreq").count()
+    one = stats_rows[0]
+    ok = stats_rows[-1] == (one[0] * n_arrivals, one[1] * n_arrivals)
+    print(
+        f"[bm25_index] per-batch seconds: {[round(t, 1) for t in times]}; "
+        f"stored vocab {vocab} terms (bounded — identical across "
+        f"arrivals); final stats {stats_rows[-1]} == {n_arrivals}x one "
+        f"arrival: {'OK' if ok else 'MISMATCH'}"
+    )
+
+
 if __name__ == "__main__":
-    if "pair_graph" in sys.argv:
+    if "bm25_index" in sys.argv:
+        probe_bm25_index(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        )
+    elif "pair_graph" in sys.argv:
         probe_pair_graph(
             sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
         )
