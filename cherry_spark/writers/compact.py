@@ -101,3 +101,41 @@ def compact_dataset(
         "files_after": _n_parquet_files(path),
         "bytes": total_bytes,
     }
+
+
+def compact_state_dir(
+    spark: SparkSession,
+    state_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a streaming maintainer's state tables (the append-only
+    ones are what fragment: tf/dl/postings/sizes/pairs gain one file
+    set PER FOLD, so a year of micro-batches is ~100k file sets per
+    table; the overwrite tables — dfreq/stats — are single-write and
+    skipped by the size heuristic). Each table dir under ``state_dir``
+    (or the dir itself when it IS the table, e.g. the positional
+    index) compacts independently via :func:`compact_dataset`, so the
+    maintainer's serving contract is untouched — same rows, fewer
+    files.
+
+    Run BETWEEN folds: foreachBatch executes serially, so schedule
+    this in the availableNow gap or while the stream is quiesced — the
+    swap is not safe against a concurrent append to the same table.
+    Returns {table: compact_dataset stats}.
+    """
+    tables = [
+        os.path.join(state_dir, d)
+        for d in sorted(os.listdir(state_dir))
+        if os.path.isdir(os.path.join(state_dir, d))
+        and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(os.path.join(state_dir, d))
+            for f in fs
+        )
+    ]
+    if not tables:
+        tables = [state_dir]
+    return {
+        os.path.basename(t): compact_dataset(spark, t, target_file_bytes)
+        for t in tables
+    }

@@ -1465,3 +1465,51 @@ def test_streaming_pair_graph_fold_time_cap_semantics(spark, tmp_path):
         ngram_jaccard_pairs(all_docs, threshold=0.3, max_bucket_size=2).count()
         == 0
     )
+
+
+def test_compact_state_dir_preserves_maintainer_serving(spark, tmp_path):
+    """Maintainer state compaction (r9): after folds fragment the
+    append-only tables, compact_state_dir shrinks the file counts
+    without changing a row — stored pairs identical, and the NEXT fold
+    over the compacted state stays exact vs the from-scratch twin."""
+    from cherry_spark.ext.dedup import ngram_jaccard_pairs
+    from cherry_spark.streaming.continuous import pair_graph_fold
+    from cherry_spark.writers.compact import (
+        _n_parquet_files,
+        compact_state_dir,
+    )
+
+    schema = "doc_id long, text string"
+    arrivals = [
+        [(0, "the quick brown fox jumps"), (1, "the quick brown fox leaps")],
+        [(2, "a completely different doc here"),
+         (3, "the quick brown fox jumps high")],
+        [(4, "quick brown fox jumps over")],
+    ]
+    state = str(tmp_path / "graph")
+    for a in arrivals:
+        # many tiny appends: one fold per arrival, 2 shuffle partitions
+        pair_graph_fold(
+            spark, spark.createDataFrame(a, schema), state, threshold=0.3
+        ).collect()
+
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    before = canon(spark.read.parquet(f"{state}/pairs"))
+    files_before = _n_parquet_files(f"{state}/postings")
+
+    stats = compact_state_dir(spark, state)
+    assert set(stats) >= {"postings", "sizes", "pairs", "dfreq"}
+    assert _n_parquet_files(f"{state}/postings") < files_before
+    assert canon(spark.read.parquet(f"{state}/pairs")) == before
+
+    # the maintainer keeps folding correctly over the compacted state
+    late = [(5, "the quick brown fox jumps")]
+    pair_graph_fold(
+        spark, spark.createDataFrame(late, schema), state, threshold=0.3
+    ).collect()
+    all_docs = spark.createDataFrame(
+        [d for a in arrivals for d in a] + late, schema
+    )
+    assert canon(spark.read.parquet(f"{state}/pairs")) == canon(
+        ngram_jaccard_pairs(all_docs, threshold=0.3)
+    )
