@@ -1576,3 +1576,74 @@ def pair_graph_fold(
         )
     )
     return summary
+
+
+def ivf_index_fold(
+    spark: SparkSession,
+    batch_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One :func:`run_streaming_ivf_index` fold: assign a batch of NEW
+    vectors to the FIXED stored centroids and append them to the
+    partitioned corpus. Returns a 1-row (n_vectors, n_clusters_hit)
+    summary."""
+    from cherry_spark.ext.ivf import ivf_assign
+
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = batch_vectors.join(
+        ivf_assign(batch_vectors, centroids, id_col, vec_col), on=id_col
+    ).localCheckpoint(eager=True)
+    # same co-location as ivf_build_index: one file per touched
+    # partition dir per fold, not (tasks x clusters)
+    assigned.repartition("centroid_id").write.partitionBy(
+        "centroid_id"
+    ).mode("append").parquet(f"{index_dir}/corpus")
+    return assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("centroid_id").cast("long").alias("n_clusters_hit"),
+    )
+
+
+def run_streaming_ivf_index(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_dir: str,
+    sink,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintained IVF ANN index (r9): each micro-batch of
+    NEW embeddings is assigned to the index's EXISTING centroids (one
+    broadcast of the tiny centroid table per fold — the coarse
+    quantizer is corpus state learned at ``ivf_build_index`` time and
+    retrained only at corpus-version boundaries, the production IVF
+    contract) and appended into the centroid-partitioned corpus that
+    ``ivf_search`` / ``knn_graph(index_dir=...)`` probe — so ANN search
+    stays fresh under ingestion and still reads only nprobe partitions.
+
+    Assignment is deterministic given centroids, so after every fold
+    the maintained corpus is ROW-IDENTICAL to assigning all vectors
+    seen so far against the same centroids in one batch (tested).
+    Partition dirs gain one file per touched fold — compact with
+    ``writers.compact.compact_dataset`` (hive-partition aware) between
+    folds. The index must exist (``ivf_build_index`` on the first
+    corpus version); batches must carry UNSEEN ids; same crash-replay
+    caveat as the sibling maintainers.
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            ivf_index_fold(spark, batch_df, index_dir, id_col, vec_col),
+            batch_id,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

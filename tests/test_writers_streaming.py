@@ -1513,3 +1513,100 @@ def test_compact_state_dir_preserves_maintainer_serving(spark, tmp_path):
     assert canon(spark.read.parquet(f"{state}/pairs")) == canon(
         ngram_jaccard_pairs(all_docs, threshold=0.3)
     )
+
+
+def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
+    """Streaming IVF maintainer (r9): new embeddings assigned to the
+    FIXED stored centroids fold into the partitioned corpus; the
+    maintained index is row-identical to assigning everything seen in
+    one batch against the same centroids, searches match, and restart
+    processes only the downtime arrival."""
+    import time
+
+    from cherry_spark.ext.ivf import ivf_assign, ivf_build_index, ivf_search
+    from cherry_spark.streaming.continuous import run_streaming_ivf_index
+
+    def vec(i):
+        return [float((i * 7) % 11), float((i * 3) % 5), float(i % 4)]
+
+    schema = "vec_id long, embedding array<double>"
+    base = [(i, vec(i)) for i in range(20)]
+    arrivals = [
+        [(100 + i, vec(100 + i)) for i in range(10)],
+        [(200 + i, vec(200 + i)) for i in range(10)],
+    ]
+    index = str(tmp_path / "ivf")
+    ivf_build_index(
+        spark.createDataFrame(base, schema), index, n_centroids=4
+    )
+
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    folds = []
+    q = run_streaming_ivf_index(
+        spark,
+        stream,
+        index,
+        lambda s, b: folds.append(tuple(s.collect()[0])),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(240)
+    assert len(folds) == 2 and all(n == 10 for n, _ in folds)
+
+    # maintained corpus == one-shot assignment against the SAME centroids
+    all_rows = base + [r for a in arrivals for r in a]
+    all_df = spark.createDataFrame(all_rows, schema)
+    centroids = spark.read.parquet(f"{index}/centroids")
+    ref = all_df.join(ivf_assign(all_df, centroids), on="vec_id")
+    canon = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], tuple(r["embedding"]), r["centroid_id"])
+        for r in df.collect()
+    )
+    assert canon(spark.read.parquet(f"{index}/corpus")) == canon(ref)
+
+    # served search == search over a reference index built in one shot
+    ref_index = str(tmp_path / "ivf_ref")
+    ref.repartition("centroid_id").write.partitionBy("centroid_id").parquet(
+        f"{ref_index}/corpus"
+    )
+    centroids.write.parquet(f"{ref_index}/centroids")
+    qdf = all_df.filter(F.col("vec_id").isin(0, 105, 203)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = lambda d: sorted(  # noqa: E731
+        tuple(r) for r in ivf_search(spark, d, qdf, k=3, nprobe=2).collect()
+    )
+    assert res(index) == res(ref_index)
+
+    # downtime arrival + restart: only the new batch folds, still exact
+    late = [(300, vec(300)), (301, vec(301))]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    folds2 = []
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = run_streaming_ivf_index(
+        spark,
+        stream2,
+        index,
+        lambda s, b: folds2.append(tuple(s.collect()[0])),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(240)
+    assert folds2 == [(2, folds2[0][1])]
+    all7 = all_df.unionByName(spark.createDataFrame(late, schema))
+    ref7 = all7.join(ivf_assign(all7, centroids), on="vec_id")
+    assert canon(spark.read.parquet(f"{index}/corpus")) == canon(ref7)
