@@ -1647,3 +1647,57 @@ def run_streaming_ivf_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def doc_store_fold(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    transform,
+) -> DataFrame:
+    """One :func:`run_streaming_doc_store` fold: append
+    ``transform(batch_df)`` to the store. Returns a 1-row (n_rows)
+    summary."""
+    rows = transform(batch_df).localCheckpoint(eager=True)
+    rows.write.mode("append").parquet(state_dir)
+    return rows.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
+def run_streaming_doc_store(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    transform,
+    sink,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Generic incrementally-maintained PER-DOCUMENT derived store
+    (r9): ``transform`` is any deterministic per-document batch
+    function — ``minhash_signatures``, ``simhash64``,
+    ``shingle_postings`` — and each micro-batch's derived rows append
+    to the store the batch queries serve from
+    (``minhash_lsh_dedup(signatures=...)``,
+    ``ngram_jaccard_pairs(postings=...)``, …).
+
+    Because the transform is per-document and deterministic, the
+    store is ROW-IDENTICAL to a from-scratch build over everything
+    streamed after every fold — no merge tables, history never
+    rewritten, each document transformed once per lifetime. This is
+    the same contract the specialized maintainers
+    (positional/bm25/pair-graph/ivf) implement for their multi-table
+    states; per-doc single-table stores need no specialization.
+    Batches must carry UNSEEN doc ids; compact with
+    ``writers.compact.compact_state_dir`` between folds; same
+    crash-replay caveat as the siblings.
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(doc_store_fold(spark, batch_df, state_dir, transform), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1610,3 +1610,72 @@ def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
     all7 = all_df.unionByName(spark.createDataFrame(late, schema))
     ref7 = all7.join(ivf_assign(all7, centroids), on="vec_id")
     assert canon(spark.read.parquet(f"{index}/corpus")) == canon(ref7)
+
+
+def test_streaming_doc_store_serves_all_three_transforms(spark, tmp_path):
+    """Generic per-doc store maintainer (r9): minhash signatures,
+    simhash fingerprints and shingle postings all maintain through the
+    same fold; each store is row-identical to a from-scratch build
+    over everything streamed, and a batch consumer (minhash LSH dedup)
+    serves from the maintained signature store with results identical
+    to the inline path."""
+    import time
+
+    from cherry_spark.ext.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingle_postings,
+        simhash64,
+    )
+    from cherry_spark.streaming.continuous import run_streaming_doc_store
+
+    arrivals = [
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "the quick brown fox jumps over the lazy dog tonight")],
+        [(2, "a completely different document about spark clusters")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    transforms = {
+        "minhash": minhash_signatures,
+        "simhash": simhash64,
+        "postings": shingle_postings,
+    }
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    all_docs = spark.createDataFrame([d for a in arrivals for d in a], schema)
+    stores = {}
+    for name, tf in transforms.items():
+        folds = []
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / name)
+        q = run_streaming_doc_store(
+            spark,
+            stream,
+            state,
+            tf,
+            lambda s, b: folds.append(s.collect()[0]["n_rows"]),
+            str(tmp_path / f"ckpt_{name}"),
+        )
+        q.awaitTermination(240)
+        assert len(folds) == 2 and all(n > 0 for n in folds), name
+        assert canon(spark.read.parquet(state)) == canon(tf(all_docs)), name
+        stores[name] = state
+
+    # a batch consumer serves from the maintained store: identical
+    # near-dup pairs to the inline signature path
+    sigs = spark.read.parquet(stores["minhash"])
+    served = canon(
+        minhash_lsh_pairs(all_docs, jaccard_threshold=0.5, signatures=sigs)
+    )
+    inline = canon(minhash_lsh_pairs(all_docs, jaccard_threshold=0.5))
+    assert served == inline and len(served) >= 1
