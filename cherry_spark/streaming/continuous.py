@@ -1701,3 +1701,72 @@ def run_streaming_doc_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def count_store_fold(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    transform,
+    key_cols: list[str],
+) -> DataFrame:
+    """One :func:`run_streaming_count_store` fold: merge
+    ``transform(batch_df)`` into the store by summing every non-key
+    column per key. Returns the 1-row (n_keys) summary of the merged
+    store."""
+    import os
+
+    new = transform(batch_df)
+    val_cols = [c for c in new.columns if c not in key_cols]
+    if os.path.exists(f"{state_dir}/_SUCCESS"):
+        new = spark.read.parquet(state_dir).unionByName(new)
+    merged = new.groupBy(*key_cols).agg(
+        *[F.sum(c).cast("long").alias(c) for c in val_cols]
+    )
+    # materialize the merge BEFORE overwriting its own input
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(state_dir)
+    return merged.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+
+
+def run_streaming_count_store(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    transform,
+    key_cols: list[str],
+    sink,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Generic incrementally-maintained ADDITIVE count store (r9): the
+    merge sibling of :func:`run_streaming_doc_store` for derived
+    tables whose values are sums over disjoint document sets — bigram
+    LM counts (``ext.quality.bigram_counts``, keys [prev, cur]),
+    unigram/token frequency tables, any (keys…, counts…) aggregate.
+    Each fold merges ``transform(batch)`` into the store with ONE
+    bounded-cardinality groupBy (the ``run_streaming_bm25_index``
+    dfreq contract generalized), so e.g. ``bigram_logprob(counts=…)``
+    always scores against the up-to-date LM.
+
+    Counts over disjoint batches add exactly, so after every fold the
+    store equals the from-scratch aggregate over everything streamed
+    (tested bit-for-bit — BIGINT counts, lossless through parquet).
+    Per-fold cost is bounded by the store's KEY CARDINALITY (vocab²
+    observed for bigrams — sublinear in corpus), not the corpus.
+    Batches must carry UNSEEN docs; same crash-replay caveat as the
+    sibling maintainers.
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            count_store_fold(spark, batch_df, state_dir, transform, key_cols),
+            batch_id,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

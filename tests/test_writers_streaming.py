@@ -1679,3 +1679,52 @@ def test_streaming_doc_store_serves_all_three_transforms(spark, tmp_path):
     )
     inline = canon(minhash_lsh_pairs(all_docs, jaccard_threshold=0.5))
     assert served == inline and len(served) >= 1
+
+
+def test_streaming_count_store_maintains_bigram_lm(spark, tmp_path):
+    """Additive count-store maintainer (r9): the bigram LM counts
+    merged fold-by-fold equal the from-scratch aggregate bit-for-bit,
+    and bigram_logprob served from the maintained model matches the
+    inline path."""
+    import time
+
+    from cherry_spark.ext.quality import bigram_counts, bigram_logprob
+    from cherry_spark.streaming.continuous import run_streaming_count_store
+
+    arrivals = [
+        [(0, "the quick brown fox"), (1, "the quick red fox")],
+        [(2, "the quick brown fox runs"), (3, "lazy dog sleeps")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    folds = []
+    state = str(tmp_path / "bigrams")
+    q = run_streaming_count_store(
+        spark,
+        stream,
+        state,
+        bigram_counts,
+        ["prev", "cur"],
+        lambda s, b: folds.append(s.collect()[0]["n_keys"]),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(240)
+    assert len(folds) == 2 and folds[-1] >= folds[0]
+
+    all_docs = spark.createDataFrame([d for a in arrivals for d in a], schema)
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert canon(spark.read.parquet(state)) == canon(bigram_counts(all_docs))
+    served = canon(
+        bigram_logprob(all_docs, counts=spark.read.parquet(state))
+    )
+    assert served == canon(bigram_logprob(all_docs))
