@@ -1,0 +1,157 @@
+"""Curate-then-index: the full production ingestion loop composed —
+
+  incoming docs (+ embeddings)
+    -> COMPOSED ADMISSION GATE        (decontaminate -> lexical dedup
+       -> semantic dedup -> token budget; streaming/continuous.py:
+       run_streaming_curation_gate — only admitted docs reach storage)
+    -> admitted-text store AS A BUS   (the gate's own `state/text`
+       parquet dir is itself a streamable source — store-as-bus, the
+       pattern that decouples admission from indexing at 100 TB)
+    -> INDEX MAINTAINERS              (run_streaming_bm25_index +
+       run_streaming_pair_graph fold ONLY admitted docs, so search
+       and the near-dup cluster graph are fresh the moment admission
+       lands, and rejected docs never enter an index)
+    -> serve                          (bm25_topk from the maintained
+       index — verified identical to an inline build over exactly the
+       admitted set; pair-graph edge count reported)
+
+Each stage keeps its own checkpoint, so admission and indexing
+restart independently; the maintainers' exactness contracts
+(store == from-scratch over everything folded) are what make the
+composition verifiable end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
+    from pyspark.sql import functions as F
+
+    from cherry_spark.ext.bm25 import bm25_topk
+    from cherry_spark.ext.text import quality_score, token_count
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import (
+        run_streaming_bm25_index,
+        run_streaming_curation_gate,
+        run_streaming_pair_graph,
+    )
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    os.makedirs(work_dir)
+    src_dir = f"{work_dir}/incoming"
+    out_dir = f"{work_dir}/verdicts"
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    staged = (
+        docs.join(emb, "doc_id", "inner")
+        .select(
+            "doc_id",
+            "text",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            quality_score(F.col("text")).alias("quality"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i in range(3):
+        staged.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)
+
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+
+    def file_stream(path, sch):
+        return (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    # stage 1: admission
+    def verdict_sink(verdicts, batch_id):
+        verdicts.write.mode("append").parquet(out_dir)
+
+    q = run_streaming_curation_gate(
+        spark,
+        file_stream(src_dir, schema),
+        f"{work_dir}/state",
+        verdict_sink,
+        f"{work_dir}/ckpt_gate",
+        budget=budget,
+        jaccard_threshold=0.5,
+        semantic_threshold=0.95,
+    )
+    q.awaitTermination(300)
+
+    # stage 2: the gate's admitted-text store is the indexing source
+    admitted_src = f"{work_dir}/state/text"
+    qb = run_streaming_bm25_index(
+        spark,
+        file_stream(admitted_src, "doc_id long, text string"),
+        f"{work_dir}/bm25",
+        lambda s, b: None,
+        f"{work_dir}/ckpt_bm25",
+    )
+    qg = run_streaming_pair_graph(
+        spark,
+        file_stream(admitted_src, "doc_id long, text string"),
+        f"{work_dir}/graph",
+        lambda s, b: None,
+        f"{work_dir}/ckpt_graph",
+        threshold=0.5,
+    )
+    qb.awaitTermination(300)
+    qg.awaitTermination(300)
+
+    # serve + verify: maintained index == inline build over EXACTLY
+    # the admitted set
+    admitted = spark.read.parquet(admitted_src)
+    qdf = admitted.orderBy("doc_id").limit(2).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    served = canon(bm25_topk(None, qdf, k=5, index_dir=f"{work_dir}/bm25"))
+    inline = canon(bm25_topk(admitted, qdf, k=5))
+    verdicts = spark.read.parquet(out_dir)
+    counts = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "counts": counts,
+        "n_admitted": admitted.count(),
+        "search_matches_inline": served == inline,
+        "n_search_rows": len(served),
+        "n_neardup_edges": spark.read.parquet(
+            f"{work_dir}/graph/pairs"
+        ).count(),
+    }
+
+
+if __name__ == "__main__":
+    from cherry_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = run(get_spark("curate_index_example"), sf, "/tmp/curate_index_out")
+    print(
+        f"verdicts {out['counts']} | {out['n_admitted']} admitted | "
+        f"search matches inline: {out['search_matches_inline']} "
+        f"({out['n_search_rows']} rows) | "
+        f"{out['n_neardup_edges']} near-dup edges"
+    )

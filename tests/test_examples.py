@@ -148,3 +148,11 @@ def test_ingest_serve_pipeline(spark, sf_dir):
     assert len(out["stores"]) >= 10
     assert not out["rebuilt_during_serve"]
     assert all(st["rows"] > 0 for st in out["served"].values())
+
+
+def test_curate_index_pipeline(spark, sf_dir, tmp_path):
+    import examples.curate_index_pipeline as ex
+
+    out = ex.run(spark, sf_dir, str(tmp_path / "ci"))
+    assert out["counts"].get("admitted", 0) > 0
+    assert out["search_matches_inline"] and out["n_search_rows"] > 0
