@@ -50,9 +50,9 @@ def _builders() -> dict[str, tuple[str, Callable[[SparkSession, str], str]]]:
     from cherry_spark.queries import extensions as ext
 
     def bigram_store(spark: SparkSession, sf_dir: str) -> str:
-        from cherry_spark.ext.quality import bigram_counts
+        from cherry_spark.queries.curation import _ensure_bigram_model
 
-        return ext._ensure_doc_store(spark, sf_dir, "bigrams", "v1", bigram_counts)
+        return _ensure_bigram_model(spark, sf_dir)
 
     def _trained_weights_store(spark: SparkSession, sf_dir: str) -> str:
         from cherry_spark.queries.curation import _ensure_trained_weights
@@ -89,13 +89,39 @@ def ingest_corpus_stores(
     ingest after a partial failure only pays for the missing stores.
     ``include`` restricts to a subset of :func:`store_names`.
     """
+    import os
+
     builders = _builders()
     if include is not None:
         unknown = sorted(set(include) - set(builders))
         if unknown:
             raise ValueError(f"unknown stores: {unknown}; know {sorted(builders)}")
         builders = {k: v for k, v in builders.items() if k in include}
+    for name, (source, _build) in builders.items():
+        src = os.path.join(sf_dir, f"{source}.parquet")
+        if not os.path.exists(src):
+            raise FileNotFoundError(f"store {name!r} needs {src}")
     return {name: build(spark, sf_dir) for name, (_, build) in builders.items()}
+
+
+def store_success_markers(manifest: dict[str, str]) -> dict[str, float]:
+    """name -> mtime of the first ``_SUCCESS`` marker under each store
+    dir (bm25/ivf are multi-table trees; single-table stores carry it
+    at the root) — the public way to observe the build-once contract
+    (a re-ingest or a serve run must leave these unchanged). Raises
+    if a store has no marker (an interrupted build: it would be
+    rebuilt, never served)."""
+    import os
+
+    out = {}
+    for name, path in manifest.items():
+        for root, _dirs, files in sorted(os.walk(path)):
+            if "_SUCCESS" in files:
+                out[name] = os.path.getmtime(os.path.join(root, "_SUCCESS"))
+                break
+        else:
+            raise AssertionError(f"no _SUCCESS under {path} ({name})")
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -1630,7 +1630,8 @@ def run_streaming_ivf_index(
     seen so far against the same centroids in one batch (tested).
     Partition dirs gain one file per touched fold — compact with
     ``writers.compact.compact_dataset`` (hive-partition aware) between
-    folds. The index must exist (``ivf_build_index`` on the first
+    folds, but never while a downstream stream consumes the dir as a
+    file source (see ``compact_state_dir``'s store-as-bus warning). The index must exist (``ivf_build_index`` on the first
     corpus version); batches must carry UNSEEN ids; same crash-replay
     caveat as the sibling maintainers.
     """
@@ -1688,7 +1689,9 @@ def run_streaming_doc_store(
     (positional/bm25/pair-graph/ivf) implement for their multi-table
     states; per-doc single-table stores need no specialization.
     Batches must carry UNSEEN doc ids; compact with
-    ``writers.compact.compact_state_dir`` between folds; same
+    ``writers.compact.compact_state_dir`` between folds (never while a
+    downstream stream reads the store as a file source — see its
+    store-as-bus warning); same
     crash-replay caveat as the siblings.
     """
 

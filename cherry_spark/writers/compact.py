@@ -121,6 +121,17 @@ def compact_state_dir(
     Run BETWEEN folds: foreachBatch executes serially, so schedule
     this in the availableNow gap or while the stream is quiesced — the
     swap is not safe against a concurrent append to the same table.
+
+    NEVER compact a table that a DOWNSTREAM stream consumes as a file
+    source (the store-as-bus pattern, e.g. the curation gate's
+    ``text/`` dir feeding index maintainers): compaction rewrites the
+    data into NEW file names and a file-source checkpoint tracks
+    processed file NAMES, so every already-consumed row would be
+    re-delivered as fresh input downstream — violating the
+    maintainers' unseen-ids contract. Compact only tables whose
+    consumers are batch readers (serving queries, the maintainers'
+    own folds); a bus that must survive rewrites needs a log-
+    structured table format (Delta/Iceberg), not raw parquet.
     Returns {table: compact_dataset stats}.
     """
     tables = [

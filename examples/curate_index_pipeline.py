@@ -19,6 +19,12 @@ Each stage keeps its own checkpoint, so admission and indexing
 restart independently; the maintainers' exactness contracts
 (store == from-scratch over everything folded) are what make the
 composition verifiable end-to-end.
+
+Bus caveat: a raw-parquet bus must stay APPEND-ONLY — never
+``compact_state_dir`` a dir a downstream file-source stream reads
+(compaction renames files; file-source checkpoints track names, so
+compacted rows re-deliver). Compact the maintainers' own state, or
+use a log-structured format (Delta/Iceberg) for the bus itself.
 """
 
 from __future__ import annotations

@@ -29,20 +29,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _markers(manifest: dict[str, str]) -> dict[str, float]:
-    out = {}
-    for name, path in manifest.items():
-        for root, _dirs, files in sorted(os.walk(path)):
-            if "_SUCCESS" in files:
-                out[name] = os.path.getmtime(os.path.join(root, "_SUCCESS"))
-                break
-    return out
-
-
 def run(spark, sf_dir: str) -> dict:
     import cherry_spark.queries  # noqa: F401 — populate the registry
     from cherry_spark.catalog import REGISTRY
-    from cherry_spark.ingest import ingest_corpus_stores
+    from cherry_spark.ingest import (
+        ingest_corpus_stores,
+        store_success_markers as _markers,
+    )
 
     t0 = time.time()
     manifest = ingest_corpus_stores(spark, sf_dir)

@@ -5,26 +5,13 @@ and store-backed queries serve afterwards without rebuilding."""
 
 from __future__ import annotations
 
-import os
-
 import pytest
 
-from cherry_spark.ingest import ingest_corpus_stores, store_names
-
-
-def _markers(manifest: dict[str, str]) -> dict[str, float]:
-    """name -> mtime of the first _SUCCESS marker under the store dir
-    (bm25/ivf are multi-table trees; single-table stores have it at
-    the root)."""
-    out = {}
-    for name, path in manifest.items():
-        for root, _dirs, files in sorted(os.walk(path)):
-            if "_SUCCESS" in files:
-                out[name] = os.path.getmtime(os.path.join(root, "_SUCCESS"))
-                break
-        else:
-            raise AssertionError(f"no _SUCCESS under {path} ({name})")
-    return out
+from cherry_spark.ingest import (
+    ingest_corpus_stores,
+    store_names,
+    store_success_markers as _markers,
+)
 
 
 def test_ingest_builds_all_stores_idempotently(spark, sf_dir):

@@ -1606,7 +1606,7 @@ def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
         str(tmp_path / "ckpt"),
     )
     q2.awaitTermination(240)
-    assert folds2 == [(2, folds2[0][1])]
+    assert len(folds2) == 1 and folds2[0][0] == 2 and folds2[0][1] >= 1
     all7 = all_df.unionByName(spark.createDataFrame(late, schema))
     ref7 = all7.join(ivf_assign(all7, centroids), on="vec_id")
     assert canon(spark.read.parquet(f"{index}/corpus")) == canon(ref7)

@@ -317,17 +317,18 @@ def probe_bm25_index(sf_dir: str, n_arrivals: int = 10) -> None:
 
 
 if __name__ == "__main__":
-    if "bm25_index" in sys.argv:
-        probe_bm25_index(
-            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-        )
-    elif "pair_graph" in sys.argv:
-        probe_pair_graph(
-            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-        )
-    elif "span_gate" in sys.argv:
-        probe_span_gate(
-            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-        )
+    _MODES = {
+        "bm25_index": probe_bm25_index,
+        "pair_graph": probe_pair_graph,
+        "span_gate": probe_span_gate,
+    }
+    _mode = next((a for a in sys.argv[1:] if a in _MODES), None)
+    # sf_dir = first positional arg that is NOT a mode name, so both
+    # "probe.py sf_dir mode" and "probe.py mode" hit the default dir
+    _sf = next(
+        (a for a in sys.argv[1:] if a not in _MODES), "/root/testdata/sf0.1"
+    )
+    if _mode is not None:
+        _MODES[_mode](_sf)
     else:
         main()
