@@ -416,6 +416,7 @@ def knn_graph(
     index_dir: str | None = None,
     method: str = "numpy",
     pad: int = 8,
+    probe_salt: int = 1,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN GRAPH: every vector's k nearest
     neighbors (self excluded) through the IVF index — the artifact
@@ -445,14 +446,18 @@ def knn_graph(
       order as the fold lane. Output identity argument: global top-k
       under a total order is contained in the per-cluster top-k, so
       equality holds whenever each per-cluster numpy top-(k+pad) by
-      float64-matmul proxy (ties broken by id via a stable sort over
-      id-sorted rows — duplicate-vector ties select the LOWEST ids,
-      matching the fold lane) covers the per-cluster top-k by fold
-      cosine; proxy and fold differ only in IEEE summation order
-      (≲1e-13), so a miss needs ``pad`` boundary pairs inside that
-      margin of a 0.5e-6 rounding edge.  Differentially asserted equal
-      to the fold lane in tests at multiple SFs and on an adversarial
-      duplicate-heavy fixture.  The interpreted 64-dim fold was the
+      ROUNDED proxy — round(matmul cosine, 6), ties broken by id via a
+      stable sort over id-sorted rows, i.e. the SAME (round(sim,6)
+      DESC, id ASC) basis the certified rank uses — covers the
+      per-cluster top-k by rounded fold cosine; the two roundings
+      differ only when IEEE summation order (≲1e-13) straddles a
+      0.5e-6 bucket edge, so a miss needs ``pad`` such edge pairs in
+      one cluster. (Selecting on the RAW proxy would be wrong, not
+      just riskier: sub-1e-6 spreads inside one rounding bucket can
+      reorder against the id tie-break — caught by review r9, fixed,
+      regression-tested on a same-bucket anticorrelated-id fixture.)
+      Differentially asserted equal to the fold lane in tests at
+      multiple SFs and on an adversarial duplicate-heavy fixture.  The interpreted 64-dim fold was the
       dominant cost of the fold lane (sf0.1: 5.9 s warm — candidate
       volume × HOF fold); the matmul lane removes it from the
       per-pair path entirely.
@@ -489,7 +494,9 @@ def knn_graph(
         except ImportError:  # pragma: no cover - both baked into the env
             method = "fold"
     if method == "numpy":
-        cand = _knn_candidates_numpy(corpus, q_probe, k + pad, id_col, vec_col)
+        cand = _knn_candidates_numpy(
+            corpus, q_probe, k + pad, id_col, vec_col, probe_salt
+        )
         return _exact_rerank(cand, corpus, k, id_col, vec_col)
     corpus = corpus.withColumn("__vn", norm(F.col(vec_col)))
     q_probe = q_probe.withColumn("__qn", norm(F.col("__qvec")))
@@ -526,19 +533,28 @@ def _knn_candidates_numpy(
     k_buf: int,
     id_col: str,
     vec_col: str,
+    probe_salt: int = 1,
 ) -> DataFrame:
     """Per-cluster per-query top-``k_buf`` candidate pairs via one
     float64 matmul per (cluster × its probes) Arrow batch.
 
-    Selection order inside a batch: rows pre-sorted by corpus id, then
-    a STABLE argsort on descending proxy — so equal proxies (duplicate
-    vectors) select the lowest ids first, the same tie-break as the
-    certified (sim DESC, id ASC) rank. Zero-norm rows score -inf
-    (ranked last, mirroring the fold lane's NULLS LAST); self-pairs are
-    dropped after selection exactly like the fold lane's pre-rank
-    filter.  Memory per task is one |cluster| × |probes-of-cluster|
-    float64 block — bounded by the cluster-size guard upstream, never
-    corpus-bounded."""
+    Selection order inside a batch: the proxy is rounded to the 1e-6
+    grid (the certified rank's basis), rows pre-sorted by corpus id,
+    then a STABLE argsort on the descending rounded proxy — same
+    bucket, same tie-break as the certified (round(sim,6) DESC, id
+    ASC) rank. Zero-norm rows score -inf (ranked last, mirroring the
+    fold lane's NULLS LAST); self-pairs are dropped after selection
+    exactly like the fold lane's pre-rank filter.
+
+    Memory per task: the corpus side of a block is bounded by the
+    cluster-size guard, but the PROBE side is however many queries
+    probe that centroid — a popular centroid can concentrate a large
+    probe fraction into one Arrow group. ``probe_salt > 1`` splits
+    each centroid's probes into that many groups (queries are
+    partitioned by salt, so per-query selection is unchanged — each
+    query still sees the whole cluster exactly once) at the cost of
+    replicating the cluster members per salt. Size it so
+    |cluster| × (probes/salt) float64 blocks fit an executor."""
     import pandas as pd
 
     from pyspark.sql.types import StructField, StructType
@@ -555,6 +571,19 @@ def _knn_candidates_numpy(
         "centroid_id", F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
     right = q_probe.select("centroid_id", "query_id", "__qvec")
+    group_keys = ["centroid_id"]
+    if probe_salt > 1:
+        group_keys = ["centroid_id", "__psalt"]
+        right = right.withColumn(
+            "__psalt",
+            F.pmod(F.xxhash64("query_id"), F.lit(int(probe_salt))).cast("int"),
+        )
+        left = left.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(probe_salt) - 1))
+            ).alias("__psalt"),
+        )
 
     def score_block(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -571,6 +600,14 @@ def _knn_candidates_numpy(
         denom = np.outer(an, bn)
         with np.errstate(divide="ignore", invalid="ignore"):
             P = np.where(denom > 0, (A @ B.T) / np.where(denom > 0, denom, 1.0), -np.inf)
+        # select on the SAME basis the certified rank orders by —
+        # round(sim, 6) DESC, id ASC. Ranking the raw proxy instead
+        # would let near-but-not-equal sims inside one rounding bucket
+        # (up to 1e-6 apart) reorder against the id tie-break and push
+        # the true top-k out of the top-k_buf selection; rounding
+        # first shrinks the numpy-vs-JVM divergence window to float
+        # noise at bucket edges (~1e-13), which the pad absorbs.
+        P = np.round(P, 6)
         cids = lpdf["__cid"].to_numpy()
         qids = rpdf["query_id"].to_numpy()
         # stable sort over id-sorted rows: descending proxy, id tiebreak
@@ -585,8 +622,8 @@ def _knn_candidates_numpy(
         )
 
     return (
-        left.groupBy("centroid_id")
-        .cogroup(right.groupBy("centroid_id"))
+        left.groupBy(*group_keys)
+        .cogroup(right.groupBy(*group_keys))
         .applyInPandas(score_block, schema=out_schema)
     )
 

@@ -304,9 +304,19 @@ def _quantized_candidates_numpy(
                 }
             )
 
-    scored = vectors.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{query_id_col} long, {id_col} long, __np double"
+    # derive id types from the inputs (the knn numpy lane's contract)
+    # instead of hardcoding long — string/int ids must behave the same
+    # through both method lanes
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, query.schema[query_id_col].dataType),
+            StructField(id_col, vectors.schema[id_col].dataType),
+            StructField("__np", DoubleType()),
+        ]
     )
+    scored = vectors.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     return topk_per_query(scored, k_buf, query_id_col, id_col, "__np").select(
         query_id_col, id_col
     )

@@ -191,8 +191,17 @@ def _semdedup_dup_ids_numpy(
             StructField("__kind", IntegerType()),
         ]
     )
-    # decision boundary of round(x, 6) >= threshold (half-up, x > 0)
-    cutoff = float(threshold) - 0.5e-6
+    # decision boundary of round(x, 6) >= threshold (half-up, x > 0):
+    # the rounded value is a multiple of 1e-6, so the condition is
+    # round(x, 6) >= g where g is the SMALLEST grid multiple >=
+    # threshold — i.e. x >= g - 0.5e-6. For an off-grid threshold,
+    # `threshold - 0.5e-6` is NOT that boundary (review r9: cosines
+    # between the two were decided dup without the certified re-check);
+    # the 1e-9 slack absorbs float repr error of on-grid thresholds.
+    import math
+
+    g = math.ceil(float(threshold) * 1e6 - 1e-9) / 1e6
+    cutoff = g - 0.5e-6
     lo, hi = cutoff - band, cutoff + band
     src = joinable.select(
         "centroid_id", F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")

@@ -352,9 +352,15 @@ def span_overlap_verdicts(
         "n_tokens",
         overlap.alias("n_overlap_tokens"),
         F.coalesce(F.col("__nsp"), F.lit(0)).cast("long").alias("n_spans"),
+        # exact integer gate at 1e-6 granularity: int() of the IEEE
+        # product truncated (0.57*100 -> 56, a full point off) and
+        # silently quantized finer fractions to percent (review r9);
+        # round-to-micro keeps the comparison pure BIGINT and exact
+        # for any fraction a caller plausibly passes. Products stay
+        # < 2^62 for n_tokens up to ~4e12.
         F.when(
-            overlap * F.lit(100)
-            > F.col("n_tokens") * F.lit(int(overlap_frac * 100)),
+            overlap * F.lit(1_000_000)
+            > F.col("n_tokens") * F.lit(int(round(overlap_frac * 1_000_000))),
             F.lit("span_dup"),
         )
         .otherwise(F.lit("unique"))

@@ -282,28 +282,41 @@ def minhash_lsh_dedup(spark, sf_dir):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8, signatures=sigs)
 
 
+def _fingerprinted_store_dir(
+    sf_dir: str, source: str, name: str, epoch: str
+) -> str:
+    """The ONE definition of the store fingerprint contract (was
+    copy-pasted across doc/ivf/delta/bm25 ensures — review r9):
+    key = sha1(epoch | source path | size | mtime_ns), dir under the
+    system temp dir. An in-place rewrite of the source gets a NEW
+    store (no stale serve); runs over different corpus versions never
+    race on a directory; ``epoch`` is bumped on arithmetic/layout
+    changes so stale pre-change stores never serve."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{source}.parquet")
+    stamp = f"{epoch}|{src}"
+    if os.path.exists(src):
+        st = os.stat(src)
+        stamp = f"{epoch}|{src}|{st.st_size}|{st.st_mtime_ns}"
+    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"cherry_{name}_{key}")
+
+
 def _ensure_doc_store(spark, sf_dir, name: str, epoch: str, build) -> str:
     """Build-once fingerprinted derived-table store over the sf_dir's
     documents — the ``_ensure_ivf_index`` pattern applied to the dedup
     family: signatures/postings/fingerprints are corpus state computed
     at ingest (``delta_dedup`` and the streaming gate already treat
     them that way), so the per-run cost of a static dedup query is the
-    pair/bucket job only. Fingerprint = path + size + mtime of the
-    source parquet (an in-place rewrite gets a NEW store; no stale
-    serve); ``epoch`` is bumped on arithmetic changes so stale stores
-    never serve. ``build(docs) -> DataFrame`` produces the stored
-    table."""
-    import hashlib
+    pair/bucket job only. Fingerprint/staleness contract:
+    :func:`_fingerprinted_store_dir`. ``build(docs) -> DataFrame``
+    produces the stored table."""
     import os
-    import tempfile
 
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    stamp = f"{epoch}|{src}"
-    if os.path.exists(src):
-        st = os.stat(src)
-        stamp = f"{epoch}|{src}|{st.st_size}|{st.st_mtime_ns}"
-    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
-    store_dir = os.path.join(tempfile.gettempdir(), f"cherry_{name}_{key}")
+    store_dir = _fingerprinted_store_dir(sf_dir, "documents", name, epoch)
     # _SUCCESS marker (the ivf_index_exists contract): an interrupted
     # build leaves a dir without it and gets rebuilt, never served
     if not os.path.exists(os.path.join(store_dir, "_SUCCESS")):
@@ -755,19 +768,9 @@ def _ensure_ivf_index(spark, sf_dir) -> str:
     same directory (ADVICE r2). "v2" = index layout version, bumped
     when centroid arithmetic changed (id-ordered fold) so stale
     pre-change indexes never serve."""
-    import hashlib
-    import os
-    import tempfile
-
     from cherry_spark.ext.ivf import ivf_build_index, ivf_index_exists
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    stamp = f"v2|{src}"
-    if os.path.exists(src):
-        st = os.stat(src)
-        stamp = f"v2|{src}|{st.st_size}|{st.st_mtime_ns}"
-    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"cherry_ivf_{key}")
+    index_dir = _fingerprinted_store_dir(sf_dir, "embeddings", "ivf", "v2")
     if not ivf_index_exists(index_dir):
         ivf_build_index(
             load_table(spark, sf_dir, "embeddings"), index_dir, n_centroids=16
@@ -1254,19 +1257,13 @@ def _ensure_delta_corpus_sigs(spark, sf_dir) -> str:
     delta-dedup corpus slice (doc_id % 5 != 0, n_hashes=32, md5 family
     — the certified parameters). Same staleness contract as
     `_ensure_minhash_signatures`; "v1" = linear-family epoch."""
-    import hashlib
     import os
-    import tempfile
 
     from cherry_spark.ext.dedup import minhash_signatures
 
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    stamp = f"v1|delta32md5|{src}"
-    if os.path.exists(src):
-        st = os.stat(src)
-        stamp = f"v1|delta32md5|{src}|{st.st_size}|{st.st_mtime_ns}"
-    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
-    sig_dir = os.path.join(tempfile.gettempdir(), f"cherry_deltasig_{key}")
+    sig_dir = _fingerprinted_store_dir(
+        sf_dir, "documents", "deltasig", "v1|delta32md5"
+    )
     if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents", parallelize=True)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -1607,19 +1604,9 @@ def _ensure_bm25_index(spark, sf_dir) -> str:
     Built once per corpus version; every bm25/hybrid serve run then
     skips the corpus tokenize + aggregations (basis note: bm25_topk
     timings before r9 included the index build per run)."""
-    import hashlib
-    import os
-    import tempfile
-
     from cherry_spark.ext.bm25 import bm25_build_index, bm25_index_exists
 
-    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    stamp = f"v1|{src}"
-    if os.path.exists(src):
-        st = os.stat(src)
-        stamp = f"v1|{src}|{st.st_size}|{st.st_mtime_ns}"
-    key = hashlib.sha1(stamp.encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"cherry_bm25_{key}")
+    index_dir = _fingerprinted_store_dir(sf_dir, "documents", "bm25", "v1")
     if not bm25_index_exists(index_dir):
         bm25_build_index(
             load_table(spark, sf_dir, "documents", parallelize=True), index_dir

@@ -1309,6 +1309,53 @@ def run_streaming_bm25_index(
     return writer.start()
 
 
+def _overwrite_store(df: DataFrame, path: str) -> None:
+    """Crash-safe overwrite of a merge-table store: write the new
+    version to a temp sibling FIRST, then swap via two renames — the
+    only copy of accumulated state is never deleted before its
+    replacement is fully written (a plain ``mode("overwrite")`` deletes
+    the old files before writing, so a crash mid-write silently resets
+    the store to empty and the next fold's ``_SUCCESS`` check treats
+    that as a fresh start: total state loss, review r9).
+
+    The unsafe window shrinks from the whole Spark write to two
+    ``os.rename`` calls; :func:`_recover_store` (called at every fold
+    start) repairs the one torn state a crash between them can leave —
+    the pre-fold dir parked under ``__old``, which is exactly the
+    state a replayed batch wants to merge into.  A crash AFTER the
+    swap double-merges the replayed batch — the documented sink-replay
+    caveat shared by all merge-table maintainers; production pairs the
+    store with a log-structured table format or idempotent writer."""
+    import os
+    import shutil
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{path}__tmp_{tag}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{tag}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_store(path: str) -> None:
+    """Repair a torn :func:`_overwrite_store` swap: if the canonical
+    dir is missing but a parked ``__old`` version exists, restore the
+    newest one (pre-fold state — correct for the batch replay that
+    follows); drop stray temp/old siblings either way."""
+    import glob
+    import os
+    import shutil
+
+    olds = sorted(glob.glob(f"{path}__old_*"), key=os.path.getmtime)
+    if not os.path.exists(path) and olds:
+        os.rename(olds.pop(), path)
+    for stray in olds + glob.glob(f"{path}__tmp_*"):
+        shutil.rmtree(stray, ignore_errors=True)
+
+
 def bm25_index_fold(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -1326,6 +1373,8 @@ def bm25_index_fold(
     tf, dl, dfreq, stats = _index_tables(batch_df, doc_col, text_col)
     tf = tf.localCheckpoint(eager=True)
     dl = dl.localCheckpoint(eager=True)
+    _recover_store(f"{state_dir}/dfreq")
+    _recover_store(f"{state_dir}/stats")
     have = os.path.exists(f"{state_dir}/stats/_SUCCESS")
     if have:
         old_df = spark.read.parquet(f"{state_dir}/dfreq")
@@ -1347,8 +1396,8 @@ def bm25_index_fold(
     stats = stats.localCheckpoint(eager=True)
     tf.write.mode("append").parquet(f"{state_dir}/tf")
     dl.write.mode("append").parquet(f"{state_dir}/dl")
-    dfreq.write.mode("overwrite").parquet(f"{state_dir}/dfreq")
-    stats.write.mode("overwrite").parquet(f"{state_dir}/stats")
+    _overwrite_store(dfreq, f"{state_dir}/dfreq")
+    _overwrite_store(stats, f"{state_dir}/stats")
     return stats
 
 
@@ -1498,6 +1547,7 @@ def pair_graph_fold(
     bdfreq = bpost.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
+    _recover_store(f"{state_dir}/dfreq")
     have = os.path.exists(f"{state_dir}/dfreq/_SUCCESS")
     if have:
         old = spark.read.parquet(f"{state_dir}/dfreq")
@@ -1566,7 +1616,7 @@ def pair_graph_fold(
     )
     bpost.write.mode("append").parquet(f"{state_dir}/postings")
     bsizes.write.mode("append").parquet(f"{state_dir}/sizes")
-    dfreq.write.mode("overwrite").parquet(f"{state_dir}/dfreq")
+    _overwrite_store(dfreq, f"{state_dir}/dfreq")
     pairs.write.mode("append").parquet(f"{state_dir}/pairs")
     summary = bpost.select("id").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
@@ -1721,6 +1771,7 @@ def count_store_fold(
 
     new = transform(batch_df)
     val_cols = [c for c in new.columns if c not in key_cols]
+    _recover_store(state_dir)
     if os.path.exists(f"{state_dir}/_SUCCESS"):
         new = spark.read.parquet(state_dir).unionByName(new)
     merged = new.groupBy(*key_cols).agg(
@@ -1728,7 +1779,7 @@ def count_store_fold(
     )
     # materialize the merge BEFORE overwriting its own input
     merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(state_dir)
+    _overwrite_store(merged, state_dir)
     return merged.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
 
 

@@ -353,3 +353,87 @@ def test_semantic_dedup_numpy_respects_cluster_cap(spark):
         # capped cluster members all kept; small cluster deduped
         assert out[0] == 0 and all(out[10 + i] == 0 for i in range(10)), m
         assert out[1] == 0 and out[30] == 1, m
+
+
+def test_knn_graph_numpy_same_bucket_subresolution_spread(spark):
+    """Review-r9 regression: a cluster of near-clones whose raw cosines
+    differ by ~1e-8 (all inside ONE 1e-6 rounding bucket) with raw sim
+    INCREASING in id. The certified order (round(sim,6) DESC, id ASC)
+    ranks the LOWEST ids first; a candidate stage selecting on the raw
+    proxy would keep the highest ids instead and the graph would
+    diverge from the fold lane. The numpy lane must round the proxy to
+    the same grid before selection."""
+    import math
+
+    from cherry_spark.ext.ivf import knn_graph
+
+    rows = []
+    for i in range(20):
+        # cos to e1 = 1 - (1.0e-6 - i*1e-8): increasing with id, all
+        # rounding to the same 0.999999 bucket
+        d = math.sqrt(2.0 * (1.0e-6 - i * 1e-8))
+        rows.append((i, [1.0, d, 0.0, 0.0]))
+    rows += [(100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for pad in (0, 8):
+        fold = _graph_rows(
+            knn_graph(df, k=2, n_centroids=2, nprobe=1, method="fold")
+        )
+        fast = _graph_rows(
+            knn_graph(
+                df, k=2, n_centroids=2, nprobe=1, method="numpy", pad=pad
+            )
+        )
+        assert fast == fold, f"pad={pad}"
+    # the highest-id clone's neighbors are the LOWEST ids in the bucket
+    nb = sorted(v for q, v, _ in fast if q == 19)
+    assert nb == [0, 1]
+
+
+def test_knn_graph_numpy_probe_salt_equality(spark):
+    """probe_salt partitions QUERIES per centroid (bounding the Arrow
+    probe block on hot centroids) — per-query selection is unchanged,
+    so any salt must produce the identical graph."""
+    from cherry_spark.ext.ivf import knn_graph
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _graph_rows(knn_graph(df, k=2, n_centroids=4, nprobe=2, method="fold"))
+    for salt in (1, 4):
+        fast = _graph_rows(
+            knn_graph(
+                df, k=2, n_centroids=4, nprobe=2, method="numpy",
+                probe_salt=salt,
+            )
+        )
+        assert fast == base, f"salt={salt}"
+
+
+def test_semantic_dedup_numpy_off_grid_threshold(spark):
+    """Review-r9 regression: with a threshold NOT on the 1e-6 grid,
+    the true decision boundary of round(sim,6) >= threshold is the
+    NEXT grid point — a cosine between the threshold and that point
+    must NOT be a duplicate. The unfixed numpy cutoff
+    (threshold - 0.5e-6) decided such pairs dup outright."""
+    import math
+
+    from cherry_spark.ext.semdedup import semantic_dedup
+
+    def on_circle(c):
+        return [c, math.sqrt(1.0 - c * c), 0.0, 0.0]
+
+    # cos(v, e1) == c exactly-ish; all vectors share one cluster
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, on_circle(0.8500001)),   # round -> 0.850000 < thr: unique
+        (2, on_circle(0.8500012)),   # round -> 0.850001 >= thr: dup of 0? 
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.8500003
+    fold = _sd_rows(semantic_dedup(df, threshold=thr, n_centroids=1, method="fold"))
+    fast = _sd_rows(semantic_dedup(df, threshold=thr, n_centroids=1, method="numpy"))
+    assert fast == fold
+    dup = {v: d for v, _, d in fast}
+    assert dup[1] == 0 and dup[0] == 0

@@ -248,3 +248,23 @@ def test_delta_then_cut_admission_flow(spark):
     assert again.count() == 0
     (row,) = cleaned.collect()
     assert row["text"] == "head mid"
+
+
+def test_span_overlap_verdicts_fraction_is_exact(spark):
+    """Review-r9 regression: int(0.57*100) truncates to 56, shifting
+    the gate a full point; the micro-unit comparison must hold the
+    boundary exactly — overlap == frac stays unique (strict >), one
+    token more flips."""
+    from cherry_spark.ext.substr import (
+        delta_repeated_spans,
+        span_overlap_verdicts,
+    )
+
+    # batch doc of 100 tokens; corpus shares exactly the first 57
+    toks = [f"w{i}" for i in range(100)]
+    corpus = _mk(spark, [(1, " ".join(toks[:57]) + " tailA tailB")])
+    batch = _mk(spark, [(200, " ".join(toks))])
+    spans = delta_repeated_spans(corpus, batch, min_len=4)
+    for frac, want in ((0.57, "unique"), (0.56, "span_dup"), (0.125, "span_dup")):
+        (r,) = span_overlap_verdicts(batch, spans, overlap_frac=frac).collect()
+        assert (r["n_overlap_tokens"], r["verdict"]) == (57, want), frac

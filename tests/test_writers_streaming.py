@@ -1728,3 +1728,34 @@ def test_streaming_count_store_maintains_bigram_lm(spark, tmp_path):
         bigram_logprob(all_docs, counts=spark.read.parquet(state))
     )
     assert served == canon(bigram_logprob(all_docs))
+
+
+def test_fold_overwrite_survives_torn_swap(spark, tmp_path):
+    """Crash-safety of the merge-table overwrite (review r9): a plain
+    overwrite deletes the only copy before rewriting, so a mid-write
+    crash silently reset the store. With the swap + recovery scheme, a
+    crash between the two renames (canonical dir parked under __old)
+    restores the PRE-FOLD state at the next fold and the replayed
+    batch merges into it correctly."""
+    import os
+
+    from cherry_spark.ext.quality import bigram_counts
+    from cherry_spark.streaming.continuous import count_store_fold
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "bigrams")
+    b1 = spark.createDataFrame([(0, "a b a b")], schema)
+    b2 = spark.createDataFrame([(1, "a b c")], schema)
+    count_store_fold(spark, b1, state, bigram_counts, ["prev", "cur"]).collect()
+
+    # simulate the torn swap: canonical dir parked, replacement lost
+    os.rename(state, f"{state}__old_deadbeef")
+    count_store_fold(spark, b2, state, bigram_counts, ["prev", "cur"]).collect()
+
+    got = {
+        (r["prev"], r["cur"]): r["c2"]
+        for r in spark.read.parquet(state).collect()
+    }
+    # full history: both folds' counts, not a silent reset to batch 2
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    assert not os.path.exists(f"{state}__old_deadbeef")
