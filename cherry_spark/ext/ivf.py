@@ -607,7 +607,8 @@ def _knn_candidates_numpy(
         # the true top-k out of the top-k_buf selection; rounding
         # first shrinks the numpy-vs-JVM divergence window to float
         # noise at bucket edges (~1e-13), which the pad absorbs.
-        P = np.round(P, 6)
+        # In-place: the block is the lane's dominant allocation.
+        np.round(P, 6, out=P)
         cids = lpdf["__cid"].to_numpy()
         qids = rpdf["query_id"].to_numpy()
         # stable sort over id-sorted rows: descending proxy, id tiebreak
