@@ -589,8 +589,16 @@ def _knn_candidates_numpy(
         import numpy as np
 
         if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"query_id": [], "__cand": []}).astype(
-                {"query_id": "int64", "__cand": "int64"}
+            # dtypes derived from the (schema-typed, possibly empty)
+            # cogroup frames — a hardcoded int64 empty frame fails the
+            # Arrow conversion for string ids (review r9), and empty
+            # right sides are ROUTINE under probe_salt (every salt
+            # exists on the replicated left)
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=rpdf["query_id"].dtype),
+                    "__cand": pd.Series([], dtype=lpdf["__cid"].dtype),
+                }
             )
         lpdf = lpdf.sort_values("__cid", kind="mergesort")
         A = np.asarray(lpdf["__cvec"].tolist(), dtype=np.float64)
@@ -607,8 +615,18 @@ def _knn_candidates_numpy(
         # the true top-k out of the top-k_buf selection; rounding
         # first shrinks the numpy-vs-JVM divergence window to float
         # noise at bucket edges (~1e-13), which the pad absorbs.
-        # In-place: the block is the lane's dominant allocation.
-        np.round(P, 6, out=P)
+        # HALF-UP like Spark's F.round — np.round is half-to-EVEN and
+        # buckets exact midpoints one grid step lower (review r9:
+        # np.round(0.8500005, 6) == 0.850000, JVM -> 0.850001). All
+        # in-place: the block is the lane's dominant allocation.
+        # (-inf survives: sign -1, |.|*1e6+0.5 = inf, floor inf.)
+        S = np.sign(P)
+        np.abs(P, out=P)
+        np.multiply(P, 1e6, out=P)
+        np.add(P, 0.5, out=P)
+        np.floor(P, out=P)
+        np.multiply(P, 1e-6, out=P)
+        np.multiply(P, S, out=P)
         cids = lpdf["__cid"].to_numpy()
         qids = rpdf["query_id"].to_numpy()
         # stable sort over id-sorted rows: descending proxy, id tiebreak

@@ -210,9 +210,16 @@ def _semdedup_dup_ids_numpy(
     def score_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        # id dtypes derived from the (schema-typed) group frame — a
+        # hardcoded int64 empty frame fails the Arrow conversion for
+        # string ids on singleton clusters (review r9)
         empty = pd.DataFrame(
-            {"__bid": [], "__aid": [], "__kind": []}
-        ).astype({"__bid": "int64", "__aid": "int64", "__kind": "int32"})
+            {
+                "__bid": pd.Series([], dtype=pdf["__id"].dtype),
+                "__aid": pd.Series([], dtype=pdf["__id"].dtype),
+                "__kind": pd.Series([], dtype="int32"),
+            }
+        )
         n = len(pdf)
         if n < 2:
             return empty

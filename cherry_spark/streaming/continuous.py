@@ -399,7 +399,7 @@ def run_streaming_growing_semdedup(
             reassigned = assigned_of(
                 full.select(id_col, vec_col), new_cents
             ).localCheckpoint(eager=True)
-            reassigned.write.mode("overwrite").parquet(corpus_dir)
+            _overwrite_store(reassigned, corpus_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -454,6 +454,7 @@ def run_streaming_budget_gate(
     state_schema = "spent long"
 
     def read_spent() -> int:
+        _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -487,9 +488,11 @@ def run_streaming_budget_gate(
         new_spent = (
             verdicts.agg(F.max("cum_tokens")).first()[0] or spent
         )
-        spark.createDataFrame([(int(new_spent),)], state_schema).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        # crash-safe swap: a torn plain overwrite would reset spent
+        # to 0 and the gate would over-admit past the global budget
+        _overwrite_store(
+            spark.createDataFrame([(int(new_spent),)], state_schema), state_dir
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -752,16 +755,21 @@ def run_streaming_curation_gate(
                 new_cents = ivf_centroids(
                     allv, n_centroids, "vec_id", vec_col
                 ).localCheckpoint(eager=True)
-                new_cents.select(
-                    "centroid_id", "centroid", F.lit(int(n_now)).alias("built_n")
-                ).write.mode("overwrite").parquet(cent_dir)
+                _overwrite_store(
+                    new_cents.select(
+                        "centroid_id",
+                        "centroid",
+                        F.lit(int(n_now)).alias("built_n"),
+                    ),
+                    cent_dir,
+                )
                 reassigned = (
                     ivf_assign(allv, new_cents, id_col="vec_id", vec_col=vec_col)
                     .join(allv, "vec_id")
                     .select("vec_id", vec_col, "centroid_id")
                     .localCheckpoint(eager=True)
                 )
-                reassigned.write.mode("overwrite").parquet(vec_dir)
+                _overwrite_store(reassigned, vec_dir)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -826,6 +834,7 @@ def run_streaming_rollup(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         partial = batch_df.groupBy(*keys).agg(*agg_exprs())
+        _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -836,7 +845,9 @@ def run_streaming_rollup(
         else:
             merged = partial
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        # crash-safe swap (review r9): never delete the only copy of
+        # accumulated state before its replacement is fully written
+        _overwrite_store(merged, state_dir)
         sink(merged, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -880,6 +891,7 @@ def run_streaming_cms(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         partial = cms_build(batch_df, key_col, depth, width)
+        _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -888,7 +900,9 @@ def run_streaming_cms(
         else:
             merged = partial
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        # crash-safe swap (review r9): never delete the only copy of
+        # accumulated state before its replacement is fully written
+        _overwrite_store(merged, state_dir)
         sink(merged, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -928,6 +942,7 @@ def run_streaming_mg(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         partial = mg_summary(batch_df, key_col, k=k)
+        _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -936,7 +951,9 @@ def run_streaming_mg(
         else:
             merged = partial
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        # crash-safe swap (review r9): never delete the only copy of
+        # accumulated state before its replacement is fully written
+        _overwrite_store(merged, state_dir)
         sink(merged, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -997,6 +1014,7 @@ def run_streaming_spike_monitor(
             F.col(key_col).alias("key"),
             time_bucket_s(F.col(ts_col), width_s).alias("bucket_s"),
         ).agg(F.count("*").cast("long").alias("n_events"))
+        _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -1009,7 +1027,9 @@ def run_streaming_spike_monitor(
         else:
             merged = partial
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        # crash-safe swap (review r9): never delete the only copy of
+        # accumulated state before its replacement is fully written
+        _overwrite_store(merged, state_dir)
         sink(spike_flags_from_buckets(merged, z_threshold), batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -1062,6 +1082,7 @@ def run_streaming_weighted_sample(
         partial = batch_df.groupBy(id_col).agg(
             F.max(weight_col).cast("long").alias("_w_in")
         )
+        _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -1074,7 +1095,9 @@ def run_streaming_weighted_sample(
         else:
             merged = partial.withColumnRenamed("_w_in", "_w")
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_dir)
+        # crash-safe swap (review r9): never delete the only copy of
+        # accumulated state before its replacement is fully written
+        _overwrite_store(merged, state_dir)
         sink(
             weighted_systematic_sample(merged, id_col, "_w", m=m, salt=salt),
             batch_id,
@@ -1330,14 +1353,39 @@ def _overwrite_store(df: DataFrame, path: str) -> None:
     import shutil
     import uuid
 
-    tag = uuid.uuid4().hex[:8]
-    tmp = f"{path}__tmp_{tag}"
+    _commit_stores([_stage_store(df, path)])
+
+
+def _stage_store(df: DataFrame, path: str) -> tuple[str, str]:
+    """Phase 1 of the crash-safe swap: fully write the replacement to
+    a temp sibling. Returns (tmp, path) for :func:`_commit_stores`."""
+    import uuid
+
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}__old_{tag}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    return tmp, path
+
+
+def _commit_stores(staged: list[tuple[str, str]]) -> None:
+    """Phase 2: swap every staged table in one tight rename loop —
+    for multi-table folds (bm25's dfreq+stats) ALL replacements are
+    fully written before ANY canonical dir moves, so the cross-table
+    torn window shrinks from a Spark write to adjacent renames (a
+    crash exactly between them replays as the documented whole-batch
+    double-merge, not a half-updated pair)."""
+    import os
+    import shutil
+    import uuid
+
+    olds = []
+    for tmp, path in staged:
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, old)
+            olds.append(old)
+        os.rename(tmp, path)
+    for old in olds:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _recover_store(path: str) -> None:
@@ -1391,13 +1439,20 @@ def bm25_index_fold(
                 F.sum("total_len").cast("long").alias("total_len"),
             )
         )
-    # materialize merges BEFORE overwriting their own inputs
-    dfreq = dfreq.localCheckpoint(eager=True)
+    # stats is consumed AFTER the swap (returned to the sink) — keep it
+    # materialized; dfreq is referenced once by its staging write, which
+    # reads the OLD canonical dir and writes a temp sibling (no
+    # self-overwrite), so its old checkpoint was pure overhead
     stats = stats.localCheckpoint(eager=True)
     tf.write.mode("append").parquet(f"{state_dir}/tf")
     dl.write.mode("append").parquet(f"{state_dir}/dl")
-    _overwrite_store(dfreq, f"{state_dir}/dfreq")
-    _overwrite_store(stats, f"{state_dir}/stats")
+    # both replacements fully written before either canonical dir moves
+    _commit_stores(
+        [
+            _stage_store(dfreq, f"{state_dir}/dfreq"),
+            _stage_store(stats, f"{state_dir}/stats"),
+        ]
+    )
     return stats
 
 

@@ -437,3 +437,43 @@ def test_semantic_dedup_numpy_off_grid_threshold(spark):
     assert fast == fold
     dup = {v: d for v, _, d in fast}
     assert dup[1] == 0 and dup[0] == 0
+
+
+def test_numpy_lanes_accept_string_ids(spark):
+    """Review-r9 regression: the numpy lanes' empty Arrow frames
+    hardcoded int64 ids, crashing string-id corpora on routine empty
+    groups (singleton clusters; probe_salt buckets with no queries).
+    All three lanes must match their fold twins on string ids."""
+    from cherry_spark.ext.ivf import knn_graph
+    from cherry_spark.ext.quantize import quantized_rerank_topk
+    from cherry_spark.ext.semdedup import semantic_dedup
+
+    rows = [
+        (f"d{i:02d}", [float((i * 7 + d * 3) % 11) for d in range(4)])
+        for i in range(40)
+    ]
+    # an outlier far from the rest: a near-certain singleton cluster
+    rows.append(("zz_lone", [1000.0, -1000.0, 1000.0, -1000.0]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    canon_g = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    fold = canon_g(knn_graph(df, k=2, n_centroids=4, nprobe=2, method="fold"))
+    for salt in (1, 4):
+        fast = canon_g(
+            knn_graph(
+                df, k=2, n_centroids=4, nprobe=2, method="numpy",
+                probe_salt=salt,
+            )
+        )
+        assert fast == fold, f"salt={salt}"
+
+    sd_fold = _sd_rows(semantic_dedup(df, threshold=0.95, n_centroids=8, method="fold"))
+    sd_fast = _sd_rows(semantic_dedup(df, threshold=0.95, n_centroids=8, method="numpy"))
+    assert sd_fast == sd_fold and len(sd_fast) == 41
+
+    q = df.filter(F.col("vec_id").isin("d00", "d07")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qr_fold = canon_g(quantized_rerank_topk(df, q, k=3, method="fold"))
+    qr_fast = canon_g(quantized_rerank_topk(df, q, k=3, method="numpy"))
+    assert qr_fast == qr_fold and len(qr_fast) > 0
