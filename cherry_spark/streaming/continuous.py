@@ -322,9 +322,12 @@ def run_streaming_growing_semdedup(
         )
 
     def write_centroids(cents: DataFrame, built_n: int) -> None:
-        cents.select(
-            "centroid_id", "centroid", F.lit(int(built_n)).alias("built_n")
-        ).write.mode("overwrite").parquet(cent_dir)
+        _overwrite_store(
+            cents.select(
+                "centroid_id", "centroid", F.lit(int(built_n)).alias("built_n")
+            ),
+            cent_dir,
+        )
 
     def assigned_of(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         return ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col).join(
@@ -344,6 +347,8 @@ def run_streaming_growing_semdedup(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
+        _recover_store(cent_dir)
+        _recover_store(corpus_dir)
         if store_exists(cent_dir):
             cent_rows = spark.read.parquet(cent_dir)
             cents = cent_rows.select("centroid_id", "centroid")
@@ -351,12 +356,12 @@ def run_streaming_growing_semdedup(
         else:
             # bootstrap: seed the quantizer from the first batch
             cents = ivf_centroids(
-                clean_batch.select(F.col(id_col), F.col(vec_col)),
+                batch_df.select(F.col(id_col), F.col(vec_col)),
                 n_centroids,
                 id_col,
                 vec_col,
             ).localCheckpoint(eager=True)
-            built_n = clean_batch.count()
+            built_n = batch_df.count()
             write_centroids(cents, built_n)
         corpus = (
             spark.read.parquet(corpus_dir)
@@ -598,6 +603,11 @@ def run_streaming_curation_gate(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
+        # repair any torn swap from a crash mid-_overwrite_store — the
+        # swapped stores here are centroids, the assigned vector
+        # corpus, and the spent counter (appends recover by replay)
+        for _swapped in (cent_dir, vec_dir, spent_dir):
+            _recover_store(_swapped)
 
         # 0. decontamination gate — rejected docs never reach the
         # signing/dedup/budget stages and never touch a store
@@ -655,9 +665,14 @@ def run_streaming_curation_gate(
                 vec_col,
             ).localCheckpoint(eager=True)
             built_n = batch_df.count()
-            cents.select(
-                "centroid_id", "centroid", F.lit(int(built_n)).alias("built_n")
-            ).write.mode("overwrite").parquet(cent_dir)
+            _overwrite_store(
+                cents.select(
+                    "centroid_id",
+                    "centroid",
+                    F.lit(int(built_n)).alias("built_n"),
+                ),
+                cent_dir,
+            )
         else:
             cents = cent_rows.select("centroid_id", "centroid")
             built_n = cent_rows.agg(F.max("built_n")).first()[0]
@@ -741,9 +756,12 @@ def run_streaming_curation_gate(
         )
         new_spent = verdicts.agg(F.max("cum_tokens")).first()[0]
         if new_spent is not None:
-            spark.createDataFrame([(int(new_spent),)], "spent long").write.mode(
-                "overwrite"
-            ).parquet(spent_dir)
+            # crash-safe: a torn plain overwrite reset spent to 0 and
+            # the gate over-admitted past the global budget
+            _overwrite_store(
+                spark.createDataFrame([(int(new_spent),)], "spent long"),
+                spent_dir,
+            )
 
         # centroid staleness: re-seed + re-assign when the vector
         # corpus outgrows the seed-time size
@@ -1349,10 +1367,6 @@ def _overwrite_store(df: DataFrame, path: str) -> None:
     swap double-merges the replayed batch — the documented sink-replay
     caveat shared by all merge-table maintainers; production pairs the
     store with a log-structured table format or idempotent writer."""
-    import os
-    import shutil
-    import uuid
-
     _commit_stores([_stage_store(df, path)])
 
 
@@ -1369,10 +1383,16 @@ def _stage_store(df: DataFrame, path: str) -> tuple[str, str]:
 def _commit_stores(staged: list[tuple[str, str]]) -> None:
     """Phase 2: swap every staged table in one tight rename loop —
     for multi-table folds (bm25's dfreq+stats) ALL replacements are
-    fully written before ANY canonical dir moves, so the cross-table
-    torn window shrinks from a Spark write to adjacent renames (a
-    crash exactly between them replays as the documented whole-batch
-    double-merge, not a half-updated pair)."""
+    fully written before ANY canonical dir moves, shrinking the
+    cross-table torn window from a Spark write to adjacent renames.
+    RESIDUAL (honest bound, review r9): a crash exactly between two
+    tables' rename pairs leaves the earlier table post-fold and the
+    later pre-fold; on replay the earlier table double-merges that
+    one batch while the later counts it once. That bounds the damage
+    to one batch's counts in one table (vs total state loss before
+    the swap scheme); full multi-table atomicity needs a commit
+    marker or a log-structured table format — the documented
+    production posture."""
     import os
     import shutil
     import uuid

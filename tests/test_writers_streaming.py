@@ -1759,3 +1759,47 @@ def test_fold_overwrite_survives_torn_swap(spark, tmp_path):
     # full history: both folds' counts, not a silent reset to batch 2
     assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
     assert not os.path.exists(f"{state}__old_deadbeef")
+
+
+def test_streaming_growing_semdedup_bootstraps_without_initial_corpus(
+    spark, tmp_path
+):
+    """Review-r9 regression: the bootstrap branch (no initial_corpus —
+    centroids seeded from the FIRST batch) referenced an undefined
+    variable and crashed the stream; it was never exercised because
+    every test passed initial_corpus. Drive it end-to-end: batch 1
+    seeds the quantizer, a batch-2 clone of a batch-1 admission is
+    caught."""
+    import time
+
+    from cherry_spark.streaming import run_streaming_growing_semdedup
+
+    a1 = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    a2 = [(10, [1.0, 0.0, 0.0, 0.0]),  # exact clone of 0
+          (11, [0.0, 0.0, 0.0, 1.0])]
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "in")
+    for a in (a1, a2):
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    out: list[tuple[int, str]] = []
+    q = run_streaming_growing_semdedup(
+        spark,
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(tmp_path / "corpus"),
+        lambda v, b: out.extend((r["vec_id"], r["verdict"]) for r in v.collect()),
+        str(tmp_path / "ckpt"),
+        threshold=0.95,
+        n_centroids=2,
+        nprobe=2,
+    )
+    q.awaitTermination(180)
+    verdicts = dict(out)
+    assert len(verdicts) == 4
+    assert verdicts[10] == "semantic_dup"
+    assert verdicts[0] == "unique" and verdicts[11] == "unique"
