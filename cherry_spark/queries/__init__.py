@@ -3,7 +3,7 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-for the ROUND-9 window (_ADDED_R08 + _R06_STALE_R09 + _R07_FIRST3).
+for the ROUND-10 window (_R07_REMAINING_R10 + _R08_FIRST3_R10).
 
 Standing rotation policy (round-7 verdict item #2): the registry holds
 115 queries and the driver window holds 50, so a strict "no query more
@@ -24,16 +24,23 @@ shares its oracle and result-hash with in-window ``decode_dynamic_abi``
 and differs only in the Arrow execution lane (a driver row for it would
 duplicate an existing hash check while displacing a unique one).
 
-ROUND-9 window (live): ``_ADDED_R08`` (33, never driver-certified) +
-``_R06_STALE_R09`` (14) + ``_R07_FIRST3`` (3) = 50 exactly, asserted
-at import (rounds 6 AND 7 each shipped a silent hand-recount bug —
-every group here is pinned data, and the window tests re-derive them
-from the archived driver artifacts).
+ROUND-10 window (live): ``_R07_REMAINING_R10`` (47, the r07-certified
+rows not refreshed in r09) + ``_R08_FIRST3_R10`` (3, the oldest rows of
+the archived r08 artifact) = 50 exactly, asserted at import (rounds 6
+AND 7 each shipped a silent hand-recount bug — every group here is
+pinned data, and the window tests re-derive them from the archived
+driver artifacts).  Every r10-window row has a DuckDB oracle — no
+rows-only query sits inside the window.
 
-ROUND-10 window (pre-staged below as ``_R07_REMAINING_R10`` +
-``_R08_FIRST3_R10`` = 47 + 3): at round-10 start, swap the group tuple
-in ``_reorder_for_certification`` — nothing to recount.  Round 11 =
-the remaining 47 r08 rows + ``_ADDED_R09`` (2) + the oldest r09 row.
+ROUND-11 window (pre-staged below as ``_R08_REMAINING_R11`` +
+``_ADDED_R09`` + ``_R09_FIRST1_R11`` = 47 + 2 + 1 = 50): at round-11
+start, swap the group tuple — nothing to recount.  The two BPE rows
+sit in the ROUND-9 window (``_ADDED_R08``) and were ``err: no_oracle``
+there (the r9 verdict's "what's wrong" #1); round 10 gave both a
+generated DuckDB twin (unrolled 10-round CTE, the trained-gate
+technique — see queries/vocab.py), so when the r09-window rows recycle
+in round 12 they hash-check like every other row — no rows-only query
+can ever reappear in a driver window as a guaranteed err row.
 
 At 150 registered the 3-round guarantee is EXACTLY saturated
 (3 x 50 = 150): any further registration must displace a named twin
@@ -170,15 +177,15 @@ _ADDED_R09 = [
 ]
 
 # ---------------------------------------------------------------------
-# ROUND-10 window, PRE-STAGED (swap `_reorder_for_certification`'s
-# group tuple to `(_R07_REMAINING_R10, _R08_FIRST3_R10,
-# _PAST_WINDOW_FIRST)` at the start of round 10 — nothing to recount).
+# ROUND-10 window, LIVE: `_reorder_for_certification` leads with
+# `(_R07_REMAINING_R10, _R08_FIRST3_R10)`.
 # 47 r07 rows (CORRECTNESS_r07.json order minus _R07_FIRST3) + the
 # first 3 rows of the archived r08 artifact = 50.
-# tests/test_registry_window.py::test_r10_plan_complement_is_well_defined
-# re-derives the 47 from the artifact.
-# ROUND-11 window: the remaining 47 r08 rows + _ADDED_R09 (2) + the
-# first(oldest) r09-window row (47 + 2 + 1 = 50).
+# tests/test_registry_window.py re-derives both groups from the
+# artifacts.
+# ROUND-11 window, PRE-STAGED (`_R08_REMAINING_R11` below): the
+# remaining 47 r08 rows + _ADDED_R09 (2) + the first(oldest)
+# r09-window row (47 + 2 + 1 = 50).
 # ---------------------------------------------------------------------
 _R07_REMAINING_R10 = [
     "ann_lsh_topk", "flagship_revenue_by_nation", "u256_sum",
@@ -202,6 +209,39 @@ _R08_FIRST3_R10 = [
     "approx_percentile_verdict",
 ]
 
+# ---------------------------------------------------------------------
+# ROUND-11 window, PRE-STAGED (swap `_reorder_for_certification`'s
+# group tuple to `(_R08_REMAINING_R11, _ADDED_R09, _R09_FIRST1_R11,
+# _PAST_WINDOW_FIRST)` at the start of round 11 — nothing to recount).
+# 47 r08 rows (CORRECTNESS_r08.json order minus _R08_FIRST3_R10) +
+# _ADDED_R09 (2) + the first row of the archived r09 artifact = 50.
+# tests/test_registry_window.py re-derives both groups from the
+# artifacts.  ROUND-12 window: the remaining 49 r09-window rows + the
+# oldest r10-window row (49 + 1 = 50) — this is where the BPE rows
+# (now oracle-backed) get their first hash-green driver rows.
+# ---------------------------------------------------------------------
+_R08_REMAINING_R11 = [
+    "svm_decode_logs", "include_all_blocks_scan", "join_block_data_step",
+    "validate_block_report", "training_shards", "classifier_quality_gate",
+    "knn_graph", "pack_chunk_spans", "mixing_apply", "split_to_chunks",
+    "vocab_coverage", "exact_dedup_docs", "minhash_lsh_dedup",
+    "simhash_dedup", "ngram_jaccard_pairs", "dedup_clusters",
+    "dedup_clusters_star", "cluster_keep_best", "delta_dedup_verdicts",
+    "delta_dedup_minhash_verdicts", "band_bucket_stats",
+    "posting_skew_stats", "lsh_recall_audit", "doc_novelty",
+    "jaccard_topk", "decontaminate_overlap", "chunk_dedup",
+    "chunk_dedup_rewrite", "cdc_chunk_dedup", "ann_ivf_topk",
+    "semantic_dedup", "semdedup_cluster_stats", "embed_neardup_pairs",
+    "mmr_diverse_topk", "semantic_lexical_agreement",
+    "label_centroid_profile", "doc_fingerprint", "text_stats",
+    "token_count", "lang_id", "quality_score", "token_freq_topn",
+    "tfidf_top_terms", "corpus_report", "deterministic_split",
+    "media_decode_features", "media_phash_dedup",
+]
+_R09_FIRST1_R11 = [
+    "dataset_erc20_transfers",
+]
+
 # The first 3 rows of the archived ROUND-7 driver window
 # (CORRECTNESS_r07.json key order) — they close the r09 window to
 # exactly 50.  Pinned as data (tests/test_registry_window.py re-derives
@@ -216,7 +256,9 @@ _R07_FIRST3 = [
 # ---------------------------------------------------------------------
 # Registry-pruning policy (round-8 verdict item #2, adopted round 9):
 # the 3-round certification guarantee requires registered <= 3 x 50 =
-# 150.  The registry holds 148, leaving 2 free slots.  RULE: a change
+# 150.  The registry sits AT the ceiling (the import-time assert below
+# is the source of truth — never write the count into prose): any
+# further registration requires a displacement.  RULE: a change
 # that would push the registry past 150 must, in the SAME commit, move
 # a named twin to verify_local-only (append it to _PAST_WINDOW_FIRST
 # and record the displacement here).  Twin = a query whose oracle
@@ -232,15 +274,14 @@ _R07_FIRST3 = [
 
 
 def _reorder_for_certification() -> None:
-    """Rebuild the registry in ROUND-9 certification order:
-    the 33 round-8 additions (never driver-certified), then the 14
-    remaining r06-stale rows, then the first 3 r07 rows = 50 exactly;
-    past-window rows follow."""
+    """Rebuild the registry in ROUND-10 certification order:
+    the 47 r07-certified rows not refreshed in r09, then the first 3
+    rows of the archived r08 artifact = 50 exactly; past-window rows
+    follow."""
     ordered: list[str] = []
     for group in (
-        _ADDED_R08,
-        _R06_STALE_R09,
-        _R07_FIRST3,
+        _R07_REMAINING_R10,
+        _R08_FIRST3_R10,
         _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
@@ -273,8 +314,8 @@ assert set(_ADDED_R08) <= set(REGISTRY), (
 assert len(_ADDED_R08) + len(_R06_STALE_R09) + len(_R07_FIRST3) == 50, (
     "round-9 window arithmetic: 33 added + 14 r06-stale + 3 r07 rows"
 )
-assert list(REGISTRY)[:50] == _ADDED_R08 + _R06_STALE_R09 + _R07_FIRST3, (
-    "round-9 window order must be exactly the three pinned groups"
+assert list(REGISTRY)[:50] == _R07_REMAINING_R10 + _R08_FIRST3_R10, (
+    "round-10 window order must be exactly the two pinned groups"
 )
 assert set(_ADDED_R09) <= set(REGISTRY) and not (
     set(_ADDED_R09)
@@ -294,6 +335,18 @@ assert len(_R07_REMAINING_R10) + len(_R08_FIRST3_R10) == 50, (
 )
 assert set(_R07_REMAINING_R10) | set(_R08_FIRST3_R10) <= set(REGISTRY), (
     "every pre-staged round-10 row must be registered"
+)
+assert len(_R08_REMAINING_R11) + len(_R08_FIRST3_R10) == 50 and not (
+    set(_R08_REMAINING_R11) & set(_R08_FIRST3_R10)
+), "r11 pre-stage: the two r08 groups must partition the 50 r08 rows"
+assert (
+    len(_R08_REMAINING_R11) + len(_ADDED_R09) + len(_R09_FIRST1_R11) == 50
+), "round-11 window arithmetic: 47 r08 rows + 2 r09 additions + 1 r09 row"
+assert set(_R08_REMAINING_R11) | set(_R09_FIRST1_R11) <= set(REGISTRY), (
+    "every pre-staged round-11 row must be registered"
+)
+assert _R09_FIRST1_R11[0] == _ADDED_R08[0], (
+    "the r11 sweep head must be the oldest row of the r09 window"
 )
 assert len(REGISTRY) <= 150, (
     f"registry holds {len(REGISTRY)} queries — the 3-round certification"

@@ -1,8 +1,8 @@
 """Certification-window invariants (round-7 verdict items #1/#2,
-rotated to the ROUND-9 window per the round-8 verdict item #1).
+rotated to the ROUND-10 window per the round-9 verdict item #1).
 
 The driver certifies exactly the first 50 registered queries, so the
-window composition is load-bearing: these tests pin the round-9
+window composition is load-bearing: these tests pin the round-10
 contract against the archived driver artifacts — a reorder mistake
 fails HERE, not in the next driver round."""
 
@@ -27,19 +27,36 @@ def _round_order(n: int) -> list[str]:
         return list(json.load(f))
 
 
-def test_r09_window_is_added_r08_plus_r06_stale_plus_r07_head():
+def test_r10_window_is_r07_remaining_plus_r08_head():
     window = list(REGISTRY)[:50]
-    r07, r08 = _round_keys(7), _round_keys(8)
+    r09 = _round_keys(9)
     # no slot wasted on a row certified last round
-    assert not set(window) & r08
-    # the 33 never-driver-certified round-8 additions lead the window
-    assert window[: len(Q._ADDED_R08)] == Q._ADDED_R08
-    # then the 14 remaining r06-stale rows
-    assert window[33:47] == Q._R06_STALE_R09
-    # then the first 3 rows of the archived r07 window, in artifact order
-    assert window[47:] == Q._R07_FIRST3
-    assert Q._R07_FIRST3 == _round_order(7)[:3]
-    assert set(Q._R07_FIRST3) <= r07
+    assert not set(window) & r09
+    # the 47 r07 rows not refreshed in r09 lead the window
+    assert window[: len(Q._R07_REMAINING_R10)] == Q._R07_REMAINING_R10
+    # then the first 3 rows of the archived r08 window, in artifact order
+    assert window[47:] == Q._R08_FIRST3_R10
+    assert Q._R08_FIRST3_R10 == _round_order(8)[:3]
+
+
+def test_r10_window_groups_match_artifacts():
+    """The live r10 groups must be derivable from the archived
+    artifacts: _R07_REMAINING_R10 == r07 order minus _R07_FIRST3 (the
+    3 rows the r09 window already refreshed)."""
+    r07 = _round_order(7)
+    assert Q._R07_FIRST3 == r07[:3]
+    assert Q._R07_REMAINING_R10 == [
+        n for n in r07 if n not in set(Q._R07_FIRST3)
+    ]
+    assert len(Q._R07_REMAINING_R10) == 47
+
+
+def test_r09_window_was_added_r08_plus_r06_stale_plus_r07_head():
+    """The archived r09 window composition the r11/r12 plans derive
+    from — pinned against the r09 artifact itself."""
+    r09 = _round_order(9)
+    assert r09 == Q._ADDED_R08 + Q._R06_STALE_R09 + Q._R07_FIRST3
+    assert len(r09) == 50
 
 
 def test_r08_window_groups_still_partition_r06():
@@ -58,6 +75,11 @@ def test_window_groups_contain_only_registered_names():
         Q._R07_FIRST3,
         Q._NEVER_CERTIFIED,
         Q._R06_STALE_R08,
+        Q._R07_REMAINING_R10,
+        Q._R08_FIRST3_R10,
+        Q._R08_REMAINING_R11,
+        Q._R09_FIRST1_R11,
+        Q._ADDED_R09,
     ):
         missing = [n for n in group if n not in REGISTRY]
         assert not missing, f"window group names not registered: {missing}"
@@ -81,39 +103,33 @@ def test_added_r08_is_exactly_the_post_r07_registrations():
     )
     derived = [n for n in REGISTRY if n not in r07_era]
     assert sorted(Q._ADDED_R08) == sorted(derived)
-    # r09 window arithmetic stays exact
-    assert len(Q._ADDED_R08) + len(Q._R06_STALE_R09) + len(Q._R07_FIRST3) == 50
 
 
-def test_r10_plan_complement_is_well_defined():
-    """r10 sweeps the 47 r07 rows not already in the r09 window, plus
-    the 3 oldest r08-window rows; r11 takes the remaining 45.  Check
-    the arithmetic holds against the artifacts so the plan note in
-    queries/__init__.py cannot rot silently."""
-    r07, r08 = _round_order(7), _round_order(8)
-    r07_remaining = [n for n in r07 if n not in set(Q._R07_FIRST3)]
-    assert len(r07_remaining) == 47
-    assert len(r08) == 50
-    # 47 + 3 oldest r08 rows = 50; r11 = remaining 45 r08 rows (+ head
-    # of the r09 window as it goes stale) — fits the 150-row ceiling
-    assert len(REGISTRY) <= 150
-
-
-def test_registry_ceiling_leaves_headroom_or_policy_applies():
-    """148 registered, ceiling 150: at most 2 net additions without a
-    displacement.  The policy in queries/__init__.py names the twins."""
-    assert len(REGISTRY) <= 150
-
-
-def test_r10_prestaged_window_matches_artifacts():
-    """The pre-staged r10 groups must be derivable from the archived
-    artifacts: _R07_REMAINING_R10 == r07 order minus _R07_FIRST3, and
-    _R08_FIRST3_R10 == the first 3 rows of the r08 artifact."""
-    r07 = _round_order(7)
-    assert Q._R07_REMAINING_R10 == [
-        n for n in r07 if n not in set(Q._R07_FIRST3)
+def test_r11_prestaged_window_matches_artifacts():
+    """The pre-staged r11 groups must be derivable from the archived
+    artifacts: _R08_REMAINING_R11 == r08 order minus _R08_FIRST3_R10,
+    and _R09_FIRST1_R11 == the first row of the r09 artifact (the
+    oldest r09-window row)."""
+    r08 = _round_order(8)
+    assert Q._R08_REMAINING_R11 == [
+        n for n in r08 if n not in set(Q._R08_FIRST3_R10)
     ]
-    assert Q._R08_FIRST3_R10 == _round_order(8)[:3]
-    # r11 closes the books: 47 remaining r08 + 2 r09 adds + 1 = 50
-    r08_remaining = [n for n in _round_order(8) if n not in set(Q._R08_FIRST3_R10)]
-    assert len(r08_remaining) + len(Q._ADDED_R09) + 1 == 50
+    assert Q._R09_FIRST1_R11 == _round_order(9)[:1]
+    assert (
+        len(Q._R08_REMAINING_R11)
+        + len(Q._ADDED_R09)
+        + len(Q._R09_FIRST1_R11)
+        == 50
+    )
+    # r12 closes the cycle: 49 remaining r09-window rows + 1 r10 row
+    r09_remaining = [
+        n for n in _round_order(9) if n not in set(Q._R09_FIRST1_R11)
+    ]
+    assert len(r09_remaining) == 49
+
+
+def test_registry_ceiling_policy_applies():
+    """Ceiling 150 = 3 rounds x 50: any net addition past the ceiling
+    requires a displacement.  The policy in queries/__init__.py names
+    the twins."""
+    assert len(REGISTRY) <= 150
