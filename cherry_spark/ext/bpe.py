@@ -233,6 +233,174 @@ def bpe_learn(
     return merges_df
 
 
+def _sql_word_types(source: str, text_col: str) -> str:
+    """DuckDB twin of :func:`_word_types` (lowercased ``\\s+`` split,
+    empties dropped) as a CTE body."""
+    return f"""(
+        SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {source},
+             UNNEST(string_split_regex(lower({text_col}), '\\s+')) AS u(w)
+        WHERE u.w <> ''
+        GROUP BY u.w
+    )"""
+
+
+# Symbol-string encoding for the SQL replay: every symbol boundary
+# (including the string's two ends) carries exactly TWO spaces, e.g.
+# ['h','i','</w>'] -> '  h  i  </w>  '.  Merging the pair (l, r) is
+# then a plain left-to-right non-overlapping
+#     replace(s, ' l  r ', ' lr ')
+# and this EXACTLY reproduces the learn fold's semantics: the pattern
+# consumes one space from each flanking boundary and the whole middle
+# boundary; the replacement restores the flanking spaces, so the
+# two-space invariant is preserved, adjacent occurrences (l r l r)
+# still both match (each boundary donates one space to each side), and
+# an overlapping run (a a a) cannot double-merge because the middle
+# symbol's boundary was fully consumed — byte-for-byte the
+# non-overlapping left-to-right scan `_merge_expr` implements.
+# Symbols never contain spaces (words are whitespace-split), so no
+# false substring match is possible: a pattern space can only align
+# with a boundary.
+_ENC = (
+    "'  ' || regexp_replace({col}, '(.)', '\\1  ', 'g') || '</w>  '"
+)
+
+
+def bpe_oracle_ctes(
+    n_merges: int,
+    min_pair_count: int = 2,
+    source: str = "documents",
+    text_col: str = "text",
+) -> tuple[str, str]:
+    """Shared CTE chain replaying :func:`bpe_learn` (``batch=1``) in
+    DuckDB: ``words`` -> ``w0`` -> per-round (``p{k}`` pair counts,
+    ``b{k}`` best pair, ``w{k+1}`` merged strings).  Returns
+    ``(cte_sql, final_words_cte_name)``.  Generated-SQL oracle in the
+    trained-gate unrolled-CTE style (ext/train.py:trained_gate_oracle_sql);
+    every count is BIGINT and the argmax tie-break (n DESC, l, r —
+    byte-order string compare in both engines) matches the Spark
+    ``min(struct(-n, p))`` argmax exactly.  Early stop is structural:
+    ``b{k}`` filters ``n >= min_pair_count``; when it is empty the
+    scalar subqueries go NULL and ``coalesce(replace(..), s)`` makes
+    every later round a no-op, so the final UNION simply yields fewer
+    rows — the same prefix ``bpe_learn`` returns."""
+    ctes = [
+        f"words AS MATERIALIZED {_sql_word_types(source, text_col)}",
+        "w0 AS MATERIALIZED (SELECT cnt, "
+        + _ENC.format(col="word")
+        + " AS s FROM words)",
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+        SELECT sy[i] AS l, sy[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM w{k}),
+             UNNEST(generate_series(1, len(sy) - 1)) AS g(i)
+        GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+        SELECT l, r, n FROM p{k}
+        WHERE n >= {int(min_pair_count)}
+        ORDER BY n DESC, l, r LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""w{k + 1} AS MATERIALIZED (
+        SELECT cnt,
+               coalesce(replace(s,
+                   (SELECT ' ' || l || '  ' || r || ' ' FROM b{k}),
+                   (SELECT ' ' || l || r || ' ' FROM b{k})), s) AS s
+        FROM w{k}
+    )"""
+        )
+    return ",\n    ".join(ctes), f"w{n_merges}"
+
+
+def bpe_learn_oracle_sql(
+    n_merges: int,
+    min_pair_count: int = 2,
+    source: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of the ``bpe_learn(...).select(rank, left, right,
+    pair_count)`` query (``batch=1``)."""
+    ctes, _ = bpe_oracle_ctes(n_merges, min_pair_count, source, text_col)
+    rounds = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS INTEGER) AS rank, l AS "left",'
+        f' r AS "right", n AS pair_count FROM b{k}'
+        for k in range(n_merges)
+    )
+    return f"WITH\n    {ctes}\n{rounds}"
+
+
+def bpe_tokenize_stats_oracle_sql(
+    n_merges: int,
+    min_pair_count: int = 2,
+    source: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``bpe_apply`` + the per-language subword stats
+    in queries/vocab.py:bpe_tokenize_stats.  Segmentation replays the
+    learned merges per word TYPE (the same memoize-per-type shape the
+    mapInPandas lane uses), then per-doc token counts come from the
+    occurrence table; docs with zero words keep n_bpe_tokens = 0 via
+    the LEFT JOIN, matching the mapInPandas row-per-doc contract."""
+    ctes, final_w = bpe_oracle_ctes(
+        n_merges, min_pair_count, source, text_col
+    )
+    seg = [
+        "types AS MATERIALIZED (SELECT word, "
+        + _ENC.format(col="word")
+        + " AS s FROM words)"
+    ]
+    prev = "types"
+    for k in range(n_merges):
+        seg.append(
+            f"""seg{k} AS MATERIALIZED (
+        SELECT word,
+               coalesce(replace(s,
+                   (SELECT ' ' || l || '  ' || r || ' ' FROM b{k}),
+                   (SELECT ' ' || l || r || ' ' FROM b{k})), s) AS s
+        FROM {prev}
+    )"""
+        )
+        prev = f"seg{k}"
+    seg.append(
+        f"""segn AS (
+        SELECT word,
+               CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sub
+        FROM {prev}
+    )"""
+    )
+    seg.append(
+        f"""doc_words AS (
+        SELECT d.doc_id, u.w AS word
+        FROM {source} d,
+             UNNEST(string_split_regex(lower(d.{text_col}), '\\s+')) AS u(w)
+        WHERE u.w <> ''
+    )"""
+    )
+    seg.append(
+        """per_doc AS (
+        SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+        FROM doc_words JOIN segn USING (word) GROUP BY doc_id
+    )"""
+    )
+    body = ctes + ",\n    " + ",\n    ".join(seg)
+    return f"""WITH
+    {body}
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(p.n_bpe_tokens, 0)) AS BIGINT) AS total_subwords,
+       ROUND(CAST(CAST(SUM(d.n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(COALESCE(p.n_bpe_tokens, 0)) AS BIGINT),
+             6) AS chars_per_subword
+FROM {source} d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.lang"""
+
+
 def _segment(word: str, rules: list[tuple[str, str]]) -> list[str]:
     """Segmentation of one word by replaying the merges IN RANK ORDER
     with the same non-overlapping left-to-right replacement the learn

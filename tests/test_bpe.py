@@ -218,3 +218,91 @@ def test_batch_one_is_exactly_sequential(spark):
     seq = [tuple(r) for r in bpe_learn(df, n_merges=8).collect()]
     b1 = [tuple(r) for r in bpe_learn(df, n_merges=8, batch=1).collect()]
     assert seq == b1
+
+
+# ---------------------------------------------------------------------
+# Generated DuckDB oracle (round 10: the r9 verdict's no_oracle fix).
+# The oracle replays the learn loop as an unrolled CTE over 2-space-
+# encoded symbol strings; these tests pin it to the SAME pure-Python
+# reference the Spark lane is pinned to, on a corpus engineered to
+# stress the replace() semantics: same-symbol runs (left-to-right
+# non-overlapping), adjacent disjoint occurrences sharing a boundary,
+# single-char words, and a whitespace-only doc (the LEFT JOIN path in
+# the stats oracle).
+# ---------------------------------------------------------------------
+
+ORACLE_CORPUS = [
+    ("low lower lowest low low aaaa aa a a a", "en"),
+    ("a a a a a baba bab abab b b", "en"),
+    ("new newer newest new newer x", "de"),
+    ("wider wide wide widest aaa aaa", "de"),
+    ("   ", "fr"),  # whitespace-only: zero word occurrences
+    ("low new wide lower newer ababab", "fr"),
+]
+
+
+def _oracle_con():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', '{lang}', {len(t)})"
+            for i, (t, lang) in enumerate(ORACLE_CORPUS)
+        )
+        + ") AS v(doc_id, text, lang, n_chars)"
+    )
+    return con
+
+
+def test_learn_oracle_matches_reference():
+    from cherry_spark.ext.bpe import bpe_learn_oracle_sql
+
+    con = _oracle_con()
+    got = [tuple(r) for r in con.sql(bpe_learn_oracle_sql(15)).fetchall()]
+    expected, _ = _reference_bpe([t for t, _ in ORACLE_CORPUS], 15)
+    assert got == expected
+    assert len(got) > 8  # real merge sequence incl. run merges
+
+
+def test_learn_oracle_early_stop_structural():
+    """When the best pair drops below min_pair_count the remaining
+    unrolled rounds must contribute NOTHING (the coalesce no-op path),
+    mirroring bpe_learn's break."""
+    from cherry_spark.ext.bpe import bpe_learn_oracle_sql
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'ab ab cd', 'en', 8)) AS v(doc_id, text, lang, n_chars)"
+    )
+    got = [tuple(r) for r in con.sql(bpe_learn_oracle_sql(10)).fetchall()]
+    expected, _ = _reference_bpe(["ab ab cd"], 10)
+    assert got == expected
+    assert len(got) < 10  # early stop happened
+
+
+def test_tokenize_stats_oracle_matches_reference():
+    from cherry_spark.ext.bpe import bpe_tokenize_stats_oracle_sql
+
+    con = _oracle_con()
+    got = sorted(
+        tuple(r)
+        for r in con.sql(bpe_tokenize_stats_oracle_sql(15)).fetchall()
+    )
+    _, segs = _reference_bpe([t for t, _ in ORACLE_CORPUS], 15)
+    agg: dict[str, list[int]] = {}
+    for (t, lang) in ORACLE_CORPUS:
+        n_tok = sum(len(segs[w]) for w in t.lower().split() if w)
+        d = agg.setdefault(lang, [0, 0, 0])
+        d[0] += 1
+        d[1] += n_tok
+        d[2] += len(t)
+    expected = sorted(
+        (lang, n, tot, round(ch / tot, 6))
+        for lang, (n, tot, ch) in agg.items()
+    )
+    assert got == expected

@@ -133,3 +133,18 @@ def test_registry_ceiling_policy_applies():
     requires a displacement.  The policy in queries/__init__.py names
     the twins."""
     assert len(REGISTRY) <= 150
+
+
+def test_claude_md_rotation_section_has_no_literal_registry_count():
+    """r9 verdict item #4: the fourth consecutive round shipped a stale
+    registry headcount in prose.  Counts now live only in the
+    import-time asserts; the live rotation docs must not state one."""
+    import re
+
+    with open(os.path.join(_REPO, "CLAUDE.md")) as f:
+        text = f.read()
+    section = text[text.index("## Certification-window rotation"):]
+    bad = re.findall(r"registry \((\d+) rows", section)
+    bad += re.findall(r"FULL registry \(\d+", section)
+    bad += re.findall(r"registry holds \d+", section)
+    assert not bad, f"literal registry counts in CLAUDE.md prose: {bad}"
