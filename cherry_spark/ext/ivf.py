@@ -415,7 +415,7 @@ def knn_graph(
     vec_col: str = "embedding",
     index_dir: str | None = None,
     method: str = "numpy",
-    pad: int = 8,
+    pad: int | None = None,
     probe_salt: int = 1,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN GRAPH: every vector's k nearest
@@ -452,7 +452,11 @@ def knn_graph(
       per-cluster top-k by rounded fold cosine; the two roundings
       differ only when IEEE summation order (≲1e-13) straddles a
       0.5e-6 bucket edge, so a miss needs ``pad`` such edge pairs in
-      one cluster. (Selecting on the RAW proxy would be wrong, not
+      one cluster — the bound is probabilistic, not structural, so
+      ``pad`` defaults to ``max(8, k)`` (r10, per the r9 advice): a
+      caller raising k keeps the absorption margin proportional to
+      the number of same-bucket edge ties that must pile up in ONE
+      cluster before a true neighbor could drop. (Selecting on the RAW proxy would be wrong, not
       just riskier: sub-1e-6 spreads inside one rounding bucket can
       reorder against the id tie-break — caught by review r9, fixed,
       regression-tested on a same-bucket anticorrelated-id fixture.)
@@ -494,8 +498,9 @@ def knn_graph(
         except ImportError:  # pragma: no cover - both baked into the env
             method = "fold"
     if method == "numpy":
+        eff_pad = max(8, k) if pad is None else pad
         cand = _knn_candidates_numpy(
-            corpus, q_probe, k + pad, id_col, vec_col, probe_salt
+            corpus, q_probe, k + eff_pad, id_col, vec_col, probe_salt
         )
         return _exact_rerank(cand, corpus, k, id_col, vec_col)
     corpus = corpus.withColumn("__vn", norm(F.col(vec_col)))

@@ -1242,17 +1242,33 @@ def run_streaming_span_gate(
     content (the composed-curation-gate precedence discipline).
 
     State = the admitted corpus's posting table (linear in admitted
-    tokens, partition-appended per batch — each fold writes ONLY the
-    batch's postings, never rewrites history; the 100 TB analogue is a
-    date-partitioned posting store).  Each batch pays: one batch
-    tokenize+hash pass, one equi-join against the store, one bounded
-    interval rollup.  ``sink(verdicts_df, batch_id)`` sees
-    (doc, n_tokens, n_overlap_tokens, n_spans, verdict) per batch
-    row.  Same crash-replay caveat as the sibling gates: a crash
-    between sink and the store append re-folds the batch on replay —
-    pair with an idempotent sink or dedupe on batch_id downstream.
+    tokens, one deterministic per-batch file set per fold — each fold
+    writes ONLY the batch's postings, never rewrites history; the
+    100 TB analogue is a date-partitioned posting store).  Each batch
+    pays: one batch tokenize+hash pass, one equi-join against the
+    store, one bounded interval rollup.  ``sink(verdicts_df,
+    batch_id)`` sees (doc, n_tokens, n_overlap_tokens, n_spans,
+    verdict) per batch row.
+
+    Crash-replay contract (r10, per the r9 advice): the store append
+    runs BEFORE sink, so a crash between them replays a batch whose
+    own grams are already stored.  Replay is idempotent anyway:
+    (a) the stored-grams side is anti-joined against the batch's own
+    doc ids before span matching, so the replayed batch is judged
+    against exactly the pre-append store (under the unseen-ids
+    ingestion contract that anti-join is a no-op on a first
+    delivery); (b) the fold commits through
+    :func:`_stage_append`/:func:`_commit_stores` under deterministic
+    per-batch file names, so a replayed append REPLACES the crashed
+    attempt instead of duplicating posting rows (duplicates would
+    corrupt the gaps-and-islands run reconstruction for later
+    batches).  The only residual is the standard foreachBatch
+    at-least-once sink delivery — pair with an idempotent sink or
+    dedupe on batch_id downstream.
     """
     import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
 
     from cherry_spark.ext.substr import (
         _gram_postings,
@@ -1262,15 +1278,30 @@ def run_streaming_span_gate(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
+        _recover_store(state_dir)  # drop stray staging dirs FIRST so
+        # they can't count as state below
+        # real data files, not just the _SUCCESS marker a gram-less
+        # first fold can leave behind (read.parquet on _SUCCESS-only
+        # dirs throws schema-inference errors)
         have_state = os.path.isdir(state_dir) and any(
-            not f.startswith((".", "_")) for f in os.listdir(state_dir)
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(state_dir)
+            for f in fs
         )
         grams = _gram_postings(
             batch_df, min_len, doc_col, text_col
         ).localCheckpoint(eager=True)  # ONE tokenize+hash per batch:
         # spans, verdicts, and the store fold all reuse this seam
         if have_state:
-            stored = spark.read.parquet(state_dir)
+            # self-anti-join: judge the batch against the store MINUS
+            # its own doc ids, so a crash-replayed batch (grams already
+            # appended) cannot self-match at diag 0 and get every doc
+            # wrongly verdicted span_dup
+            stored = spark.read.parquet(state_dir).join(
+                batch_df.select(F.col(doc_col).alias("__doc")).distinct(),
+                "__doc",
+                "left_anti",
+            )
             spans = delta_repeated_spans(
                 None,
                 batch_df,
@@ -1281,10 +1312,18 @@ def run_streaming_span_gate(
                 batch_grams=grams,
             )
         else:
+            id_type = batch_df.schema[doc_col].dataType
             spans = spark.createDataFrame(
                 [],
-                "doc_a long, doc_b long, start_a long, start_b long,"
-                " span_len long",
+                StructType(
+                    [
+                        StructField("doc_a", id_type),
+                        StructField("doc_b", id_type),
+                        StructField("start_a", LongType()),
+                        StructField("start_b", LongType()),
+                        StructField("span_len", LongType()),
+                    ]
+                ),
             )
         verdicts = span_overlap_verdicts(
             batch_df, spans, overlap_frac, doc_col, text_col
@@ -1295,7 +1334,9 @@ def run_streaming_span_gate(
         admitted_grams = grams.join(
             admitted.withColumnRenamed(doc_col, "__doc"), "__doc", "left_semi"
         )
-        admitted_grams.write.mode("append").parquet(state_dir)
+        _commit_stores(
+            [_stage_append(admitted_grams, state_dir, f"b{int(batch_id)}")]
+        )
         sink(verdicts, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -1333,12 +1374,23 @@ def run_streaming_bm25_index(
 
     ``sink(stats_df, batch_id)`` sees the refreshed 1-row corpus
     stats after each fold.  Batches must carry documents with UNSEEN
-    ids (the ingestion contract — dedup gates run upstream); same
-    crash-replay caveat as the sibling maintainers."""
+    ids (the ingestion contract — dedup gates run upstream).
+    Crash-replay: tf/dl commit under deterministic per-batch names in
+    the same :func:`_commit_stores` transaction as the merge swaps
+    (r10) — replay replaces rather than duplicates them; the
+    dfreq/stats merge tables keep the documented one-batch-in-one-
+    table residual."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         sink(
-            bm25_index_fold(spark, batch_df, state_dir, doc_col, text_col),
+            bm25_index_fold(
+                spark,
+                batch_df,
+                state_dir,
+                doc_col,
+                text_col,
+                batch_key=f"b{int(batch_id)}",
+            ),
             batch_id,
         )
 
@@ -1370,35 +1422,90 @@ def _overwrite_store(df: DataFrame, path: str) -> None:
     _commit_stores([_stage_store(df, path)])
 
 
-def _stage_store(df: DataFrame, path: str) -> tuple[str, str]:
+def _stage_store(df: DataFrame, path: str) -> tuple:
     """Phase 1 of the crash-safe swap: fully write the replacement to
-    a temp sibling. Returns (tmp, path) for :func:`_commit_stores`."""
+    a temp sibling. Returns a staged entry for :func:`_commit_stores`."""
     import uuid
 
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    return tmp, path
+    return ("swap", tmp, path)
 
 
-def _commit_stores(staged: list[tuple[str, str]]) -> None:
-    """Phase 2: swap every staged table in one tight rename loop —
-    for multi-table folds (bm25's dfreq+stats) ALL replacements are
-    fully written before ANY canonical dir moves, shrinking the
+def _stage_append(df: DataFrame, path: str, key: str) -> tuple:
+    """Phase 1 for an APPEND-only table (r10, per the r9 advice on the
+    bm25 tf/dl appends): fully write the batch's rows to a temp
+    sibling; :func:`_commit_stores` then moves the part files into the
+    canonical dir under DETERMINISTIC ``{key}-NNNNN.parquet`` names
+    (key = the batch id), deleting any same-key files first — so a
+    crash-replayed fold REPLACES its own previous partial append
+    instead of blind-appending a duplicate copy.  ``key`` must be
+    unique per fold and stable across replays (the foreachBatch
+    batch_id).  Works for flat tables and hive-partitioned ones (the
+    relative subdirs are preserved on the move)."""
+    import uuid
+
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    return ("append", tmp, path, key)
+
+
+def _commit_append(tmp: str, path: str, key: str) -> None:
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    # drop a crashed previous attempt's files for this key (recursive:
+    # hive-partitioned tables keep per-partition subdirs)
+    for f in glob.glob(
+        os.path.join(path, "**", f"{key}-*.parquet"), recursive=True
+    ):
+        os.remove(f)
+    moved = 0
+    for root, _dirs, files in os.walk(tmp):
+        rel = os.path.relpath(root, tmp)
+        dest = path if rel == "." else os.path.join(path, rel)
+        parts = sorted(f for f in files if f.endswith(".parquet"))
+        if parts:
+            os.makedirs(dest, exist_ok=True)
+        for p in parts:
+            os.rename(
+                os.path.join(root, p),
+                os.path.join(dest, f"{key}-{moved:05d}.parquet"),
+            )
+            moved += 1
+    open(os.path.join(path, "_SUCCESS"), "a").close()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _commit_stores(staged: list[tuple]) -> None:
+    """Phase 2: commit every staged table in one tight rename loop —
+    for multi-table folds (bm25's tf+dl+dfreq+stats) ALL replacements
+    are fully written before ANY canonical dir changes, shrinking the
     cross-table torn window from a Spark write to adjacent renames.
-    RESIDUAL (honest bound, review r9): a crash exactly between two
-    tables' rename pairs leaves the earlier table post-fold and the
-    later pre-fold; on replay the earlier table double-merges that
-    one batch while the later counts it once. That bounds the damage
-    to one batch's counts in one table (vs total state loss before
-    the swap scheme); full multi-table atomicity needs a commit
-    marker or a log-structured table format — the documented
-    production posture."""
+    Append-staged tables (:func:`_stage_append`) commit by moving
+    part files to deterministic per-batch names — idempotent under
+    replay at ANY crash point, so they carry no residual at all.
+    RESIDUAL for the swap tables (honest bound, review r9): a crash
+    exactly between two MERGE tables' rename pairs leaves the earlier
+    table post-fold and the later pre-fold; on replay the earlier
+    table double-merges that one batch while the later counts it
+    once. That bounds the damage to one batch's counts in one merge
+    table (vs total state loss before the swap scheme); full
+    multi-table atomicity needs a commit marker or a log-structured
+    table format — the documented production posture."""
     import os
     import shutil
     import uuid
 
     olds = []
-    for tmp, path in staged:
+    for entry in staged:
+        if entry[0] == "append":
+            _, tmp, path, key = entry
+            _commit_append(tmp, path, key)
+            continue
+        _, tmp, path = entry
         old = f"{path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(path):
             os.rename(path, old)
@@ -1430,10 +1537,20 @@ def bm25_index_fold(
     state_dir: str,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    batch_key: str | None = None,
 ) -> DataFrame:
     """One :func:`run_streaming_bm25_index` fold, callable directly
     (the probe/batch seam — the maintainer's foreachBatch body IS this
-    function).  Returns the refreshed 1-row corpus stats."""
+    function).  Returns the refreshed 1-row corpus stats.
+
+    ``batch_key`` (r10, per the r9 advice): when set (the streaming
+    maintainer passes the foreachBatch batch id), the tf/dl appends
+    are staged into the SAME :func:`_commit_stores` transaction as the
+    dfreq/stats swaps and committed under deterministic per-batch file
+    names — a crash anywhere in the fold followed by replay can no
+    longer leave duplicate tf/dl rows (which would double the scoring
+    join and double tf).  Without it (one-shot ingest builds, no
+    replay concept) the appends stay plain Spark appends."""
     import os
 
     from cherry_spark.ext.bm25 import _index_tables
@@ -1441,6 +1558,8 @@ def bm25_index_fold(
     tf, dl, dfreq, stats = _index_tables(batch_df, doc_col, text_col)
     tf = tf.localCheckpoint(eager=True)
     dl = dl.localCheckpoint(eager=True)
+    _recover_store(f"{state_dir}/tf")
+    _recover_store(f"{state_dir}/dl")
     _recover_store(f"{state_dir}/dfreq")
     _recover_store(f"{state_dir}/stats")
     have = os.path.exists(f"{state_dir}/stats/_SUCCESS")
@@ -1464,11 +1583,19 @@ def bm25_index_fold(
     # reads the OLD canonical dir and writes a temp sibling (no
     # self-overwrite), so its old checkpoint was pure overhead
     stats = stats.localCheckpoint(eager=True)
-    tf.write.mode("append").parquet(f"{state_dir}/tf")
-    dl.write.mode("append").parquet(f"{state_dir}/dl")
-    # both replacements fully written before either canonical dir moves
+    if batch_key is None:
+        tf.write.mode("append").parquet(f"{state_dir}/tf")
+        dl.write.mode("append").parquet(f"{state_dir}/dl")
+        appends = []
+    else:
+        appends = [
+            _stage_append(tf, f"{state_dir}/tf", batch_key),
+            _stage_append(dl, f"{state_dir}/dl", batch_key),
+        ]
+    # everything fully written before any canonical dir changes
     _commit_stores(
-        [
+        appends
+        + [
             _stage_store(dfreq, f"{state_dir}/dfreq"),
             _stage_store(stats, f"{state_dir}/stats"),
         ]
@@ -1510,7 +1637,10 @@ def run_streaming_positional_index(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         rows = positional_postings(batch_df, doc_col, text_col)
         rows = rows.localCheckpoint(eager=True)
-        rows.write.mode("append").parquet(state_dir)
+        _recover_store(state_dir)
+        _commit_stores(
+            [_stage_append(rows, state_dir, f"b{int(batch_id)}")]
+        )
         summary = rows.agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count(F.lit(1)).cast("long").alias("n_postings"),
@@ -1585,6 +1715,7 @@ def run_streaming_pair_graph(
             shingle_k=shingle_k,
             threshold=threshold,
             max_bucket_size=max_bucket_size,
+            batch_key=f"b{int(batch_id)}",
         )
         sink(summary, batch_id)
 
@@ -1605,10 +1736,14 @@ def pair_graph_fold(
     shingle_k: int = 3,
     threshold: float = 0.6,
     max_bucket_size: int = 500,
+    batch_key: str | None = None,
 ) -> DataFrame:
     """One :func:`run_streaming_pair_graph` fold, callable directly
     (the probe/batch seam — the maintainer's foreachBatch body IS this
-    function).  Returns the 1-row (n_docs, n_new_pairs) summary."""
+    function).  Returns the 1-row (n_docs, n_new_pairs) summary.
+    ``batch_key``: see :func:`bm25_index_fold` — with it, the
+    postings/sizes/pairs appends commit idempotently in the same
+    transaction as the dfreq swap."""
     import os
 
     from cherry_spark.ext.dedup import shingle_postings
@@ -1616,6 +1751,8 @@ def pair_graph_fold(
     bpost = shingle_postings(
         batch_df, doc_col, text_col, shingle_k
     ).localCheckpoint(eager=True)
+    for t in ("postings", "sizes", "pairs"):
+        _recover_store(f"{state_dir}/{t}")
     bsizes = bpost.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_total")
     )
@@ -1689,10 +1826,22 @@ def pair_graph_fold(
         .select("id1", "id2", "jaccard")
         .localCheckpoint(eager=True)
     )
-    bpost.write.mode("append").parquet(f"{state_dir}/postings")
-    bsizes.write.mode("append").parquet(f"{state_dir}/sizes")
-    _overwrite_store(dfreq, f"{state_dir}/dfreq")
-    pairs.write.mode("append").parquet(f"{state_dir}/pairs")
+    if batch_key is None:
+        bpost.write.mode("append").parquet(f"{state_dir}/postings")
+        bsizes.write.mode("append").parquet(f"{state_dir}/sizes")
+        _overwrite_store(dfreq, f"{state_dir}/dfreq")
+        pairs.write.mode("append").parquet(f"{state_dir}/pairs")
+    else:
+        # bsizes/pairs are projections of checkpointed frames; bpost is
+        # checkpointed — staging writes re-derive them cheaply
+        _commit_stores(
+            [
+                _stage_append(bpost, f"{state_dir}/postings", batch_key),
+                _stage_append(bsizes, f"{state_dir}/sizes", batch_key),
+                _stage_append(pairs, f"{state_dir}/pairs", batch_key),
+                _stage_store(dfreq, f"{state_dir}/dfreq"),
+            ]
+        )
     summary = bpost.select("id").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     ).crossJoin(
@@ -1709,11 +1858,14 @@ def ivf_index_fold(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_key: str | None = None,
 ) -> DataFrame:
     """One :func:`run_streaming_ivf_index` fold: assign a batch of NEW
     vectors to the FIXED stored centroids and append them to the
     partitioned corpus. Returns a 1-row (n_vectors, n_clusters_hit)
-    summary."""
+    summary.  ``batch_key``: see :func:`bm25_index_fold` — with it the
+    partitioned append commits idempotently under replay (the staged
+    hive subdirs are preserved on the per-file move)."""
     from cherry_spark.ext.ivf import ivf_assign
 
     centroids = spark.read.parquet(f"{index_dir}/centroids")
@@ -1722,9 +1874,21 @@ def ivf_index_fold(
     ).localCheckpoint(eager=True)
     # same co-location as ivf_build_index: one file per touched
     # partition dir per fold, not (tasks x clusters)
-    assigned.repartition("centroid_id").write.partitionBy(
-        "centroid_id"
-    ).mode("append").parquet(f"{index_dir}/corpus")
+    co_located = assigned.repartition("centroid_id")
+    if batch_key is None:
+        co_located.write.partitionBy("centroid_id").mode("append").parquet(
+            f"{index_dir}/corpus"
+        )
+    else:
+        import uuid as _uuid
+
+        _recover_store(f"{index_dir}/corpus")  # BEFORE staging: the
+        # stray sweep would delete a fresh __tmp dir
+        tmp = f"{index_dir}/corpus__tmp_{_uuid.uuid4().hex[:8]}"
+        co_located.write.partitionBy("centroid_id").mode(
+            "overwrite"
+        ).parquet(tmp)
+        _commit_stores([("append", tmp, f"{index_dir}/corpus", batch_key)])
     return assigned.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.countDistinct("centroid_id").cast("long").alias("n_clusters_hit"),
@@ -1763,7 +1927,14 @@ def run_streaming_ivf_index(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         sink(
-            ivf_index_fold(spark, batch_df, index_dir, id_col, vec_col),
+            ivf_index_fold(
+                spark,
+                batch_df,
+                index_dir,
+                id_col,
+                vec_col,
+                batch_key=f"b{int(batch_id)}",
+            ),
             batch_id,
         )
 
@@ -1780,12 +1951,18 @@ def doc_store_fold(
     batch_df: DataFrame,
     state_dir: str,
     transform,
+    batch_key: str | None = None,
 ) -> DataFrame:
     """One :func:`run_streaming_doc_store` fold: append
     ``transform(batch_df)`` to the store. Returns a 1-row (n_rows)
-    summary."""
+    summary.  ``batch_key``: see :func:`bm25_index_fold` — with it the
+    append commits idempotently under replay."""
     rows = transform(batch_df).localCheckpoint(eager=True)
-    rows.write.mode("append").parquet(state_dir)
+    if batch_key is None:
+        rows.write.mode("append").parquet(state_dir)
+    else:
+        _recover_store(state_dir)
+        _commit_stores([_stage_append(rows, state_dir, batch_key)])
     return rows.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
 
 
@@ -1821,7 +1998,16 @@ def run_streaming_doc_store(
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sink(doc_store_fold(spark, batch_df, state_dir, transform), batch_id)
+        sink(
+            doc_store_fold(
+                spark,
+                batch_df,
+                state_dir,
+                transform,
+                batch_key=f"b{int(batch_id)}",
+            ),
+            batch_id,
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir

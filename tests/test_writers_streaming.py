@@ -1167,6 +1167,91 @@ def test_streaming_span_gate_rejects_and_restarts(spark, tmp_path):
     assert stored_docs == {1, 2, 4, 6}  # the rejected clone stored nothing
 
 
+
+def test_streaming_span_gate_replay_is_idempotent(spark, tmp_path):
+    """r10 (r9 advice, medium): the store append runs BEFORE sink, so a
+    crash in between replays a batch whose own grams are already
+    stored.  The self-anti-join must make the replayed verdicts
+    identical to the first delivery (no diag-0 self-match span_dups),
+    and the batch=<id> partition overwrite must leave the store
+    row-identical (duplicate postings would corrupt the
+    gaps-and-islands run reconstruction for later batches)."""
+    import time
+
+    from cherry_spark.streaming.continuous import run_streaming_span_gate
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    R = "r1 r2 r3 r4 r5 r6"
+    spark.createDataFrame(
+        [(1, f"{R} tail1 tail2"), (2, "novel n2 n3 n4 n5")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    def collect_sink(acc):
+        def sink(verdicts, batch_id):
+            acc.append(
+                (batch_id,
+                 {r["doc_id"]: r.asDict() for r in verdicts.collect()})
+            )
+        return sink
+
+    state = str(tmp_path / "state")
+    first: list = []
+    q = run_streaming_span_gate(
+        spark, stream(), state, collect_sink(first),
+        str(tmp_path / "ckpt1"), min_len=4, overlap_frac=0.5,
+    )
+    q.awaitTermination(240)
+    assert {d: r["verdict"] for _, b in first for d, r in b.items()} == {
+        1: "unique", 2: "unique"
+    }
+    stored_before = sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    )
+
+    # simulate a crash between the store append and the checkpoint
+    # commit: a FRESH checkpoint re-delivers the same batch against a
+    # store that already holds the batch's own grams
+    replay: list = []
+    q2 = run_streaming_span_gate(
+        spark, stream(), state, collect_sink(replay),
+        str(tmp_path / "ckpt2"), min_len=4, overlap_frac=0.5,
+    )
+    q2.awaitTermination(240)
+    assert {d: r["verdict"] for _, b in replay for d, r in b.items()} == {
+        1: "unique", 2: "unique"  # NOT span_dup: no diag-0 self-match
+    }
+    stored_after = sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    )
+    assert stored_after == stored_before  # overwrite, never duplicate
+
+    # later batch still judged correctly against the replayed store:
+    # a clone of R must be span_dup with exactly ONE maximal span
+    # (duplicated postings would have shattered the island into three)
+    spark.createDataFrame([(9, R)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(0.2)
+    third: list = []
+    q3 = run_streaming_span_gate(
+        spark, stream(), state, collect_sink(third),
+        str(tmp_path / "ckpt2"), min_len=4, overlap_frac=0.5,
+    )
+    q3.awaitTermination(240)
+    got9 = {d: r for _, b in third for d, r in b.items()}[9]
+    assert got9["verdict"] == "span_dup"
+    assert got9["n_overlap_tokens"] == 6
+    assert got9["n_spans"] == 1
+
+
 def test_streaming_bm25_index_equals_from_scratch(spark, tmp_path):
     """Streaming BM25 index maintainer (r9): after every fold the
     store serves search results BIT-identical to an inline build over
@@ -1248,6 +1333,62 @@ def test_streaming_bm25_index_equals_from_scratch(spark, tmp_path):
         for r in bm25_topk(None, qdf, k=3, index_dir=state).collect()
     )
     assert served7 == inline7
+
+
+
+def test_bm25_fold_replay_never_duplicates_tf_dl(spark, tmp_path):
+    """r10 (r9 advice): a crash between the tf/dl appends and the
+    dfreq/stats commit, followed by replay, used to duplicate tf/dl
+    rows permanently (doubling the scoring join and tf).  With the
+    appends staged into the same _commit_stores transaction under
+    per-batch file names, a replayed fold must leave the WHOLE store
+    identical to one clean execution of the fold sequence."""
+    from cherry_spark.ext.bm25 import _index_tables
+    from cherry_spark.streaming.continuous import (
+        _commit_stores,
+        _stage_append,
+        bm25_index_fold,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(0, "spark query engine fast query"), (1, "query planner spark")],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(2, "slow table scan"), (3, "fast vector engine spark")], schema
+    )
+
+    def canon(path):
+        import os
+
+        out = {}
+        for t in ("tf", "dl", "dfreq", "stats"):
+            out[t] = sorted(
+                tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()
+            )
+        return out
+
+    # reference: the clean two-fold sequence
+    ref_state = str(tmp_path / "ref")
+    bm25_index_fold(spark, b0, ref_state, batch_key="b0")
+    bm25_index_fold(spark, b1, ref_state, batch_key="b1")
+    ref = canon(ref_state)
+
+    # crashed run: fold b0 cleanly, then simulate a crash DURING fold
+    # b1 after the tf/dl appends committed but before the merge swaps
+    state = str(tmp_path / "crashed")
+    bm25_index_fold(spark, b0, state, batch_key="b0")
+    tf, dl, _dfreq, _stats = _index_tables(b1, "doc_id", "text")
+    _commit_stores(
+        [
+            _stage_append(tf, f"{state}/tf", "b1"),
+            _stage_append(dl, f"{state}/dl", "b1"),
+        ]
+    )
+    # replay of batch 1 (foreachBatch re-delivers with the same id)
+    bm25_index_fold(spark, b1, state, batch_key="b1")
+    assert canon(state) == ref
 
 
 def test_streaming_positional_index_equals_from_scratch(spark, tmp_path):
