@@ -1230,6 +1230,8 @@ def run_streaming_span_gate(
     doc_col: str = "doc_id",
     text_col: str = "text",
     trigger_available_now: bool = True,
+    compact_every: int = 8,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Streaming ExactSubstr admission gate (r9): each micro-batch is
     span-matched against the GRAM POSTING STORE of everything admitted
@@ -1264,7 +1266,8 @@ def run_streaming_span_gate(
     corrupt the gaps-and-islands run reconstruction for later
     batches).  The only residual is the standard foreachBatch
     at-least-once sink delivery — pair with an idempotent sink or
-    dedupe on batch_id downstream.
+    dedupe on batch_id downstream.  Self-compacts the posting store
+    every ``compact_every`` folds (r10; 0 = off).
     """
     import os
 
@@ -1277,6 +1280,10 @@ def run_streaming_span_gate(
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            _self_compact(
+                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
+            )
         batch_df = batch_df.localCheckpoint(eager=True)
         _recover_store(state_dir)  # drop stray staging dirs FIRST so
         # they can't count as state below
@@ -1356,6 +1363,8 @@ def run_streaming_bm25_index(
     doc_col: str = "doc_id",
     text_col: str = "text",
     trigger_available_now: bool = True,
+    compact_every: int = 8,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Incrementally maintained BM25 inverted index (r9): each
     micro-batch of NEW documents folds into the same four-table store
@@ -1379,9 +1388,15 @@ def run_streaming_bm25_index(
     the same :func:`_commit_stores` transaction as the merge swaps
     (r10) — replay replaces rather than duplicates them; the
     dfreq/stats merge tables keep the documented one-batch-in-one-
-    table residual."""
+    table residual.  Every ``compact_every`` folds the maintainer
+    self-compacts its state at fold START via :func:`_self_compact`
+    (r10) — set ``compact_every=0`` to opt out."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            _self_compact(
+                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
+            )
         sink(
             bm25_index_fold(
                 spark,
@@ -1516,10 +1531,11 @@ def _commit_stores(staged: list[tuple]) -> None:
 
 
 def _recover_store(path: str) -> None:
-    """Repair a torn :func:`_overwrite_store` swap: if the canonical
-    dir is missing but a parked ``__old`` version exists, restore the
-    newest one (pre-fold state — correct for the batch replay that
-    follows); drop stray temp/old siblings either way."""
+    """Repair a torn :func:`_overwrite_store` (or
+    ``compact_dataset``) swap: if the canonical dir is missing but a
+    parked ``__old`` version exists, restore the newest one (pre-fold
+    state — correct for the batch replay that follows); drop stray
+    temp/old/compact siblings either way."""
     import glob
     import os
     import shutil
@@ -1527,8 +1543,72 @@ def _recover_store(path: str) -> None:
     olds = sorted(glob.glob(f"{path}__old_*"), key=os.path.getmtime)
     if not os.path.exists(path) and olds:
         os.rename(olds.pop(), path)
-    for stray in olds + glob.glob(f"{path}__tmp_*"):
+    for stray in (
+        olds + glob.glob(f"{path}__tmp_*") + glob.glob(f"{path}__compact_*")
+    ):
         shutil.rmtree(stray, ignore_errors=True)
+
+
+def _self_compact(
+    spark: SparkSession,
+    state_dir: str,
+    current_key: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Fold-START self-compaction hook for the streaming maintainers
+    (r10, r9 verdict item #6): bounds the one-file-set-per-fold
+    fragmentation without ever waiting for a manual quiesce.  The
+    maintainers call it every ``compact_every`` folds from inside
+    their foreachBatch bodies — foreachBatch executes serially, so
+    the between-folds requirement of ``compact_state_dir`` holds by
+    construction.
+
+    Crash-safety argument — the hook runs BEFORE the current batch
+    writes anything, at which point every file in the store belongs
+    either to a fully-committed earlier batch (its checkpoint commit
+    is what triggered this fold id) or to a crashed attempt of THE
+    CURRENT batch.  Step 1 repairs torn swaps at ANY depth — table
+    dirs and hive partition dirs alike (``compact_dataset`` swaps
+    *partition* dirs of a partitioned table, so its ``__old``/
+    ``__compact`` siblings can sit one level below the table root
+    where the fold's own ``_recover_store(table)`` never looks).
+    Step 2 deletes the current batch's ``{current_key}-*`` crashed-
+    attempt files outright: compacting them would fold their rows
+    into anonymous part files the replay's delete-same-key pass can
+    no longer find — a permanent duplicate — and the replayed fold
+    rewrites them anyway (on a first delivery the glob matches
+    nothing).  Step 3 compacts table-by-table; a crash mid-compaction
+    leaves untouched tables valid and the in-flight table either
+    pre-swap (temp dropped next time) or torn (repaired next time) —
+    never lost, which the crash-during-compaction test exercises."""
+    import glob
+    import os
+    import re
+
+    _recover_store(state_dir)  # the state dir may ITSELF be the table
+    if not os.path.isdir(state_dir):
+        return {}
+    strays = [
+        s
+        for pat in ("*__old_*", "*__compact_*", "*__tmp_*")
+        for s in glob.glob(os.path.join(state_dir, "**", pat), recursive=True)
+    ]  # __tmp_ included so a crashed staging dir can't be listed as a
+    # table by compact_state_dir below
+    canon = {
+        re.sub(r"__(old|tmp|compact)_[0-9a-f]+$", "", s)
+        for s in strays
+        if os.path.isdir(s)
+    }
+    for c in sorted(canon):
+        _recover_store(c)
+    for f in glob.glob(
+        os.path.join(state_dir, "**", f"{current_key}-*.parquet"),
+        recursive=True,
+    ):
+        os.remove(f)
+    from cherry_spark.writers.compact import compact_state_dir
+
+    return compact_state_dir(spark, state_dir, target_file_bytes)
 
 
 def bm25_index_fold(
@@ -1612,6 +1692,8 @@ def run_streaming_positional_index(
     doc_col: str = "doc_id",
     text_col: str = "text",
     trigger_available_now: bool = True,
+    compact_every: int = 8,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Incrementally maintained positional inverted index (r9): each
     micro-batch of NEW documents appends its ``(doc_id, pos, term)``
@@ -1631,10 +1713,15 @@ def run_streaming_positional_index(
     summary of the batch just folded.  Batches must carry documents
     with UNSEEN ids (the ingestion contract — dedup gates run
     upstream); same crash-replay caveat as the sibling maintainers.
+    Self-compacts every ``compact_every`` folds (r10; 0 = off).
     """
     from cherry_spark.ext.phrase import positional_postings
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            _self_compact(
+                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
+            )
         rows = positional_postings(batch_df, doc_col, text_col)
         rows = rows.localCheckpoint(eager=True)
         _recover_store(state_dir)
@@ -1667,6 +1754,8 @@ def run_streaming_pair_graph(
     threshold: float = 0.6,
     max_bucket_size: int = 500,
     trigger_available_now: bool = True,
+    compact_every: int = 8,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Incrementally maintained EXACT-Jaccard near-dup pair graph (r9):
     each micro-batch of NEW documents is pair-matched against
@@ -1704,8 +1793,13 @@ def run_streaming_pair_graph(
     after every fold (tested). ``sink(summary_df, batch_id)`` sees a
     1-row (n_docs, n_new_pairs) summary. Batches must carry UNSEEN doc
     ids; same crash-replay caveat as the sibling maintainers.
+    Self-compacts every ``compact_every`` folds (r10; 0 = off).
     """
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            _self_compact(
+                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
+            )
         summary = pair_graph_fold(
             spark,
             batch_df,
@@ -1904,6 +1998,8 @@ def run_streaming_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
+    compact_every: int = 8,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Incrementally maintained IVF ANN index (r9): each micro-batch of
     NEW embeddings is assigned to the index's EXISTING centroids (one
@@ -1917,15 +2013,21 @@ def run_streaming_ivf_index(
     Assignment is deterministic given centroids, so after every fold
     the maintained corpus is ROW-IDENTICAL to assigning all vectors
     seen so far against the same centroids in one batch (tested).
-    Partition dirs gain one file per touched fold — compact with
-    ``writers.compact.compact_dataset`` (hive-partition aware) between
-    folds, but never while a downstream stream consumes the dir as a
-    file source (see ``compact_state_dir``'s store-as-bus warning). The index must exist (``ivf_build_index`` on the first
-    corpus version); batches must carry UNSEEN ids; same crash-replay
-    caveat as the sibling maintainers.
+    Partition dirs gain one file per touched fold — the maintainer
+    self-compacts every ``compact_every`` folds (r10, hive-partition
+    aware via :func:`_self_compact`; 0 = off; never compact a dir a
+    downstream stream consumes as a file source — see
+    ``compact_state_dir``'s store-as-bus warning). The index must
+    exist (``ivf_build_index`` on the first corpus version); batches
+    must carry UNSEEN ids; same crash-replay caveat as the sibling
+    maintainers.
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            _self_compact(
+                spark, index_dir, f"b{int(batch_id)}", compact_target_bytes
+            )
         sink(
             ivf_index_fold(
                 spark,
@@ -1974,6 +2076,8 @@ def run_streaming_doc_store(
     sink,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    compact_every: int = 8,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Generic incrementally-maintained PER-DOCUMENT derived store
     (r9): ``transform`` is any deterministic per-document batch
@@ -1990,14 +2094,18 @@ def run_streaming_doc_store(
     the same contract the specialized maintainers
     (positional/bm25/pair-graph/ivf) implement for their multi-table
     states; per-doc single-table stores need no specialization.
-    Batches must carry UNSEEN doc ids; compact with
-    ``writers.compact.compact_state_dir`` between folds (never while a
-    downstream stream reads the store as a file source — see its
-    store-as-bus warning); same
+    Batches must carry UNSEEN doc ids; self-compacts every
+    ``compact_every`` folds (r10; 0 = off; never enable when a
+    downstream stream reads the store as a file source — see
+    ``compact_state_dir``'s store-as-bus warning); same
     crash-replay caveat as the siblings.
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            _self_compact(
+                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
+            )
         sink(
             doc_store_fold(
                 spark,
@@ -2076,6 +2184,224 @@ def run_streaming_count_store(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         sink(
             count_store_fold(spark, batch_df, state_dir, transform, key_cols),
+            batch_id,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def trained_gate_fold(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    label_expr,
+    batch_id: int,
+    refit_every: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    n_iters: int = 8,
+    lr_inv: int = 1,
+    threshold_micro: int | None = None,
+) -> DataFrame:
+    """One :func:`run_streaming_trained_gate` fold, callable directly
+    (the probe/test seam).  Returns the batch verdicts
+    (id, n_tokens, score_micro, keep, model_version)."""
+    import os
+
+    from cherry_spark.ext.train import (
+        SCALE,
+        train_hashed_classifier,
+        trained_classifier_gate,
+    )
+
+    labeled_dir = f"{state_dir}/labeled"
+    weights_dir = f"{state_dir}/weights"
+
+    batch_df = batch_df.localCheckpoint(eager=True)
+    _recover_store(labeled_dir)
+    _recover_store(weights_dir)  # a torn hot-swap recovers to the
+    # PREVIOUS full model — a reader can never observe half a model
+    # (the _overwrite_store stage/commit contract)
+
+    # 1. label the arrivals and fold them into the training corpus
+    # (idempotent per-batch append — a crash-replayed fold replaces
+    # its own rows, so the refit corpus never double-counts a batch)
+    labeled = batch_df.select(
+        F.col(id_col),
+        F.col(text_col),
+        label_expr.cast("long").alias("__lbl"),
+    ).localCheckpoint(eager=True)
+    _commit_stores([_stage_append(labeled, labeled_dir, f"b{int(batch_id)}")])
+
+    # 2. corpus-version boundary: refit from ALL labeled arrivals,
+    # CALIBRATE the keep threshold at the class-mean midpoint (the
+    # train_then_gate calibration, pure BIGINT) unless a fixed
+    # ``threshold_micro`` was given, and hot-swap model + threshold
+    # together (crash-safe swap; serving reads either the old or the
+    # new FULL (model, threshold) pair, never a mixture). batch 0 is
+    # the bootstrap version.
+    if batch_id % refit_every == 0 or not os.path.exists(
+        f"{weights_dir}/_SUCCESS"
+    ):
+        corpus = spark.read.parquet(labeled_dir)
+        w = train_hashed_classifier(
+            corpus, "__lbl", id_col, text_col, n_buckets, n_iters, lr_inv
+        ).localCheckpoint(eager=True)
+        if threshold_micro is None:
+            cal = (
+                trained_classifier_gate(corpus, w, id_col, text_col, n_buckets)
+                .join(
+                    corpus.select(
+                        F.col(id_col), F.col("__lbl").cast("int").alias("y")
+                    ),
+                    id_col,
+                )
+                .agg(
+                    F.sum(
+                        F.when(F.col("y") == 1, F.col("score_micro"))
+                    ).alias("s1"),
+                    F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+                    .cast("long")
+                    .alias("n1"),
+                    F.sum(
+                        F.when(F.col("y") == 0, F.col("score_micro"))
+                    ).alias("s0"),
+                    F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+                    .cast("long")
+                    .alias("n0"),
+                )
+                .first()
+            )
+            def _tdiv(a: int, b: int) -> int:
+                # truncation toward zero — Spark's `div` (scores can
+                # be negative, Python // floors)
+                q = abs(a) // abs(b)
+                return q if (a >= 0) == (b >= 0) else -q
+
+            thr = (
+                _tdiv(
+                    _tdiv(cal["s1"], cal["n1"]) + _tdiv(cal["s0"], cal["n0"]),
+                    2,
+                )
+                if cal["n1"] and cal["n0"]
+                else SCALE // 2  # one-class corpus: no midpoint exists
+            )
+        else:
+            thr = int(threshold_micro)
+        _overwrite_store(
+            w.withColumn("model_version", F.lit(int(batch_id)))
+            .withColumn("thr_micro", F.lit(int(thr)).cast("long")),
+            weights_dir,
+        )
+
+    # 3. score the batch with the CURRENT stored (model, threshold)
+    # pair (between boundaries that is the last version — train once
+    # per corpus version, score many)
+    wrow = spark.read.parquet(weights_dir)
+    head = wrow.agg(
+        F.max("model_version").alias("v"), F.max("thr_micro").alias("t")
+    ).first()
+    version = head["v"]
+    scored = trained_classifier_gate(
+        batch_df,
+        wrow.select("bucket", "w"),
+        id_col,
+        text_col,
+        n_buckets,
+        threshold_micro=int(head["t"]),
+    )
+    # pin the verdicts NOW: the plan reads the weights dir, which a
+    # later boundary fold renames — a sink that defers evaluation must
+    # not race the hot-swap
+    return scored.withColumn(
+        "model_version", F.lit(int(version)).cast("long")
+    ).localCheckpoint(eager=True)
+
+
+def run_streaming_trained_gate(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    sink,
+    checkpoint_dir: str,
+    label_expr,
+    refit_every: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    n_iters: int = 8,
+    lr_inv: int = 1,
+    threshold_micro: int | None = None,
+    trigger_available_now: bool = True,
+    compact_every: int = 8,
+    compact_target_bytes: int = 128 * 1024 * 1024,
+):
+    """TRAIN-THEN-CURATE composition (r10, r9 verdict item #7): a
+    streaming quality-admission gate whose model is PERIODICALLY
+    REFIT from the freshly labeled arrivals and hot-swapped at
+    corpus-version boundaries — the closed loop between
+    ``ext/train.train_hashed_classifier`` (the certified fixed-point
+    BIGINT trainer behind ``trained_quality_gate``) and the streaming
+    admission discipline of the curation gate.
+
+    Per fold: (1) the batch is labeled by ``label_expr`` (the same
+    boolean labeling recipe the ``_ensure_trained_weights``
+    fingerprint rides) and appended to the ``labeled/`` training
+    corpus under per-batch file names (replay-idempotent); (2) every
+    ``refit_every`` folds — a corpus-version boundary — the model
+    retrains on ALL labeled arrivals, the keep threshold is
+    recalibrated at the class-mean midpoint over the training corpus
+    (``train_then_gate``'s calibration; pass ``threshold_micro`` to
+    pin it instead), and the (model, threshold) pair hot-swaps the
+    ``weights/`` store via the crash-safe stage/commit rename pair,
+    so a concurrent or later reader sees either the previous full
+    model or the new full model, NEVER a mixture (a torn swap
+    recovers to the previous version at the next fold's
+    ``_recover_store``); (3) the
+    batch is scored by the CURRENT stored model
+    (``trained_classifier_gate`` — broadcast model join, batch-linear)
+    and ``sink(verdicts_df, batch_id)`` receives (id, n_tokens,
+    score_micro, keep, model_version) — ``model_version`` is the
+    boundary batch id, so downstream consumers can attribute every
+    admission decision to the exact model that made it.
+
+    100 TB shape: training cost is paid once per corpus version (one
+    tokenize pass over the labeled store + per-round broadcast-join
+    aggregates — see ext/train.py's overflow/scale docstring), scoring
+    is one broadcast join per batch, and the model table is n_buckets
+    rows.  Compose with :func:`run_streaming_curation_gate` by feeding
+    the gate's keep=1 survivors (or score_micro as its quality column)
+    — examples/curate_index_pipeline.py wires the full loop.
+    Self-compacts the labeled corpus every ``compact_every`` folds
+    (r10; 0 = off; the weights table is a single swap and never
+    fragments)."""
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            _self_compact(
+                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
+            )
+        sink(
+            trained_gate_fold(
+                spark,
+                batch_df,
+                state_dir,
+                label_expr,
+                int(batch_id),
+                refit_every,
+                id_col,
+                text_col,
+                n_buckets,
+                n_iters,
+                lr_inv,
+                threshold_micro,
+            ),
             batch_id,
         )
 

@@ -1,6 +1,13 @@
 """Curate-then-index: the full production ingestion loop composed —
 
   incoming docs (+ embeddings)
+    -> TRAINED QUALITY GATE           (run_streaming_trained_gate —
+       the fixed-point BIGINT classifier of ext/train.py scores every
+       batch with the CURRENT stored model, REFITS from the freshly
+       labeled arrivals at corpus-version boundaries, and hot-swaps
+       the weights store crash-safely; model-rejected docs stop here,
+       survivors carry their score_micro forward as the curation
+       quality column — r10, the train-then-curate composition)
     -> COMPOSED ADMISSION GATE        (decontaminate -> lexical dedup
        -> semantic dedup -> token budget; streaming/continuous.py:
        run_streaming_curation_gate — only admitted docs reach storage)
@@ -41,17 +48,20 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
     from pyspark.sql import functions as F
 
     from cherry_spark.ext.bm25 import bm25_topk
-    from cherry_spark.ext.text import quality_score, token_count
+    from cherry_spark.ext.text import token_count
+    from cherry_spark.queries.curation import _density_label_col
     from cherry_spark.sources.tables import load_table
     from cherry_spark.streaming.continuous import (
         run_streaming_bm25_index,
         run_streaming_curation_gate,
         run_streaming_pair_graph,
+        run_streaming_trained_gate,
     )
 
     shutil.rmtree(work_dir, ignore_errors=True)
     os.makedirs(work_dir)
     src_dir = f"{work_dir}/incoming"
+    scored_dir = f"{work_dir}/scored"  # trained-gate -> curation bus
     out_dir = f"{work_dir}/verdicts"
 
     docs = load_table(spark, sf_dir, "documents")
@@ -64,7 +74,6 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
             "doc_id",
             "text",
             F.col("embedding").cast("array<double>").alias("embedding"),
-            quality_score(F.col("text")).alias("quality"),
             token_count(F.col("text")).cast("long").alias("n_tokens"),
         )
         .localCheckpoint(eager=True)
@@ -75,11 +84,6 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
         ).parquet(src_dir)
         time.sleep(1.1)
 
-    schema = (
-        "doc_id long, text string, embedding array<double>, "
-        "quality double, n_tokens long"
-    )
-
     def file_stream(path, sch):
         return (
             spark.readStream.schema(sch)
@@ -87,13 +91,51 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
             .parquet(path)
         )
 
-    # stage 1: admission
+    # stage 0: trained quality gate — score with the current model,
+    # refit + hot-swap at the batch-2 corpus-version boundary (the
+    # same labeling recipe the trained_quality_gate query certifies);
+    # survivors carry score_micro forward as the curation quality
+    model_versions: list[int] = []
+    n_model_rejected: list[int] = []
+
+    def scored_sink(verdicts, batch_id):
+        model_versions.append(
+            int(verdicts.agg(F.max("model_version")).first()[0])
+        )
+        n_model_rejected.append(verdicts.filter(F.col("keep") == 0).count())
+        verdicts.filter(F.col("keep") == 1).drop("n_tokens").join(
+            staged, "doc_id"
+        ).select(
+            "doc_id",
+            "text",
+            "embedding",
+            (F.col("score_micro") / 1e6).alias("quality"),
+            F.col("n_tokens"),
+        ).write.mode("append").parquet(scored_dir)
+
+    qt = run_streaming_trained_gate(
+        spark,
+        file_stream(src_dir, staged.schema),
+        f"{work_dir}/model_state",
+        scored_sink,
+        f"{work_dir}/ckpt_trained",
+        label_expr=_density_label_col(),
+        refit_every=2,
+    )
+    qt.awaitTermination(300)
+
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+
+    # stage 1: admission over the model-admitted bus
     def verdict_sink(verdicts, batch_id):
         verdicts.write.mode("append").parquet(out_dir)
 
     q = run_streaming_curation_gate(
         spark,
-        file_stream(src_dir, schema),
+        file_stream(scored_dir, schema),
         f"{work_dir}/state",
         verdict_sink,
         f"{work_dir}/ckpt_gate",
@@ -141,6 +183,8 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
     }
     return {
         "counts": counts,
+        "model_versions": model_versions,
+        "n_model_rejected": sum(n_model_rejected),
         "n_admitted": admitted.count(),
         "search_matches_inline": served == inline,
         "n_search_rows": len(served),
@@ -156,6 +200,8 @@ if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = run(get_spark("curate_index_example"), sf, "/tmp/curate_index_out")
     print(
+        f"model versions per batch {out['model_versions']} "
+        f"({out['n_model_rejected']} model-rejected) | "
         f"verdicts {out['counts']} | {out['n_admitted']} admitted | "
         f"search matches inline: {out['search_matches_inline']} "
         f"({out['n_search_rows']} rows) | "

@@ -156,3 +156,7 @@ def test_curate_index_pipeline(spark, sf_dir, tmp_path):
     out = ex.run(spark, sf_dir, str(tmp_path / "ci"))
     assert out["counts"].get("admitted", 0) > 0
     assert out["search_matches_inline"] and out["n_search_rows"] > 0
+    # the train-then-curate composition (r10): the model refit at the
+    # batch-2 corpus-version boundary and the gate actually filtered
+    assert out["model_versions"] == [0, 0, 2]
+    assert out["n_model_rejected"] > 0

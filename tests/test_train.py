@@ -176,3 +176,151 @@ def test_stored_weights_serve_bit_identical(spark, sf_dir):
     canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert canon(served) == canon(inline)
     assert os.path.getmtime(f"{store}/_SUCCESS") == marker
+
+
+def test_streaming_trained_gate_refit_changes_admissions(spark, tmp_path):
+    """r10 (r9 verdict item #7): the composed train-then-curate loop —
+    the gate scores every batch with the CURRENT stored model and
+    refits + hot-swaps at corpus-version boundaries. A probe doc that
+    the bootstrap model admits must be REJECTED once the refit has
+    absorbed three batches of contrary evidence, and the swapped
+    store must equal a from-scratch retrain over all labeled
+    arrivals."""
+    import time
+
+    from cherry_spark.streaming.continuous import run_streaming_trained_gate
+
+    schema = "doc_id long, text string"
+    # batch 0: 'alpha' co-occurs with the label token 'pos' -> the
+    # bootstrap model weighs alpha's bucket at ~SCALE
+    b0 = [(i, "alpha pos") for i in range(8)] + [
+        (100 + i, "beta") for i in range(8)
+    ]
+    # batches 1-3: heavy contrary evidence — alpha WITHOUT pos
+    contra = lambda base: [  # noqa: E731
+        (base + i, "alpha") for i in range(16)
+    ]
+    probe_early = [(900, "alpha alpha alpha alpha")]  # scored by v0
+    probe_late = [(901, "alpha alpha alpha alpha")]  # scored by v4
+    arrivals = [
+        b0,
+        contra(200),
+        contra(300),
+        contra(400) + probe_early,
+        probe_late,  # batch 4 = boundary: refit THEN score
+    ]
+    src = str(tmp_path / "in")
+    for a in arrivals:
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    seen: dict[int, tuple] = {}
+
+    def sink(verdicts, batch_id):
+        for r in verdicts.collect():
+            seen[r["doc_id"]] = (r["keep"], r["model_version"])
+
+    state = str(tmp_path / "state")
+    q = run_streaming_trained_gate(
+        spark,
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        state,
+        sink,
+        str(tmp_path / "ckpt"),
+        label_expr=F.col("text").contains("pos"),
+        refit_every=4,
+        n_buckets=4096,
+        n_iters=2,
+        lr_inv=2,
+    )
+    q.awaitTermination(300)
+
+    # same text, opposite admission across the model swap — and each
+    # verdict names the model version that made it
+    assert seen[900] == (1, 0), seen[900]
+    assert seen[901] == (0, 4), seen[901]
+
+    # the hot-swapped store == from-scratch retrain over ALL labeled
+    # arrivals (probe docs included — they contain no 'pos' so they
+    # are labeled 0 like the contra docs)
+    all_rows = [(d, t, 1 if "pos" in t else 0) for a in arrivals for d, t in a]
+    expect = {
+        r["bucket"]: r["w"]
+        for r in train_hashed_classifier(
+            spark.createDataFrame(all_rows, "doc_id long, text string, y int"),
+            "y",
+            n_buckets=4096,
+            n_iters=2,
+            lr_inv=2,
+        ).collect()
+    }
+    got = {
+        r["bucket"]: r["w"]
+        for r in spark.read.parquet(f"{state}/weights").collect()
+    }
+    assert got == expect
+
+
+def test_streaming_trained_gate_torn_swap_serves_previous_full_model(
+    spark, tmp_path
+):
+    """r10: a crash mid-hot-swap (old model parked, canonical dir
+    missing) or mid-staging (half-written __tmp sibling) must never
+    serve a half model — the next fold recovers the PREVIOUS full
+    version and scores with it."""
+    import os
+    import shutil
+
+    from cherry_spark.streaming.continuous import trained_gate_fold
+
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(i, "alpha pos") for i in range(8)]
+        + [(100 + i, "beta") for i in range(8)],
+        schema,
+    )
+    state = str(tmp_path / "state")
+    weights_dir = f"{state}/weights"
+    label = F.col("text").contains("pos")
+    trained_gate_fold(spark, b0, state, label, 0, n_buckets=4096, n_iters=2)
+    canon = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(p).collect()
+    )
+    v0 = canon(weights_dir)
+
+    # torn swap: canonical gone, old parked
+    os.rename(weights_dir, f"{weights_dir}__old_deadbeef")
+    probe = spark.createDataFrame([(900, "alpha alpha alpha")], schema)
+    out = trained_gate_fold(
+        spark, probe, state, label, 1, n_buckets=4096, n_iters=2
+    ).collect()
+    assert canon(weights_dir) == v0  # previous FULL model restored
+    assert [(r["keep"], r["model_version"]) for r in out] == [(1, 0)]
+
+    # half-staged new model left by a crash before the swap: dropped,
+    # previous version still serves
+    os.makedirs(f"{weights_dir}__tmp_deadbeef")
+    shutil.copy(
+        next(
+            f"{weights_dir}/{f}"
+            for f in os.listdir(weights_dir)
+            if f.endswith(".parquet")
+        ),
+        f"{weights_dir}__tmp_deadbeef/part-00000.parquet",
+    )
+    out2 = trained_gate_fold(
+        spark,
+        spark.createDataFrame([(901, "alpha alpha alpha")], schema),
+        state,
+        label,
+        2,
+        n_buckets=4096,
+        n_iters=2,
+    ).collect()
+    assert not os.path.exists(f"{weights_dir}__tmp_deadbeef")
+    assert canon(weights_dir) == v0
+    assert [(r["keep"], r["model_version"]) for r in out2] == [(1, 0)]

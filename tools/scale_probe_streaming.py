@@ -316,11 +316,263 @@ def probe_bm25_index(sf_dir: str, n_arrivals: int = 10) -> None:
     )
 
 
+def probe_positional_index(sf_dir: str, n_arrivals: int = 10) -> None:
+    """run_streaming_positional_index's fold body, serial-timed: n
+    arrivals, each the FULL sf documents table with shifted ids.
+    Purely additive store — per-fold cost must stay FLAT (one
+    tokenize+posexplode per batch, batch-linear append, no merge
+    tables at all). The runner's r10 self-compaction cadence
+    (compact_every=8) is replicated, so the probe also demonstrates
+    the file count staying bounded with no manual compaction.
+    Exactness invariant: final posting count == n x one arrival's."""
+    from cherry_spark.ext.phrase import positional_postings
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import (
+        _commit_stores,
+        _self_compact,
+        _stage_append,
+    )
+    from cherry_spark.writers.compact import _n_parquet_files
+
+    work = "/tmp/cherry_probe_positional"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    state = f"{work}/pos"
+
+    spark = get_spark("positional_index_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    offset = 1_000_000
+    times, counts, file_counts = [], [], []
+    for i in range(n_arrivals):
+        batch = docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        if i and i % 8 == 0:  # the runner's compact_every=8 hook
+            _self_compact(spark, state, f"b{i}")
+        rows = positional_postings(batch).localCheckpoint(eager=True)
+        _commit_stores([_stage_append(rows, state, f"b{i}")])
+        n = rows.count()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        counts.append(n)
+        file_counts.append(_n_parquet_files(state))
+        print(f"arrival {i}: {n} postings in {dt:.1f}s "
+              f"({file_counts[-1]} files)")
+    total = spark.read.parquet(state).count()
+    ok = total == counts[0] * n_arrivals
+    print(
+        f"[positional_index] per-batch seconds: "
+        f"{[round(t, 1) for t in times]}; files per fold: {file_counts} "
+        f"(self-compaction at fold 8 bounds growth); final postings "
+        f"{total} == {n_arrivals}x one arrival: {'OK' if ok else 'MISMATCH'}"
+    )
+
+
+def probe_ivf_index(sf_dir: str, n_arrivals: int = 10) -> None:
+    """run_streaming_ivf_index's fold (ivf_index_fold, the exact
+    production body), serial-timed: the index is built ONCE on the
+    base embeddings table (the corpus-version contract), then each
+    arrival folds the full table with shifted ids through the
+    fixed-centroid assignment join. Per-fold cost must stay FLAT: one
+    broadcast of the tiny centroid table + a batch-linear partitioned
+    append — nothing rescans the stored corpus. Self-compaction
+    cadence replicated (hive-partition aware). Exactness invariant:
+    the maintained corpus's (id, centroid_id) assignment is
+    row-identical to assigning ALL vectors in one batch against the
+    same centroids."""
+    from cherry_spark.ext.ivf import ivf_assign, ivf_build_index
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import (
+        _self_compact,
+        ivf_index_fold,
+    )
+    from cherry_spark.writers.compact import _n_parquet_files
+
+    work = "/tmp/cherry_probe_ivf_index"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    index_dir = f"{work}/ivf"
+
+    spark = get_spark("ivf_index_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    vecs = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    ivf_build_index(vecs, index_dir, n_centroids=16)
+    offset = 1_000_000
+    times, file_counts = [], []
+    for i in range(1, n_arrivals):
+        batch = vecs.select(
+            (F.col("vec_id") + F.lit(i * offset)).alias("vec_id"), "embedding"
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        if i % 8 == 0:  # the runner's compact_every=8 hook
+            _self_compact(spark, index_dir, f"b{i}")
+        (r,) = ivf_index_fold(
+            spark, batch, index_dir, batch_key=f"b{i}"
+        ).collect()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        file_counts.append(_n_parquet_files(f"{index_dir}/corpus"))
+        print(
+            f"arrival {i}: {r['n_vectors']} vectors -> "
+            f"{r['n_clusters_hit']} clusters in {dt:.1f}s "
+            f"({file_counts[-1]} corpus files)"
+        )
+    corpus = spark.read.parquet(f"{index_dir}/corpus")
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    all_vecs = corpus.select("vec_id", "embedding")
+    oneshot = ivf_assign(all_vecs, centroids)
+    mismatches = (
+        corpus.select("vec_id", F.col("centroid_id").cast("long"))
+        .exceptAll(
+            oneshot.select("vec_id", F.col("centroid_id").cast("long"))
+        )
+        .count()
+    )
+    total = corpus.count()
+    base = vecs.count()
+    print(
+        f"[ivf_index] per-batch seconds: {[round(t, 1) for t in times]}; "
+        f"corpus files per fold: {file_counts} (self-compaction at fold 8 "
+        f"bounds growth); corpus {total} == {n_arrivals}x base "
+        f"{'OK' if total == base * n_arrivals else 'MISMATCH'}; maintained "
+        f"assignment vs one-shot mismatches: {mismatches} "
+        f"({'OK' if mismatches == 0 else 'MISMATCH'})"
+    )
+
+
+def probe_doc_store(sf_dir: str, n_arrivals: int = 10) -> None:
+    """run_streaming_doc_store's fold (doc_store_fold, the exact
+    production body) with the heaviest registered transform
+    (minhash_signatures, 128 hashes), serial-timed: n arrivals of the
+    full sf documents table with shifted ids. Each document is
+    transformed ONCE per lifetime and appended — per-fold cost must
+    stay FLAT regardless of how large the store has grown (the store
+    is never read by the fold). Self-compaction cadence replicated.
+    Exactness invariant: store rows == n x one arrival's signatures,
+    one row per doc."""
+    from cherry_spark.ext.dedup import minhash_signatures
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import _self_compact, doc_store_fold
+    from cherry_spark.writers.compact import _n_parquet_files
+
+    work = "/tmp/cherry_probe_doc_store"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    state = f"{work}/sigs"
+
+    spark = get_spark("doc_store_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    transform = lambda df: minhash_signatures(  # noqa: E731
+        df, "doc_id", "text", 128, 3, "xxhash"
+    )
+    offset = 1_000_000
+    times, file_counts = [], []
+    for i in range(n_arrivals):
+        batch = docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        if i and i % 8 == 0:  # the runner's compact_every=8 hook
+            _self_compact(spark, state, f"b{i}")
+        (r,) = doc_store_fold(
+            spark, batch, state, transform, batch_key=f"b{i}"
+        ).collect()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        file_counts.append(_n_parquet_files(state))
+        print(
+            f"arrival {i}: {r['n_rows']} signature rows in {dt:.1f}s "
+            f"({file_counts[-1]} files)"
+        )
+    total = spark.read.parquet(state).count()
+    n_docs = docs.count()
+    ok = total == n_docs * n_arrivals
+    print(
+        f"[doc_store] per-batch seconds: {[round(t, 1) for t in times]}; "
+        f"files per fold: {file_counts} (self-compaction at fold 8 bounds "
+        f"growth); store rows {total} == {n_arrivals}x {n_docs} docs: "
+        f"{'OK' if ok else 'MISMATCH'}"
+    )
+
+
+def probe_count_store(sf_dir: str, n_arrivals: int = 10) -> None:
+    """run_streaming_count_store's fold (count_store_fold, the exact
+    production body) maintaining the bigram LM, serial-timed: n
+    arrivals of the full sf documents table with shifted ids — each
+    arrival contributes an IDENTICAL bigram profile, so the stored
+    key set stops growing after arrival 1 (the 100 TB shape:
+    vocabulary grows sublinearly in corpus) while every count scales
+    exactly linearly. Per-fold cost is bounded by the store's key
+    cardinality, not the corpus — it must stay FLAT. No compaction
+    hook: the store is a swap table rewritten each fold (it never
+    fragments). Exactness invariant: EVERY stored count == n x its
+    one-arrival value (checked exhaustively, not sampled)."""
+    from cherry_spark.ext.quality import bigram_counts
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import count_store_fold
+
+    work = "/tmp/cherry_probe_count_store"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    state = f"{work}/bigrams"
+
+    spark = get_spark("count_store_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    transform = lambda df: bigram_counts(df)  # noqa: E731
+    offset = 1_000_000
+    times, key_counts = [], []
+    for i in range(n_arrivals):
+        batch = docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        (r,) = count_store_fold(
+            spark, batch, state, transform, ["prev", "cur"]
+        ).collect()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        key_counts.append(r["n_keys"])
+        print(f"arrival {i}: {r['n_keys']} keys in {dt:.1f}s")
+    one = bigram_counts(docs)
+    stored = spark.read.parquet(state)
+    bad = (
+        stored.join(one.withColumnRenamed("c2", "c_one"), ["prev", "cur"])
+        .filter(F.col("c2") != F.col("c_one") * n_arrivals)
+        .count()
+    ) + stored.count() - one.count()
+    print(
+        f"[count_store] per-batch seconds: {[round(t, 1) for t in times]}; "
+        f"stored keys per fold: {key_counts} (bounded — identical after "
+        f"arrival 1); every count == {n_arrivals}x one arrival: "
+        f"{'OK' if bad == 0 else f'MISMATCH ({bad})'}"
+    )
+
+
 if __name__ == "__main__":
     _MODES = {
         "bm25_index": probe_bm25_index,
         "pair_graph": probe_pair_graph,
         "span_gate": probe_span_gate,
+        "positional_index": probe_positional_index,
+        "ivf_index": probe_ivf_index,
+        "doc_store": probe_doc_store,
+        "count_store": probe_count_store,
     }
     _mode = next((a for a in sys.argv[1:] if a in _MODES), None)
     # sf_dir = first positional arg that is NOT a mode name, so both
