@@ -75,6 +75,8 @@ def compact_dataset(
     targets = part_dirs if part_dirs else [path]
     files_before = _n_parquet_files(path)
     total_bytes = 0
+    single: list[str] = []  # partition dirs compacting to ONE file
+    serial: list[tuple[str, int]] = []  # (dir, n_files) for the rest
     for tdir in targets:
         nbytes = _dir_bytes(tdir)
         if nbytes == 0:
@@ -83,6 +85,57 @@ def compact_dataset(
         n_files = max(1, math.ceil(nbytes / target_file_bytes))
         if n_files >= _n_parquet_files(tdir):
             continue  # already compact enough
+        if part_dirs and n_files == 1:
+            single.append(tdir)
+        else:
+            serial.append((tdir, n_files))
+
+    # Batched lane (r10): the overwhelmingly common case — many small
+    # partition dirs each compacting to one file — runs as ONE Spark
+    # job for the rewrite and one aggregate for the verification,
+    # instead of a (read + count + write + count) job quartet PER
+    # PARTITION DIR (serial driver-side jobs; at a production
+    # partition count that loop IS the compaction time — measured 16
+    # dirs = 8.2 s vs one job at the IVF maintainer's fold-8 hook).
+    # repartition(part_col) sends every row of a partition value to
+    # one task, so the partitionBy write emits exactly one file per
+    # dir; the SWAPS stay per-dir (old aside, new in), preserving the
+    # crash contract — untouched partitions stay valid, the in-flight
+    # dir is either pre-swap or torn-and-recoverable.
+    if single:
+        from pyspark.sql import functions as F
+
+        pcol = os.path.basename(single[0]).split("=", 1)[0]
+        df = spark.read.option("basePath", path).parquet(*single)
+        orig = {
+            r[pcol]: r["n"]
+            for r in df.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        df.repartition(F.col(pcol)).write.partitionBy(pcol).mode(
+            "overwrite"
+        ).parquet(tmp)
+        got = {
+            r[pcol]: r["n"]
+            for r in spark.read.parquet(tmp)
+            .groupBy(pcol)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if got != orig:  # pragma: no cover - safety net
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"compaction row-count mismatch under {path}")
+        for tdir in single:
+            src = os.path.join(tmp, os.path.basename(tdir))
+            if not os.path.isdir(src):  # pragma: no cover - safety net
+                continue
+            old = f"{tdir}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(tdir, old)
+            os.rename(src, tdir)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for tdir, n_files in serial:
         df = spark.read.parquet(tdir)
         n_rows = df.count()
         tmp = f"{tdir}__compact_{uuid.uuid4().hex[:8]}"

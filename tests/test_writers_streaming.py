@@ -544,6 +544,45 @@ def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
     assert stats2["files_after"] == stats2["files_before"] == 3
 
 
+def test_compact_dataset_mixed_lanes(spark, tmp_path):
+    """r10: partitions compacting to ONE file run through the batched
+    single-job lane while a partition whose bytes exceed the target
+    takes the per-dir sizing lane — both in one call, rows preserved,
+    per-partition file counts correct."""
+    import os
+
+    from cherry_spark.writers.compact import (
+        _dir_bytes,
+        _n_parquet_files,
+        compact_dataset,
+    )
+
+    path = str(tmp_path / "mixed")
+    # partition big=1 gets ~40x the data of small=0/2
+    for b in range(6):
+        spark.range(b * 40_000, (b + 1) * 40_000).selectExpr(
+            "id",
+            "repeat(CAST(id AS STRING), 8) AS payload",
+            "CASE WHEN id % 40 = 0 THEN id % 3 ELSE 1 END AS part",
+        ).coalesce(1).write.partitionBy("part").mode("append").parquet(path)
+    rows_before = sorted(
+        (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
+    )
+    big = f"{path}/part=1"
+    target = max(64 * 1024, _dir_bytes(big) // 3)  # big -> >=2 files
+
+    compact_dataset(spark, path, target_file_bytes=target)
+    assert sorted(
+        (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
+    ) == rows_before
+    assert _n_parquet_files(f"{path}/part=0") == 1  # batched lane
+    assert _n_parquet_files(f"{path}/part=2") == 1
+    assert 2 <= _n_parquet_files(big) < 6  # serial sizing lane
+    assert not any(
+        "__compact_" in d or "__old_" in d for d in os.listdir(path)
+    )
+
+
 def test_compact_dataset_unpartitioned(spark, tmp_path):
     from cherry_spark.writers.compact import compact_dataset
 
