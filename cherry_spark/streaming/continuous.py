@@ -1279,17 +1279,21 @@ def run_streaming_span_gate(
         span_overlap_verdicts,
     )
 
+    epoch: list[str] = []
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not epoch:
+            epoch.append(_run_epoch(checkpoint_dir))
+        key = f"{epoch[0]}-b{int(batch_id)}"
         if compact_every and batch_id and batch_id % compact_every == 0:
-            _self_compact(
-                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
-            )
+            _self_compact(spark, state_dir, key, compact_target_bytes)
         batch_df = batch_df.localCheckpoint(eager=True)
         _recover_store(state_dir)  # drop stray staging dirs FIRST so
         # they can't count as state below
-        # real data files, not just the _SUCCESS marker a gram-less
-        # first fold can leave behind (read.parquet on _SUCCESS-only
-        # dirs throws schema-inference errors)
+        # have_state must see real data files, not just the _SUCCESS
+        # marker a gram-less first fold can leave behind
+        # (read.parquet on _SUCCESS-only dirs throws schema-inference
+        # errors)
         have_state = os.path.isdir(state_dir) and any(
             f.endswith(".parquet")
             for _r, _d, fs in os.walk(state_dir)
@@ -1341,9 +1345,7 @@ def run_streaming_span_gate(
         admitted_grams = grams.join(
             admitted.withColumnRenamed(doc_col, "__doc"), "__doc", "left_semi"
         )
-        _commit_stores(
-            [_stage_append(admitted_grams, state_dir, f"b{int(batch_id)}")]
-        )
+        _commit_stores([_stage_append(admitted_grams, state_dir, key)])
         sink(verdicts, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -1392,11 +1394,14 @@ def run_streaming_bm25_index(
     self-compacts its state at fold START via :func:`_self_compact`
     (r10) — set ``compact_every=0`` to opt out."""
 
+    epoch: list[str] = []
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not epoch:
+            epoch.append(_run_epoch(checkpoint_dir))
+        key = f"{epoch[0]}-b{int(batch_id)}"
         if compact_every and batch_id and batch_id % compact_every == 0:
-            _self_compact(
-                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
-            )
+            _self_compact(spark, state_dir, key, compact_target_bytes)
         sink(
             bm25_index_fold(
                 spark,
@@ -1404,7 +1409,7 @@ def run_streaming_bm25_index(
                 state_dir,
                 doc_col,
                 text_col,
-                batch_key=f"b{int(batch_id)}",
+                batch_key=key,
             ),
             batch_id,
         )
@@ -1451,13 +1456,16 @@ def _stage_append(df: DataFrame, path: str, key: str) -> tuple:
     """Phase 1 for an APPEND-only table (r10, per the r9 advice on the
     bm25 tf/dl appends): fully write the batch's rows to a temp
     sibling; :func:`_commit_stores` then moves the part files into the
-    canonical dir under DETERMINISTIC ``{key}-NNNNN.parquet`` names
-    (key = the batch id), deleting any same-key files first — so a
-    crash-replayed fold REPLACES its own previous partial append
-    instead of blind-appending a duplicate copy.  ``key`` must be
-    unique per fold and stable across replays (the foreachBatch
-    batch_id).  Works for flat tables and hive-partitioned ones (the
-    relative subdirs are preserved on the move)."""
+    canonical dir under DETERMINISTIC ``{key}-NNNNN.parquet`` names,
+    deleting any same-key files first — so a crash-replayed fold
+    REPLACES its own previous partial append instead of
+    blind-appending a duplicate copy.  ``key`` must be unique per
+    fold, stable across replays, AND distinct across runs that share
+    the state dir — the runners build it as
+    ``{_run_epoch(checkpoint_dir)}-b{batch_id}`` so a fresh
+    checkpoint's restarted batch ids can never collide with (and
+    delete) kept history.  Works for flat tables and hive-partitioned
+    ones (the relative subdirs are preserved on the move)."""
     import uuid
 
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
@@ -1549,6 +1557,48 @@ def _recover_store(path: str) -> None:
         shutil.rmtree(stray, ignore_errors=True)
 
 
+def _drop_batch_files(state_dir: str, key: str) -> None:
+    """Delete a crashed attempt's committed ``{key}-*`` files (any
+    depth).  Two callers, same reason: a replayed fold must see
+    exactly the pre-batch store — :func:`pair_graph_fold` reads its
+    own append tables, so leftover rows from the crashed attempt
+    would corrupt the recomputation; and :func:`_self_compact` must
+    never fold them into anonymous part files the replay's
+    delete-same-key pass can no longer find."""
+    import glob
+    import os
+
+    for f in glob.glob(
+        os.path.join(state_dir, "**", f"{key}-*.parquet"), recursive=True
+    ):
+        os.remove(f)
+
+
+def _run_epoch(checkpoint_dir: str) -> str:
+    """Per-checkpoint namespace for batch keys (r10 review): foreachBatch
+    batch ids restart at 0 when a stream starts over with a FRESH
+    checkpoint dir — without a namespace, the new run's
+    delete-same-key commits (and :func:`_self_compact`'s crashed-
+    attempt sweep) would silently DESTROY the old run's committed
+    ``b0-*`` history in a kept state dir (the pre-r10 plain appends
+    at worst duplicated).  Structured Streaming persists a stable
+    query id in ``{checkpoint_dir}/metadata`` when the query starts —
+    before the first batch runs — so a prefix of it namespaces keys
+    stably across RESTARTS of the same checkpoint (replays keep
+    replacing their own attempt) and uniquely across fresh
+    checkpoints (a new run can never collide with kept history)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            qid = str(json.load(fh).get("id", ""))
+    except (OSError, ValueError):
+        qid = ""
+    tok = "".join(c for c in qid if c in "0123456789abcdef")[:8]
+    return tok or "run0"
+
+
 def _self_compact(
     spark: SparkSession,
     state_dir: str,
@@ -1601,11 +1651,7 @@ def _self_compact(
     }
     for c in sorted(canon):
         _recover_store(c)
-    for f in glob.glob(
-        os.path.join(state_dir, "**", f"{current_key}-*.parquet"),
-        recursive=True,
-    ):
-        os.remove(f)
+    _drop_batch_files(state_dir, current_key)
     from cherry_spark.writers.compact import compact_state_dir
 
     return compact_state_dir(spark, state_dir, target_file_bytes)
@@ -1715,24 +1761,20 @@ def run_streaming_positional_index(
     upstream); same crash-replay caveat as the sibling maintainers.
     Self-compacts every ``compact_every`` folds (r10; 0 = off).
     """
-    from cherry_spark.ext.phrase import positional_postings
+    epoch: list[str] = []
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not epoch:
+            epoch.append(_run_epoch(checkpoint_dir))
+        key = f"{epoch[0]}-b{int(batch_id)}"
         if compact_every and batch_id and batch_id % compact_every == 0:
-            _self_compact(
-                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
-            )
-        rows = positional_postings(batch_df, doc_col, text_col)
-        rows = rows.localCheckpoint(eager=True)
-        _recover_store(state_dir)
-        _commit_stores(
-            [_stage_append(rows, state_dir, f"b{int(batch_id)}")]
+            _self_compact(spark, state_dir, key, compact_target_bytes)
+        sink(
+            positional_index_fold(
+                spark, batch_df, state_dir, doc_col, text_col, batch_key=key
+            ),
+            batch_id,
         )
-        summary = rows.agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_postings"),
-        )
-        sink(summary, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -1740,6 +1782,34 @@ def run_streaming_positional_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def positional_index_fold(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    batch_key: str | None = None,
+) -> DataFrame:
+    """One :func:`run_streaming_positional_index` fold, callable
+    directly (the probe/batch seam).  Returns the 1-row
+    (n_docs, n_postings) summary.  ``batch_key``: see
+    :func:`bm25_index_fold`."""
+    from cherry_spark.ext.phrase import positional_postings
+
+    rows = positional_postings(batch_df, doc_col, text_col).localCheckpoint(
+        eager=True
+    )
+    _recover_store(state_dir)
+    if batch_key is None:
+        rows.write.mode("append").parquet(state_dir)
+    else:
+        _commit_stores([_stage_append(rows, state_dir, batch_key)])
+    return rows.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+    )
 
 
 def run_streaming_pair_graph(
@@ -1795,11 +1865,14 @@ def run_streaming_pair_graph(
     ids; same crash-replay caveat as the sibling maintainers.
     Self-compacts every ``compact_every`` folds (r10; 0 = off).
     """
+    epoch: list[str] = []
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not epoch:
+            epoch.append(_run_epoch(checkpoint_dir))
+        key = f"{epoch[0]}-b{int(batch_id)}"
         if compact_every and batch_id and batch_id % compact_every == 0:
-            _self_compact(
-                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
-            )
+            _self_compact(spark, state_dir, key, compact_target_bytes)
         summary = pair_graph_fold(
             spark,
             batch_df,
@@ -1809,7 +1882,7 @@ def run_streaming_pair_graph(
             shingle_k=shingle_k,
             threshold=threshold,
             max_bucket_size=max_bucket_size,
-            batch_key=f"b{int(batch_id)}",
+            batch_key=key,
         )
         sink(summary, batch_id)
 
@@ -1837,7 +1910,13 @@ def pair_graph_fold(
     function).  Returns the 1-row (n_docs, n_new_pairs) summary.
     ``batch_key``: see :func:`bm25_index_fold` — with it, the
     postings/sizes/pairs appends commit idempotently in the same
-    transaction as the dfreq swap."""
+    transaction as the dfreq swap, and the fold FIRST deletes its own
+    key's files from a crashed prior attempt: unlike the write-only
+    maintainers this fold READS postings/sizes, so leftover batch rows
+    would double every batch doc's stored shingles (inflating hot_hits
+    and collapsing n_sh) and duplicate its size rows — the replay must
+    see exactly the pre-batch store (r10 review).  The dfreq merge
+    table keeps the documented one-batch replay residual."""
     import os
 
     from cherry_spark.ext.dedup import shingle_postings
@@ -1847,6 +1926,9 @@ def pair_graph_fold(
     ).localCheckpoint(eager=True)
     for t in ("postings", "sizes", "pairs"):
         _recover_store(f"{state_dir}/{t}")
+    if batch_key is not None:
+        for t in ("postings", "sizes", "pairs"):
+            _drop_batch_files(f"{state_dir}/{t}", batch_key)
     bsizes = bpost.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_total")
     )
@@ -1870,11 +1952,17 @@ def pair_graph_fold(
     )
 
     if have:
-        stored_post = spark.read.parquet(f"{state_dir}/postings")
-        all_post = stored_post.unionByName(bpost)
-        all_sizes = spark.read.parquet(f"{state_dir}/sizes").unionByName(
-            bsizes
+        # schema-pinned reads: after the crashed-attempt drop above, a
+        # replayed FIRST batch leaves these dirs with only a _SUCCESS
+        # marker — schema inference would throw, the pinned schema
+        # reads them as empty (bpost/bsizes ARE the store schemas)
+        stored_post = spark.read.schema(bpost.schema).parquet(
+            f"{state_dir}/postings"
         )
+        all_post = stored_post.unionByName(bpost)
+        all_sizes = spark.read.schema(bsizes.schema).parquet(
+            f"{state_dir}/sizes"
+        ).unionByName(bsizes)
     else:
         all_post = bpost
         all_sizes = bsizes
@@ -2023,11 +2111,14 @@ def run_streaming_ivf_index(
     maintainers.
     """
 
+    epoch: list[str] = []
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not epoch:
+            epoch.append(_run_epoch(checkpoint_dir))
+        key = f"{epoch[0]}-b{int(batch_id)}"
         if compact_every and batch_id and batch_id % compact_every == 0:
-            _self_compact(
-                spark, index_dir, f"b{int(batch_id)}", compact_target_bytes
-            )
+            _self_compact(spark, index_dir, key, compact_target_bytes)
         sink(
             ivf_index_fold(
                 spark,
@@ -2035,7 +2126,7 @@ def run_streaming_ivf_index(
                 index_dir,
                 id_col,
                 vec_col,
-                batch_key=f"b{int(batch_id)}",
+                batch_key=key,
             ),
             batch_id,
         )
@@ -2101,18 +2192,21 @@ def run_streaming_doc_store(
     crash-replay caveat as the siblings.
     """
 
+    epoch: list[str] = []
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not epoch:
+            epoch.append(_run_epoch(checkpoint_dir))
+        key = f"{epoch[0]}-b{int(batch_id)}"
         if compact_every and batch_id and batch_id % compact_every == 0:
-            _self_compact(
-                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
-            )
+            _self_compact(spark, state_dir, key, compact_target_bytes)
         sink(
             doc_store_fold(
                 spark,
                 batch_df,
                 state_dir,
                 transform,
-                batch_key=f"b{int(batch_id)}",
+                batch_key=key,
             ),
             batch_id,
         )
@@ -2208,10 +2302,13 @@ def trained_gate_fold(
     n_iters: int = 8,
     lr_inv: int = 1,
     threshold_micro: int | None = None,
+    batch_key: str | None = None,
 ) -> DataFrame:
     """One :func:`run_streaming_trained_gate` fold, callable directly
     (the probe/test seam).  Returns the batch verdicts
-    (id, n_tokens, score_micro, keep, model_version)."""
+    (id, n_tokens, score_micro, keep, model_version).  ``batch_key``
+    defaults to ``b{batch_id}``; the runner passes an
+    epoch-namespaced key (see :func:`_run_epoch`)."""
     import os
 
     from cherry_spark.ext.train import (
@@ -2237,7 +2334,8 @@ def trained_gate_fold(
         F.col(text_col),
         label_expr.cast("long").alias("__lbl"),
     ).localCheckpoint(eager=True)
-    _commit_stores([_stage_append(labeled, labeled_dir, f"b{int(batch_id)}")])
+    key = batch_key if batch_key is not None else f"b{int(batch_id)}"
+    _commit_stores([_stage_append(labeled, labeled_dir, key)])
 
     # 2. corpus-version boundary: refit from ALL labeled arrivals,
     # CALIBRATE the keep threshold at the class-mean midpoint (the
@@ -2382,11 +2480,14 @@ def run_streaming_trained_gate(
     (r10; 0 = off; the weights table is a single swap and never
     fragments)."""
 
+    epoch: list[str] = []
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not epoch:
+            epoch.append(_run_epoch(checkpoint_dir))
+        key = f"{epoch[0]}-b{int(batch_id)}"
         if compact_every and batch_id and batch_id % compact_every == 0:
-            _self_compact(
-                spark, state_dir, f"b{int(batch_id)}", compact_target_bytes
-            )
+            _self_compact(spark, state_dir, key, compact_target_bytes)
         sink(
             trained_gate_fold(
                 spark,
@@ -2401,6 +2502,7 @@ def run_streaming_trained_gate(
                 n_iters,
                 lr_inv,
                 threshold_micro,
+                batch_key=key,
             ),
             batch_id,
         )

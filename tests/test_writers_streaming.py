@@ -1256,12 +1256,28 @@ def test_streaming_span_gate_replay_is_idempotent(spark, tmp_path):
     )
 
     # simulate a crash between the store append and the checkpoint
-    # commit: a FRESH checkpoint re-delivers the same batch against a
-    # store that already holds the batch's own grams
+    # commit: restart from a checkpoint whose commit marker for batch
+    # 0 never landed — the SAME query id (the copy preserves the
+    # metadata file, hence the same r10 run epoch and batch keys)
+    # re-delivers batch 0 against a store that already holds the
+    # batch's own grams. The copy-to-a-new-path matches reality (a
+    # crash restarts in a fresh JVM) and sidesteps the live JVM's
+    # per-path commit-log cache; a FRESH checkpoint would instead be
+    # a NEW RUN, which since the epoch-namespaced keys ADDS to kept
+    # history — that behavior has its own test.
+    import os
+    import shutil
+
+    ck_replay = str(tmp_path / "ckpt1_replay")
+    shutil.copytree(str(tmp_path / "ckpt1"), ck_replay)
+    os.remove(os.path.join(ck_replay, "commits", "0"))
+    crc = os.path.join(ck_replay, "commits", ".0.crc")
+    if os.path.exists(crc):  # an orphaned checksum reads as a
+        os.remove(crc)  # concurrent modification to Spark's log
     replay: list = []
     q2 = run_streaming_span_gate(
         spark, stream(), state, collect_sink(replay),
-        str(tmp_path / "ckpt2"), min_len=4, overlap_frac=0.5,
+        ck_replay, min_len=4, overlap_frac=0.5,
     )
     q2.awaitTermination(240)
     assert {d: r["verdict"] for _, b in replay for d, r in b.items()} == {
@@ -1282,7 +1298,7 @@ def test_streaming_span_gate_replay_is_idempotent(spark, tmp_path):
     third: list = []
     q3 = run_streaming_span_gate(
         spark, stream(), state, collect_sink(third),
-        str(tmp_path / "ckpt2"), min_len=4, overlap_frac=0.5,
+        ck_replay, min_len=4, overlap_frac=0.5,
     )
     q3.awaitTermination(240)
     got9 = {d: r for _, b in third for d, r in b.items()}[9]
@@ -1810,6 +1826,87 @@ def test_self_compact_crash_windows_never_lose_state(spark, tmp_path):
     assert canon(tbl) == ref2
     assert not os.path.exists(f"{tbl}/p=1__old_deadbeef")
     assert _n_parquet_files(tbl) < files_before  # and it compacted
+
+
+def test_pair_graph_fold_replay_after_commit_is_idempotent(spark, tmp_path):
+    """r10 review: pair_graph_fold READS its own postings/sizes
+    stores, so a crash AFTER the commit but BEFORE the checkpoint
+    (sink) used to replay against a store already containing the
+    batch — doubled stored shingles inflated hot hits, duplicated
+    size rows multiplied pair rows, and the wrong pairs REPLACED the
+    correct ones under the deterministic key. The fold now deletes
+    its own key's files first; the replayed append tables must equal
+    a clean two-fold sequence exactly."""
+    from cherry_spark.streaming.continuous import pair_graph_fold
+
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps high"), (1, "a different doc here")],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(2, "the quick brown fox jumps low"), (3, "unrelated words only")],
+        schema,
+    )
+
+    def canon(path, tables=("postings", "sizes", "pairs")):
+        return {
+            t: sorted(
+                tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()
+            )
+            for t in tables
+        }
+
+    ref = str(tmp_path / "ref")
+    pair_graph_fold(spark, b0, ref, threshold=0.3, batch_key="b0").collect()
+    pair_graph_fold(spark, b1, ref, threshold=0.3, batch_key="b1").collect()
+
+    state = str(tmp_path / "crashed")
+    pair_graph_fold(spark, b0, state, threshold=0.3, batch_key="b0").collect()
+    # fold b1 commits fully, then the process "crashes" before the
+    # checkpoint — foreachBatch re-delivers batch 1
+    pair_graph_fold(spark, b1, state, threshold=0.3, batch_key="b1").collect()
+    pair_graph_fold(spark, b1, state, threshold=0.3, batch_key="b1").collect()
+    # the three append tables are exact; dfreq keeps the documented
+    # one-batch double-merge residual of the merge-table scheme
+    assert canon(state) == canon(ref)
+    assert len(canon(state)["pairs"]) > 0  # the scenario exercised pairs
+
+
+def test_fresh_checkpoint_run_preserves_prior_state(spark, tmp_path):
+    """r10 review: batch ids restart at 0 under a FRESH checkpoint
+    dir, and the delete-same-key commit would silently destroy the
+    old run's b0 history in a kept state dir. Keys are now namespaced
+    by the checkpoint's persisted query id, so a second run over the
+    same store ADDS to it."""
+    from pyspark.sql import functions as F
+    from cherry_spark.streaming.continuous import run_streaming_doc_store
+
+    schema = "doc_id long, text string"
+    transform = lambda df: df.select(  # noqa: E731
+        "doc_id", F.length("text").alias("n")
+    )
+    state = str(tmp_path / "store")
+
+    def run_once(tag, rows):
+        src = str(tmp_path / f"in_{tag}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = run_streaming_doc_store(
+            spark,
+            spark.readStream.schema(schema).parquet(src),
+            state,
+            transform,
+            lambda s, b: s.collect(),
+            str(tmp_path / f"ckpt_{tag}"),  # fresh checkpoint each run
+        )
+        q.awaitTermination(120)
+
+    run_once("one", [(0, "first run doc"), (1, "another first run doc")])
+    run_once("two", [(2, "second run doc")])
+    got = sorted(r["doc_id"] for r in spark.read.parquet(state).collect())
+    assert got == [0, 1, 2]  # run two added; run one's history intact
 
 
 def test_self_compact_preserves_replay_of_crashed_attempt(spark, tmp_path):

@@ -325,13 +325,11 @@ def probe_positional_index(sf_dir: str, n_arrivals: int = 10) -> None:
     (compact_every=8) is replicated, so the probe also demonstrates
     the file count staying bounded with no manual compaction.
     Exactness invariant: final posting count == n x one arrival's."""
-    from cherry_spark.ext.phrase import positional_postings
     from cherry_spark.session import get_spark
     from cherry_spark.sources.tables import load_table
     from cherry_spark.streaming.continuous import (
-        _commit_stores,
         _self_compact,
-        _stage_append,
+        positional_index_fold,
     )
     from cherry_spark.writers.compact import _n_parquet_files
 
@@ -354,9 +352,10 @@ def probe_positional_index(sf_dir: str, n_arrivals: int = 10) -> None:
         t0 = time.perf_counter()
         if i and i % 8 == 0:  # the runner's compact_every=8 hook
             _self_compact(spark, state, f"b{i}")
-        rows = positional_postings(batch).localCheckpoint(eager=True)
-        _commit_stores([_stage_append(rows, state, f"b{i}")])
-        n = rows.count()
+        (r,) = positional_index_fold(
+            spark, batch, state, batch_key=f"b{i}"
+        ).collect()
+        n = r["n_postings"]
         dt = time.perf_counter() - t0
         times.append(dt)
         counts.append(n)
@@ -551,11 +550,20 @@ def probe_count_store(sf_dir: str, n_arrivals: int = 10) -> None:
         print(f"arrival {i}: {r['n_keys']} keys in {dt:.1f}s")
     one = bigram_counts(docs)
     stored = spark.read.parquet(state)
+    # full-outer comparison: a missing key, an extra key, and a wrong
+    # count all contribute positively (a join-only check lets missing
+    # keys cancel against mismatches)
     bad = (
-        stored.join(one.withColumnRenamed("c2", "c_one"), ["prev", "cur"])
-        .filter(F.col("c2") != F.col("c_one") * n_arrivals)
+        stored.join(
+            one.withColumnRenamed("c2", "c_one"), ["prev", "cur"], "full"
+        )
+        .filter(
+            F.col("c2").isNull()
+            | F.col("c_one").isNull()
+            | (F.col("c2") != F.col("c_one") * n_arrivals)
+        )
         .count()
-    ) + stored.count() - one.count()
+    )
     print(
         f"[count_store] per-batch seconds: {[round(t, 1) for t in times]}; "
         f"stored keys per fold: {key_counts} (bounded — identical after "
