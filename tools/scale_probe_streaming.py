@@ -572,6 +572,93 @@ def probe_count_store(sf_dir: str, n_arrivals: int = 10) -> None:
     )
 
 
+def probe_trained_gate(sf_dir: str, n_arrivals: int = 10) -> None:
+    """run_streaming_trained_gate's fold (trained_gate_fold, the exact
+    production body), serial-timed: n arrivals of the full sf
+    documents table with shifted ids, refit_every=4 (refits at folds
+    0, 4, 8) with the certified hyperparameters (256 buckets, 8 GD
+    rounds). The 100 TB cost shape this demonstrates: SCORE folds are
+    batch-linear (one broadcast model join) and must stay FLAT; REFIT
+    folds pay one tokenize pass over the labeled corpus so far — the
+    corpus-version cost, growing linearly by design and paid only at
+    boundaries.
+
+    Exactness invariant (independent derivation): the fixed-point
+    trainer is invariant under exact k-fold corpus replication (init
+    ysum/tcnt, per-doc residuals, gradient sums, and the div
+    denominators all scale together), so the fold-8 refit — trained
+    on 9 identical replicas — must be BIT-identical to training on
+    ONE arrival."""
+    from cherry_spark.ext.train import train_hashed_classifier
+    from cherry_spark.queries.curation import _density_label_col
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import trained_gate_fold
+
+    work = "/tmp/cherry_probe_trained_gate"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    state = f"{work}/model"
+
+    spark = get_spark("trained_gate_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    label = _density_label_col()
+    offset = 1_000_000
+    times, kept = [], []
+    for i in range(n_arrivals):
+        batch = docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        out = trained_gate_fold(
+            spark,
+            batch,
+            state,
+            label,
+            i,
+            refit_every=4,
+            n_buckets=256,
+            n_iters=8,
+            lr_inv=1,
+            batch_key=f"b{i}",
+        )
+        (r,) = (
+            out.agg(
+                F.sum("keep").alias("k"), F.max("model_version").alias("v")
+            ).collect()
+        )
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        kept.append(int(r["k"]))
+        tag = "REFIT" if i % 4 == 0 else "score"
+        print(f"arrival {i} ({tag}, model v{r['v']}): kept {r['k']} in {dt:.1f}s")
+    stored = {
+        w["bucket"]: w["w"]
+        for w in spark.read.parquet(f"{state}/weights").collect()
+    }
+    one = docs.withColumn("__l", label.cast("long"))
+    expect = {
+        w["bucket"]: w["w"]
+        for w in train_hashed_classifier(
+            one, "__l", n_buckets=256, n_iters=8, lr_inv=1
+        ).collect()
+    }
+    score_folds = [round(t, 1) for i, t in enumerate(times) if i % 4]
+    refit_folds = [round(t, 1) for i, t in enumerate(times) if i % 4 == 0]
+    print(
+        f"[trained_gate] score-fold seconds: {score_folds} (FLAT — "
+        f"broadcast model join, batch-linear); refit-fold seconds: "
+        f"{refit_folds} (corpus-version cost, linear in labeled corpus "
+        f"by design); kept per fold: {kept} (constant — clone arrivals, "
+        f"same model between boundaries); fold-8 weights (9 replicas) "
+        f"== one-arrival training: "
+        f"{'OK' if stored == expect else 'MISMATCH'}"
+    )
+
+
 if __name__ == "__main__":
     _MODES = {
         "bm25_index": probe_bm25_index,
@@ -581,6 +668,7 @@ if __name__ == "__main__":
         "ivf_index": probe_ivf_index,
         "doc_store": probe_doc_store,
         "count_store": probe_count_store,
+        "trained_gate": probe_trained_gate,
     }
     _mode = next((a for a in sys.argv[1:] if a in _MODES), None)
     # sf_dir = first positional arg that is NOT a mode name, so both
