@@ -1279,12 +1279,10 @@ def run_streaming_span_gate(
         span_overlap_verdicts,
     )
 
-    epoch: list[str] = []
+    key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not epoch:
-            epoch.append(_run_epoch(checkpoint_dir))
-        key = f"{epoch[0]}-b{int(batch_id)}"
+        key = key_of(batch_id)
         if compact_every and batch_id and batch_id % compact_every == 0:
             _self_compact(spark, state_dir, key, compact_target_bytes)
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -1388,18 +1386,17 @@ def run_streaming_bm25_index(
     ids (the ingestion contract — dedup gates run upstream).
     Crash-replay: tf/dl commit under deterministic per-batch names in
     the same :func:`_commit_stores` transaction as the merge swaps
-    (r10) — replay replaces rather than duplicates them; the
-    dfreq/stats merge tables keep the documented one-batch-in-one-
-    table residual.  Every ``compact_every`` folds the maintainer
+    (r10) — replay replaces rather than duplicates them — and the
+    dfreq/stats merge swaps carry per-table ``_merge_key`` markers,
+    so a replayed fold never double-merges either table (exactly-once
+    at every crash point).  Every ``compact_every`` folds the maintainer
     self-compacts its state at fold START via :func:`_self_compact`
     (r10) — set ``compact_every=0`` to opt out."""
 
-    epoch: list[str] = []
+    key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not epoch:
-            epoch.append(_run_epoch(checkpoint_dir))
-        key = f"{epoch[0]}-b{int(batch_id)}"
+        key = key_of(batch_id)
         if compact_every and batch_id and batch_id % compact_every == 0:
             _self_compact(spark, state_dir, key, compact_target_bytes)
         sink(
@@ -1422,7 +1419,9 @@ def run_streaming_bm25_index(
     return writer.start()
 
 
-def _overwrite_store(df: DataFrame, path: str) -> None:
+def _overwrite_store(
+    df: DataFrame, path: str, merge_key: str | None = None
+) -> None:
     """Crash-safe overwrite of a merge-table store: write the new
     version to a temp sibling FIRST, then swap via two renames — the
     only copy of accumulated state is never deleted before its
@@ -1436,20 +1435,48 @@ def _overwrite_store(df: DataFrame, path: str) -> None:
     start) repairs the one torn state a crash between them can leave —
     the pre-fold dir parked under ``__old``, which is exactly the
     state a replayed batch wants to merge into.  A crash AFTER the
-    swap double-merges the replayed batch — the documented sink-replay
-    caveat shared by all merge-table maintainers; production pairs the
-    store with a log-structured table format or idempotent writer."""
-    _commit_stores([_stage_store(df, path)])
+    swap double-merges the replayed batch UNLESS the caller records a
+    ``merge_key`` — with it, a replayed fold sees its own key in the
+    committed store and skips the re-merge (see :func:`_stage_store`),
+    making the merge-table maintainers exactly-once under replay."""
+    _commit_stores([_stage_store(df, path, merge_key=merge_key)])
 
 
-def _stage_store(df: DataFrame, path: str) -> tuple:
+def _stage_store(df: DataFrame, path: str, merge_key: str | None = None) -> tuple:
     """Phase 1 of the crash-safe swap: fully write the replacement to
-    a temp sibling. Returns a staged entry for :func:`_commit_stores`."""
+    a temp sibling. Returns a staged entry for :func:`_commit_stores`.
+
+    ``merge_key`` (r10 review): for MERGE tables, record the batch key
+    in a ``_merge_key`` sidecar INSIDE the staged dir — it rides the
+    same atomic rename as the data (and is invisible to parquet
+    readers: underscore-prefixed files are ignored), so a replayed
+    fold can detect that the stored table ALREADY absorbed its batch
+    and skip the re-merge.  This retires the old 'one batch's counts
+    in one merge table' replay residual: each merge table
+    independently knows whether it counted the batch, so a crash at
+    ANY point between multi-table swaps replays to exactly-once."""
+    import os
     import uuid
 
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
+    if merge_key is not None:
+        with open(os.path.join(tmp, "_merge_key"), "w") as fh:
+            fh.write(merge_key)
     return ("swap", tmp, path)
+
+
+def _merge_key_of(path: str) -> str | None:
+    """The ``_merge_key`` recorded by the last committed swap of the
+    merge table at ``path`` (None: no marker — pre-r10 store, ingest
+    build, or a compaction that predates marker preservation)."""
+    import os
+
+    try:
+        with open(os.path.join(path, "_merge_key")) as fh:
+            return fh.read()
+    except OSError:
+        return None
 
 
 def _stage_append(df: DataFrame, path: str, key: str) -> tuple:
@@ -1474,17 +1501,13 @@ def _stage_append(df: DataFrame, path: str, key: str) -> tuple:
 
 
 def _commit_append(tmp: str, path: str, key: str) -> None:
-    import glob
     import os
     import shutil
 
     os.makedirs(path, exist_ok=True)
     # drop a crashed previous attempt's files for this key (recursive:
     # hive-partitioned tables keep per-partition subdirs)
-    for f in glob.glob(
-        os.path.join(path, "**", f"{key}-*.parquet"), recursive=True
-    ):
-        os.remove(f)
+    _drop_batch_files(path, key)
     moved = 0
     for root, _dirs, files in os.walk(tmp):
         rel = os.path.relpath(root, tmp)
@@ -1510,14 +1533,15 @@ def _commit_stores(staged: list[tuple]) -> None:
     Append-staged tables (:func:`_stage_append`) commit by moving
     part files to deterministic per-batch names — idempotent under
     replay at ANY crash point, so they carry no residual at all.
-    RESIDUAL for the swap tables (honest bound, review r9): a crash
-    exactly between two MERGE tables' rename pairs leaves the earlier
-    table post-fold and the later pre-fold; on replay the earlier
-    table double-merges that one batch while the later counts it
-    once. That bounds the damage to one batch's counts in one merge
-    table (vs total state loss before the swap scheme); full
-    multi-table atomicity needs a commit marker or a log-structured
-    table format — the documented production posture."""
+    Merge (swap) tables staged WITH a ``merge_key`` are likewise
+    exactly-once (r10, retiring the r9 'one batch's counts in one
+    merge table' residual): the key rides the swapped dir itself, so
+    after a crash between two merge tables' rename pairs the replay
+    finds its own key in the earlier table (reads it as-is, no
+    double-merge) and not in the later (merges normally) — per-table
+    commit markers, without a log-structured format.  Swaps staged
+    WITHOUT a merge_key (bootstrap centroid/vector/spent stores of
+    the curation gate) keep the documented sink-replay caveat."""
     import os
     import shutil
     import uuid
@@ -1590,13 +1614,41 @@ def _run_epoch(checkpoint_dir: str) -> str:
     import json
     import os
 
+    meta = os.path.join(checkpoint_dir, "metadata")
+    if meta.startswith("file:"):
+        meta = meta[len("file:"):]
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+        with open(meta) as fh:
             qid = str(json.load(fh).get("id", ""))
     except (OSError, ValueError):
         qid = ""
     tok = "".join(c for c in qid if c in "0123456789abcdef")[:8]
-    return tok or "run0"
+    if not tok:
+        # metadata not locally readable (remote checkpoint scheme):
+        # fall back to a hash of the checkpoint PATH — stable across
+        # restarts of the same checkpoint, distinct across different
+        # checkpoint dirs. Never a shared constant: that would
+        # silently reinstate the cross-run key collision.
+        import hashlib
+
+        tok = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    return tok
+
+
+def _epoch_keyer(checkpoint_dir: str):
+    """Per-runner batch-key factory: memoizes :func:`_run_epoch` (the
+    checkpoint metadata exists once the query has started, i.e. by
+    the first foreachBatch call) and formats the namespaced key.  The
+    runners MUST build keys through this — a bare ``b{batch_id}`` key
+    reintroduces the fresh-checkpoint history-destruction bug."""
+    box: list[str] = []
+
+    def key_of(batch_id: int) -> str:
+        if not box:
+            box.append(_run_epoch(checkpoint_dir))
+        return f"{box[0]}-b{int(batch_id)}"
+
+    return key_of
 
 
 def _self_compact(
@@ -1689,21 +1741,38 @@ def bm25_index_fold(
     _recover_store(f"{state_dir}/dfreq")
     _recover_store(f"{state_dir}/stats")
     have = os.path.exists(f"{state_dir}/stats/_SUCCESS")
+    # per-table replay detection (r10 review): a table whose committed
+    # _merge_key equals this batch's key ALREADY absorbed the batch in
+    # a crashed attempt — read it as-is and skip both the re-merge and
+    # the rewrite. Each merge table decides independently, so a crash
+    # between the two swaps still replays to exactly-once in both.
+    dfreq_done = batch_key is not None and (
+        _merge_key_of(f"{state_dir}/dfreq") == batch_key
+    )
+    stats_done = batch_key is not None and (
+        _merge_key_of(f"{state_dir}/stats") == batch_key
+    )
     if have:
-        old_df = spark.read.parquet(f"{state_dir}/dfreq")
-        dfreq = (
-            old_df.unionByName(dfreq)
-            .groupBy("term")
-            .agg(F.sum("df").cast("long").alias("df"))
-        )
-        old_st = spark.read.parquet(f"{state_dir}/stats")
-        stats = (
-            old_st.unionByName(stats)
-            .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("total_len").cast("long").alias("total_len"),
+        if dfreq_done:
+            dfreq = spark.read.parquet(f"{state_dir}/dfreq")
+        else:
+            old_df = spark.read.parquet(f"{state_dir}/dfreq")
+            dfreq = (
+                old_df.unionByName(dfreq)
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
             )
-        )
+        if stats_done:
+            stats = spark.read.parquet(f"{state_dir}/stats")
+        else:
+            old_st = spark.read.parquet(f"{state_dir}/stats")
+            stats = (
+                old_st.unionByName(stats)
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_len").cast("long").alias("total_len"),
+                )
+            )
     # stats is consumed AFTER the swap (returned to the sink) — keep it
     # materialized; dfreq is referenced once by its staging write, which
     # reads the OLD canonical dir and writes a temp sibling (no
@@ -1718,14 +1787,17 @@ def bm25_index_fold(
             _stage_append(tf, f"{state_dir}/tf", batch_key),
             _stage_append(dl, f"{state_dir}/dl", batch_key),
         ]
+    swaps = []
+    if not dfreq_done:
+        swaps.append(
+            _stage_store(dfreq, f"{state_dir}/dfreq", merge_key=batch_key)
+        )
+    if not stats_done:
+        swaps.append(
+            _stage_store(stats, f"{state_dir}/stats", merge_key=batch_key)
+        )
     # everything fully written before any canonical dir changes
-    _commit_stores(
-        appends
-        + [
-            _stage_store(dfreq, f"{state_dir}/dfreq"),
-            _stage_store(stats, f"{state_dir}/stats"),
-        ]
-    )
+    _commit_stores(appends + swaps)
     return stats
 
 
@@ -1761,12 +1833,10 @@ def run_streaming_positional_index(
     upstream); same crash-replay caveat as the sibling maintainers.
     Self-compacts every ``compact_every`` folds (r10; 0 = off).
     """
-    epoch: list[str] = []
+    key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not epoch:
-            epoch.append(_run_epoch(checkpoint_dir))
-        key = f"{epoch[0]}-b{int(batch_id)}"
+        key = key_of(batch_id)
         if compact_every and batch_id and batch_id % compact_every == 0:
             _self_compact(spark, state_dir, key, compact_target_bytes)
         sink(
@@ -1865,12 +1935,10 @@ def run_streaming_pair_graph(
     ids; same crash-replay caveat as the sibling maintainers.
     Self-compacts every ``compact_every`` folds (r10; 0 = off).
     """
-    epoch: list[str] = []
+    key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not epoch:
-            epoch.append(_run_epoch(checkpoint_dir))
-        key = f"{epoch[0]}-b{int(batch_id)}"
+        key = key_of(batch_id)
         if compact_every and batch_id and batch_id % compact_every == 0:
             _self_compact(spark, state_dir, key, compact_target_bytes)
         summary = pair_graph_fold(
@@ -1916,7 +1984,10 @@ def pair_graph_fold(
     would double every batch doc's stored shingles (inflating hot_hits
     and collapsing n_sh) and duplicate its size rows — the replay must
     see exactly the pre-batch store (r10 review).  The dfreq merge
-    table keeps the documented one-batch replay residual."""
+    swap carries a ``_merge_key`` marker: a replay that finds its own
+    key reads the already-merged dfreq as-is, reproducing the SAME
+    capped profile the crashed attempt used — exactly-once here
+    too."""
     import os
 
     from cherry_spark.ext.dedup import shingle_postings
@@ -1937,13 +2008,25 @@ def pair_graph_fold(
     )
     _recover_store(f"{state_dir}/dfreq")
     have = os.path.exists(f"{state_dir}/dfreq/_SUCCESS")
+    # replay detection (r10 review): if the committed dfreq already
+    # carries this batch's key, the crashed attempt merged it — read
+    # as-is so the replay reproduces the SAME capped profile (a
+    # re-merge would double the batch's dfs, potentially flipping
+    # shingles across the hot cap and committing DIFFERENT pairs
+    # under the same key than the attempt did)
+    dfreq_done = batch_key is not None and (
+        _merge_key_of(f"{state_dir}/dfreq") == batch_key
+    )
     if have:
-        old = spark.read.parquet(f"{state_dir}/dfreq")
-        dfreq = (
-            old.unionByName(bdfreq)
-            .groupBy("shingle")
-            .agg(F.sum("df").cast("long").alias("df"))
-        )
+        if dfreq_done:
+            dfreq = spark.read.parquet(f"{state_dir}/dfreq")
+        else:
+            old = spark.read.parquet(f"{state_dir}/dfreq")
+            dfreq = (
+                old.unionByName(bdfreq)
+                .groupBy("shingle")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
     else:
         dfreq = bdfreq
     dfreq = dfreq.localCheckpoint(eager=True)
@@ -2021,8 +2104,16 @@ def pair_graph_fold(
                 _stage_append(bpost, f"{state_dir}/postings", batch_key),
                 _stage_append(bsizes, f"{state_dir}/sizes", batch_key),
                 _stage_append(pairs, f"{state_dir}/pairs", batch_key),
-                _stage_store(dfreq, f"{state_dir}/dfreq"),
             ]
+            + (
+                []  # dfreq already post-batch: no rewrite on replay
+                if dfreq_done
+                else [
+                    _stage_store(
+                        dfreq, f"{state_dir}/dfreq", merge_key=batch_key
+                    )
+                ]
+            )
         )
     summary = bpost.select("id").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
@@ -2111,12 +2202,10 @@ def run_streaming_ivf_index(
     maintainers.
     """
 
-    epoch: list[str] = []
+    key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not epoch:
-            epoch.append(_run_epoch(checkpoint_dir))
-        key = f"{epoch[0]}-b{int(batch_id)}"
+        key = key_of(batch_id)
         if compact_every and batch_id and batch_id % compact_every == 0:
             _self_compact(spark, index_dir, key, compact_target_bytes)
         sink(
@@ -2192,12 +2281,10 @@ def run_streaming_doc_store(
     crash-replay caveat as the siblings.
     """
 
-    epoch: list[str] = []
+    key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not epoch:
-            epoch.append(_run_epoch(checkpoint_dir))
-        key = f"{epoch[0]}-b{int(batch_id)}"
+        key = key_of(batch_id)
         if compact_every and batch_id and batch_id % compact_every == 0:
             _self_compact(spark, state_dir, key, compact_target_bytes)
         sink(
@@ -2225,16 +2312,22 @@ def count_store_fold(
     state_dir: str,
     transform,
     key_cols: list[str],
+    batch_key: str | None = None,
 ) -> DataFrame:
     """One :func:`run_streaming_count_store` fold: merge
     ``transform(batch_df)`` into the store by summing every non-key
     column per key. Returns the 1-row (n_keys) summary of the merged
-    store."""
+    store.  ``batch_key`` (r10 review): with it the merge is
+    replay-idempotent — a store whose committed ``_merge_key`` equals
+    the key already absorbed the batch and is served as-is."""
     import os
 
+    _recover_store(state_dir)
+    if batch_key is not None and _merge_key_of(state_dir) == batch_key:
+        merged = spark.read.parquet(state_dir)
+        return merged.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     new = transform(batch_df)
     val_cols = [c for c in new.columns if c not in key_cols]
-    _recover_store(state_dir)
     if os.path.exists(f"{state_dir}/_SUCCESS"):
         new = spark.read.parquet(state_dir).unionByName(new)
     merged = new.groupBy(*key_cols).agg(
@@ -2242,7 +2335,7 @@ def count_store_fold(
     )
     # materialize the merge BEFORE overwriting its own input
     merged = merged.localCheckpoint(eager=True)
-    _overwrite_store(merged, state_dir)
+    _overwrite_store(merged, state_dir, merge_key=batch_key)
     return merged.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
 
 
@@ -2275,9 +2368,18 @@ def run_streaming_count_store(
     sibling maintainers.
     """
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         sink(
-            count_store_fold(spark, batch_df, state_dir, transform, key_cols),
+            count_store_fold(
+                spark,
+                batch_df,
+                state_dir,
+                transform,
+                key_cols,
+                batch_key=key_of(batch_id),
+            ),
             batch_id,
         )
 
@@ -2480,12 +2582,10 @@ def run_streaming_trained_gate(
     (r10; 0 = off; the weights table is a single swap and never
     fragments)."""
 
-    epoch: list[str] = []
+    key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not epoch:
-            epoch.append(_run_epoch(checkpoint_dir))
-        key = f"{epoch[0]}-b{int(batch_id)}"
+        key = key_of(batch_id)
         if compact_every and batch_id and batch_id % compact_every == 0:
             _self_compact(spark, state_dir, key, compact_target_bytes)
         sink(

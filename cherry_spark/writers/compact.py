@@ -140,6 +140,12 @@ def compact_dataset(
         n_rows = df.count()
         tmp = f"{tdir}__compact_{uuid.uuid4().hex[:8]}"
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        # a merge table's replay marker (streaming/continuous.py
+        # _merge_key sidecar) must survive the rewrite: losing it
+        # would let an in-flight batch's replay double-merge
+        mk = os.path.join(tdir, "_merge_key")
+        if os.path.exists(mk):
+            shutil.copy(mk, os.path.join(tmp, "_merge_key"))
         check = spark.read.parquet(tmp)
         if check.count() != n_rows:  # pragma: no cover - safety net
             shutil.rmtree(tmp, ignore_errors=True)

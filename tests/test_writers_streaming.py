@@ -1445,6 +1445,51 @@ def test_bm25_fold_replay_never_duplicates_tf_dl(spark, tmp_path):
     bm25_index_fold(spark, b1, state, batch_key="b1")
     assert canon(state) == ref
 
+    # full-commit replay (crash AFTER the whole commit, before the
+    # checkpoint): the merge tables' _merge_key markers stop the
+    # dfreq/stats double-merge — the r9 'one batch in one merge
+    # table' residual is gone (r10 review)
+    bm25_index_fold(spark, b1, state, batch_key="b1")
+    assert canon(state) == ref
+
+
+def test_count_store_fold_replay_never_double_merges(spark, tmp_path):
+    """r10 review: the additive count store is a single merge swap —
+    with a batch key, a replayed fold finds its own _merge_key in the
+    committed store and serves it as-is instead of re-adding the
+    batch's counts."""
+    from cherry_spark.ext.quality import bigram_counts
+    from cherry_spark.streaming.continuous import count_store_fold
+
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(0, "a b a b c")], schema)
+    b1 = spark.createDataFrame([(1, "a b x y")], schema)
+    canon = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(p).collect()
+    )
+
+    ref = str(tmp_path / "ref")
+    count_store_fold(
+        spark, b0, ref, bigram_counts, ["prev", "cur"], batch_key="b0"
+    ).collect()
+    count_store_fold(
+        spark, b1, ref, bigram_counts, ["prev", "cur"], batch_key="b1"
+    ).collect()
+
+    state = str(tmp_path / "crashed")
+    count_store_fold(
+        spark, b0, state, bigram_counts, ["prev", "cur"], batch_key="b0"
+    ).collect()
+    count_store_fold(
+        spark, b1, state, bigram_counts, ["prev", "cur"], batch_key="b1"
+    ).collect()
+    # crash after commit, before checkpoint -> replay of batch 1
+    (r,) = count_store_fold(
+        spark, b1, state, bigram_counts, ["prev", "cur"], batch_key="b1"
+    ).collect()
+    assert canon(state) == canon(ref)
+    assert r["n_keys"] == len(canon(ref))  # summary still correct
+
 
 def test_streaming_positional_index_equals_from_scratch(spark, tmp_path):
     """Streaming positional-index maintainer (r9): after every fold
@@ -1849,7 +1894,7 @@ def test_pair_graph_fold_replay_after_commit_is_idempotent(spark, tmp_path):
         schema,
     )
 
-    def canon(path, tables=("postings", "sizes", "pairs")):
+    def canon(path, tables=("postings", "sizes", "pairs", "dfreq")):
         return {
             t: sorted(
                 tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()
@@ -1867,8 +1912,9 @@ def test_pair_graph_fold_replay_after_commit_is_idempotent(spark, tmp_path):
     # checkpoint — foreachBatch re-delivers batch 1
     pair_graph_fold(spark, b1, state, threshold=0.3, batch_key="b1").collect()
     pair_graph_fold(spark, b1, state, threshold=0.3, batch_key="b1").collect()
-    # the three append tables are exact; dfreq keeps the documented
-    # one-batch double-merge residual of the merge-table scheme
+    # ALL four tables exact — the appends replace their own attempt,
+    # and the dfreq merge swap's _merge_key marker stops the replay
+    # from double-merging (no residual left in this maintainer)
     assert canon(state) == canon(ref)
     assert len(canon(state)["pairs"]) > 0  # the scenario exercised pairs
 
