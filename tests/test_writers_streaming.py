@@ -584,15 +584,22 @@ def test_compact_dataset_mixed_lanes(spark, tmp_path):
 
 
 def test_compact_dataset_unpartitioned(spark, tmp_path):
+    import os
+
     from cherry_spark.writers.compact import compact_dataset
 
     path = str(tmp_path / "flat")
     for b in range(10):
         spark.range(b * 50, b * 50 + 50).coalesce(1).write.mode("append").parquet(path)
+    # a merge table's replay marker must survive the rewrite (r10)
+    with open(os.path.join(path, "_merge_key"), "w") as fh:
+        fh.write("e1-b7")
     rows = spark.read.parquet(path).count()
     stats = compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
     assert stats["files_after"] == 1
     assert spark.read.parquet(path).count() == rows
+    with open(os.path.join(path, "_merge_key")) as fh:
+        assert fh.read() == "e1-b7"
 
 
 def test_streaming_rollup_matches_batch_groupby(spark, tmp_path):
@@ -1451,6 +1458,48 @@ def test_bm25_fold_replay_never_duplicates_tf_dl(spark, tmp_path):
     # table' residual is gone (r10 review)
     bm25_index_fold(spark, b1, state, batch_key="b1")
     assert canon(state) == ref
+
+
+def test_self_compact_preserves_merge_marker_for_replay(spark, tmp_path):
+    """r10: the worst-case interaction — a boundary fold commits
+    fully, crashes before its checkpoint, and the REPLAY's fold-start
+    self-compaction rewrites the merge tables. The _merge_key sidecar
+    must survive the compaction rewrite so the replayed fold still
+    skips the double-merge; the whole four-table store must equal a
+    clean fold sequence."""
+    from cherry_spark.streaming.continuous import (
+        _self_compact,
+        bm25_index_fold,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        spark.createDataFrame([(10 * i, f"spark engine doc {i}")], schema)
+        for i in range(3)
+    ]
+
+    def canon(path):
+        return {
+            t: sorted(
+                tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()
+            )
+            for t in ("tf", "dl", "dfreq", "stats")
+        }
+
+    ref = str(tmp_path / "ref")
+    for i, b in enumerate(batches):
+        bm25_index_fold(spark, b, ref, batch_key=f"b{i}")
+
+    state = str(tmp_path / "crashed")
+    for i, b in enumerate(batches):
+        bm25_index_fold(spark, b, state, batch_key=f"b{i}")
+    # crash after b2's full commit; the replay is a compaction
+    # boundary, so its hook runs FIRST (dropping b2's appends,
+    # compacting the merge tables — the marker must survive), then
+    # the fold replays
+    _self_compact(spark, state, "b2")
+    bm25_index_fold(spark, batches[2], state, batch_key="b2")
+    assert canon(state) == canon(ref)
 
 
 def test_count_store_fold_replay_never_double_merges(spark, tmp_path):
