@@ -416,11 +416,22 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors whose bucket matches the
     query's bucket. Recall is tunable via n_planes (fewer planes →
-    bigger buckets → higher recall, more compute)."""
-    bucketed = vectors.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    bigger buckets → higher recall, more compute).
+
+    ``bucketed``: a stored ``(id_col, vec_col, __bucket)`` table (the
+    dedup-family ``signatures=`` seam) — corpus bucket signatures are
+    corpus-static state, so serving from a prebuilt store skips the
+    per-run n_planes × dim fold over every corpus row; the query side
+    (tiny, broadcast) is always bucketed in-flight.  Bucketing is
+    deterministic given (dim, n_planes), so stored ≡ inline."""
+    if bucketed is None:
+        bucketed = vectors.withColumn(
+            "__bucket", lsh_bucket(F.col(vec_col), dim, n_planes)
+        )
     q = F.broadcast(
         query.select(
             F.col(query_id_col).alias("__qid"),

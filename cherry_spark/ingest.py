@@ -70,6 +70,7 @@ def _builders() -> dict[str, tuple[str, Callable[[SparkSession, str], str]]]:
         "bigram_model": ("documents", bigram_store),
         "trained_weights": ("documents", _trained_weights_store),
         "ivf_index": ("embeddings", ext._ensure_ivf_index),
+        "lsh_buckets": ("embeddings", ext._ensure_lsh_buckets),
     }
 
 

@@ -591,6 +591,39 @@ def test_lsh_bucket_deterministic(spark, sf_dir):
     assert {r["vec_id"]: r["b"] for r in b1} == {r["vec_id"]: r["b"] for r in b2}
 
 
+def test_lsh_bucket_store_serves_identical(spark, sf_dir):
+    """ann_lsh_topk serves corpus buckets from a fingerprinted store
+    (r10): bucketing is deterministic, so store-served search results
+    equal the inline build exactly, and a second serve never
+    rebuilds."""
+    import os
+
+    from cherry_spark.ext.similarity import lsh_bucket_topk
+    from cherry_spark.queries.extensions import _ensure_lsh_buckets
+    from cherry_spark.sources.tables import load_table
+
+    store = _ensure_lsh_buckets(spark, sf_dir)
+    marker = os.path.getmtime(f"{store}/_SUCCESS")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    served = canon(
+        lsh_bucket_topk(
+            None,
+            qdf,
+            dim=64,
+            k=5,
+            n_planes=8,
+            bucketed=spark.read.parquet(store),
+        )
+    )
+    inline = canon(lsh_bucket_topk(emb, qdf, dim=64, k=5, n_planes=8))
+    assert served == inline and len(served) > 0
+    assert os.path.getmtime(f"{store}/_SUCCESS") == marker  # no rebuild
+
+
 def test_connected_components_chain_and_island(spark):
     from cherry_spark.ext.dedup import connected_components
 
