@@ -559,9 +559,16 @@ def run_streaming_curation_gate(
 
     State layout under ``state_dir``: ``text/`` (id, text),
     ``text_sigs/`` (minhash signatures), ``vecs/`` (id, vector,
-    centroid_id), ``centroids/``, ``spent/`` (one row). Same replay
-    caveat as the single gates: a replayed batch after a crash
-    re-appends its admissions — pair with an idempotent writer.
+    centroid_id), ``centroids/``, ``spent/`` (one row).
+    Crash-replay (r10): the STORES are exactly-once — admissions
+    commit under per-batch keys (a replayed fold replaces its crashed
+    attempt), the batch's own rows are dropped/anti-joined out of the
+    judging side so replay sees the pre-batch corpus, and the spent
+    counter carries (spent, prev) + a merge key so a replay re-judges
+    under the budget the attempt started from.  The SINK keeps
+    standard foreachBatch at-least-once delivery; after a reseed-
+    boundary crash the replay's verdicts may legitimately differ
+    (centroids moved) and the stores follow the delivered verdicts.
     """
     import os
 
@@ -601,13 +608,24 @@ def run_streaming_curation_gate(
             F.col("id").alias("test_id"), "shingle"
         ).write.mode("overwrite").parquet(eval_dir)
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = key_of(batch_id)
         batch_df = batch_df.localCheckpoint(eager=True)
         # repair any torn swap from a crash mid-_overwrite_store — the
         # swapped stores here are centroids, the assigned vector
-        # corpus, and the spent counter (appends recover by replay)
+        # corpus, and the spent counter
         for _swapped in (cent_dir, vec_dir, spent_dir):
             _recover_store(_swapped)
+        # crash-replay discipline (r10): drop this batch's own keyed
+        # appends from a crashed attempt so the gates judge against
+        # exactly the pre-batch corpus (sigs/text/vecs are committed
+        # under per-batch keys below; after a RESEED rewrote the vec
+        # store the batch rows are anonymous — the semantic gate's
+        # anti-join and the vec store's merge marker cover that case)
+        for _appended in (sig_dir, text_dir, vec_dir):
+            _drop_batch_files(_appended, key)
 
         # 0. decontamination gate — rejected docs never reach the
         # signing/dedup/budget stages and never touch a store
@@ -683,6 +701,18 @@ def run_streaming_curation_gate(
                 .withColumn("centroid_id", F.lit(0))
                 .limit(0)
             )
+        else:
+            # judge against the store MINUS this batch's own ids (the
+            # span-gate discipline): after a crashed attempt whose
+            # RESEED baked the batch into the rewritten store, the
+            # keyed-file drop above cannot restore the pre-batch view
+            # — this anti-join can (no-op on a first delivery under
+            # the unseen-ids contract)
+            vecs = vecs.join(
+                batch_df.select(F.col(id_col).alias("vec_id")).distinct(),
+                "vec_id",
+                "left_anti",
+            )
         sem = semantic_delta_dedup(
             vecs,
             lex_ok.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
@@ -697,9 +727,19 @@ def run_streaming_curation_gate(
             "left_semi",
         )
 
-        # 3. budget gate against the remaining global budget
-        spent_row = store(spent_dir, "spent long")
-        spent = int(spent_row.first()["spent"]) if spent_row is not None else 0
+        # 3. budget gate against the remaining global budget. The
+        # spent store carries (spent, prev) + a _merge_key: a replayed
+        # batch that finds its own key starts from PREV — the crashed
+        # attempt's own tokens must not shrink the budget it re-judges
+        # under (double-counting permanently stole budget, r10)
+        spent_row = store(spent_dir, "spent long, prev long")
+        if spent_row is not None:
+            r0 = spent_row.first()
+            committed = int(r0["spent"])
+            prev = int(r0["prev"]) if r0["prev"] is not None else committed
+        else:
+            committed, prev = 0, 0
+        spent = prev if _merge_key_of(spent_dir) == key else committed
         admitted = budget_select(
             sem_ok,
             budget=max(budget - spent, 0),
@@ -742,25 +782,54 @@ def run_streaming_curation_gate(
         # fold admissions into the stores for the NEXT batch
         adm_ids = verdicts.filter(F.col("verdict") == "admitted").select(id_col)
         adm = batch_df.join(adm_ids, id_col, "left_semi").localCheckpoint(eager=True)
-        batch_sigs.join(
-            adm_ids.select(F.col(id_col).alias("id")), "id", "left_semi"
-        ).write.mode("append").parquet(sig_dir)
-        adm.select(F.col(id_col), F.col(text_col)).write.mode("append").parquet(
-            text_dir
-        )
         adm_vecs = adm.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
-        ivf_assign(adm_vecs, cents, id_col="vec_id", vec_col=vec_col).join(
-            adm_vecs, "vec_id"
-        ).select("vec_id", vec_col, "centroid_id").write.mode("append").parquet(
-            vec_dir
+        adm_assigned = (
+            ivf_assign(adm_vecs, cents, id_col="vec_id", vec_col=vec_col)
+            .join(adm_vecs, "vec_id")
+            .select("vec_id", vec_col, "centroid_id")
         )
+        # keyed, transactional store folds (r10): a replayed fold
+        # REPLACES its crashed attempt's rows instead of duplicating
+        # them — signatures before text, centroids before vectors (the
+        # established crash-ordering) preserved by the commit order
+        staged = [
+            _stage_append(
+                batch_sigs.join(
+                    adm_ids.select(F.col(id_col).alias("id")),
+                    "id",
+                    "left_semi",
+                ),
+                sig_dir,
+                key,
+            ),
+            _stage_append(adm.select(F.col(id_col), F.col(text_col)), text_dir, key),
+        ]
+        if _merge_key_of(vec_dir) == key:
+            # a crashed attempt's RESEED baked its admissions into the
+            # rewritten store anonymously; the stores must follow THIS
+            # delivery's verdicts (they can differ once centroids
+            # moved), so rebuild = pre-batch view + these admissions
+            staged.append(
+                _stage_store(
+                    vecs.unionByName(adm_assigned),
+                    vec_dir,
+                    merge_key=key,
+                )
+            )
+        else:
+            staged.append(_stage_append(adm_assigned, vec_dir, key))
+        _commit_stores(staged)
         new_spent = verdicts.agg(F.max("cum_tokens")).first()[0]
         if new_spent is not None:
             # crash-safe: a torn plain overwrite reset spent to 0 and
-            # the gate over-admitted past the global budget
+            # the gate over-admitted past the global budget; (spent,
+            # prev) + the merge key make the write replay-idempotent
             _overwrite_store(
-                spark.createDataFrame([(int(new_spent),)], "spent long"),
+                spark.createDataFrame(
+                    [(int(new_spent), int(spent))], "spent long, prev long"
+                ),
                 spent_dir,
+                merge_key=key,
             )
 
         # centroid staleness: re-seed + re-assign when the vector
@@ -787,7 +856,10 @@ def run_streaming_curation_gate(
                     .select("vec_id", vec_col, "centroid_id")
                     .localCheckpoint(eager=True)
                 )
-                _overwrite_store(reassigned, vec_dir)
+                # the rewrite anonymizes this batch's keyed rows — the
+                # merge key lets a replay detect that and rebuild the
+                # store from its own verdicts instead of re-appending
+                _overwrite_store(reassigned, vec_dir, merge_key=key)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -435,6 +435,85 @@ def test_streaming_budget_gate_spends_across_batches(spark, tmp_path):
     assert verdict_of == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
 
 
+def test_curation_gate_replay_is_store_idempotent(spark, tmp_path):
+    """r10: a crash between the composed gate's store folds and the
+    checkpoint commit replays the batch. The stores must be
+    exactly-once — keyed appends replace the crashed attempt's rows,
+    the judging side drops/anti-joins the batch's own rows (so the
+    replay is not misclassified as a duplicate of itself), and the
+    spent counter re-judges from the PRE-batch budget instead of
+    double-counting the attempt's tokens (which would flip this
+    replay's admissions to over_budget and permanently steal
+    budget)."""
+    import os
+    import shutil
+
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+
+    rows = [
+        (1, "alpha bravo charlie delta echo words", [1.0, 0.0, 0.0, 0.0], 0.9, 4),
+        (2, "foxtrot golf hotel india juliet words", [0.0, 1.0, 0.0, 0.0], 0.8, 4),
+        (3, "kilo lima mike november oscar words", [0.0, 0.0, 1.0, 0.0], 0.7, 4),
+    ]
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    def collect_sink(acc):
+        def sink(verdicts, batch_id):
+            acc.append({r["doc_id"]: r["verdict"] for r in verdicts.collect()})
+        return sink
+
+    state = str(tmp_path / "state")
+    first: list = []
+    # budget 8 admits the two highest-quality docs; doc 3 over_budget
+    q = run_streaming_curation_gate(
+        spark, stream(), state, collect_sink(first),
+        str(tmp_path / "ckpt1"), budget=8, jaccard_threshold=0.5,
+        semantic_threshold=0.95,
+    )
+    q.awaitTermination(240)
+    assert first == [{1: "admitted", 2: "admitted", 3: "over_budget"}]
+
+    def snapshot():
+        out = {}
+        for t in ("text", "text_sigs", "vecs", "spent"):
+            out[t] = sorted(
+                tuple(r) for r in spark.read.parquet(f"{state}/{t}").collect()
+            )
+        return out
+
+    before = snapshot()
+    assert len(before["text"]) == 2 and len(before["vecs"]) == 2
+
+    # crash-replay: copied checkpoint minus the batch-0 commit marker
+    # (same query id -> same run epoch and batch keys)
+    ck2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(str(tmp_path / "ckpt1"), ck2)
+    os.remove(os.path.join(ck2, "commits", "0"))
+    crc = os.path.join(ck2, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    replay: list = []
+    q2 = run_streaming_curation_gate(
+        spark, stream(), state, collect_sink(replay),
+        ck2, budget=8, jaccard_threshold=0.5, semantic_threshold=0.95,
+    )
+    q2.awaitTermination(240)
+    # same verdicts re-delivered (not self-dup / over_budget), and the
+    # stores are row-identical — no duplicate admissions, spent == 8
+    assert replay == first
+    assert snapshot() == before
+
+
 def test_streaming_curation_gate_composes_all_three_gates(spark, tmp_path):
     """Composed ingestion gate over 3 arrivals: arrival 2 carries an
     exact clone of an arrival-1 admission (lexical), a paraphrase clone
