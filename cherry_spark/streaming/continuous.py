@@ -158,9 +158,12 @@ def run_streaming_growing_dedup(
     without bound — executor-memory state is exactly what dies first
     at 100 TB, while a store-backed corpus scales with the sink, keeps
     exactly-once bookkeeping with the checkpointed stream, and
-    survives restarts for free. A replayed batch after a crash
-    re-appends its admissions — pair the store with an idempotent
-    writer (Delta txnAppId / DuckDB txn, writers/) in production.
+    survives restarts for free. Crash-replay (r10): admissions commit
+    under per-batch run-epoch keys and the fold start drops the
+    batch's own keyed rows, so a replay judges against exactly the
+    pre-batch corpus and REPLACES its crashed attempt — the stores
+    are exactly-once; the sink keeps foreachBatch's standard
+    at-least-once delivery.
 
     In minhash mode the gate ALSO maintains a SIGNATURE store
     (``<corpus_dir>_sigs``): each batch classifies against the stored
@@ -203,7 +206,13 @@ def run_streaming_growing_dedup(
             return spark.read.schema(sch).parquet(path)
         return spark.createDataFrame([], sch)
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = key_of(batch_id)
+        for d in (sig_dir, corpus_dir):
+            _recover_store(d)  # drop stray staging dirs
+            _drop_batch_files(d, key)  # replay judges pre-batch state
         corpus = read_store(corpus_dir, schema)
         sigs = read_store(sig_dir, sig_schema) if use_sig_store else None
         # sign the batch ONCE: the same signature table classifies the
@@ -236,20 +245,28 @@ def run_streaming_growing_dedup(
         admitted = batch_df.join(admitted_ids, id_col, "left_semi").select(
             F.col(id_col), F.col(text_col)
         )
+        # keyed, transactional folds (r10): signatures commit BEFORE
+        # the corpus text (a crash between them leaves sig-only
+        # orphans, harmless — the reverse order would leave corpus
+        # docs invisible to banding until the replay); a replayed
+        # fold replaces its crashed attempt's rows
+        staged = []
         if use_sig_store:
             # each admitted doc's signature row is REUSED from the
-            # classification pass. Signatures are appended BEFORE the
-            # corpus text: a crash between the two writes then leaves
-            # sig-only orphans, which are harmless (ids absent from the
-            # corpus text store never reach verdicts) — the reverse
-            # order would leave corpus docs invisible to minhash
-            # banding until the micro-batch replays.
-            batch_sigs.join(
-                admitted_ids.select(F.col(id_col).alias("id")),
-                "id",
-                "left_semi",
-            ).write.mode("append").parquet(sig_dir)
-        admitted.write.mode("append").parquet(corpus_dir)
+            # classification pass
+            staged.append(
+                _stage_append(
+                    batch_sigs.join(
+                        admitted_ids.select(F.col(id_col).alias("id")),
+                        "id",
+                        "left_semi",
+                    ),
+                    sig_dir,
+                    key,
+                )
+            )
+        staged.append(_stage_append(admitted, corpus_dir, key))
+        _commit_stores(staged)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -305,9 +322,11 @@ def run_streaming_growing_semdedup(
     localCheckpoint before the in-place overwrite). Admission-time
     assignments are only as good as the centroids; without re-seeding,
     a drifting stream degrades candidate recall exactly like a stale
-    LSH banding profile. Same replay caveat as the text gate: a
-    replayed batch after a crash re-appends its admissions — pair the
-    store with an idempotent writer in production.
+    LSH banding profile. Crash-replay (r10): same exactly-once store
+    discipline as the text gate — keyed admissions, drop/anti-join of
+    the batch's own rows on the judging side, and a merge marker on
+    the reseed rewrite so a replay rebuilds the corpus from its own
+    verdicts; the sink stays at-least-once.
     """
     import os
 
@@ -345,10 +364,14 @@ def run_streaming_growing_semdedup(
         write_centroids(cents0, init.count())
         assigned_of(init, cents0).write.mode("overwrite").parquet(corpus_dir)
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = key_of(batch_id)
         batch_df = batch_df.localCheckpoint(eager=True)
         _recover_store(cent_dir)
         _recover_store(corpus_dir)
+        _drop_batch_files(corpus_dir, key)  # replay sees pre-batch state
         if store_exists(cent_dir):
             cent_rows = spark.read.parquet(cent_dir)
             cents = cent_rows.select("centroid_id", "centroid")
@@ -364,7 +387,15 @@ def run_streaming_growing_semdedup(
             built_n = batch_df.count()
             write_centroids(cents, built_n)
         corpus = (
-            spark.read.parquet(corpus_dir)
+            # minus the batch's own ids: after a crashed attempt's
+            # RESEED baked the batch into the rewritten store, the
+            # keyed-file drop above cannot restore the pre-batch view
+            # — the anti-join can (no-op on a first delivery)
+            spark.read.parquet(corpus_dir).join(
+                batch_df.select(F.col(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
             if store_exists(corpus_dir)
             else batch_df.select(id_col, vec_col)
             .withColumn("centroid_id", F.lit(0))
@@ -388,7 +419,17 @@ def run_streaming_growing_semdedup(
         admitted = batch_df.join(admitted_ids, on=id_col, how="left_semi").select(
             F.col(id_col), F.col(vec_col)
         )
-        assigned_of(admitted, cents).write.mode("append").parquet(corpus_dir)
+        adm_assigned = assigned_of(admitted, cents)
+        if _merge_key_of(corpus_dir) == key:
+            # a crashed attempt's reseed anonymized its keyed rows —
+            # rebuild = pre-batch view + THIS delivery's admissions
+            _overwrite_store(
+                corpus.unionByName(adm_assigned), corpus_dir, merge_key=key
+            )
+        else:
+            _commit_stores(
+                [_stage_append(adm_assigned, corpus_dir, key)]
+            )
         # staleness rule: re-seed + re-assign when the corpus outgrew
         # the centroids it was indexed under
         total = spark.read.parquet(corpus_dir).count()
@@ -404,7 +445,9 @@ def run_streaming_growing_semdedup(
             reassigned = assigned_of(
                 full.select(id_col, vec_col), new_cents
             ).localCheckpoint(eager=True)
-            _overwrite_store(reassigned, corpus_dir)
+            # the merge key lets a replay detect the anonymizing
+            # rewrite and rebuild from its own verdicts
+            _overwrite_store(reassigned, corpus_dir, merge_key=key)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -448,28 +491,37 @@ def run_streaming_budget_gate(
     ``budget_select(batch_i, budget - spent_{i-1})`` (asserted in
     tests/test_writers_streaming.py). The state is ONE row — parquet-backed
     like the dedup gates (restart-safe, sink-paced) rather than
-    executor-memory state. Same replay caveat as the dedup gates: a
-    crash between sink and state write re-admits the batch on replay;
-    pair with an idempotent writer in production.
+    executor-memory state. Crash-replay (r10): the state row carries
+    (spent, prev) + a merge key, so a replayed batch re-judges under
+    the budget its crashed attempt started from instead of
+    double-counting the attempt's own tokens; the sink keeps
+    foreachBatch's at-least-once delivery.
     """
     import os
 
     from cherry_spark.ext.budget import budget_select
 
-    state_schema = "spent long"
+    state_schema = "spent long, prev long"
 
-    def read_spent() -> int:
+    def read_spent(key: str) -> int:
         _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
             row = spark.read.schema(state_schema).parquet(state_dir).first()
             if row is not None:
-                return int(row["spent"])
+                committed = int(row["spent"])
+                prev = (
+                    int(row["prev"]) if row["prev"] is not None else committed
+                )
+                return prev if _merge_key_of(state_dir) == key else committed
         return 0
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spent = read_spent()
+        key = key_of(batch_id)
+        spent = read_spent(key)
         remaining = max(budget - spent, 0)
         admitted = budget_select(
             batch_df,
@@ -494,9 +546,12 @@ def run_streaming_budget_gate(
             verdicts.agg(F.max("cum_tokens")).first()[0] or spent
         )
         # crash-safe swap: a torn plain overwrite would reset spent
-        # to 0 and the gate would over-admit past the global budget
+        # to 0 and the gate would over-admit past the global budget;
+        # (spent, prev) + the merge key make the write replay-safe
         _overwrite_store(
-            spark.createDataFrame([(int(new_spent),)], state_schema), state_dir
+            spark.createDataFrame([(int(new_spent), int(spent))], state_schema),
+            state_dir,
+            merge_key=key,
         )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -922,9 +977,17 @@ def run_streaming_rollup(
             ]
         return exprs
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partial = batch_df.groupBy(*keys).agg(*agg_exprs())
+        key = key_of(batch_id)
         _recover_store(state_dir)
+        if _merge_key_of(state_dir) == key:
+            # replay of a fully-committed fold (r10): the store
+            # already absorbed this batch — serve it, never re-merge
+            sink(spark.read.parquet(state_dir), batch_id)
+            return
+        partial = batch_df.groupBy(*keys).agg(*agg_exprs())
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -937,7 +1000,7 @@ def run_streaming_rollup(
         merged = merged.localCheckpoint(eager=True)
         # crash-safe swap (review r9): never delete the only copy of
         # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir)
+        _overwrite_store(merged, state_dir, merge_key=key)
         sink(merged, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -979,9 +1042,15 @@ def run_streaming_cms(
 
     from cherry_spark.ext.sketch import cms_build, cms_merge
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partial = cms_build(batch_df, key_col, depth, width)
+        key = key_of(batch_id)
         _recover_store(state_dir)
+        if _merge_key_of(state_dir) == key:  # replay: already merged
+            sink(spark.read.parquet(state_dir), batch_id)
+            return
+        partial = cms_build(batch_df, key_col, depth, width)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -992,7 +1061,7 @@ def run_streaming_cms(
         merged = merged.localCheckpoint(eager=True)
         # crash-safe swap (review r9): never delete the only copy of
         # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir)
+        _overwrite_store(merged, state_dir, merge_key=key)
         sink(merged, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -1030,9 +1099,15 @@ def run_streaming_mg(
 
     from cherry_spark.ext.sketch import mg_merge, mg_summary
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partial = mg_summary(batch_df, key_col, k=k)
+        key = key_of(batch_id)
         _recover_store(state_dir)
+        if _merge_key_of(state_dir) == key:  # replay: already merged
+            sink(spark.read.parquet(state_dir), batch_id)
+            return
+        partial = mg_summary(batch_df, key_col, k=k)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -1043,7 +1118,7 @@ def run_streaming_mg(
         merged = merged.localCheckpoint(eager=True)
         # crash-safe swap (review r9): never delete the only copy of
         # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir)
+        _overwrite_store(merged, state_dir, merge_key=key)
         sink(merged, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -1099,12 +1174,23 @@ def run_streaming_spike_monitor(
         time_bucket_s,
     )
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = key_of(batch_id)
+        _recover_store(state_dir)
+        if _merge_key_of(state_dir) == key:  # replay: already merged
+            sink(
+                spike_flags_from_buckets(
+                    spark.read.parquet(state_dir), z_threshold
+                ),
+                batch_id,
+            )
+            return
         partial = batch_df.groupBy(
             F.col(key_col).alias("key"),
             time_bucket_s(F.col(ts_col), width_s).alias("bucket_s"),
         ).agg(F.count("*").cast("long").alias("n_events"))
-        _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -1119,7 +1205,7 @@ def run_streaming_spike_monitor(
         merged = merged.localCheckpoint(eager=True)
         # crash-safe swap (review r9): never delete the only copy of
         # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir)
+        _overwrite_store(merged, state_dir, merge_key=key)
         sink(spike_flags_from_buckets(merged, z_threshold), batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -1168,11 +1254,22 @@ def run_streaming_weighted_sample(
 
     from cherry_spark.ext.sampling import weighted_systematic_sample
 
+    key_of = _epoch_keyer(checkpoint_dir)
+
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = key_of(batch_id)
+        _recover_store(state_dir)
+        if _merge_key_of(state_dir) == key:  # replay: already merged
+            sink(
+                weighted_systematic_sample(
+                    spark.read.parquet(state_dir), id_col, "_w", m=m, salt=salt
+                ),
+                batch_id,
+            )
+            return
         partial = batch_df.groupBy(id_col).agg(
             F.max(weight_col).cast("long").alias("_w_in")
         )
-        _recover_store(state_dir)
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
@@ -1187,7 +1284,7 @@ def run_streaming_weighted_sample(
         merged = merged.localCheckpoint(eager=True)
         # crash-safe swap (review r9): never delete the only copy of
         # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir)
+        _overwrite_store(merged, state_dir, merge_key=key)
         sink(
             weighted_systematic_sample(merged, id_col, "_w", m=m, salt=salt),
             batch_id,
