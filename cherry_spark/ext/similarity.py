@@ -408,7 +408,7 @@ def lsh_topk_oracle_sql(
 
 
 def lsh_bucket_topk(
-    vectors: DataFrame,
+    vectors: DataFrame | None,
     query: DataFrame,
     dim: int,
     k: int = 10,
@@ -429,6 +429,11 @@ def lsh_bucket_topk(
     (tiny, broadcast) is always bucketed in-flight.  Bucketing is
     deterministic given (dim, n_planes), so stored ≡ inline."""
     if bucketed is None:
+        if vectors is None:
+            raise ValueError(
+                "lsh_bucket_topk needs either `vectors` (inline "
+                "bucketing) or `bucketed` (a prebuilt bucket store)"
+            )
         bucketed = vectors.withColumn(
             "__bucket", lsh_bucket(F.col(vec_col), dim, n_planes)
         )

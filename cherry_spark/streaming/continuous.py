@@ -340,13 +340,16 @@ def run_streaming_growing_semdedup(
             f.endswith(".parquet") for f in os.listdir(path)
         )
 
-    def write_centroids(cents: DataFrame, built_n: int) -> None:
-        _overwrite_store(
-            cents.select(
-                "centroid_id", "centroid", F.lit(int(built_n)).alias("built_n")
-            ),
-            cent_dir,
+    def centroid_rows(cents: DataFrame, built_n: int, reseed_key: str = ""):
+        return cents.select(
+            "centroid_id",
+            "centroid",
+            F.lit(int(built_n)).alias("built_n"),
+            F.lit(reseed_key).alias("reseed_key"),
         )
+
+    def write_centroids(cents: DataFrame, built_n: int) -> None:
+        _overwrite_store(centroid_rows(cents, built_n), cent_dir)
 
     def assigned_of(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         return ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col).join(
@@ -376,6 +379,22 @@ def run_streaming_growing_semdedup(
             cent_rows = spark.read.parquet(cent_dir)
             cents = cent_rows.select("centroid_id", "centroid")
             built_n = cent_rows.agg(F.max("built_n")).collect()[0][0]
+            # torn-reseed self-repair — see run_streaming_curation_gate
+            if "reseed_key" in cent_rows.columns:
+                rk = cent_rows.agg(F.max("reseed_key")).first()[0]
+                if rk == key and _merge_key_of(corpus_dir) != key and (
+                    store_exists(corpus_dir)
+                ):
+                    allv = (
+                        spark.read.parquet(corpus_dir)
+                        .select(id_col, vec_col)
+                        .localCheckpoint(eager=True)
+                    )
+                    _overwrite_store(
+                        assigned_of(allv, cents).localCheckpoint(eager=True),
+                        corpus_dir,
+                        merge_key=key,
+                    )
         else:
             # bootstrap: seed the quantizer from the first batch
             cents = ivf_centroids(
@@ -441,13 +460,22 @@ def run_streaming_growing_semdedup(
                 id_col,
                 vec_col,
             ).localCheckpoint(eager=True)
-            write_centroids(new_cents, total)
             reassigned = assigned_of(
                 full.select(id_col, vec_col), new_cents
             ).localCheckpoint(eager=True)
-            # the merge key lets a replay detect the anonymizing
-            # rewrite and rebuild from its own verdicts
-            _overwrite_store(reassigned, corpus_dir, merge_key=key)
+            # both swaps staged first, committed as adjacent renames;
+            # reseed_key + the corpus merge key let a replay detect
+            # and finish a torn pair, and the merge key also marks the
+            # anonymizing rewrite (replay rebuilds from its verdicts)
+            _commit_stores(
+                [
+                    _stage_store(
+                        centroid_rows(new_cents, total, reseed_key=key),
+                        cent_dir,
+                    ),
+                    _stage_store(reassigned, corpus_dir, merge_key=key),
+                ]
+            )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -743,12 +771,38 @@ def run_streaming_curation_gate(
                     "centroid_id",
                     "centroid",
                     F.lit(int(built_n)).alias("built_n"),
+                    F.lit("").alias("reseed_key"),
                 ),
                 cent_dir,
             )
         else:
             cents = cent_rows.select("centroid_id", "centroid")
             built_n = cent_rows.agg(F.max("built_n")).first()[0]
+            # torn-reseed self-repair (r10 review): the reseed commits
+            # the centroid and vector swaps adjacently, but a crash
+            # between the two renames leaves NEW centroids over
+            # OLD-assigned vectors — mismatched spaces that would
+            # silently degrade candidate recall forever. The centroid
+            # table's reseed_key names the batch that reseeded; if the
+            # vec store never received its paired swap, finish it here
+            # deterministically before anything is judged.
+            if "reseed_key" in cent_rows.columns:
+                rk = cent_rows.agg(F.max("reseed_key")).first()[0]
+                if rk == key and _merge_key_of(vec_dir) != key:
+                    allv = store(vec_dir)
+                    if allv is not None:
+                        allv = allv.select(
+                            "vec_id", F.col(vec_col)
+                        ).localCheckpoint(eager=True)
+                        repaired = (
+                            ivf_assign(
+                                allv, cents, id_col="vec_id", vec_col=vec_col
+                            )
+                            .join(allv, "vec_id")
+                            .select("vec_id", vec_col, "centroid_id")
+                            .localCheckpoint(eager=True)
+                        )
+                        _overwrite_store(repaired, vec_dir, merge_key=key)
         vecs = store(vec_dir)
         if vecs is None:
             vecs = (
@@ -897,24 +951,32 @@ def run_streaming_curation_gate(
                 new_cents = ivf_centroids(
                     allv, n_centroids, "vec_id", vec_col
                 ).localCheckpoint(eager=True)
-                _overwrite_store(
-                    new_cents.select(
-                        "centroid_id",
-                        "centroid",
-                        F.lit(int(n_now)).alias("built_n"),
-                    ),
-                    cent_dir,
-                )
                 reassigned = (
                     ivf_assign(allv, new_cents, id_col="vec_id", vec_col=vec_col)
                     .join(allv, "vec_id")
                     .select("vec_id", vec_col, "centroid_id")
                     .localCheckpoint(eager=True)
                 )
-                # the rewrite anonymizes this batch's keyed rows — the
-                # merge key lets a replay detect that and rebuild the
-                # store from its own verdicts instead of re-appending
-                _overwrite_store(reassigned, vec_dir, merge_key=key)
+                # BOTH swaps staged first, committed as adjacent
+                # renames (r10 review — a Spark job between them was a
+                # wide torn window); reseed_key + the vec merge key
+                # let a replay detect and finish a torn pair, and
+                # the vec merge key also marks that this batch's keyed
+                # rows were anonymized (replay rebuilds from verdicts)
+                _commit_stores(
+                    [
+                        _stage_store(
+                            new_cents.select(
+                                "centroid_id",
+                                "centroid",
+                                F.lit(int(n_now)).alias("built_n"),
+                                F.lit(key).alias("reseed_key"),
+                            ),
+                            cent_dir,
+                        ),
+                        _stage_store(reassigned, vec_dir, merge_key=key),
+                    ]
+                )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -980,28 +1042,17 @@ def run_streaming_rollup(
     key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        key = key_of(batch_id)
-        _recover_store(state_dir)
-        if _merge_key_of(state_dir) == key:
-            # replay of a fully-committed fold (r10): the store
-            # already absorbed this batch — serve it, never re-merge
-            sink(spark.read.parquet(state_dir), batch_id)
-            return
-        partial = batch_df.groupBy(*keys).agg(*agg_exprs())
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            stored = spark.read.parquet(state_dir)
-            merged = stored.unionByName(partial).groupBy(*keys).agg(
-                *merge_exprs()
-            )
-        else:
-            merged = partial
-        merged = merged.localCheckpoint(eager=True)
-        # crash-safe swap (review r9): never delete the only copy of
-        # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir, merge_key=key)
-        sink(merged, batch_id)
+        _merged_fold(
+            spark,
+            state_dir,
+            key_of(batch_id),
+            lambda: batch_df.groupBy(*keys).agg(*agg_exprs()),
+            lambda stored, p: stored.unionByName(p)
+            .groupBy(*keys)
+            .agg(*merge_exprs()),
+            sink,
+            batch_id,
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -1045,24 +1096,15 @@ def run_streaming_cms(
     key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        key = key_of(batch_id)
-        _recover_store(state_dir)
-        if _merge_key_of(state_dir) == key:  # replay: already merged
-            sink(spark.read.parquet(state_dir), batch_id)
-            return
-        partial = cms_build(batch_df, key_col, depth, width)
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            stored = spark.read.parquet(state_dir)
-            merged = cms_merge(stored, partial)
-        else:
-            merged = partial
-        merged = merged.localCheckpoint(eager=True)
-        # crash-safe swap (review r9): never delete the only copy of
-        # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir, merge_key=key)
-        sink(merged, batch_id)
+        _merged_fold(
+            spark,
+            state_dir,
+            key_of(batch_id),
+            lambda: cms_build(batch_df, key_col, depth, width),
+            cms_merge,
+            sink,
+            batch_id,
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -1102,24 +1144,15 @@ def run_streaming_mg(
     key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        key = key_of(batch_id)
-        _recover_store(state_dir)
-        if _merge_key_of(state_dir) == key:  # replay: already merged
-            sink(spark.read.parquet(state_dir), batch_id)
-            return
-        partial = mg_summary(batch_df, key_col, k=k)
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            stored = spark.read.parquet(state_dir)
-            merged = mg_merge(stored, partial, key_col=key_col, k=k)
-        else:
-            merged = partial
-        merged = merged.localCheckpoint(eager=True)
-        # crash-safe swap (review r9): never delete the only copy of
-        # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir, merge_key=key)
-        sink(merged, batch_id)
+        _merged_fold(
+            spark,
+            state_dir,
+            key_of(batch_id),
+            lambda: mg_summary(batch_df, key_col, k=k),
+            lambda stored, p: mg_merge(stored, p, key_col=key_col, k=k),
+            sink,
+            batch_id,
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -1177,36 +1210,21 @@ def run_streaming_spike_monitor(
     key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        key = key_of(batch_id)
-        _recover_store(state_dir)
-        if _merge_key_of(state_dir) == key:  # replay: already merged
-            sink(
-                spike_flags_from_buckets(
-                    spark.read.parquet(state_dir), z_threshold
-                ),
-                batch_id,
-            )
-            return
-        partial = batch_df.groupBy(
-            F.col(key_col).alias("key"),
-            time_bucket_s(F.col(ts_col), width_s).alias("bucket_s"),
-        ).agg(F.count("*").cast("long").alias("n_events"))
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            stored = spark.read.parquet(state_dir)
-            merged = (
-                stored.unionByName(partial)
-                .groupBy("key", "bucket_s")
-                .agg(F.sum("n_events").cast("long").alias("n_events"))
-            )
-        else:
-            merged = partial
-        merged = merged.localCheckpoint(eager=True)
-        # crash-safe swap (review r9): never delete the only copy of
-        # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir, merge_key=key)
-        sink(spike_flags_from_buckets(merged, z_threshold), batch_id)
+        _merged_fold(
+            spark,
+            state_dir,
+            key_of(batch_id),
+            lambda: batch_df.groupBy(
+                F.col(key_col).alias("key"),
+                time_bucket_s(F.col(ts_col), width_s).alias("bucket_s"),
+            ).agg(F.count("*").cast("long").alias("n_events")),
+            lambda stored, p: stored.unionByName(p)
+            .groupBy("key", "bucket_s")
+            .agg(F.sum("n_events").cast("long").alias("n_events")),
+            sink,
+            batch_id,
+            serve_fn=lambda st: spike_flags_from_buckets(st, z_threshold),
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -1257,37 +1275,21 @@ def run_streaming_weighted_sample(
     key_of = _epoch_keyer(checkpoint_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        key = key_of(batch_id)
-        _recover_store(state_dir)
-        if _merge_key_of(state_dir) == key:  # replay: already merged
-            sink(
-                weighted_systematic_sample(
-                    spark.read.parquet(state_dir), id_col, "_w", m=m, salt=salt
-                ),
-                batch_id,
-            )
-            return
-        partial = batch_df.groupBy(id_col).agg(
-            F.max(weight_col).cast("long").alias("_w_in")
-        )
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            stored = spark.read.parquet(state_dir)
-            merged = (
-                stored.unionByName(partial.withColumnRenamed("_w_in", "_w"))
-                .groupBy(id_col)
-                .agg(F.max("_w").cast("long").alias("_w"))
-            )
-        else:
-            merged = partial.withColumnRenamed("_w_in", "_w")
-        merged = merged.localCheckpoint(eager=True)
-        # crash-safe swap (review r9): never delete the only copy of
-        # accumulated state before its replacement is fully written
-        _overwrite_store(merged, state_dir, merge_key=key)
-        sink(
-            weighted_systematic_sample(merged, id_col, "_w", m=m, salt=salt),
+        _merged_fold(
+            spark,
+            state_dir,
+            key_of(batch_id),
+            lambda: batch_df.groupBy(id_col).agg(
+                F.max(weight_col).cast("long").alias("_w")
+            ),
+            lambda stored, p: stored.unionByName(p)
+            .groupBy(id_col)
+            .agg(F.max("_w").cast("long").alias("_w")),
+            sink,
             batch_id,
+            serve_fn=lambda st: weighted_systematic_sample(
+                st, id_col, "_w", m=m, salt=salt
+            ),
         )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch).option(
@@ -1635,6 +1637,46 @@ def _stage_store(df: DataFrame, path: str, merge_key: str | None = None) -> tupl
     return ("swap", tmp, path)
 
 
+def _merged_fold(
+    spark: SparkSession,
+    state_dir: str,
+    key: str,
+    partial_fn,
+    merge_fn,
+    sink,
+    batch_id: int,
+    serve_fn=None,
+) -> None:
+    """Shared body of the merge-state monitors (rollup / CMS /
+    Misra-Gries / spike monitor / weighted sample): recover the
+    store, short-circuit a replay whose batch is already merged (its
+    ``_merge_key`` is in the committed store — serve it, never
+    re-merge), else merge ONE batch partial into the stored state and
+    swap with the marker.  ``partial_fn() -> DataFrame``;
+    ``merge_fn(stored, partial) -> DataFrame``; ``serve_fn(state)``
+    shapes what the sink sees (default: the merged state itself).
+    One place to change the replay discipline instead of five."""
+    import os
+
+    serve = serve_fn or (lambda df: df)
+    _recover_store(state_dir)
+    if _merge_key_of(state_dir) == key:  # replay: already merged
+        sink(serve(spark.read.parquet(state_dir)), batch_id)
+        return
+    partial = partial_fn()
+    if os.path.isdir(state_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(state_dir)
+    ):
+        merged = merge_fn(spark.read.parquet(state_dir), partial)
+    else:
+        merged = partial
+    merged = merged.localCheckpoint(eager=True)
+    # crash-safe swap (review r9): never delete the only copy of
+    # accumulated state before its replacement is fully written
+    _overwrite_store(merged, state_dir, merge_key=key)
+    sink(serve(merged), batch_id)
+
+
 def _merge_key_of(path: str) -> str | None:
     """The ``_merge_key`` recorded by the last committed swap of the
     merge table at ``path`` (None: no marker — pre-r10 store, ingest
@@ -1708,9 +1750,11 @@ def _commit_stores(staged: list[tuple]) -> None:
     after a crash between two merge tables' rename pairs the replay
     finds its own key in the earlier table (reads it as-is, no
     double-merge) and not in the later (merges normally) — per-table
-    commit markers, without a log-structured format.  Swaps staged
-    WITHOUT a merge_key (bootstrap centroid/vector/spent stores of
-    the curation gate) keep the documented sink-replay caveat."""
+    commit markers, without a log-structured format.  The only swaps
+    still staged WITHOUT a merge_key are the CENTROID stores
+    (bootstrap is deterministic from the same batch; the reseed pair
+    commits adjacently with the vec swap and tears are self-repaired
+    at the replay's fold start)."""
     import os
     import shutil
     import uuid
@@ -1784,20 +1828,33 @@ def _run_epoch(checkpoint_dir: str) -> str:
     import os
 
     meta = os.path.join(checkpoint_dir, "metadata")
-    if meta.startswith("file:"):
-        meta = meta[len("file:"):]
+    local = meta[len("file:"):] if meta.startswith("file:") else meta
     try:
-        with open(meta) as fh:
+        with open(local) as fh:
             qid = str(json.load(fh).get("id", ""))
     except (OSError, ValueError):
         qid = ""
+    if not qid:
+        # remote checkpoint scheme (s3://, hdfs://): read the one-line
+        # metadata file through Spark itself — works for any
+        # filesystem the checkpoint works for, so the query id stays
+        # the namespace (a PATH hash would collide when a checkpoint
+        # is deleted and recreated at the same path — exactly the
+        # cross-run history destruction this function prevents)
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            row = spark.read.text(meta).first() if spark else None
+            qid = str(json.loads(row["value"]).get("id", "")) if row else ""
+        except Exception:
+            qid = ""
     tok = "".join(c for c in qid if c in "0123456789abcdef")[:8]
     if not tok:
-        # metadata not locally readable (remote checkpoint scheme):
-        # fall back to a hash of the checkpoint PATH — stable across
-        # restarts of the same checkpoint, distinct across different
-        # checkpoint dirs. Never a shared constant: that would
-        # silently reinstate the cross-run key collision.
+        # last resort: a checkpoint-path hash — stable per checkpoint,
+        # distinct across dirs; caveat: delete-and-recreate at the
+        # SAME path reuses the epoch (both readers above must fail for
+        # this to be reachable)
         import hashlib
 
         tok = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]

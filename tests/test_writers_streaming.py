@@ -360,6 +360,103 @@ def test_streaming_growing_semdedup_catches_paraphrase_clones(spark, tmp_path):
     assert streamed == expected
 
 
+def test_growing_semdedup_torn_reseed_self_repairs(spark, tmp_path):
+    """r10 review: the reseed swaps centroids and the reassigned
+    corpus as adjacent renames, but a crash between them leaves NEW
+    centroids over OLD-assigned vectors — mismatched spaces that
+    silently degrade candidate recall forever. The centroid table's
+    reseed_key names the reseeding batch; a replay that finds it
+    without the corpus's paired merge key must finish the
+    reassignment BEFORE judging. This test runs a reseeding stream,
+    fabricates the torn state (deranged centroid ids, no merge
+    marker), replays the reseeding batch from a copied checkpoint,
+    and asserts the final corpus assignment matches a fresh
+    assignment against the stored centroids exactly."""
+    import os
+    import shutil
+    import time
+
+    from cherry_spark.ext.ivf import ivf_assign
+    from cherry_spark.streaming.continuous import (
+        run_streaming_growing_semdedup,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    a0 = [(i, [1.0 * (i == j) for j in range(4)]) for i in range(4)]
+    a1 = [
+        (10 + i, [0.5 + 0.1 * i, 1.0, 0.2 * i, 1.0 - 0.1 * i])
+        for i in range(8)
+    ]
+    src = str(tmp_path / "in")
+    for a in (a0, a1):
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    corpus_dir = str(tmp_path / "corpus")
+    cent_dir = f"{corpus_dir}_centroids"
+    q = run_streaming_growing_semdedup(
+        spark, stream(), corpus_dir, lambda v, b: v.collect(),
+        str(tmp_path / "ckpt1"), threshold=0.999, n_centroids=2,
+        nprobe=1, reseed_factor=1.5,
+    )
+    q.awaitTermination(240)
+    # batch 1 (12 > 1.5 * 4) reseeded: the centroid table records it
+    cent_rows = spark.read.parquet(cent_dir)
+    (rk,) = cent_rows.agg(F.max("reseed_key")).first()
+    assert rk.endswith("-b1")
+
+    # fabricate the torn state: corpus content present but assigned in
+    # the WRONG space (deranged ids) and the paired merge marker gone
+    stored = spark.read.parquet(corpus_dir).localCheckpoint(eager=True)
+    n_ids = 2
+    deranged = stored.withColumn(
+        "centroid_id",
+        ((F.col("centroid_id").cast("long") + 1) % n_ids).cast(
+            stored.schema["centroid_id"].dataType
+        ),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(corpus_dir)
+    deranged.write.mode("overwrite").parquet(corpus_dir)
+    assert not os.path.exists(f"{corpus_dir}/_merge_key")
+
+    # replay batch 1: copied checkpoint (same query id -> same epoch)
+    # minus its commit marker
+    ck2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(str(tmp_path / "ckpt1"), ck2)
+    os.remove(os.path.join(ck2, "commits", "1"))
+    crc = os.path.join(ck2, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = run_streaming_growing_semdedup(
+        spark, stream(), corpus_dir, lambda v, b: v.collect(),
+        ck2, threshold=0.999, n_centroids=2, nprobe=1, reseed_factor=1.5,
+    )
+    q2.awaitTermination(240)
+
+    # the corpus assignment space matches the stored centroids exactly
+    final = spark.read.parquet(corpus_dir)
+    cents = spark.read.parquet(cent_dir).select("centroid_id", "centroid")
+    expect = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(
+            final.select("vec_id", "embedding"), cents
+        ).collect()
+    }
+    got = {r["vec_id"]: int(r["centroid_id"]) for r in final.collect()}
+    assert got == {k: int(v) for k, v in expect.items()}
+    # and no duplicate / missing ids
+    assert sorted(got) == [0, 1, 2, 3] + [10 + i for i in range(8)]
+
+
 def test_streaming_budget_gate_spends_across_batches(spark, tmp_path):
     """Global token budget over 3 arrivals: the gate admits the
     quality-ordered prefix of each batch against the REMAINING budget,
