@@ -611,6 +611,103 @@ def test_curation_gate_replay_is_store_idempotent(spark, tmp_path):
     assert snapshot() == before
 
 
+def test_curation_gate_torn_reseed_self_repairs(spark, tmp_path):
+    """r10 review: the composed gate's twin of the semdedup
+    torn-reseed repair — NEW centroids over OLD-assigned vectors
+    after a crash between the adjacent reseed renames must be
+    finished by the replay before anything is judged."""
+    import os
+    import shutil
+    import time
+
+    from cherry_spark.ext.ivf import ivf_assign
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+
+    words = [
+        "alpha bravo", "charlie delta", "echo foxtrot", "golf hotel",
+        "india juliet", "kilo lima", "mike november", "oscar papa",
+        "quebec romeo", "sierra tango", "uniform victor", "whiskey xray",
+    ]
+    a0 = [
+        (i, words[i], [1.0 * (i == j) for j in range(4)], 0.9, 2)
+        for i in range(4)
+    ]
+    a1 = [
+        (10 + i, words[4 + i],
+         [0.5 + 0.1 * i, 1.0, 0.2 * i, 1.0 - 0.1 * i], 0.8, 2)
+        for i in range(8)
+    ]
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+    src = str(tmp_path / "in")
+    for a in (a0, a1):
+        spark.createDataFrame(a, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    state = str(tmp_path / "state")
+    q = run_streaming_curation_gate(
+        spark, stream(), state, lambda v, b: v.collect(),
+        str(tmp_path / "ckpt1"), budget=10_000, jaccard_threshold=0.5,
+        semantic_threshold=0.999, n_centroids=2, nprobe=1,
+        reseed_factor=1.5,
+    )
+    q.awaitTermination(240)
+    cent_rows = spark.read.parquet(f"{state}/centroids")
+    (rk,) = cent_rows.agg(F.max("reseed_key")).first()
+    assert rk.endswith("-b1")  # batch 1 reseeded (12 > 1.5 * 4)
+
+    # fabricate the torn state: deranged assignments, no merge marker
+    vec_dir = f"{state}/vecs"
+    stored = spark.read.parquet(vec_dir).localCheckpoint(eager=True)
+    deranged = stored.withColumn(
+        "centroid_id",
+        ((F.col("centroid_id").cast("long") + 1) % 2).cast(
+            stored.schema["centroid_id"].dataType
+        ),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(vec_dir)
+    deranged.write.mode("overwrite").parquet(vec_dir)
+
+    ck2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(str(tmp_path / "ckpt1"), ck2)
+    os.remove(os.path.join(ck2, "commits", "1"))
+    crc = os.path.join(ck2, "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = run_streaming_curation_gate(
+        spark, stream(), state, lambda v, b: v.collect(),
+        ck2, budget=10_000, jaccard_threshold=0.5,
+        semantic_threshold=0.999, n_centroids=2, nprobe=1,
+        reseed_factor=1.5,
+    )
+    q2.awaitTermination(240)
+
+    final = spark.read.parquet(vec_dir)
+    cents = spark.read.parquet(f"{state}/centroids").select(
+        "centroid_id", "centroid"
+    )
+    expect = {
+        r["vec_id"]: int(r["centroid_id"])
+        for r in ivf_assign(
+            final.select("vec_id", "embedding"), cents
+        ).collect()
+    }
+    got = {r["vec_id"]: int(r["centroid_id"]) for r in final.collect()}
+    assert got == expect
+    assert sorted(got) == [0, 1, 2, 3] + [10 + i for i in range(8)]
+
+
 def test_streaming_curation_gate_composes_all_three_gates(spark, tmp_path):
     """Composed ingestion gate over 3 arrivals: arrival 2 carries an
     exact clone of an arrival-1 admission (lexical), a paraphrase clone
