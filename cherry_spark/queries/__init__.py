@@ -3,7 +3,8 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-for the ROUND-10 window (_R07_REMAINING_R10 + _R08_FIRST3_R10).
+for the ROUND-11 window (_R08_REMAINING_R11 + _ADDED_R09 +
+_R09_FIRST1_R11).
 
 Standing rotation policy (round-7 verdict item #2): the registry holds
 115 queries and the driver window holds 50, so a strict "no query more
@@ -24,23 +25,23 @@ shares its oracle and result-hash with in-window ``decode_dynamic_abi``
 and differs only in the Arrow execution lane (a driver row for it would
 duplicate an existing hash check while displacing a unique one).
 
-ROUND-10 window (live): ``_R07_REMAINING_R10`` (47, the r07-certified
-rows not refreshed in r09) + ``_R08_FIRST3_R10`` (3, the oldest rows of
-the archived r08 artifact) = 50 exactly, asserted at import (rounds 6
-AND 7 each shipped a silent hand-recount bug — every group here is
-pinned data, and the window tests re-derive them from the archived
-driver artifacts).  Every r10-window row has a DuckDB oracle — no
-rows-only query sits inside the window.
+ROUND-11 window (live): ``_R08_REMAINING_R11`` (47, the r08-certified
+rows not refreshed in r10) + ``_ADDED_R09`` (2, the round-9
+registrations certifying on their 3-round deadline) +
+``_R09_FIRST1_R11`` (1, the oldest row of the archived r09 artifact)
+= 50 exactly, asserted at import (rounds 6 AND 7 each shipped a silent
+hand-recount bug — every group here is pinned data, and the window
+tests re-derive them from the archived driver artifacts).  Every
+r11-window row has a DuckDB oracle — no rows-only query sits inside
+the window.
 
-ROUND-11 window (pre-staged below as ``_R08_REMAINING_R11`` +
-``_ADDED_R09`` + ``_R09_FIRST1_R11`` = 47 + 2 + 1 = 50): at round-11
-start, swap the group tuple — nothing to recount.  The two BPE rows
-sit in the ROUND-9 window (``_ADDED_R08``) and were ``err: no_oracle``
-there (the r9 verdict's "what's wrong" #1); round 10 gave both a
-generated DuckDB twin (unrolled 10-round CTE, the trained-gate
-technique — see queries/vocab.py), so when the r09-window rows recycle
-in round 12 they hash-check like every other row — no rows-only query
-can ever reappear in a driver window as a guaranteed err row.
+ROUND-12 window (pre-staged below as ``_R09_REMAINING_R12`` +
+``_R10_FIRST1_R12`` = 49 + 1 = 50): at round-12 start, swap the group
+tuple — nothing to recount.  The two BPE rows sit in that sweep and
+have carried generated DuckDB twins since round 10 (unrolled 10-round
+CTE — see queries/vocab.py), so they hash-check like every other row —
+no rows-only query can ever reappear in a driver window as a
+guaranteed err row.
 
 At 150 registered the 3-round guarantee is EXACTLY saturated
 (3 x 50 = 150): any further registration must displace a named twin
@@ -177,15 +178,10 @@ _ADDED_R09 = [
 ]
 
 # ---------------------------------------------------------------------
-# ROUND-10 window, LIVE: `_reorder_for_certification` leads with
-# `(_R07_REMAINING_R10, _R08_FIRST3_R10)`.
+# ROUND-10 window, ARCHIVED (was live in r10; kept as pinned data the
+# r12 plan and the window tests derive from):
 # 47 r07 rows (CORRECTNESS_r07.json order minus _R07_FIRST3) + the
 # first 3 rows of the archived r08 artifact = 50.
-# tests/test_registry_window.py re-derives both groups from the
-# artifacts.
-# ROUND-11 window, PRE-STAGED (`_R08_REMAINING_R11` below): the
-# remaining 47 r08 rows + _ADDED_R09 (2) + the first(oldest)
-# r09-window row (47 + 2 + 1 = 50).
 # ---------------------------------------------------------------------
 _R07_REMAINING_R10 = [
     "ann_lsh_topk", "flagship_revenue_by_nation", "u256_sum",
@@ -210,15 +206,12 @@ _R08_FIRST3_R10 = [
 ]
 
 # ---------------------------------------------------------------------
-# ROUND-11 window, PRE-STAGED (swap `_reorder_for_certification`'s
-# group tuple to `(_R08_REMAINING_R11, _ADDED_R09, _R09_FIRST1_R11,
-# _PAST_WINDOW_FIRST)` at the start of round 11 — nothing to recount).
+# ROUND-11 window, LIVE: `_reorder_for_certification` leads with
+# `(_R08_REMAINING_R11, _ADDED_R09, _R09_FIRST1_R11)`.
 # 47 r08 rows (CORRECTNESS_r08.json order minus _R08_FIRST3_R10) +
 # _ADDED_R09 (2) + the first row of the archived r09 artifact = 50.
-# tests/test_registry_window.py re-derives both groups from the
-# artifacts.  ROUND-12 window: the remaining 49 r09-window rows + the
-# oldest r10-window row (49 + 1 = 50) — this is where the BPE rows
-# (now oracle-backed) get their first hash-green driver rows.
+# tests/test_registry_window.py re-derives the groups from the
+# artifacts.
 # ---------------------------------------------------------------------
 _R08_REMAINING_R11 = [
     "svm_decode_logs", "include_all_blocks_scan", "join_block_data_step",
@@ -242,6 +235,7 @@ _R09_FIRST1_R11 = [
     "dataset_erc20_transfers",
 ]
 
+
 # The first 3 rows of the archived ROUND-7 driver window
 # (CORRECTNESS_r07.json key order) — they close the r09 window to
 # exactly 50.  Pinned as data (tests/test_registry_window.py re-derives
@@ -254,6 +248,26 @@ _R07_FIRST3 = [
 ]
 
 # ---------------------------------------------------------------------
+# ROUND-12 window, PRE-STAGED (swap `_reorder_for_certification`'s
+# group tuple to `(_R09_REMAINING_R12, _R10_FIRST1_R12,
+# _PAST_WINDOW_FIRST)` at the start of round 12 — nothing to recount).
+# The 49 r09-window rows not swept in r11 + the oldest r10-window row
+# (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
+# (the archived r09 window is _ADDED_R08 + _R06_STALE_R09 + _R07_FIRST3
+# in artifact order, pinned and test-verified), so there is no
+# hand-recount surface.  This sweep gives the BPE rows (oracle-backed
+# since r10) their first hash-green driver rows.
+# ---------------------------------------------------------------------
+_R09_REMAINING_R12 = [
+    n
+    for n in (_ADDED_R08 + _R06_STALE_R09 + _R07_FIRST3)
+    if n not in set(_R09_FIRST1_R11)
+]
+_R10_FIRST1_R12 = [
+    "ann_lsh_topk",
+]
+
+# ---------------------------------------------------------------------
 # Registry-pruning policy (round-8 verdict item #2, adopted round 9):
 # the 3-round certification guarantee requires registered <= 3 x 50 =
 # 150.  The registry sits AT the ceiling (the import-time assert below
@@ -263,25 +277,38 @@ _R07_FIRST3 = [
 # a named twin to verify_local-only (append it to _PAST_WINDOW_FIRST
 # and record the displacement here).  Twin = a query whose oracle
 # family and serving path are already certified by a sibling row.
-# Ranked displacement candidates, in order:
+# Ranked displacement candidates, in order (each is a twin whose
+# oracle family and serving path stay certified through the named
+# sibling; unit/differential tests cover the delta):
 #   1. dedup_clusters_star   (same CC pipeline as dedup_clusters; only
 #      the star-edge generation differs, covered by unit tests)
 #   2. bloom_fp_report       (same bitmap build as bloom_membership_gate;
 #      the FP-rate arithmetic is covered by tests/test_membership.py)
 #   3. cms_freq_report       (same CMS state as cms_heavy_hitters)
+#   4. session_window_native (same sessionization result as
+#      session_window_agg — identical rows/hash; the native
+#      session_window lane keeps its plan-audit + unit tests)
+#   5. funnel_conversion_report (report form over the same staged
+#      funnel as funnel_conversion)
+#   6. cohort_retention_matrix  (pivot of the retention_cohorts agg)
+#   7. bigram_logprob        (same LM-proxy build as unigram_logprob,
+#      one extra lag column; differential-tested)
+#   8. cdc_chunk_dedup       (verdict form of cdc_chunk_rewrite, which
+#      exercises the same CDC boundary + interval-union machinery)
 # The import-time assert below makes exceeding the ceiling loud.
 # ---------------------------------------------------------------------
 
 
 def _reorder_for_certification() -> None:
-    """Rebuild the registry in ROUND-10 certification order:
-    the 47 r07-certified rows not refreshed in r09, then the first 3
-    rows of the archived r08 artifact = 50 exactly; past-window rows
-    follow."""
+    """Rebuild the registry in ROUND-11 certification order:
+    the 47 r08-certified rows not refreshed in r10, then the 2 round-9
+    additions (3-round deadline), then the oldest r09-window row = 50
+    exactly; past-window rows follow."""
     ordered: list[str] = []
     for group in (
-        _R07_REMAINING_R10,
-        _R08_FIRST3_R10,
+        _R08_REMAINING_R11,
+        _ADDED_R09,
+        _R09_FIRST1_R11,
         _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
@@ -314,9 +341,10 @@ assert set(_ADDED_R08) <= set(REGISTRY), (
 assert len(_ADDED_R08) + len(_R06_STALE_R09) + len(_R07_FIRST3) == 50, (
     "round-9 window arithmetic: 33 added + 14 r06-stale + 3 r07 rows"
 )
-assert list(REGISTRY)[:50] == _R07_REMAINING_R10 + _R08_FIRST3_R10, (
-    "round-10 window order must be exactly the two pinned groups"
-)
+assert (
+    list(REGISTRY)[:50]
+    == _R08_REMAINING_R11 + _ADDED_R09 + _R09_FIRST1_R11
+), "round-11 window order must be exactly the three pinned groups"
 assert set(_ADDED_R09) <= set(REGISTRY) and not (
     set(_ADDED_R09)
     & (
@@ -347,6 +375,15 @@ assert set(_R08_REMAINING_R11) | set(_R09_FIRST1_R11) <= set(REGISTRY), (
 )
 assert _R09_FIRST1_R11[0] == _ADDED_R08[0], (
     "the r11 sweep head must be the oldest row of the r09 window"
+)
+assert (
+    len(_R09_REMAINING_R12) + len(_R10_FIRST1_R12) == 50
+), "round-12 window arithmetic: 49 remaining r09 rows + 1 r10 row"
+assert _R10_FIRST1_R12[0] == _R07_REMAINING_R10[0], (
+    "the r12 sweep head must be the oldest row of the r10 window"
+)
+assert set(_R09_REMAINING_R12) | set(_R10_FIRST1_R12) <= set(REGISTRY), (
+    "every pre-staged round-12 row must be registered"
 )
 assert len(REGISTRY) <= 150, (
     f"registry holds {len(REGISTRY)} queries — the 3-round certification"

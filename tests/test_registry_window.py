@@ -1,8 +1,8 @@
 """Certification-window invariants (round-7 verdict items #1/#2,
-rotated to the ROUND-10 window per the round-9 verdict item #1).
+rotated to the ROUND-11 window per the round-10 verdict item #1).
 
 The driver certifies exactly the first 50 registered queries, so the
-window composition is load-bearing: these tests pin the round-10
+window composition is load-bearing: these tests pin the round-11
 contract against the archived driver artifacts — a reorder mistake
 fails HERE, not in the next driver round."""
 
@@ -18,25 +18,49 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _round_keys(n: int) -> set[str]:
-    with open(os.path.join(_REPO, f"CORRECTNESS_r0{n}.json")) as f:
+    with open(os.path.join(_REPO, f"CORRECTNESS_r{n:02d}.json")) as f:
         return set(json.load(f))
 
 
 def _round_order(n: int) -> list[str]:
-    with open(os.path.join(_REPO, f"CORRECTNESS_r0{n}.json")) as f:
+    with open(os.path.join(_REPO, f"CORRECTNESS_r{n:02d}.json")) as f:
         return list(json.load(f))
 
 
-def test_r10_window_is_r07_remaining_plus_r08_head():
+def test_r11_window_is_r08_remaining_plus_r09_additions_plus_r09_head():
     window = list(REGISTRY)[:50]
-    r09 = _round_keys(9)
+    r10 = _round_keys(10)
     # no slot wasted on a row certified last round
-    assert not set(window) & r09
-    # the 47 r07 rows not refreshed in r09 lead the window
-    assert window[: len(Q._R07_REMAINING_R10)] == Q._R07_REMAINING_R10
-    # then the first 3 rows of the archived r08 window, in artifact order
-    assert window[47:] == Q._R08_FIRST3_R10
-    assert Q._R08_FIRST3_R10 == _round_order(8)[:3]
+    assert not set(window) & r10
+    # the 47 r08 rows not refreshed in r10 lead the window
+    assert window[: len(Q._R08_REMAINING_R11)] == Q._R08_REMAINING_R11
+    # then the 2 round-9 additions on their 3-round deadline
+    assert window[47:49] == Q._ADDED_R09
+    # then the oldest row of the archived r09 artifact
+    assert window[49:] == Q._R09_FIRST1_R11
+    assert Q._R09_FIRST1_R11 == _round_order(9)[:1]
+
+
+def test_r11_window_r08_group_matches_artifact():
+    """_R08_REMAINING_R11 must be the r08 artifact order minus the 3
+    rows the r10 window already refreshed."""
+    r08 = _round_order(8)
+    assert Q._R08_FIRST3_R10 == r08[:3]
+    assert Q._R08_REMAINING_R11 == [
+        n for n in r08 if n not in set(Q._R08_FIRST3_R10)
+    ]
+    assert len(Q._R08_REMAINING_R11) == 47
+
+
+def test_r12_prestaged_window_matches_artifacts():
+    """The pre-staged r12 groups: the 49 r09-window rows not swept in
+    r11 (artifact order) + the oldest r10-window row."""
+    r09 = _round_order(9)
+    assert Q._R09_REMAINING_R12 == [
+        n for n in r09 if n not in set(Q._R09_FIRST1_R11)
+    ]
+    assert Q._R10_FIRST1_R12 == _round_order(10)[:1]
+    assert len(Q._R09_REMAINING_R12) + len(Q._R10_FIRST1_R12) == 50
 
 
 def test_r10_window_groups_match_artifacts():
@@ -80,6 +104,8 @@ def test_window_groups_contain_only_registered_names():
         Q._R08_REMAINING_R11,
         Q._R09_FIRST1_R11,
         Q._ADDED_R09,
+        Q._R09_REMAINING_R12,
+        Q._R10_FIRST1_R12,
     ):
         missing = [n for n in group if n not in REGISTRY]
         assert not missing, f"window group names not registered: {missing}"
