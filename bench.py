@@ -4,6 +4,16 @@ ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The printed line is COMPACT by contract: the driver's bench recorder
+keeps only the last 2000 characters of stdout, so `BENCH_r05…r10.json`
+all carried `"parsed": null` while the full per-query line grew past
+the cap (round-10 verdict "what's wrong" #1).  The line now holds the
+totals, the frozen pinned warm series, and the slowest-5 warm rows —
+`compact_line` is length-bounded by a unit test at the current
+registry size — and the FULL per-query detail (cold + warm + spread +
+rotation) is written to `BENCH_full.json` at the repo root for
+cross-round analysis.
+
 Each query is forced to full materialization with the noop sink (no
 collect/driver transfer in the timing). One warmup pass amortizes JVM
 and code-gen startup out of the numbers.
@@ -220,31 +230,67 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     pinned_run = [q for q in PINNED if q in timings]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                # frozen r02 24-query series (runs first in the JVM —
-                # see module docstring): the cross-round drift signal
-                "pinned_total": round(sum(timings[q] for q in pinned_run), 3),
-                # warm totals for pinned rows are sums of per-query
-                # MEDIANS of 3 passes (see loop note); r02–r08 artifacts
-                # were single-sample — compare medians to medians from
-                # r09 onward, and read pinned_warm_spread for the floor
-                "pinned_warm_total": round(sum(warm[q] for q in pinned_run), 3),
-                "pinned_warm_spread": {q: warm_spread[q] for q in pinned_run if q in warm_spread},
-                "pinned_n": len(pinned_run),
-                "rotation_group": rot_idx,
-                "rotation_warm": rot_warm,
-                "rotation_total": round(sum(rot_warm.values()), 3),
-                "sf": sf,
-            }
-        )
+    detail = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        # frozen r02 24-query series (runs first in the JVM —
+        # see module docstring): the cross-round drift signal
+        "pinned_total": round(sum(timings[q] for q in pinned_run), 3),
+        # warm totals for pinned rows are sums of per-query
+        # MEDIANS of 3 passes (see loop note); r02–r08 artifacts
+        # were single-sample — compare medians to medians from
+        # r09 onward, and read pinned_warm_spread for the floor
+        "pinned_warm_total": round(sum(warm[q] for q in pinned_run), 3),
+        "pinned_warm": {q: warm[q] for q in pinned_run},
+        "pinned_warm_spread": {
+            q: warm_spread[q] for q in pinned_run if q in warm_spread
+        },
+        "pinned_n": len(pinned_run),
+        "rotation_group": rot_idx,
+        "rotation_warm": rot_warm,
+        "rotation_total": round(sum(rot_warm.values()), 3),
+        "sf": sf,
+    }
+    with open(os.path.join(_REPO_DIR, "BENCH_full.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(compact_line(detail))
+
+
+def compact_line(detail: dict) -> str:
+    """The ONE printed JSON line, bounded to fit the driver recorder's
+    2000-char stdout tail (tests/test_bench_compact.py asserts the
+    bound at the live registry size with worst-case name lengths).
+    Carries the headline/warm/pinned/rotation TOTALS, the frozen
+    24-query pinned warm series, and the slowest-5 warm rows; the full
+    per-query detail lives in BENCH_full.json."""
+    warm = detail.get("queries_warm", {})
+    slowest = dict(
+        sorted(warm.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    return json.dumps(
+        {
+            "metric": detail["metric"],
+            "value": detail["value"],
+            "unit": detail["unit"],
+            "sf": detail["sf"],
+            "n": len(detail.get("queries", {})),
+            "warm_total": detail["warm_total"],
+            "pinned_total": detail["pinned_total"],
+            "pinned_warm_total": detail["pinned_warm_total"],
+            "pinned_n": detail["pinned_n"],
+            # the frozen r02 series IS the cross-round instrument —
+            # it rides in the parsed line so no round ever loses it
+            "queries": detail.get("pinned_warm", {}),
+            "slowest5_warm": slowest,
+            "rotation_group": detail["rotation_group"],
+            "rotation_total": detail["rotation_total"],
+            "detail_file": "BENCH_full.json",
+        }
     )
 
 
