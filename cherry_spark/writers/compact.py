@@ -129,6 +129,13 @@ def compact_dataset(
             src = os.path.join(tmp, os.path.basename(tdir))
             if not os.path.isdir(src):  # pragma: no cover - safety net
                 continue
+            # a merge table's replay marker must survive this lane too
+            # (mirrors the serial lane below): no current partitioned
+            # table carries one, but losing it on a future one would
+            # re-enable replay double-merges
+            mk = os.path.join(tdir, "_merge_key")
+            if os.path.exists(mk):
+                shutil.copy(mk, os.path.join(src, "_merge_key"))
             old = f"{tdir}__old_{uuid.uuid4().hex[:8]}"
             os.rename(tdir, old)
             os.rename(src, tdir)

@@ -324,3 +324,113 @@ def test_streaming_trained_gate_torn_swap_serves_previous_full_model(
     assert not os.path.exists(f"{weights_dir}__tmp_deadbeef")
     assert canon(weights_dir) == v0
     assert [(r["keep"], r["model_version"]) for r in out2] == [(1, 0)]
+
+
+def _fold_batches(spark, state, label, batches, **kw):
+    from cherry_spark.streaming.continuous import trained_gate_fold
+
+    schema = "doc_id long, text string"
+    for bid, rows in enumerate(batches):
+        trained_gate_fold(
+            spark,
+            spark.createDataFrame(rows, schema),
+            state,
+            label,
+            bid,
+            **kw,
+        )
+
+
+def _canon(spark, path):
+    return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+
+def test_trained_gate_sample_store_equals_global_topn(spark, tmp_path):
+    """r11 (r10 verdict item #3): the bounded training sample is
+    maintained INCREMENTALLY (O(sample + batch) per fold) but must
+    equal the from-scratch global computation — the retain_docs
+    smallest rows by (md5(id), id) over ALL labeled history."""
+    state = str(tmp_path / "state")
+    label = F.col("text").contains("pos")
+    batches = [
+        [(b * 100 + i, f"tok{b} {'pos' if i % 2 else 'neg'}") for i in range(12)]
+        for b in range(4)
+    ]
+    _fold_batches(
+        spark, state, label, batches,
+        n_buckets=4096, n_iters=2, refit_every=2, retain_docs=10,
+    )
+    hist = spark.read.parquet(f"{state}/labeled")
+    assert hist.count() == 48  # eviction definitely happened
+    expect = _canon_rows(
+        hist.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(10)
+    )
+    got = _canon_rows(spark.read.parquet(f"{state}/train_sample"))
+    assert got == expect
+    assert len(got) == 10
+
+
+def _canon_rows(df):
+    return sorted(tuple(r) for r in df.select("doc_id", "text", "__lbl").collect())
+
+
+def test_trained_gate_bounded_refit_trains_on_sample_only(spark, tmp_path):
+    """Once history exceeds retain_docs, the refit corpus IS the
+    bounded sample: the swapped weights equal a from-scratch
+    train_hashed_classifier over exactly the sample rows."""
+    state = str(tmp_path / "state")
+    label = F.col("text").contains("pos")
+    batches = [
+        [(b * 100 + i, f"w{b}x{i} {'pos' if i % 3 else 'neg'}") for i in range(8)]
+        for b in range(5)
+    ]
+    # refit_every=1: the LAST fold's refit reads the final sample
+    _fold_batches(
+        spark, state, label, batches,
+        n_buckets=4096, n_iters=2, refit_every=1, retain_docs=12,
+    )
+    sample = spark.read.parquet(f"{state}/train_sample")
+    assert sample.count() == 12
+    expect = {
+        r["bucket"]: r["w"]
+        for r in train_hashed_classifier(
+            sample, "__lbl", n_buckets=4096, n_iters=2, lr_inv=1
+        ).collect()
+    }
+    got = {
+        r["bucket"]: r["w"]
+        for r in spark.read.parquet(f"{state}/weights")
+        .select("bucket", "w")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_trained_gate_sample_replay_idempotent(spark, tmp_path):
+    """A crash-replayed fold must leave the sample store IDENTICAL to
+    a clean single delivery: the merge key marks an absorbed batch and
+    the anti-join + re-merge maps back to the same top-N."""
+    from cherry_spark.streaming.continuous import trained_gate_fold
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    label = F.col("text").contains("pos")
+    b0 = [(i, f"a{i} pos") for i in range(9)]
+    b1 = [(100 + i, f"b{i} neg") for i in range(9)]
+    trained_gate_fold(
+        spark, spark.createDataFrame(b0, schema), state, label, 0,
+        n_buckets=4096, retain_docs=6,
+    )
+    trained_gate_fold(
+        spark, spark.createDataFrame(b1, schema), state, label, 1,
+        n_buckets=4096, retain_docs=6,
+    )
+    clean = _canon_rows(spark.read.parquet(f"{state}/train_sample"))
+    # replay batch 1 (same data, same key): store must not change
+    trained_gate_fold(
+        spark, spark.createDataFrame(b1, schema), state, label, 1,
+        n_buckets=4096, retain_docs=6,
+    )
+    assert _canon_rows(spark.read.parquet(f"{state}/train_sample")) == clean
+    # and the labeled history did not duplicate the batch
+    assert spark.read.parquet(f"{state}/labeled").count() == 18

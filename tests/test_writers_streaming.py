@@ -2600,3 +2600,113 @@ def test_streaming_growing_semdedup_bootstraps_without_initial_corpus(
     assert len(verdicts) == 4
     assert verdicts[10] == "semantic_dup"
     assert verdicts[0] == "unique" and verdicts[11] == "unique"
+
+
+def test_compact_batched_lane_preserves_partition_merge_marker(spark, tmp_path):
+    """r11 (advice): the batched one-file-per-dir lane must copy a
+    partition dir's _merge_key sidecar into the rewritten dir like the
+    serial lane does — losing it would let an in-flight batch's replay
+    double-merge a future hive-partitioned merge table."""
+    import os
+
+    from cherry_spark.writers.compact import _n_parquet_files, compact_dataset
+
+    path = str(tmp_path / "pm")
+    for b in range(8):
+        spark.range(b * 50, b * 50 + 50).selectExpr(
+            "id", "CAST(id % 2 AS STRING) AS part"
+        ).coalesce(1).write.partitionBy("part").mode("append").parquet(path)
+    with open(os.path.join(path, "part=1", "_merge_key"), "w") as fh:
+        fh.write("e9-b3")
+    rows = spark.read.parquet(path).count()
+
+    compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert _n_parquet_files(f"{path}/part=1") == 1  # batched lane ran
+    assert spark.read.parquet(path).count() == rows
+    with open(os.path.join(path, "part=1", "_merge_key")) as fh:
+        assert fh.read() == "e9-b3"
+
+
+def test_curation_gate_zero_admission_replay_rewrites_spent(spark, tmp_path):
+    """r11 (advice): a replayed batch whose verdicts diverge to ZERO
+    admissions after a crashed attempt committed its spent row must
+    REWRITE the spent store to the pre-batch basis — leaving the
+    crashed attempt's inflated (spent, prev) in place permanently
+    steals budget.  The divergence is forced here by replaying under
+    budget=0 (a real one needs a reseed-moved centroid; the contract
+    under test — the store follows the DELIVERED verdicts — is the
+    same)."""
+    import os
+    import shutil
+
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+
+    rows = [
+        (1, "alpha bravo charlie delta echo words", [1.0, 0.0, 0.0, 0.0], 0.9, 4),
+        (2, "foxtrot golf hotel india juliet words", [0.0, 1.0, 0.0, 0.0], 0.8, 4),
+    ]
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    def collect_sink(acc):
+        def sink(verdicts, batch_id):
+            acc.append({r["doc_id"]: r["verdict"] for r in verdicts.collect()})
+        return sink
+
+    state = str(tmp_path / "state")
+    first: list = []
+    q = run_streaming_curation_gate(
+        spark, stream(), state, collect_sink(first),
+        str(tmp_path / "ckpt1"), budget=8, jaccard_threshold=0.5,
+        semantic_threshold=0.95,
+    )
+    q.awaitTermination(240)
+    assert first == [{1: "admitted", 2: "admitted"}]
+    spent0 = spark.read.parquet(f"{state}/spent").first()
+    assert (spent0["spent"], spent0["prev"]) == (8, 0)
+
+    # crash-replay the batch, forcing zero admissions
+    ck2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(str(tmp_path / "ckpt1"), ck2)
+    os.remove(os.path.join(ck2, "commits", "0"))
+    crc = os.path.join(ck2, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    replay: list = []
+    q2 = run_streaming_curation_gate(
+        spark, stream(), state, collect_sink(replay),
+        ck2, budget=0, jaccard_threshold=0.5, semantic_threshold=0.95,
+    )
+    q2.awaitTermination(240)
+    assert replay == [{1: "over_budget", 2: "over_budget"}]
+    # the spent store follows the delivered verdicts: nothing admitted
+    # => spent back at the pre-batch basis, not the crashed attempt's 8
+    spent1 = spark.read.parquet(f"{state}/spent").first()
+    assert (spent1["spent"], spent1["prev"]) == (0, 0)
+
+
+def test_run_epoch_path_hash_fallback_warns(spark, tmp_path):
+    """r11 (advice): the last-resort checkpoint-PATH-hash epoch reuses
+    its namespace when a checkpoint is deleted and recreated at the
+    same path — reaching it must be LOUD, not silent."""
+    import warnings
+
+    from cherry_spark.streaming.continuous import _run_epoch
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tok = _run_epoch(str(tmp_path / "no_such_checkpoint"))
+    assert len(tok) == 8
+    assert any(
+        "PATH hash" in str(w.message) and w.category is RuntimeWarning
+        for w in caught
+    )

@@ -1,0 +1,234 @@
+"""Composed curate->train->index pipeline probe at bench scale (r11,
+r10 verdict item #5): the flagship composition of
+examples/curate_index_pipeline.py — trained quality gate -> composed
+admission gate (decontam/lexical/semantic/budget) -> store-as-bus ->
+bm25 + pair-graph maintainers — run as ONE streaming session over 10
+arrivals of the full sf0.1 documents+embeddings join, with per-fold
+wall times recorded at every stage and the maintained stores verified
+against batch-built equivalents over exactly the admitted set.
+
+What "pass" means here:
+
+- per-fold times at every stage stay FLAT across the 10 arrivals
+  (modulo the trained gate's refit folds, which are bounded by
+  ``retain_docs`` — r11 — and so must also be flat among themselves);
+- the maintained bm25 index serves IDENTICAL top-k to an inline build
+  over the admitted store, and the pair graph's edges equal a
+  from-scratch jaccard_pairs over the same corpus;
+- admission counts are internally consistent (admitted + rejected
+  classes == model-survivor count).
+
+Usage: python tools/scale_probe_pipeline.py [sf_dir] [n_arrivals]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cherry_spark.ext.bm25 import bm25_topk
+    from cherry_spark.ext.text import token_count
+    from cherry_spark.queries.curation import _density_label_col
+    from cherry_spark.session import get_spark
+    from cherry_spark.sources.tables import load_table
+    from cherry_spark.streaming.continuous import (
+        run_streaming_bm25_index,
+        run_streaming_curation_gate,
+        run_streaming_pair_graph,
+        run_streaming_trained_gate,
+    )
+
+    sf_dir = next(
+        (a for a in sys.argv[1:] if not a.isdigit()), "/root/testdata/sf0.1"
+    )
+    n_arrivals = int(
+        next((a for a in sys.argv[1:] if a.isdigit()), "10")
+    )
+    work = "/tmp/cherry_probe_pipeline"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    src_dir = f"{work}/incoming"
+    scored_dir = f"{work}/scored"
+    out_dir = f"{work}/verdicts"
+
+    spark = get_spark("pipeline_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    staged = (
+        docs.join(emb, "doc_id", "inner")
+        .select(
+            "doc_id",
+            "text",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_staged = staged.count()
+    for i in range(n_arrivals):
+        staged.filter(F.col("doc_id") % n_arrivals == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)
+
+    def file_stream(path, sch):
+        return (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    def timed_sink(marks: list, inner=None):
+        def sink(df, batch_id):
+            if inner is not None:
+                inner(df, batch_id)
+            else:
+                df.write.format("noop").mode("overwrite").save()
+            marks.append(time.perf_counter())
+        return sink
+
+    def fold_times(marks: list, t0: float) -> list:
+        prev, out = t0, []
+        for m in marks:
+            out.append(round(m - prev, 1))
+            prev = m
+        return out
+
+    # stage 0: trained quality gate (bounded refit, r11 default)
+    tg_marks: list = []
+    n_model_rejected: list = []
+
+    def scored_sink(verdicts, batch_id):
+        n_model_rejected.append(verdicts.filter(F.col("keep") == 0).count())
+        verdicts.filter(F.col("keep") == 1).drop("n_tokens").join(
+            staged, "doc_id"
+        ).select(
+            "doc_id",
+            "text",
+            "embedding",
+            (F.col("score_micro") / 1e6).alias("quality"),
+            F.col("n_tokens"),
+        ).write.mode("append").parquet(scored_dir)
+
+    t0 = time.perf_counter()
+    qt = run_streaming_trained_gate(
+        spark,
+        file_stream(src_dir, staged.schema),
+        f"{work}/model_state",
+        timed_sink(tg_marks, scored_sink),
+        f"{work}/ckpt_trained",
+        label_expr=_density_label_col(),
+        refit_every=4,
+    )
+    qt.awaitTermination(1200)
+    tg_times = fold_times(tg_marks, t0)
+
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+
+    # stage 1: composed admission gate over the model-survivor bus
+    cg_marks: list = []
+
+    def verdict_sink(verdicts, batch_id):
+        verdicts.write.mode("append").parquet(out_dir)
+
+    t0 = time.perf_counter()
+    q = run_streaming_curation_gate(
+        spark,
+        file_stream(scored_dir, schema),
+        f"{work}/state",
+        timed_sink(cg_marks, verdict_sink),
+        f"{work}/ckpt_gate",
+        budget=10_000_000,
+        jaccard_threshold=0.5,
+        semantic_threshold=0.95,
+    )
+    q.awaitTermination(1800)
+    cg_times = fold_times(cg_marks, t0)
+
+    # stage 2: maintainers over the admitted-text bus
+    admitted_src = f"{work}/state/text"
+    bm_marks: list = []
+    pg_marks: list = []
+    t0 = time.perf_counter()
+    qb = run_streaming_bm25_index(
+        spark,
+        file_stream(admitted_src, "doc_id long, text string"),
+        f"{work}/bm25",
+        timed_sink(bm_marks),
+        f"{work}/ckpt_bm25",
+    )
+    qb.awaitTermination(1200)
+    bm_times = fold_times(bm_marks, t0)
+    t0 = time.perf_counter()
+    qg = run_streaming_pair_graph(
+        spark,
+        file_stream(admitted_src, "doc_id long, text string"),
+        f"{work}/graph",
+        timed_sink(pg_marks),
+        f"{work}/ckpt_graph",
+        threshold=0.5,
+    )
+    qg.awaitTermination(1200)
+    pg_times = fold_times(pg_marks, t0)
+
+    # verification: maintained stores == batch equivalents over
+    # exactly the admitted corpus
+    admitted = spark.read.parquet(admitted_src)
+    n_admitted = admitted.count()
+    qdf = admitted.orderBy("doc_id").limit(3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    served = canon(bm25_topk(None, qdf, k=5, index_dir=f"{work}/bm25"))
+    inline = canon(bm25_topk(admitted, qdf, k=5))
+
+    from cherry_spark.ext.dedup import ngram_jaccard_pairs
+
+    maintained_edges = canon(spark.read.parquet(f"{work}/graph/pairs"))
+    scratch_edges = canon(ngram_jaccard_pairs(admitted, threshold=0.5))
+
+    verdicts = spark.read.parquet(out_dir)
+    counts = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_survivors = n_staged - sum(n_model_rejected)
+    print(
+        f"[pipeline sf={sf_dir} arrivals={n_arrivals}] staged {n_staged} "
+        f"docs, {sum(n_model_rejected)} model-rejected, "
+        f"verdict counts {counts} (sum "
+        f"{sum(counts.values())} == survivors {n_survivors}: "
+        f"{'OK' if sum(counts.values()) == n_survivors else 'MISMATCH'})"
+    )
+    print(f"[trained gate] per-fold s: {tg_times}")
+    print(f"[curation gate] per-fold s: {cg_times}")
+    print(f"[bm25 maintainer] per-fold s: {bm_times}")
+    print(f"[pair graph] per-fold s: {pg_times}")
+    print(
+        f"[verify] admitted {n_admitted}; bm25 maintained == inline: "
+        f"{'OK' if served == inline else 'MISMATCH'} ({len(served)} rows); "
+        f"pair graph == from-scratch: "
+        f"{'OK' if maintained_edges == scratch_edges else 'MISMATCH'} "
+        f"({len(maintained_edges)} edges)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -651,11 +651,65 @@ def probe_trained_gate(sf_dir: str, n_arrivals: int = 10) -> None:
     print(
         f"[trained_gate] score-fold seconds: {score_folds} (FLAT — "
         f"broadcast model join, batch-linear); refit-fold seconds: "
-        f"{refit_folds} (corpus-version cost, linear in labeled corpus "
-        f"by design); kept per fold: {kept} (constant — clone arrivals, "
-        f"same model between boundaries); fold-8 weights (9 replicas) "
-        f"== one-arrival training: "
+        f"{refit_folds} (history under retain_docs: every arrival "
+        f"trains); kept per fold: {kept} (constant — clone arrivals, "
+        f"same model between boundaries); fold-8 weights (9 replicas "
+        f"under the cap) == one-arrival training: "
         f"{'OK' if stored == expect else 'MISMATCH'}"
+    )
+
+    # phase 2 (r11, r10 verdict item #3): the BOUNDED refit. Cap the
+    # training sample at one arrival's size so history outgrows it by
+    # fold 1 — refit folds must go FLAT (each reads exactly
+    # retain_docs rows) instead of growing with stream history, and
+    # the stored weights must equal a from-scratch train over the
+    # sample store (the refit corpus IS the sample, by construction).
+    n_docs = docs.count()
+    state2 = f"{work}/model_bounded"
+    times2 = []
+    for i in range(n_arrivals):
+        batch = docs.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        out = trained_gate_fold(
+            spark,
+            batch,
+            state2,
+            label,
+            i,
+            refit_every=4,
+            n_buckets=256,
+            n_iters=8,
+            lr_inv=1,
+            batch_key=f"b{i}",
+            retain_docs=n_docs,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        times2.append(time.perf_counter() - t0)
+    sample = spark.read.parquet(f"{state2}/train_sample")
+    n_sample = sample.count()
+    stored2 = {
+        w["bucket"]: w["w"]
+        for w in spark.read.parquet(f"{state2}/weights")
+        .select("bucket", "w")
+        .collect()
+    }
+    expect2 = {
+        w["bucket"]: w["w"]
+        for w in train_hashed_classifier(
+            sample, "__lbl", n_buckets=256, n_iters=8, lr_inv=1
+        ).collect()
+    }
+    refit2 = [round(t, 1) for i, t in enumerate(times2) if i % 4 == 0]
+    score2 = [round(t, 1) for i, t in enumerate(times2) if i % 4]
+    print(
+        f"[trained_gate bounded retain_docs={n_docs}] refit-fold "
+        f"seconds: {refit2} (FLAT — each trains on exactly the "
+        f"{n_sample}-row sample regardless of the "
+        f"{n_docs * n_arrivals}-row history); score-fold seconds: "
+        f"{score2}; fold-8 weights == from-scratch train over the "
+        f"sample store: {'OK' if stored2 == expect2 else 'MISMATCH'}"
     )
 
 
