@@ -50,7 +50,14 @@ def main() -> None:
     out = {"tree": tree, "sf_dir": sf_dir, "queries": {}}
     for name in names:
         fn = REGISTRY[name].fn
-        materialize(fn(spark, sf_dir))  # cold: stores/codegen outside timing
+        # THREE untimed passes, not one (r11): a fresh dedicated JVM
+        # under-JITs paths the 62-query suite JVM has long compiled —
+        # training_shards read 0.63 here vs 0.29 in the suite until
+        # the C2 tier caught up. Cross-JVM comparisons (this tool vs a
+        # bench artifact) stay apples-to-oranges; compare ab_drift
+        # runs only against ab_drift runs in the same session.
+        for _ in range(3):
+            materialize(fn(spark, sf_dir))
         runs = []
         for _ in range(5):
             t0 = time.perf_counter()

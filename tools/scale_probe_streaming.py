@@ -695,10 +695,22 @@ def probe_trained_gate(sf_dir: str, n_arrivals: int = 10) -> None:
         .select("bucket", "w")
         .collect()
     }
+    # the stored weights come from the LAST refit boundary (fold 8);
+    # the live sample has since absorbed fold 9 — reconstruct the
+    # fold-8 sample as the top-N over arrivals 0..8 only (ids are
+    # disjoint per arrival, and the incremental merge == global top-N
+    # over whatever has arrived)
+    last_boundary = ((n_arrivals - 1) // 4) * 4
+    hist8 = spark.read.parquet(f"{state2}/labeled").filter(
+        F.col("doc_id") < (last_boundary + 1) * offset
+    )
+    sample8 = hist8.orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ).limit(n_docs)
     expect2 = {
         w["bucket"]: w["w"]
         for w in train_hashed_classifier(
-            sample, "__lbl", n_buckets=256, n_iters=8, lr_inv=1
+            sample8, "__lbl", n_buckets=256, n_iters=8, lr_inv=1
         ).collect()
     }
     refit2 = [round(t, 1) for i, t in enumerate(times2) if i % 4 == 0]
@@ -708,8 +720,9 @@ def probe_trained_gate(sf_dir: str, n_arrivals: int = 10) -> None:
         f"seconds: {refit2} (FLAT — each trains on exactly the "
         f"{n_sample}-row sample regardless of the "
         f"{n_docs * n_arrivals}-row history); score-fold seconds: "
-        f"{score2}; fold-8 weights == from-scratch train over the "
-        f"sample store: {'OK' if stored2 == expect2 else 'MISMATCH'}"
+        f"{score2}; fold-{last_boundary} weights == from-scratch "
+        f"train over the reconstructed fold-{last_boundary} sample: "
+        f"{'OK' if stored2 == expect2 else 'MISMATCH'}"
     )
 
 
