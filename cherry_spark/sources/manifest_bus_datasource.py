@@ -1,0 +1,139 @@
+"""Custom Spark 4 Python DataSource over a manifest-log bus.
+
+Streams the ``append`` versions of a ``writers/manifest_bus.py`` bus.
+Offsets are MANIFEST VERSIONS, not file names — so compacting the bus
+(``bus_compact``'s ``rewrite`` versions) is invisible to a running or
+restarted stream: a rewrite version contributes zero rows, and the
+files it retires were already consumed by version number.  This is
+the piece a raw-parquet file-source bus cannot have (its checkpoint
+tracks processed file NAMES; compaction re-delivers everything — the
+documented caveat in examples/curate_index_pipeline.py).
+
+Register + use:
+
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+    spark.dataSource.register(ManifestBusDataSource)
+    df = (spark.readStream.format("cherry_bus")
+          .option("path", "/bus/dir").load())
+
+The bus must hold at least one committed ``append`` version before a
+stream starts (the schema comes from its first data file).  Offsets
+resume from the checkpoint like any Structured Streaming source.
+
+Scale note: one input partition per data file of each consumed
+version — reads parallelize across executors; the driver tracks only
+the integer version.  Same DataSource pattern as
+sources/replay_datasource.py (the provider replay stream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+class ManifestBusStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.bus_dir = options.get("path")
+        # "earliest" (default 0) replays every append version still on
+        # disk; "latest" starts AFTER the current max version (new
+        # consumers bootstrap state from bus_snapshot, then stream only
+        # what arrives next — the pattern that survives compactions of
+        # history they never needed); an integer starts after that
+        # version.  Only consulted at the FIRST start — afterwards the
+        # checkpoint's offset governs, like any streaming source.
+        self.starting = options.get("starting_version", "earliest")
+        self._schema = schema
+
+    def _entries(self):
+        from cherry_spark.writers.manifest_bus import read_manifest
+
+        return read_manifest(self.bus_dir)
+
+    def initialOffset(self) -> dict:
+        if self.starting == "earliest":
+            return {"version": 0}
+        if self.starting == "latest":
+            entries = self._entries()
+            return {"version": entries[-1]["version"] if entries else 0}
+        return {"version": int(self.starting)}
+
+    def latestOffset(self) -> dict:
+        entries = self._entries()
+        return {"version": entries[-1]["version"] if entries else 0}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        lo, hi = start["version"], end["version"]
+        out = []
+        for e in self._entries():
+            if lo < e["version"] <= hi and e["kind"] == "append":
+                for f in e["files"]:
+                    out.append(
+                        _FilePartition(
+                            os.path.join(self.bus_dir, "data", f)
+                        )
+                    )
+        # Spark requires at least one partition per micro-batch
+        return out or [_FilePartition("")]
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint log
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        import os
+
+        import pyarrow.parquet as pq
+
+        if not os.path.exists(partition.path):
+            raise RuntimeError(
+                f"manifest-bus data file {partition.path} is gone: a "
+                "compaction retired it while this consumer's checkpoint "
+                "still needed its version. Compact with consumers "
+                "drained or pass keep_after_version (bus_compact); new "
+                "consumers bootstrap with bus_snapshot + "
+                "starting_version=latest."
+            )
+        for batch in pq.read_table(partition.path).to_batches():
+            for row in batch.to_pylist():
+                yield tuple(row[f.name] for f in self._schema.fields)
+
+
+class ManifestBusDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cherry_bus"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from cherry_spark.writers.manifest_bus import live_files
+
+        # any LIVE file carries the bus schema (the first appended file
+        # may have been retired by a compaction and deleted)
+        for f in live_files(self.options["path"]):
+            return from_arrow_schema(pq.read_schema(f))
+        raise ValueError(
+            "manifest bus at "
+            f"{self.options['path']} has no committed data — "
+            "bus_append at least one batch before starting a stream"
+        )
+
+    def streamReader(self, schema) -> ManifestBusStreamReader:
+        return ManifestBusStreamReader(schema, self.options)

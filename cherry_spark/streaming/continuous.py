@@ -609,6 +609,7 @@ def run_streaming_curation_gate(
     trigger_available_now: bool = True,
     test_df: DataFrame | None = None,
     decon_shingle_k: int = 5,
+    text_bus_dir: str | None = None,
     **delta_kwargs,
 ):
     """The COMPOSED ingestion gate: every micro-batch runs the full
@@ -652,7 +653,15 @@ def run_streaming_curation_gate(
     standard foreachBatch at-least-once delivery; after a reseed-
     boundary crash the replay's verdicts may legitimately differ
     (centroids moved) and the stores follow the delivered verdicts.
-    """
+
+    ``text_bus_dir`` (r11): mirror each batch's admitted (id, text)
+    rows onto a MANIFEST-LOG BUS (writers/manifest_bus.py) alongside
+    the raw ``text/`` store.  Downstream index maintainers that
+    consume the bus through the ``cherry_bus`` DataSource survive bus
+    compaction (offsets are manifest versions, not file names) — the
+    raw ``text/`` dir cannot be compacted while a file-source stream
+    reads it (the store-as-bus caveat).  The mirror is exactly-once
+    under replay (``bus_append`` skips a key it already committed)."""
     import os
 
     from cherry_spark.ext.budget import budget_select
@@ -928,6 +937,14 @@ def run_streaming_curation_gate(
         else:
             staged.append(_stage_append(adm_assigned, vec_dir, key))
         _commit_stores(staged)
+        if text_bus_dir is not None:
+            from cherry_spark.writers.manifest_bus import bus_append
+
+            bus_append(
+                adm.select(F.col(id_col), F.col(text_col)),
+                text_bus_dir,
+                key,
+            )
         new_spent = verdicts.agg(F.max("cum_tokens")).first()[0]
         if new_spent is not None:
             # crash-safe: a torn plain overwrite reset spent to 0 and

@@ -196,8 +196,11 @@ def compact_state_dir(
     re-delivered as fresh input downstream — violating the
     maintainers' unseen-ids contract. Compact only tables whose
     consumers are batch readers (serving queries, the maintainers'
-    own folds); a bus that must survive rewrites needs a log-
-    structured table format (Delta/Iceberg), not raw parquet.
+    own folds); a bus that must survive rewrites needs a log —
+    either the in-repo manifest-log bus (writers/manifest_bus.py,
+    whose ``cherry_bus`` consumers track manifest versions and whose
+    ``bus_compact`` is stream-safe) or a log-structured table format
+    (Delta/Iceberg), not raw parquet.
     Returns {table: compact_dataset stats}.
     """
     tables = [

@@ -1,0 +1,240 @@
+"""Manifest-log bus: a COMPACTABLE streaming hand-off table.
+
+The store-as-bus pattern (a gate's admitted-text dir feeding index
+maintainers) decouples admission from indexing, but a raw-parquet bus
+can NEVER be compacted: Spark's file-source checkpoints track
+processed file NAMES, so a compaction's renamed files re-deliver
+every already-consumed row downstream (the documented caveat in
+examples/curate_index_pipeline.py and compact_state_dir).  At 100 TB
+with one file set per micro-batch that leaves millions of bus files
+forever — scan planning and footer reads eventually dominate.
+
+This module fixes the contract the way log-structured table formats
+do, with two small pieces instead of a table-format dependency:
+
+- a MANIFEST LOG: ``{bus}/manifest/v{N:08d}.json`` entries, each an
+  atomic rename, of two kinds —
+  ``append`` (new rows; carries the batch key and its data files) and
+  ``rewrite`` (a compaction; same rows in new files, ``replaces``
+  names the retired ones).  The data files live under ``{bus}/data/``
+  with per-key deterministic names (the ``_commit_append``
+  discipline).
+- readers that interpret it: :func:`bus_snapshot` (batch view = every
+  live file at the latest version) and the ``cherry_bus`` streaming
+  DataSource (sources/manifest_bus_datasource.py) whose OFFSETS are
+  manifest versions and which delivers only ``append`` versions — a
+  compaction is invisible to a running or restarted stream, because
+  nothing tracks file names.
+
+Exactly-once appends under crash replay (foreachBatch redelivers the
+same batch): a replayed :func:`bus_append` that finds its key already
+manifested SKIPS (the crashed attempt fully committed); one that
+finds orphan same-key data files without a manifest entry deletes
+them and re-appends.  Single writer per bus (the serial foreachBatch
+contract); compaction runs between folds like compact_state_dir.
+
+Reference basis: the reference delegates this to its sink engines
+(src/cherry_etl/writers/delta_lake.py appends ride Delta's log);
+Spark-side raw-parquet pipelines need the log done here.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_FMT = "v{:08d}.json"
+
+
+def _manifest_dir(bus_dir: str) -> str:
+    return os.path.join(bus_dir, "manifest")
+
+
+def _data_dir(bus_dir: str) -> str:
+    return os.path.join(bus_dir, "data")
+
+
+def read_manifest(bus_dir: str) -> list[dict]:
+    """All committed manifest entries in version order (empty list for
+    a fresh bus)."""
+    mdir = _manifest_dir(bus_dir)
+    try:
+        names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        with open(os.path.join(mdir, n)) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def live_files(bus_dir: str, entries: list[dict] | None = None) -> list[str]:
+    """Every data file a batch reader should see at the latest
+    version: all files ever added, minus those a ``rewrite`` retired."""
+    entries = read_manifest(bus_dir) if entries is None else entries
+    dead: set[str] = set()
+    for e in entries:
+        dead.update(e.get("replaces", []))
+    ddir = _data_dir(bus_dir)
+    out = []
+    for e in entries:
+        out.extend(
+            os.path.join(ddir, f) for f in e["files"] if f not in dead
+        )
+    return out
+
+
+def _commit_entry(bus_dir: str, entry: dict) -> int:
+    """Atomically append a manifest entry at the next version."""
+    import glob
+
+    mdir = _manifest_dir(bus_dir)
+    os.makedirs(mdir, exist_ok=True)
+    # crashed commits leave __tmp_* strays (never .json, so invisible
+    # to read_manifest) — sweep them here
+    for stray in glob.glob(os.path.join(mdir, "__tmp_*")):
+        os.remove(stray)
+    entries = read_manifest(bus_dir)
+    version = (entries[-1]["version"] + 1) if entries else 1
+    entry = {"version": version, **entry}
+    tmp = os.path.join(mdir, f"__tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    os.rename(tmp, os.path.join(mdir, _MANIFEST_FMT.format(version)))
+    return version
+
+
+def bus_append(df: DataFrame, bus_dir: str, key: str) -> int:
+    """Append one batch of rows under ``key`` and commit an ``append``
+    manifest version; returns the version.  Exactly-once under crash
+    replay: a key already manifested is skipped (returns its existing
+    version), orphan same-key files from a crashed attempt are
+    replaced."""
+    entries = read_manifest(bus_dir)
+    for e in entries:
+        if e["kind"] == "append" and e.get("key") == key:
+            return e["version"]  # replay of a fully-committed append
+    ddir = _data_dir(bus_dir)
+    os.makedirs(ddir, exist_ok=True)
+    # crash between the file move and the manifest commit left orphans
+    for f in list(os.listdir(ddir)):
+        if f.startswith(f"{key}-") and f.endswith(".parquet"):
+            os.remove(os.path.join(ddir, f))
+    # crashed Spark writes leave __tmp_* dirs under the bus root
+    import glob as _glob
+    import shutil as _shutil
+
+    for stray in _glob.glob(os.path.join(bus_dir, "__tmp_*")):
+        _shutil.rmtree(stray, ignore_errors=True)
+    tmp = os.path.join(bus_dir, f"__tmp_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    moved = []
+    for p in sorted(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    ):
+        name = f"{key}-{len(moved):05d}.parquet"
+        os.rename(os.path.join(tmp, p), os.path.join(ddir, name))
+        moved.append(name)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return _commit_entry(
+        bus_dir, {"kind": "append", "key": key, "files": moved}
+    )
+
+
+def bus_snapshot(spark: SparkSession, bus_dir: str) -> DataFrame:
+    """Batch view of the bus at the latest committed version."""
+    files = live_files(bus_dir)
+    if not files:
+        raise ValueError(f"manifest bus at {bus_dir} has no committed data")
+    return spark.read.parquet(*files)
+
+
+def bus_compact(
+    spark: SparkSession,
+    bus_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    keep_after_version: int | None = None,
+) -> dict:
+    """Rewrite the bus's live files into ~``target_file_bytes`` ones
+    and commit a ``rewrite`` manifest version.  Running and restarted
+    streams are untouched — their offsets are manifest versions and
+    ``rewrite`` versions deliver nothing; batch snapshots switch to
+    the new files at the commit.  Retired files are deleted only
+    AFTER the manifest commit (a crash in between leaves them dead in
+    the manifest and sweepable by the next compaction).  Run between
+    folds (single-writer bus).
+
+    LAG GUARD: a stream checkpointed at version V still needs the
+    data files of append versions > V — compacting them away loses
+    those rows for that consumer (loudly: its next micro-batch fails
+    on the missing file).  Either compact with consumers drained
+    (availableNow between folds, the compact_state_dir discipline) or
+    pass ``keep_after_version`` = the MINIMUM checkpointed version
+    across consumers: files added by versions above it are left
+    alone."""
+    entries = read_manifest(bus_dir)
+    files = live_files(bus_dir, entries)
+    if keep_after_version is not None:
+        protected: set[str] = set()
+        for e in entries:
+            if e["version"] > keep_after_version:
+                protected.update(e["files"])
+        files = [f for f in files if os.path.basename(f) not in protected]
+    # sweep files a crashed compaction already retired but not deleted
+    dead: set[str] = set()
+    for e in entries:
+        dead.update(e.get("replaces", []))
+    ddir = _data_dir(bus_dir)
+    for f in dead:
+        p = os.path.join(ddir, f)
+        if os.path.exists(p):
+            os.remove(p)
+    if not files:
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
+    nbytes = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(nbytes / target_file_bytes))
+    if n_target >= len(files):
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": nbytes,
+        }
+    df = spark.read.parquet(*files)
+    n_rows = df.count()
+    tmp = os.path.join(bus_dir, f"__tmp_{uuid.uuid4().hex[:8]}")
+    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    check = spark.read.parquet(tmp)
+    if check.count() != n_rows:  # pragma: no cover - safety net
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"bus compaction row-count mismatch at {bus_dir}")
+    token = uuid.uuid4().hex[:8]
+    moved = []
+    for p in sorted(f for f in os.listdir(tmp) if f.endswith(".parquet")):
+        name = f"compact-{token}-{len(moved):05d}.parquet"
+        os.rename(os.path.join(tmp, p), os.path.join(ddir, name))
+        moved.append(name)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    replaced = [os.path.basename(f) for f in files]
+    _commit_entry(
+        bus_dir, {"kind": "rewrite", "files": moved, "replaces": replaced}
+    )
+    for f in replaced:
+        p = os.path.join(ddir, f)
+        if os.path.exists(p):
+            os.remove(p)
+    return {
+        "files_before": len(replaced),
+        "files_after": len(moved),
+        "bytes": nbytes,
+    }

@@ -31,7 +31,12 @@ Bus caveat: a raw-parquet bus must stay APPEND-ONLY — never
 ``compact_state_dir`` a dir a downstream file-source stream reads
 (compaction renames files; file-source checkpoints track names, so
 compacted rows re-deliver). Compact the maintainers' own state, or
-use a log-structured format (Delta/Iceberg) for the bus itself.
+give the bus a log: ``run_streaming_curation_gate(...,
+text_bus_dir=...)`` mirrors admissions onto a MANIFEST-LOG BUS
+(writers/manifest_bus.py) whose downstream consumers (the
+``cherry_bus`` DataSource) track manifest VERSIONS instead of file
+names — that bus compacts freely (``bus_compact``) under running and
+restarted streams.  Delta/Iceberg are the connector-world equivalent.
 """
 
 from __future__ import annotations

@@ -1,0 +1,277 @@
+"""Manifest-log bus (writers/manifest_bus.py + the cherry_bus
+DataSource): the compactable streaming hand-off the raw-parquet
+store-as-bus pattern cannot be — offsets are manifest versions, so a
+compaction's renamed files never re-deliver (the documented caveat in
+examples/curate_index_pipeline.py that this module retires)."""
+
+from __future__ import annotations
+
+import os
+
+from cherry_spark.writers.manifest_bus import (
+    bus_append,
+    bus_compact,
+    bus_snapshot,
+    live_files,
+    read_manifest,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _batch(spark, lo, n):
+    return spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(lo, lo + n)], SCHEMA
+    ).coalesce(1)
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["text"]) for r in df.collect())
+
+
+def _drain(spark, bus, ckpt, sink_rows, starting=None):
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+
+    spark.dataSource.register(ManifestBusDataSource)
+    reader = spark.readStream.format("cherry_bus").option("path", bus)
+    if starting is not None:
+        reader = reader.option("starting_version", starting)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(
+            lambda df, bid: sink_rows.extend(_rows(df))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+
+def test_append_snapshot_and_stream_roundtrip(spark, tmp_path):
+    bus = str(tmp_path / "bus")
+    for b in range(3):
+        v = bus_append(_batch(spark, b * 10, 5), bus, f"e1-b{b}")
+        assert v == b + 1
+    expect = _rows(_batch(spark, 0, 5)) + _rows(_batch(spark, 10, 5)) + _rows(
+        _batch(spark, 20, 5)
+    )
+    assert _rows(bus_snapshot(spark, bus)) == sorted(expect)
+
+    got: list = []
+    _drain(spark, bus, str(tmp_path / "ck"), got)
+    assert sorted(got) == sorted(expect)
+
+
+def test_stream_survives_compaction_without_redelivery(spark, tmp_path):
+    bus = str(tmp_path / "bus")
+    ckpt = str(tmp_path / "ck")
+    bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 5), bus, "e1-b1")
+    got: list = []
+    _drain(spark, bus, ckpt, got)
+    assert len(got) == 10
+
+    # consumers drained -> compact everything, then append more
+    before = len(live_files(bus))
+    stats = bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] == 1 and before == 2
+    assert len(live_files(bus)) == 1
+    bus_append(_batch(spark, 20, 5), bus, "e1-b2")
+
+    # the restarted stream sees ONLY the new append — the rewrite
+    # version delivers nothing and nothing tracks file names
+    got2: list = []
+    _drain(spark, bus, ckpt, got2)
+    assert sorted(got2) == _rows(_batch(spark, 20, 5))
+    # batch view stays complete across the rewrite
+    assert len(_rows(bus_snapshot(spark, bus))) == 15
+
+
+def test_append_replay_is_exactly_once(spark, tmp_path):
+    bus = str(tmp_path / "bus")
+    v1 = bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+    # replay of a fully-committed append: skipped, same version back
+    v1b = bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+    assert v1 == v1b
+    assert len(read_manifest(bus)) == 1
+    assert len(_rows(bus_snapshot(spark, bus))) == 5
+
+    # crash between file move and manifest commit: orphan same-key
+    # files exist but no manifest entry — the replay replaces them
+    orphan = os.path.join(bus, "data", "e1-b1-99999.parquet")
+    import shutil
+
+    shutil.copy(live_files(bus)[0], orphan)
+    bus_append(_batch(spark, 10, 5), bus, "e1-b1")
+    assert not os.path.exists(orphan)
+    assert len(_rows(bus_snapshot(spark, bus))) == 10
+
+
+def test_compact_lag_guard_protects_unconsumed_versions(spark, tmp_path):
+    bus = str(tmp_path / "bus")
+    for b in range(4):
+        bus_append(_batch(spark, b * 10, 5), bus, f"e1-b{b}")
+    # a consumer is checkpointed at version 2: protect 3 and 4
+    stats = bus_compact(
+        spark, bus, target_file_bytes=64 * 1024 * 1024,
+        keep_after_version=2,
+    )
+    assert stats["files_before"] == 2 and stats["files_after"] == 1
+    names = {os.path.basename(f) for f in live_files(bus)}
+    assert any(n.startswith("e1-b2-") for n in names)  # v3 intact
+    assert any(n.startswith("e1-b3-") for n in names)  # v4 intact
+    assert len(_rows(bus_snapshot(spark, bus))) == 20
+
+    # the lagging consumer resumes from v2 and gets exactly v3+v4
+    got: list = []
+    _drain(spark, bus, str(tmp_path / "ck"), got, starting="2")
+    assert sorted(got) == sorted(
+        _rows(_batch(spark, 20, 5)) + _rows(_batch(spark, 30, 5))
+    )
+
+
+def test_new_consumer_bootstraps_from_snapshot_after_compaction(
+    spark, tmp_path
+):
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 5), bus, "e1-b1")
+    bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+
+    # bootstrap: batch-read the snapshot, then stream from latest
+    boot = _rows(bus_snapshot(spark, bus))
+    assert len(boot) == 10
+    got: list = []
+    _drain(spark, bus, str(tmp_path / "ck"), got, starting="latest")
+    assert got == []  # nothing after the bootstrap version yet
+    bus_append(_batch(spark, 20, 5), bus, "e1-b2")
+    _drain(spark, bus, str(tmp_path / "ck"), got)
+    assert sorted(boot + got) == _rows(
+        _batch(spark, 0, 5).unionByName(_batch(spark, 10, 5)).unionByName(
+            _batch(spark, 20, 5)
+        )
+    )
+
+
+def test_crashed_compaction_sweeps_on_next_call(spark, tmp_path):
+    """A crash AFTER the rewrite's manifest commit but BEFORE the
+    retired files were deleted leaves them dead-but-present; the next
+    compaction sweeps them and the snapshot never double-counts."""
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 5), bus, "e1-b1")
+    import shutil
+
+    keep = {}
+    for f in live_files(bus):
+        keep[f] = f + ".bak"
+        shutil.copy(f, keep[f])
+    bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    # resurrect the retired files = the crash-before-delete state
+    for f, bak in keep.items():
+        shutil.copy(bak, f)
+        os.remove(bak)
+    assert len(_rows(bus_snapshot(spark, bus))) == 10  # manifest wins
+    bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    assert all(not os.path.exists(f) for f in keep)  # swept
+    assert len(_rows(bus_snapshot(spark, bus))) == 10
+
+
+def test_curation_gate_mirrors_admissions_to_bus(spark, tmp_path):
+    """r11: with text_bus_dir set, the composed gate mirrors each
+    batch's admitted (id, text) rows onto the manifest bus — snapshot
+    == the raw text store, and compacting the BUS leaves both the
+    snapshot and a downstream bus stream intact (the thing the raw
+    text/ dir can never offer a file-source consumer)."""
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+
+    rows = [
+        (1, "alpha bravo charlie delta echo words", [1.0, 0.0, 0.0, 0.0], 0.9, 4),
+        (2, "foxtrot golf hotel india juliet words", [0.0, 1.0, 0.0, 0.0], 0.8, 4),
+        (3, "kilo lima mike november oscar words", [0.0, 0.0, 1.0, 0.0], 0.7, 4),
+    ]
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    state = str(tmp_path / "state")
+    bus = str(tmp_path / "bus")
+    q = run_streaming_curation_gate(
+        spark,
+        spark.readStream.schema(schema).parquet(src),
+        state,
+        lambda df, bid: None,
+        str(tmp_path / "ck"),
+        budget=100,
+        jaccard_threshold=0.5,
+        semantic_threshold=0.95,
+        text_bus_dir=bus,
+    )
+    q.awaitTermination(240)
+
+    store_rows = _rows(spark.read.parquet(f"{state}/text"))
+    assert len(store_rows) == 3
+    assert _rows(bus_snapshot(spark, bus)) == store_rows
+    bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    assert _rows(bus_snapshot(spark, bus)) == store_rows
+
+
+def test_bm25_maintainer_over_bus_survives_compaction(spark, tmp_path):
+    """End-to-end: an index maintainer consuming the BUS through the
+    cherry_bus DataSource keeps its unseen-ids contract across a bus
+    compaction — no re-delivery, and the final index is bit-identical
+    to an inline build over everything appended.  (The raw file-source
+    bus re-delivers every compacted row here and the maintainer's
+    exactness would break.)"""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.ext.bm25 import bm25_topk
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+    from cherry_spark.streaming.continuous import run_streaming_bm25_index
+
+    spark.dataSource.register(ManifestBusDataSource)
+    bus = str(tmp_path / "bus")
+    ckpt = str(tmp_path / "ck_bm25")
+    state = str(tmp_path / "bm25")
+    arrivals = [
+        [(0, "spark query engine fast query"), (1, "query planner spark")],
+        [(2, "slow table scan"), (3, "fast vector engine spark")],
+        [(4, "unrelated words entirely"), (5, "query engine query")],
+    ]
+
+    def drain():
+        q = run_streaming_bm25_index(
+            spark,
+            spark.readStream.format("cherry_bus").option("path", bus).load(),
+            state,
+            lambda s, b: None,
+            ckpt,
+        )
+        q.awaitTermination(240)
+
+    bus_append(spark.createDataFrame(arrivals[0], SCHEMA), bus, "e1-b0")
+    bus_append(spark.createDataFrame(arrivals[1], SCHEMA), bus, "e1-b1")
+    drain()
+    bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    bus_append(spark.createDataFrame(arrivals[2], SCHEMA), bus, "e1-b2")
+    drain()  # must fold ONLY batch 2 — compacted rows never re-deliver
+
+    all_docs = spark.createDataFrame([d for a in arrivals for d in a], SCHEMA)
+    qdf = all_docs.filter(F.col("doc_id").isin(0, 2)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    inline = sorted(tuple(r) for r in bm25_topk(all_docs, qdf, k=3).collect())
+    served = sorted(
+        tuple(r) for r in bm25_topk(None, qdf, k=3, index_dir=state).collect()
+    )
+    assert served == inline
