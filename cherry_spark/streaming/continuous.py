@@ -2743,23 +2743,42 @@ def trained_gate_fold(
     # to be merged again).
     rank = F.md5(F.col(id_col).cast("string"))
     stored_sample = None
+    absorbed = False
     if os.path.exists(f"{sample_dir}/_SUCCESS"):
         stored_sample = spark.read.parquet(sample_dir)
         if _merge_key_of(sample_dir) == key:
+            absorbed = True
             stored_sample = stored_sample.join(
                 labeled.select(id_col), id_col, "left_anti"
             )
-    cand = (
-        stored_sample.unionByName(labeled)
-        if stored_sample is not None
-        else labeled
-    )
-    new_sample = (
-        cand.orderBy(rank, F.col(id_col))
-        .limit(int(retain_docs))
-        .localCheckpoint(eager=True)
-    )
-    _overwrite_store(new_sample, sample_dir, merge_key=key)
+    skip_merge = False
+    if stored_sample is not None and not absorbed:
+        # steady-state fast path: once the sample is FULL, a batch with
+        # no row ranking at or under the stored boundary cannot change
+        # the top-N — skip the O(sample) rewrite entirely (the store's
+        # merge key stays at the last CONTRIBUTING batch, which replay
+        # handles identically: a replayed skipped fold re-derives the
+        # skip).  As the corpus outgrows retain_docs the boundary
+        # tightens and almost every fold takes this path.
+        head = stored_sample.agg(
+            F.count(F.lit(1)).alias("n"), F.max(rank).alias("mx")
+        ).first()
+        if head["n"] >= int(retain_docs):
+            skip_merge = (
+                labeled.filter(rank <= head["mx"]).limit(1).count() == 0
+            )
+    if not skip_merge:
+        cand = (
+            stored_sample.unionByName(labeled)
+            if stored_sample is not None
+            else labeled
+        )
+        new_sample = (
+            cand.orderBy(rank, F.col(id_col))
+            .limit(int(retain_docs))
+            .localCheckpoint(eager=True)
+        )
+        _overwrite_store(new_sample, sample_dir, merge_key=key)
 
     # 2. corpus-version boundary: refit from the bounded training
     # sample (== all labeled arrivals while history fits retain_docs),

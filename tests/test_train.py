@@ -434,3 +434,80 @@ def test_trained_gate_sample_replay_idempotent(spark, tmp_path):
     assert _canon_rows(spark.read.parquet(f"{state}/train_sample")) == clean
     # and the labeled history did not duplicate the batch
     assert spark.read.parquet(f"{state}/labeled").count() == 18
+
+
+def test_trained_gate_sample_skips_noop_merges(spark, tmp_path):
+    """r11 fast path: once the sample is FULL, a batch whose every row
+    ranks strictly above the stored (md5, id) boundary cannot change
+    the top-N — the fold must skip the O(sample) rewrite (merge key
+    stays at the last contributing batch) while a qualifying batch
+    still merges."""
+    import hashlib
+
+    from cherry_spark.streaming.continuous import (
+        _merge_key_of,
+        trained_gate_fold,
+    )
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    label = F.col("text").contains("pos")
+    sample_dir = f"{state}/train_sample"
+
+    b0_ids = list(range(100))
+    trained_gate_fold(
+        spark,
+        spark.createDataFrame([(i, f"t{i} pos") for i in b0_ids], schema),
+        state,
+        label,
+        0,
+        n_buckets=4096,
+        retain_docs=8,
+    )
+    assert _merge_key_of(sample_dir) == "b0"
+    kept = _canon(spark, sample_dir)
+    boundary = max(
+        hashlib.md5(str(r[0]).encode()).hexdigest() for r in kept
+    )
+
+    # a batch ranking entirely ABOVE the boundary: skipped
+    hi_ids = [
+        i for i in range(1000, 4000)
+        if hashlib.md5(str(i).encode()).hexdigest() > boundary
+    ][:20]
+    assert len(hi_ids) == 20
+    trained_gate_fold(
+        spark,
+        spark.createDataFrame([(i, f"t{i} pos") for i in hi_ids], schema),
+        state,
+        label,
+        1,
+        n_buckets=4096,
+        retain_docs=8,
+    )
+    assert _merge_key_of(sample_dir) == "b0"  # untouched
+    assert _canon(spark, sample_dir) == kept
+
+    # a batch with one row UNDER the boundary: merges and evicts
+    lo_id = next(
+        i for i in range(10_000, 20_000)
+        if hashlib.md5(str(i).encode()).hexdigest() < boundary
+    )
+    trained_gate_fold(
+        spark,
+        spark.createDataFrame([(lo_id, f"t{lo_id} pos")], schema),
+        state,
+        label,
+        2,
+        n_buckets=4096,
+        retain_docs=8,
+    )
+    assert _merge_key_of(sample_dir) == "b2"
+    rows = _canon(spark, sample_dir)
+    assert len(rows) == 8 and any(r[0] == lo_id for r in rows)
+    # the global-top-N invariant holds across skips and merges
+    hist = spark.read.parquet(f"{state}/labeled")
+    expect = _canon_rows(
+        hist.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(8)
+    )
+    assert _canon_rows(spark.read.parquet(sample_dir)) == expect

@@ -16,7 +16,12 @@ What "pass" means here:
   over the admitted store, and the pair graph's edges equal a
   from-scratch jaccard_pairs over the same corpus;
 - admission counts are internally consistent (admitted + rejected
-  classes == model-survivor count).
+  classes == model-survivor count);
+- (r11) the bm25 maintainer consumes the gate's MANIFEST-LOG bus
+  mirror (text_bus_dir -> cherry_bus DataSource): the drained bus
+  compacts to few files and a maintainer restart after the compaction
+  re-delivers ZERO rows — the raw file-source lane (which the pair
+  graph still uses for comparison) cannot compact at all.
 
 Usage: python tools/scale_probe_pipeline.py [sf_dir] [n_arrivals]
 """
@@ -146,6 +151,7 @@ def main() -> None:
     def verdict_sink(verdicts, batch_id):
         verdicts.write.mode("append").parquet(out_dir)
 
+    text_bus = f"{work}/text_bus"
     t0 = time.perf_counter()
     q = run_streaming_curation_gate(
         spark,
@@ -156,24 +162,59 @@ def main() -> None:
         budget=10_000_000,
         jaccard_threshold=0.5,
         semantic_threshold=0.95,
+        text_bus_dir=text_bus,  # r11: manifest-log mirror of text/
     )
     q.awaitTermination(1800)
     cg_times = fold_times(cg_marks, t0)
 
-    # stage 2: maintainers over the admitted-text bus
+    # stage 2a: bm25 maintainer over the MANIFEST BUS (r11) — the
+    # compactable lane; the pair graph stays on the raw file-source
+    # for comparison
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+    from cherry_spark.writers.manifest_bus import bus_compact, live_files
+
+    spark.dataSource.register(ManifestBusDataSource)
     admitted_src = f"{work}/state/text"
     bm_marks: list = []
     pg_marks: list = []
+
+    def bus_stream():
+        return (
+            spark.readStream.format("cherry_bus")
+            .option("path", text_bus)
+            .load()
+        )
+
     t0 = time.perf_counter()
     qb = run_streaming_bm25_index(
         spark,
-        file_stream(admitted_src, "doc_id long, text string"),
+        bus_stream(),
         f"{work}/bm25",
         timed_sink(bm_marks),
         f"{work}/ckpt_bm25",
     )
     qb.awaitTermination(1200)
     bm_times = fold_times(bm_marks, t0)
+
+    # compact the DRAINED bus, then restart the maintainer: zero
+    # re-delivery (offsets are manifest versions, not file names)
+    bus_files_before = len(live_files(text_bus))
+    bus_compact(spark, text_bus, target_file_bytes=128 * 1024 * 1024)
+    bus_files_after = len(live_files(text_bus))
+    bm_replay_marks: list = []
+    qb2 = run_streaming_bm25_index(
+        spark,
+        bus_stream(),
+        f"{work}/bm25",
+        timed_sink(bm_replay_marks),
+        f"{work}/ckpt_bm25",
+    )
+    qb2.awaitTermination(1200)
+    # dl holds one row per doc ever folded: > n_admitted would mean
+    # the compaction re-delivered rows into the maintainer
+    n_dl = spark.read.parquet(f"{work}/bm25/dl").count()
     t0 = time.perf_counter()
     qg = run_streaming_pair_graph(
         spark,
@@ -219,12 +260,18 @@ def main() -> None:
     )
     print(f"[trained gate] per-fold s: {tg_times}")
     print(f"[curation gate] per-fold s: {cg_times}")
-    print(f"[bm25 maintainer] per-fold s: {bm_times}")
+    print(f"[bm25 maintainer over cherry_bus] per-fold s: {bm_times}")
     print(f"[pair graph] per-fold s: {pg_times}")
     print(
-        f"[verify] admitted {n_admitted}; bm25 maintained == inline: "
-        f"{'OK' if served == inline else 'MISMATCH'} ({len(served)} rows); "
-        f"pair graph == from-scratch: "
+        f"[bus] live files {bus_files_before} -> {bus_files_after} after "
+        f"bus_compact; maintainer restart after compaction re-delivered "
+        f"{n_dl - n_admitted} rows "
+        f"({'OK' if n_dl == n_admitted else 'MISMATCH'})"
+    )
+    print(
+        f"[verify] admitted {n_admitted}; bm25 maintained (via bus) == "
+        f"inline: {'OK' if served == inline else 'MISMATCH'} "
+        f"({len(served)} rows); pair graph == from-scratch: "
         f"{'OK' if maintained_edges == scratch_edges else 'MISMATCH'} "
         f"({len(maintained_edges)} edges)"
     )
