@@ -57,30 +57,33 @@ class ManifestBusStreamReader(DataSourceStreamReader):
         self.starting = options.get("starting_version", "earliest")
         self._schema = schema
 
-    def _entries(self):
-        from cherry_spark.writers.manifest_bus import read_manifest
-
-        return read_manifest(self.bus_dir)
-
     def initialOffset(self) -> dict:
         if self.starting == "earliest":
             return {"version": 0}
         if self.starting == "latest":
-            entries = self._entries()
-            return {"version": entries[-1]["version"] if entries else 0}
+            from cherry_spark.writers.manifest_bus import last_version
+
+            return {"version": last_version(self.bus_dir)}
         return {"version": int(self.starting)}
 
     def latestOffset(self) -> dict:
-        entries = self._entries()
-        return {"version": entries[-1]["version"] if entries else 0}
+        # one directory listing, no JSON reads — this runs per
+        # micro-batch for the life of the stream
+        from cherry_spark.writers.manifest_bus import last_version
+
+        return {"version": last_version(self.bus_dir)}
 
     def partitions(self, start: dict, end: dict):
         import os
 
+        from cherry_spark.writers.manifest_bus import entries_between
+
         lo, hi = start["version"], end["version"]
         out = []
-        for e in self._entries():
-            if lo < e["version"] <= hi and e["kind"] == "append":
+        # reads only the manifest JSONs in (lo, hi] — never the
+        # whole history
+        for e in entries_between(self.bus_dir, lo, hi):
+            if e["kind"] == "append":
                 for f in e["files"]:
                     out.append(
                         _FilePartition(

@@ -275,3 +275,34 @@ def test_bm25_maintainer_over_bus_survives_compaction(spark, tmp_path):
         tuple(r) for r in bm25_topk(None, qdf, k=3, index_dir=state).collect()
     )
     assert served == inline
+
+
+def test_bus_append_rejects_filename_unsafe_keys(spark, tmp_path):
+    """Keys ride data and manifest FILENAMES (the O(listing) replay
+    check); anything outside [A-Za-z0-9.-] must be rejected loudly."""
+    import pytest
+
+    bus = str(tmp_path / "bus")
+    for bad in ("a_b", "a/b", "a b", "k*"):
+        with pytest.raises(ValueError, match="must match"):
+            bus_append(_batch(spark, 0, 1), bus, bad)
+    # the epoch keyer's shape is accepted
+    bus_append(_batch(spark, 0, 1), bus, "deadbeef-b0")
+
+
+def test_hot_path_helpers_avoid_full_manifest_reads(spark, tmp_path):
+    """last_version / entries_between parse versions from filenames
+    and read only the JSONs in range."""
+    from cherry_spark.writers.manifest_bus import (
+        entries_between,
+        last_version,
+    )
+
+    bus = str(tmp_path / "bus")
+    assert last_version(bus) == 0
+    for b in range(4):
+        bus_append(_batch(spark, b * 10, 2), bus, f"e1-b{b}")
+    assert last_version(bus) == 4
+    mid = entries_between(bus, 1, 3)
+    assert [e["version"] for e in mid] == [2, 3]
+    assert all(e["kind"] == "append" for e in mid)
