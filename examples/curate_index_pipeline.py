@@ -11,13 +11,18 @@
     -> COMPOSED ADMISSION GATE        (decontaminate -> lexical dedup
        -> semantic dedup -> token budget; streaming/continuous.py:
        run_streaming_curation_gate — only admitted docs reach storage)
-    -> admitted-text store AS A BUS   (the gate's own `state/text`
-       parquet dir is itself a streamable source — store-as-bus, the
-       pattern that decouples admission from indexing at 100 TB)
-    -> INDEX MAINTAINERS              (run_streaming_bm25_index +
-       run_streaming_pair_graph fold ONLY admitted docs, so search
-       and the near-dup cluster graph are fresh the moment admission
-       lands, and rejected docs never enter an index)
+    -> admitted-text BUS              (two lanes, same rows: the
+       gate's raw `state/text` parquet dir is itself a streamable
+       file source — store-as-bus — and, r11, a MANIFEST-LOG mirror
+       (`text_bus_dir=`) whose consumers track manifest versions, so
+       THAT lane can be compacted under live checkpoints)
+    -> INDEX MAINTAINERS              (run_streaming_bm25_index folds
+       the manifest bus through the cherry_bus DataSource;
+       run_streaming_pair_graph folds the raw file-source lane — both
+       see ONLY admitted docs, so search and the near-dup cluster
+       graph are fresh the moment admission lands and rejected docs
+       never enter an index; the bus is then COMPACTED and the served
+       snapshot re-verified)
     -> serve                          (bm25_topk from the maintained
        index — verified identical to an inline build over exactly the
        admitted set; pair-graph edge count reported)
@@ -138,6 +143,7 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
     def verdict_sink(verdicts, batch_id):
         verdicts.write.mode("append").parquet(out_dir)
 
+    text_bus = f"{work_dir}/text_bus"
     q = run_streaming_curation_gate(
         spark,
         file_stream(scored_dir, schema),
@@ -147,14 +153,22 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
         budget=budget,
         jaccard_threshold=0.5,
         semantic_threshold=0.95,
+        text_bus_dir=text_bus,  # r11: the compactable manifest mirror
     )
     q.awaitTermination(300)
 
-    # stage 2: the gate's admitted-text store is the indexing source
+    # stage 2: the admitted-text bus is the indexing source — bm25
+    # over the manifest lane (compactable), the pair graph over the
+    # raw file-source lane (append-only forever) for contrast
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+
+    spark.dataSource.register(ManifestBusDataSource)
     admitted_src = f"{work_dir}/state/text"
     qb = run_streaming_bm25_index(
         spark,
-        file_stream(admitted_src, "doc_id long, text string"),
+        spark.readStream.format("cherry_bus").option("path", text_bus).load(),
         f"{work_dir}/bm25",
         lambda s, b: None,
         f"{work_dir}/ckpt_bm25",
@@ -179,6 +193,22 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
     canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     served = canon(bm25_topk(None, qdf, k=5, index_dir=f"{work_dir}/bm25"))
     inline = canon(bm25_topk(admitted, qdf, k=5))
+
+    # the manifest lane's payoff: compact the drained bus under the
+    # maintainer's live checkpoint — the snapshot stays complete and a
+    # restarted maintainer would re-deliver nothing (offsets are
+    # manifest versions; the raw state/text lane can never do this)
+    from cherry_spark.writers.manifest_bus import (
+        bus_compact,
+        bus_snapshot,
+        live_files,
+    )
+
+    bus_files_before = len(live_files(text_bus))
+    bus_compact(spark, text_bus)
+    bus_files_after = len(live_files(text_bus))
+    bus_rows = bus_snapshot(spark, text_bus).count()
+
     verdicts = spark.read.parquet(out_dir)
     counts = {
         r["verdict"]: r["n"]
@@ -186,16 +216,19 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    n_admitted = admitted.count()
     return {
         "counts": counts,
         "model_versions": model_versions,
         "n_model_rejected": sum(n_model_rejected),
-        "n_admitted": admitted.count(),
+        "n_admitted": n_admitted,
         "search_matches_inline": served == inline,
         "n_search_rows": len(served),
         "n_neardup_edges": spark.read.parquet(
             f"{work_dir}/graph/pairs"
         ).count(),
+        "bus_files": (bus_files_before, bus_files_after),
+        "bus_snapshot_complete": bus_rows == n_admitted,
     }
 
 
@@ -210,5 +243,7 @@ if __name__ == "__main__":
         f"verdicts {out['counts']} | {out['n_admitted']} admitted | "
         f"search matches inline: {out['search_matches_inline']} "
         f"({out['n_search_rows']} rows) | "
-        f"{out['n_neardup_edges']} near-dup edges"
+        f"{out['n_neardup_edges']} near-dup edges | "
+        f"bus {out['bus_files'][0]}->{out['bus_files'][1]} files, "
+        f"snapshot complete: {out['bus_snapshot_complete']}"
     )

@@ -160,3 +160,8 @@ def test_curate_index_pipeline(spark, sf_dir, tmp_path):
     # batch-2 corpus-version boundary and the gate actually filtered
     assert out["model_versions"] == [0, 0, 2]
     assert out["n_model_rejected"] > 0
+    # the manifest bus lane (r11): indexed through cherry_bus, then
+    # compacted under the live checkpoint with the snapshot intact
+    assert out["bus_files"][0] >= 3  # one+ data file per gate fold
+    assert out["bus_files"][1] == 1
+    assert out["bus_snapshot_complete"]
