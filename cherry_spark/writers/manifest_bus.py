@@ -198,6 +198,35 @@ def bus_append(df: DataFrame, bus_dir: str, key: str) -> int:
     )
 
 
+def run_streaming_bus_writer(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    bus_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Producer-side adapter: write EVERY micro-batch of a stream onto
+    the bus, exactly-once (keys are epoch-namespaced batch ids, so a
+    crash-replayed batch skips and a fresh checkpoint can never
+    collide with kept history).  With the ``cherry_bus`` DataSource on
+    the consumer side this turns the bus into a general compactable
+    hand-off between any two streams — the role Kafka or a Delta
+    table plays in connector-world pipelines."""
+    from cherry_spark.streaming.continuous import _epoch_keyer
+
+    key_of = _epoch_keyer(checkpoint_dir)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bus_append(batch_df, bus_dir, key_of(batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def bus_snapshot(spark: SparkSession, bus_dir: str) -> DataFrame:
     """Batch view of the bus at the latest committed version."""
     files = live_files(bus_dir)
@@ -211,9 +240,13 @@ def bus_compact(
     bus_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     keep_after_version: int | None = None,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite the bus's live files into ~``target_file_bytes`` ones
-    and commit a ``rewrite`` manifest version.  Running and restarted
+    and commit a ``rewrite`` manifest version.  ``sort_cols``
+    re-clusters the rewrite (range partition + sort within files) so
+    downstream batch scans get real min/max pruning on those columns
+    — compaction is exactly where a 100 TB table earns its layout.  Running and restarted
     streams are untouched — their offsets are manifest versions and
     ``rewrite`` versions deliver nothing; batch snapshots switch to
     the new files at the commit.  Retired files are deleted only
@@ -250,7 +283,9 @@ def bus_compact(
         return {"files_before": 0, "files_after": 0, "bytes": 0}
     nbytes = sum(os.path.getsize(f) for f in files)
     n_target = max(1, math.ceil(nbytes / target_file_bytes))
-    if n_target >= len(files):
+    if n_target >= len(files) and not sort_cols:
+        # nothing to gain without re-clustering; with sort_cols the
+        # rewrite IS the point even at an equal file count
         return {
             "files_before": len(files),
             "files_after": len(files),
@@ -259,7 +294,13 @@ def bus_compact(
     df = spark.read.parquet(*files)
     n_rows = df.count()
     tmp = os.path.join(bus_dir, f"__tmp_{uuid.uuid4().hex[:8]}")
-    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    if sort_cols:
+        df = df.repartitionByRange(n_target, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_target)
+    df.write.mode("overwrite").parquet(tmp)
     check = spark.read.parquet(tmp)
     if check.count() != n_rows:  # pragma: no cover - safety net
         import shutil

@@ -306,3 +306,73 @@ def test_hot_path_helpers_avoid_full_manifest_reads(spark, tmp_path):
     mid = entries_between(bus, 1, 3)
     assert [e["version"] for e in mid] == [2, 3]
     assert all(e["kind"] == "append" for e in mid)
+
+
+def test_streaming_bus_writer_roundtrip_and_replay(spark, tmp_path):
+    """Producer adapter: a stream's micro-batches land on the bus
+    exactly-once (epoch-namespaced keys), a downstream cherry_bus
+    stream consumes them, and a restart of the producer after new
+    arrivals appends only the new batch."""
+    import time
+
+    from cherry_spark.writers.manifest_bus import run_streaming_bus_writer
+
+    src = str(tmp_path / "in")
+    bus = str(tmp_path / "bus")
+    ckpt = str(tmp_path / "ck_producer")
+    for b in range(2):
+        _batch(spark, b * 10, 4).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    def produce():
+        q = run_streaming_bus_writer(
+            spark,
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            bus,
+            ckpt,
+        )
+        q.awaitTermination(240)
+
+    produce()
+    assert len(read_manifest(bus)) == 2
+    got: list = []
+    _drain(spark, bus, str(tmp_path / "ck_consumer"), got)
+    assert sorted(got) == _rows(
+        _batch(spark, 0, 4).unionByName(_batch(spark, 10, 4))
+    )
+
+    # downtime arrival + producer restart: exactly one new version
+    _batch(spark, 20, 4).write.mode("append").parquet(src)
+    produce()
+    assert len(read_manifest(bus)) == 3
+    assert len(_rows(bus_snapshot(spark, bus))) == 12
+
+
+def test_bus_compact_reclusters_on_sort_cols(spark, tmp_path):
+    """sort_cols re-clusters the rewrite: rows preserved, and each
+    output file holds a disjoint doc_id range (min/max pruning works
+    downstream)."""
+    import pyarrow.parquet as pq
+
+    bus = str(tmp_path / "bus")
+    # interleaved ranges so the pre-compaction files overlap badly
+    bus_append(_batch(spark, 0, 50).filter("doc_id % 2 = 0"), bus, "e1-b0")
+    bus_append(_batch(spark, 0, 50).filter("doc_id % 2 = 1"), bus, "e1-b1")
+    rows = _rows(bus_snapshot(spark, bus))
+
+    target = max(1024, sum(
+        os.path.getsize(f) for f in live_files(bus)
+    ) // 2)
+    bus_compact(spark, bus, target_file_bytes=target, sort_cols=["doc_id"])
+    assert _rows(bus_snapshot(spark, bus)) == rows
+    ranges = []
+    for f in live_files(bus):
+        col = pq.read_table(f, columns=["doc_id"]).column("doc_id")
+        if len(col):
+            ranges.append((min(col.to_pylist()), max(col.to_pylist())))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # disjoint ranges -> real min/max pruning
