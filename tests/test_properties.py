@@ -86,3 +86,38 @@ def test_weighted_systematic_formula_exact(weights, m, o_seed):
         total += picks
         start = end
     assert total == m
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000), max_size=12),
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200)
+def test_incremental_topn_with_skip_equals_global(batches, n):
+    """The lemma the bounded trained-gate refit rests on
+    (streaming/continuous.py:trained_gate_fold): maintaining the N
+    smallest (md5(id), id) rows incrementally — merging each batch,
+    and SKIPPING any batch whose every row ranks strictly above the
+    boundary of a full sample — equals the global top-N over all
+    arrivals.  Eviction is monotone: once out, no later arrival can
+    re-admit a row."""
+    import hashlib
+
+    def rank(i):
+        return (hashlib.md5(str(i).encode()).hexdigest(), i)
+
+    sample: list = []
+    seen: set = set()
+    for batch in batches:
+        fresh = [i for i in dict.fromkeys(batch) if i not in seen]
+        seen.update(fresh)
+        if len(sample) >= n and fresh:
+            boundary = max(rank(i) for i in sample)
+            if all(rank(i)[0] > boundary[0] for i in fresh):
+                continue  # the fold's skip fast path
+        sample = sorted(sample + fresh, key=rank)[:n]
+    expect = sorted(seen, key=rank)[:n]
+    assert sorted(sample, key=rank) == expect
