@@ -310,7 +310,11 @@ def bus_compact(
     token = uuid.uuid4().hex[:8]
     moved = []
     for p in sorted(f for f in os.listdir(tmp) if f.endswith(".parquet")):
-        name = f"compact-{token}-{len(moved):05d}.parquet"
+        # the '_' cannot appear in any batch key, so no key's
+        # "{key}-" orphan-cleanup prefix can ever match a compaction
+        # output (a key literally named "compact" would otherwise
+        # sweep rewrite files)
+        name = f"compact_{token}-{len(moved):05d}.parquet"
         os.rename(os.path.join(tmp, p), os.path.join(ddir, name))
         moved.append(name)
     import shutil

@@ -376,3 +376,17 @@ def test_bus_compact_reclusters_on_sort_cols(spark, tmp_path):
     assert len(ranges) >= 2
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo  # disjoint ranges -> real min/max pruning
+
+
+def test_key_named_compact_cannot_sweep_rewrite_files(spark, tmp_path):
+    """A batch key literally named 'compact' must not collide with
+    compaction outputs: rewrite files carry an underscore (impossible
+    in keys), so the key's orphan-cleanup prefix never matches them."""
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 5), bus, "e1-b1")
+    bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    assert len(live_files(bus)) == 1
+    # an append under the pathological key: the rewrite file survives
+    bus_append(_batch(spark, 20, 5), bus, "compact")
+    assert len(_rows(bus_snapshot(spark, bus))) == 15
