@@ -2928,8 +2928,18 @@ def run_streaming_trained_gate(
     the gate's keep=1 survivors (or score_micro as its quality column)
     — examples/curate_index_pipeline.py wires the full loop.
     Self-compacts the labeled corpus every ``compact_every`` folds
-    (r10; 0 = off; the weights table is a single swap and never
-    fragments)."""
+    (r10; 0 = off; the weights and train_sample tables are single
+    swaps and never fragment).
+
+    Retention policy: ``labeled/`` keeps EVERY labeled arrival by
+    design — it is the auditable training-corpus record (what did
+    model version V train on? — answerable from the sample's
+    deterministic (md5, id) rule over the history), and nothing on
+    the serving path reads it (the refit reads only the bounded
+    sample), so its growth costs bytes, not latency.  Self-compaction
+    bounds its FILE count; when bytes matter, archive or truncate it
+    externally — the gate never needs rows that have already passed
+    through the sample merge."""
 
     key_of = _epoch_keyer(checkpoint_dir)
 
