@@ -227,6 +227,48 @@ def run_streaming_bus_writer(
     return writer.start()
 
 
+def bus_consumer_version(checkpoint_dir: str) -> int:
+    """The last manifest version a ``cherry_bus`` consumer has fully
+    COMMITTED, read from its Structured Streaming checkpoint (the
+    offsets entry of the highest batch id present in ``commits/``).
+    Returns 0 for a checkpoint that has committed nothing — every
+    version is then still needed.
+
+    This is the safe ``keep_after_version`` for :func:`bus_compact`
+    when that consumer may lag:
+    ``bus_compact(spark, bus, keep_after_version=min(
+    bus_consumer_version(ck) for ck in consumer_checkpoints))``."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    try:
+        done = [int(n) for n in os.listdir(commits) if n.isdigit()]
+    except OSError:
+        return 0
+    if not done:
+        return 0
+    off_file = os.path.join(checkpoint_dir, "offsets", str(max(done)))
+    try:
+        with open(off_file) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return 0
+    # format: "v1" header, metadata JSON, then one offset per source —
+    # the cherry_bus offset is the last line, either the dict itself
+    # or a JSON-encoded string of it
+    for ln in reversed(lines):
+        try:
+            obj = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(obj, str):
+            try:
+                obj = json.loads(obj)
+            except ValueError:
+                continue
+        if isinstance(obj, dict) and "version" in obj:
+            return int(obj["version"])
+    return 0
+
+
 def bus_snapshot(spark: SparkSession, bus_dir: str) -> DataFrame:
     """Batch view of the bus at the latest committed version."""
     files = live_files(bus_dir)

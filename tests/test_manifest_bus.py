@@ -390,3 +390,36 @@ def test_key_named_compact_cannot_sweep_rewrite_files(spark, tmp_path):
     # an append under the pathological key: the rewrite file survives
     bus_append(_batch(spark, 20, 5), bus, "compact")
     assert len(_rows(bus_snapshot(spark, bus))) == 15
+
+
+def test_bus_consumer_version_reads_the_checkpoint(spark, tmp_path):
+    """bus_consumer_version returns the consumer's last COMMITTED
+    manifest version — the mechanical keep_after_version for safe
+    compaction under lag — and 0 before any commit."""
+    from cherry_spark.writers.manifest_bus import bus_consumer_version
+
+    bus = str(tmp_path / "bus")
+    ckpt = str(tmp_path / "ck")
+    assert bus_consumer_version(ckpt) == 0
+    bus_append(_batch(spark, 0, 4), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 4), bus, "e1-b1")
+    got: list = []
+    _drain(spark, bus, ckpt, got)
+    assert bus_consumer_version(ckpt) == 2  # drained through v2
+
+    # new appends the consumer has NOT committed do not move it
+    bus_append(_batch(spark, 20, 4), bus, "e1-b2")
+    assert bus_consumer_version(ckpt) == 2
+    # the guarded compaction protects v3's files; the lagging
+    # consumer then drains v3 intact
+    bus_compact(
+        spark, bus, target_file_bytes=64 * 1024 * 1024,
+        keep_after_version=bus_consumer_version(ckpt),
+    )
+    _drain(spark, bus, ckpt, got)
+    assert sorted(got) == _rows(
+        _batch(spark, 0, 4)
+        .unionByName(_batch(spark, 10, 4))
+        .unionByName(_batch(spark, 20, 4))
+    )
+    assert bus_consumer_version(ckpt) >= 3
