@@ -3,8 +3,7 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-for the ROUND-11 window (_R08_REMAINING_R11 + _ADDED_R09 +
-_R09_FIRST1_R11).
+for the ROUND-12 window (_R09_REMAINING_R12 + _R10_FIRST1_R12).
 
 Standing rotation policy (round-7 verdict item #2): the registry holds
 115 queries and the driver window holds 50, so a strict "no query more
@@ -25,23 +24,20 @@ shares its oracle and result-hash with in-window ``decode_dynamic_abi``
 and differs only in the Arrow execution lane (a driver row for it would
 duplicate an existing hash check while displacing a unique one).
 
-ROUND-11 window (live): ``_R08_REMAINING_R11`` (47, the r08-certified
-rows not refreshed in r10) + ``_ADDED_R09`` (2, the round-9
-registrations certifying on their 3-round deadline) +
-``_R09_FIRST1_R11`` (1, the oldest row of the archived r09 artifact)
+ROUND-12 window (live): ``_R09_REMAINING_R12`` (49, the r09-window
+rows not swept in r11, in archived-artifact order) +
+``_R10_FIRST1_R12`` (1, the oldest row of the archived r10 artifact)
 = 50 exactly, asserted at import (rounds 6 AND 7 each shipped a silent
-hand-recount bug — every group here is pinned data, and the window
-tests re-derive them from the archived driver artifacts).  Every
-r11-window row has a DuckDB oracle — no rows-only query sits inside
-the window.
+hand-recount bug — every group here is pinned or DERIVED data, and the
+window tests re-derive them from the archived driver artifacts).  The
+two BPE rows sit in this sweep and have carried generated DuckDB twins
+since round 10 (unrolled 10-round CTE — see queries/vocab.py), so they
+hash-check like every other row.  Every r12-window row has a DuckDB
+oracle — no rows-only query sits inside the window.
 
-ROUND-12 window (pre-staged below as ``_R09_REMAINING_R12`` +
-``_R10_FIRST1_R12`` = 49 + 1 = 50): at round-12 start, swap the group
-tuple — nothing to recount.  The two BPE rows sit in that sweep and
-have carried generated DuckDB twins since round 10 (unrolled 10-round
-CTE — see queries/vocab.py), so they hash-check like every other row —
-no rows-only query can ever reappear in a driver window as a
-guaranteed err row.
+ROUND-13 window (pre-staged below as ``_R10_REMAINING_R13`` +
+``_R11_FIRST1_R13`` = 49 + 1 = 50): at round-13 start, swap the group
+tuple — nothing to recount.
 
 At 150 registered the 3-round guarantee is EXACTLY saturated
 (3 x 50 = 150): any further registration must displace a named twin
@@ -248,9 +244,8 @@ _R07_FIRST3 = [
 ]
 
 # ---------------------------------------------------------------------
-# ROUND-12 window, PRE-STAGED (swap `_reorder_for_certification`'s
-# group tuple to `(_R09_REMAINING_R12, _R10_FIRST1_R12,
-# _PAST_WINDOW_FIRST)` at the start of round 12 — nothing to recount).
+# ROUND-12 window, LIVE: `_reorder_for_certification` leads with
+# `(_R09_REMAINING_R12, _R10_FIRST1_R12)`.
 # The 49 r09-window rows not swept in r11 + the oldest r10-window row
 # (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
 # (the archived r09 window is _ADDED_R08 + _R06_STALE_R09 + _R07_FIRST3
@@ -265,6 +260,25 @@ _R09_REMAINING_R12 = [
 ]
 _R10_FIRST1_R12 = [
     "ann_lsh_topk",
+]
+
+# ---------------------------------------------------------------------
+# ROUND-13 window, PRE-STAGED (swap `_reorder_for_certification`'s
+# group tuple to `(_R10_REMAINING_R13, _R11_FIRST1_R13,
+# _PAST_WINDOW_FIRST)` at the start of round 13 — nothing to recount).
+# The 49 r10-window rows not swept in r12 + the oldest r11-window row
+# (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
+# (the archived r10 window is _R07_REMAINING_R10 + _R08_FIRST3_R10 in
+# artifact order, pinned and test-verified against the artifact), so
+# there is no hand-recount surface.
+# ---------------------------------------------------------------------
+_R10_REMAINING_R13 = [
+    n
+    for n in (_R07_REMAINING_R10 + _R08_FIRST3_R10)
+    if n not in set(_R10_FIRST1_R12)
+]
+_R11_FIRST1_R13 = [
+    "svm_decode_logs",
 ]
 
 # ---------------------------------------------------------------------
@@ -300,15 +314,13 @@ _R10_FIRST1_R12 = [
 
 
 def _reorder_for_certification() -> None:
-    """Rebuild the registry in ROUND-11 certification order:
-    the 47 r08-certified rows not refreshed in r10, then the 2 round-9
-    additions (3-round deadline), then the oldest r09-window row = 50
-    exactly; past-window rows follow."""
+    """Rebuild the registry in ROUND-12 certification order:
+    the 49 r09-window rows not swept in r11, then the oldest
+    r10-window row = 50 exactly; past-window rows follow."""
     ordered: list[str] = []
     for group in (
-        _R08_REMAINING_R11,
-        _ADDED_R09,
-        _R09_FIRST1_R11,
+        _R09_REMAINING_R12,
+        _R10_FIRST1_R12,
         _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
@@ -343,8 +355,8 @@ assert len(_ADDED_R08) + len(_R06_STALE_R09) + len(_R07_FIRST3) == 50, (
 )
 assert (
     list(REGISTRY)[:50]
-    == _R08_REMAINING_R11 + _ADDED_R09 + _R09_FIRST1_R11
-), "round-11 window order must be exactly the three pinned groups"
+    == _R09_REMAINING_R12 + _R10_FIRST1_R12
+), "round-12 window order must be exactly the two derived groups"
 assert set(_ADDED_R09) <= set(REGISTRY) and not (
     set(_ADDED_R09)
     & (
@@ -383,7 +395,16 @@ assert _R10_FIRST1_R12[0] == _R07_REMAINING_R10[0], (
     "the r12 sweep head must be the oldest row of the r10 window"
 )
 assert set(_R09_REMAINING_R12) | set(_R10_FIRST1_R12) <= set(REGISTRY), (
-    "every pre-staged round-12 row must be registered"
+    "every round-12 window row must be registered"
+)
+assert (
+    len(_R10_REMAINING_R13) + len(_R11_FIRST1_R13) == 50
+), "round-13 window arithmetic: 49 remaining r10 rows + 1 r11 row"
+assert _R11_FIRST1_R13[0] == _R08_REMAINING_R11[0], (
+    "the r13 sweep head must be the oldest row of the r11 window"
+)
+assert set(_R10_REMAINING_R13) | set(_R11_FIRST1_R13) <= set(REGISTRY), (
+    "every pre-staged round-13 row must be registered"
 )
 assert len(REGISTRY) <= 150, (
     f"registry holds {len(REGISTRY)} queries — the 3-round certification"

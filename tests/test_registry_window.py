@@ -1,8 +1,8 @@
 """Certification-window invariants (round-7 verdict items #1/#2,
-rotated to the ROUND-11 window per the round-10 verdict item #1).
+rotated to the ROUND-12 window per the round-11 verdict item #1).
 
 The driver certifies exactly the first 50 registered queries, so the
-window composition is load-bearing: these tests pin the round-11
+window composition is load-bearing: these tests pin the round-12
 contract against the archived driver artifacts — a reorder mistake
 fails HERE, not in the next driver round."""
 
@@ -27,17 +27,27 @@ def _round_order(n: int) -> list[str]:
         return list(json.load(f))
 
 
-def test_r11_window_is_r08_remaining_plus_r09_additions_plus_r09_head():
+def test_r12_window_is_r09_remaining_plus_r10_head():
     window = list(REGISTRY)[:50]
-    r10 = _round_keys(10)
+    r11 = _round_keys(11)
     # no slot wasted on a row certified last round
-    assert not set(window) & r10
-    # the 47 r08 rows not refreshed in r10 lead the window
-    assert window[: len(Q._R08_REMAINING_R11)] == Q._R08_REMAINING_R11
-    # then the 2 round-9 additions on their 3-round deadline
-    assert window[47:49] == Q._ADDED_R09
-    # then the oldest row of the archived r09 artifact
-    assert window[49:] == Q._R09_FIRST1_R11
+    assert not set(window) & r11
+    # the 49 r09-window rows not swept in r11 lead the window
+    assert window[: len(Q._R09_REMAINING_R12)] == Q._R09_REMAINING_R12
+    # then the oldest row of the archived r10 artifact
+    assert window[49:] == Q._R10_FIRST1_R12
+    assert Q._R10_FIRST1_R12 == _round_order(10)[:1]
+    # the BPE pair certifies for the first time this round
+    assert {"bpe_learn_merges", "bpe_tokenize_stats"} <= set(window)
+
+
+def test_r11_window_archived_matches_artifact():
+    """The archived r11 window (the r13 plan derives from it) must be
+    exactly the three pinned groups, in artifact order."""
+    assert (
+        _round_order(11)
+        == Q._R08_REMAINING_R11 + Q._ADDED_R09 + Q._R09_FIRST1_R11
+    )
     assert Q._R09_FIRST1_R11 == _round_order(9)[:1]
 
 
@@ -52,15 +62,26 @@ def test_r11_window_r08_group_matches_artifact():
     assert len(Q._R08_REMAINING_R11) == 47
 
 
-def test_r12_prestaged_window_matches_artifacts():
-    """The pre-staged r12 groups: the 49 r09-window rows not swept in
-    r11 (artifact order) + the oldest r10-window row."""
+def test_r12_window_groups_match_artifacts():
+    """The live r12 groups: the 49 r09-window rows not swept in r11
+    (artifact order) + the oldest r10-window row."""
     r09 = _round_order(9)
     assert Q._R09_REMAINING_R12 == [
         n for n in r09 if n not in set(Q._R09_FIRST1_R11)
     ]
     assert Q._R10_FIRST1_R12 == _round_order(10)[:1]
     assert len(Q._R09_REMAINING_R12) + len(Q._R10_FIRST1_R12) == 50
+
+
+def test_r13_prestaged_window_matches_artifacts():
+    """The pre-staged r13 groups: the 49 r10-window rows not swept in
+    r12 (artifact order) + the oldest r11-window row."""
+    r10 = _round_order(10)
+    assert Q._R10_REMAINING_R13 == [
+        n for n in r10 if n not in set(Q._R10_FIRST1_R12)
+    ]
+    assert Q._R11_FIRST1_R13 == _round_order(11)[:1]
+    assert len(Q._R10_REMAINING_R13) + len(Q._R11_FIRST1_R13) == 50
 
 
 def test_r10_window_groups_match_artifacts():
@@ -106,6 +127,8 @@ def test_window_groups_contain_only_registered_names():
         Q._ADDED_R09,
         Q._R09_REMAINING_R12,
         Q._R10_FIRST1_R12,
+        Q._R10_REMAINING_R13,
+        Q._R11_FIRST1_R13,
     ):
         missing = [n for n in group if n not in REGISTRY]
         assert not missing, f"window group names not registered: {missing}"
