@@ -22,6 +22,15 @@ The bus must hold at least one committed ``append`` version before a
 stream starts (the schema comes from its first data file).  Offsets
 resume from the checkpoint like any Structured Streaming source.
 
+availableNow + crash replay: when a run restarts with a PENDING
+planned batch (the previous run crashed mid-batch), Spark re-executes
+that batch and the run terminates at its planned end offset —
+versions appended after the crash are NOT picked up by that run.
+Nothing is lost (the offsets log governs); the next availableNow run
+delivers them.  Schedulers should loop runs until
+``bus_consumer_version(ckpt) >= last_version(bus)`` — the drain loop
+the repo's tests and probes use.
+
 Scale note: one input partition per data file of each consumed
 version — reads parallelize across executors; the driver tracks only
 the integer version.  Same DataSource pattern as

@@ -661,7 +661,12 @@ def run_streaming_curation_gate(
     compaction (offsets are manifest versions, not file names) — the
     raw ``text/`` dir cannot be compacted while a file-source stream
     reads it (the store-as-bus caveat).  The mirror is exactly-once
-    under replay (``bus_append`` skips a key it already committed)."""
+    under replay: a replayed batch whose key is already the NEWEST
+    manifest entry retracts it and re-appends the replay's rows
+    (``on_replay="replace_if_last"``), so after a reseed-boundary
+    crash the bus follows the replayed verdicts exactly like the
+    keyed stores do instead of keeping the crashed attempt's
+    admissions."""
     import os
 
     from cherry_spark.ext.budget import budget_select
@@ -940,10 +945,20 @@ def run_streaming_curation_gate(
         if text_bus_dir is not None:
             from cherry_spark.writers.manifest_bus import bus_append
 
+            # replace_if_last (r11 advice): a crash between this append
+            # and the checkpoint commit replays the batch, and at a
+            # reseed boundary the replayed verdicts can legitimately
+            # differ — the keyed stores follow the replay, so the bus
+            # mirror must too, or downstream indexes diverge from the
+            # stores.  The crashed entry is necessarily the newest
+            # (single writer, uncommitted checkpoint), so the retract
+            # window is exact; see bus_append's docstring for the
+            # consumer-already-past-it residual (at-least-once sinks).
             bus_append(
                 adm.select(F.col(id_col), F.col(text_col)),
                 text_bus_dir,
                 key,
+                on_replay="replace_if_last",
             )
         new_spent = verdicts.agg(F.max("cum_tokens")).first()[0]
         if new_spent is not None:
@@ -1634,7 +1649,9 @@ def _overwrite_store(
     that as a fresh start: total state loss, review r9).
 
     The unsafe window shrinks from the whole Spark write to two
-    ``os.rename`` calls; :func:`_recover_store` (called at every fold
+    ``fs.move_dir`` calls (writers/fs.py — the filesystem seam whose
+    docstring carries the object-store portability contract);
+    :func:`_recover_store` (called at every fold
     start) repairs the one torn state a crash between them can leave —
     the pre-fold dir parked under ``__old``, which is exactly the
     state a replayed batch wants to merge into.  A crash AFTER the
@@ -1745,9 +1762,10 @@ def _stage_append(df: DataFrame, path: str, key: str) -> tuple:
 
 def _commit_append(tmp: str, path: str, key: str) -> None:
     import os
-    import shutil
 
-    os.makedirs(path, exist_ok=True)
+    from cherry_spark.writers import fs
+
+    fs.ensure_dir(path)
     # drop a crashed previous attempt's files for this key (recursive:
     # hive-partitioned tables keep per-partition subdirs)
     _drop_batch_files(path, key)
@@ -1757,15 +1775,15 @@ def _commit_append(tmp: str, path: str, key: str) -> None:
         dest = path if rel == "." else os.path.join(path, rel)
         parts = sorted(f for f in files if f.endswith(".parquet"))
         if parts:
-            os.makedirs(dest, exist_ok=True)
+            fs.ensure_dir(dest)
         for p in parts:
-            os.rename(
+            fs.move_file(
                 os.path.join(root, p),
                 os.path.join(dest, f"{key}-{moved:05d}.parquet"),
             )
             moved += 1
     open(os.path.join(path, "_SUCCESS"), "a").close()
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.remove_tree(tmp)
 
 
 def _commit_stores(staged: list[tuple]) -> None:
@@ -1788,8 +1806,9 @@ def _commit_stores(staged: list[tuple]) -> None:
     commits adjacently with the vec swap and tears are self-repaired
     at the replay's fold start)."""
     import os
-    import shutil
     import uuid
+
+    from cherry_spark.writers import fs
 
     olds = []
     for entry in staged:
@@ -1800,11 +1819,11 @@ def _commit_stores(staged: list[tuple]) -> None:
         _, tmp, path = entry
         old = f"{path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.exists(path):
-            os.rename(path, old)
+            fs.move_dir(path, old)
             olds.append(old)
-        os.rename(tmp, path)
+        fs.move_dir(tmp, path)
     for old in olds:
-        shutil.rmtree(old, ignore_errors=True)
+        fs.remove_tree(old)
 
 
 def _recover_store(path: str) -> None:
@@ -1815,15 +1834,16 @@ def _recover_store(path: str) -> None:
     temp/old/compact siblings either way."""
     import glob
     import os
-    import shutil
+
+    from cherry_spark.writers import fs
 
     olds = sorted(glob.glob(f"{path}__old_*"), key=os.path.getmtime)
     if not os.path.exists(path) and olds:
-        os.rename(olds.pop(), path)
+        fs.move_dir(olds.pop(), path)
     for stray in (
         olds + glob.glob(f"{path}__tmp_*") + glob.glob(f"{path}__compact_*")
     ):
-        shutil.rmtree(stray, ignore_errors=True)
+        fs.remove_tree(stray)
 
 
 def _drop_batch_files(state_dir: str, key: str) -> None:
@@ -1837,10 +1857,12 @@ def _drop_batch_files(state_dir: str, key: str) -> None:
     import glob
     import os
 
+    from cherry_spark.writers import fs
+
     for f in glob.glob(
         os.path.join(state_dir, "**", f"{key}-*.parquet"), recursive=True
     ):
-        os.remove(f)
+        fs.remove(f)
 
 
 def _run_epoch(checkpoint_dir: str) -> str:
@@ -2694,15 +2716,17 @@ def trained_gate_fold(
     wrong" #2 — the refit was O(total labeled history) every
     ``refit_every`` folds, quadratic cumulative work on an unbounded
     stream): a deterministic fixed-size sample — the ``retain_docs``
-    smallest rows by ``(md5(id), id)`` over ALL labeled arrivals —
-    is maintained incrementally in the ``train_sample/`` store at
-    O(sample + batch) per fold, and the refit reads ONLY it.  The
-    incremental merge is exactly the global top-N (once a row leaves
-    the sample no later arrival can re-admit it, and surviving rows
-    are a superset of the final sample), so the store is
-    replay-idempotent and testable against a from-scratch computation
-    over the full history.  Histories at or under ``retain_docs``
-    train on every arrival — identical to the unbounded behavior."""
+    smallest rows by ``(md5(id), id)`` over all DISTINCT labeled ids,
+    first arrival wins (r11 advice: a repeated id must not double-
+    weight the refit) — is maintained incrementally in the
+    ``train_sample/`` store at O(sample + batch) per fold, and the
+    refit reads ONLY it.  The incremental merge is exactly the global
+    top-N (once an id leaves the sample no later arrival can re-admit
+    it — rank is a pure function of id — and surviving rows are a
+    superset of the final sample) and is idempotent under crash
+    replay because the per-id dedupe prefers stored rows.  Histories
+    at or under ``retain_docs`` distinct ids train on every distinct
+    arrival — identical to the unbounded behavior."""
     import os
 
     from cherry_spark.ext.train import (
@@ -2735,24 +2759,26 @@ def trained_gate_fold(
 
     # 1b. fold the batch into the bounded training sample (see the
     # ``retain_docs`` docstring): rank ascending by (md5(id), id) —
-    # deterministic, order-free — and keep the first ``retain_docs``.
-    # Replay: the merge key marks a store that already absorbed this
-    # batch; anti-joining the batch's own ids out restores a view the
-    # re-merge maps to the identical result (rows the crashed attempt
-    # evicted were evicted BY this same batch's rows, which are about
-    # to be merged again).
+    # deterministic, order-free — and keep the first ``retain_docs``
+    # DISTINCT ids, first-arrival-wins (r11 advice: a repeated id must
+    # not occupy two slots and double-weight its row in the refit —
+    # the test_properties lemma models arrivals as a SET of ids, and
+    # the implementation now matches it).  Stored rows take priority
+    # over the batch's in the per-id dedupe, which makes the merge
+    # IDEMPOTENT under crash replay with no anti-join: re-merging an
+    # already-absorbed batch reproduces the committed sample exactly
+    # (absorbed ids lose the dedupe to their stored copy; ids the
+    # crashed merge evicted rank above the boundary — rank is a pure
+    # function of id — and evict again).  Sample-level dedupe equals
+    # the lemma's all-history dedupe because both copies of an id
+    # share one rank: an id whose first arrival was evicted can never
+    # re-enter through a later copy.
     rank = F.md5(F.col(id_col).cast("string"))
     stored_sample = None
-    absorbed = False
     if os.path.exists(f"{sample_dir}/_SUCCESS"):
         stored_sample = spark.read.parquet(sample_dir)
-        if _merge_key_of(sample_dir) == key:
-            absorbed = True
-            stored_sample = stored_sample.join(
-                labeled.select(id_col), id_col, "left_anti"
-            )
     skip_merge = False
-    if stored_sample is not None and not absorbed:
+    if stored_sample is not None and _merge_key_of(sample_dir) != key:
         # steady-state fast path: once the sample is FULL, a batch with
         # no row ranking at or under the stored boundary cannot change
         # the top-N — skip the O(sample) rewrite entirely (the store's
@@ -2768,13 +2794,24 @@ def trained_gate_fold(
                 labeled.filter(rank <= head["mx"]).limit(1).count() == 0
             )
     if not skip_merge:
+        from pyspark.sql import Window
+
+        batch_cand = labeled.withColumn("__pri", F.lit(1))
         cand = (
-            stored_sample.unionByName(labeled)
+            stored_sample.withColumn("__pri", F.lit(0)).unionByName(batch_cand)
             if stored_sample is not None
-            else labeled
+            else batch_cand
+        )
+        # one row per id: stored copy first, then a deterministic
+        # winner among same-batch duplicates (label, then text)
+        dedup_w = Window.partitionBy(id_col).orderBy(
+            "__pri", "__lbl", F.md5(F.col(text_col))
         )
         new_sample = (
-            cand.orderBy(rank, F.col(id_col))
+            cand.withColumn("__rn", F.row_number().over(dedup_w))
+            .filter(F.col("__rn") == 1)
+            .drop("__pri", "__rn")
+            .orderBy(rank, F.col(id_col))
             .limit(int(retain_docs))
             .localCheckpoint(eager=True)
         )

@@ -36,6 +36,8 @@ import uuid
 
 from pyspark.sql import SparkSession
 
+from cherry_spark.writers import fs as _fs
+
 
 def _dir_bytes(path: str) -> int:
     total = 0
@@ -137,9 +139,9 @@ def compact_dataset(
             if os.path.exists(mk):
                 shutil.copy(mk, os.path.join(src, "_merge_key"))
             old = f"{tdir}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(tdir, old)
-            os.rename(src, tdir)
-            shutil.rmtree(old, ignore_errors=True)
+            _fs.move_dir(tdir, old)
+            _fs.move_dir(src, tdir)
+            _fs.remove_tree(old)
         shutil.rmtree(tmp, ignore_errors=True)
 
     for tdir, n_files in serial:
@@ -159,9 +161,9 @@ def compact_dataset(
             raise RuntimeError(f"compaction row-count mismatch in {tdir}")
         # atomic-enough swap: move old aside, move new in, drop old
         old = f"{tdir}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(tdir, old)
-        os.rename(tmp, tdir)
-        shutil.rmtree(old, ignore_errors=True)
+        _fs.move_dir(tdir, old)
+        _fs.move_dir(tmp, tdir)
+        _fs.remove_tree(old)
     return {
         "files_before": files_before,
         "files_after": _n_parquet_files(path),

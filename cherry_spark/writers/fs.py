@@ -1,0 +1,94 @@
+"""Filesystem seam for the store/bus commit protocol.
+
+Every fingerprinted store (`_ensure_*` / `_overwrite_store` /
+`_commit_append`) and the manifest bus commit state through a handful
+of directory primitives.  On the local[32] sandbox those are POSIX
+calls and `os.rename` is the correct atomic commit; on a 100 TB
+cluster the state dirs live on an object store (S3/GCS), where rename
+is neither atomic nor cheap — it is a copy+delete, and two writers
+can interleave.  This module is the ONE place that knows which world
+it is in: the store/bus layer calls these functions, never `os.*`
+directly, so porting to an object store is a second implementation of
+this module, not a sweep of the commit protocol.
+
+Object-store contract (what a non-local implementation must provide):
+
+- ``commit_file(src, dst)``: PUT-IF-ABSENT — publish ``src`` at
+  ``dst``, raising ``FileExistsError`` if ``dst`` already exists, and
+  never leaving a partially-visible ``dst``.  S3: conditional PUT
+  (``If-None-Match: *``, supported since 2024); GCS: precondition
+  ``ifGenerationMatch=0``.  This is the manifest bus's version-commit
+  primitive — uniqueness of the committed name is what makes a
+  single-writer violation loud instead of silently clobbering.
+- ``move_dir(src, dst)`` / ``move_file(src, dst)``: atomic only
+  locally.  An object-store impl replaces the swap-based stores with
+  manifest pointers (the bus already works this way: data files are
+  immutable once committed and the manifest names the live set), or
+  routes them through a transactional table format the way the
+  reference's Delta writer does
+  (/root/reference/src/cherry_etl/writers/delta_lake.py:24-32 rides
+  Delta's log).  The seam exists so THAT rewrite happens here.
+- ``list_dir(path)``: a flat listing (no recursion), empty for a
+  missing dir — object stores list by prefix; callers never assume
+  inode semantics.
+- ``remove`` / ``remove_tree``: idempotent deletes for sweeps
+  (missing targets are fine).
+
+All local implementations below are deliberately thin wrappers — the
+value is the seam, not the code.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def commit_file(src: str, dst: str) -> None:
+    """Publish ``src`` at ``dst`` with PUT-IF-ABSENT semantics: raises
+    ``FileExistsError`` if ``dst`` exists (even as a leftover), and the
+    committed file appears atomically.
+
+    Locally: ``os.link`` (hard link) fails with EEXIST on an existing
+    target — unlike ``os.rename``, which silently REPLACES it — then
+    the staged source is unlinked.  The link is the commit point."""
+    os.link(src, dst)
+    os.unlink(src)
+
+
+def move_file(src: str, dst: str) -> None:
+    """Atomically move a staged file to its committed name, replacing
+    any existing target (the deterministic-name append commit: a
+    replayed fold REPLACES its own previous attempt)."""
+    os.rename(src, dst)
+
+
+def move_dir(src: str, dst: str) -> None:
+    """Atomically move a staged directory to its committed name.
+    ``dst`` must not exist (the swap protocol parks it first)."""
+    os.rename(src, dst)
+
+
+def list_dir(path: str) -> list[str]:
+    """Flat listing of ``path``; empty list if it doesn't exist."""
+    try:
+        return os.listdir(path)
+    except OSError:
+        return []
+
+
+def remove(path: str) -> None:
+    """Delete one file; missing is fine (sweeps are idempotent)."""
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+
+
+def remove_tree(path: str) -> None:
+    """Delete a directory tree; missing is fine."""
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def ensure_dir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)

@@ -12,8 +12,10 @@ forever — scan planning and footer reads eventually dominate.
 This module fixes the contract the way log-structured table formats
 do, with two small pieces instead of a table-format dependency:
 
-- a MANIFEST LOG: ``{bus}/manifest/v{N:08d}.json`` entries, each an
-  atomic rename, of two kinds —
+- a MANIFEST LOG: ``{bus}/manifest/v{N:08d}.json`` entries, each
+  committed put-if-absent through the filesystem seam
+  (writers/fs.py — the object-store portability contract lives
+  there), of two kinds —
   ``append`` (new rows; carries the batch key and its data files) and
   ``rewrite`` (a compaction; same rows in new files, ``replaces``
   names the retired ones).  The data files live under ``{bus}/data/``
@@ -47,6 +49,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cherry_spark.writers import fs
+
 # Version (and, for appends, the batch key) are embedded in the
 # MANIFEST FILENAME — v{N:08d}[_{key}].json — so the per-fold hot
 # paths (append's replay check, the stream reader's latestOffset and
@@ -70,12 +74,8 @@ def _version_names(bus_dir: str) -> list[tuple[int, str]]:
     """(version, filename) for every committed entry, version order —
     parsed from filenames only (no JSON reads)."""
     mdir = _manifest_dir(bus_dir)
-    try:
-        names = os.listdir(mdir)
-    except OSError:
-        return []
     out = []
-    for n in names:
+    for n in fs.list_dir(mdir):
         if n.startswith("v") and n.endswith(".json"):
             out.append((int(n[1:9]), n))
     return sorted(out)
@@ -131,31 +131,78 @@ def live_files(bus_dir: str, entries: list[dict] | None = None) -> list[str]:
 def _commit_entry(bus_dir: str, entry: dict) -> int:
     """Atomically append a manifest entry at the next version (the
     key, when present, rides the filename for O(listing) replay
-    checks)."""
-    import glob
+    checks).
 
+    The commit primitive is PUT-IF-ABSENT, not rename: POSIX rename
+    silently REPLACES an existing target, so two writers racing the
+    same bus would both commit "v(N+1)" and one append's manifest
+    entry — and its rows — would vanish without any error (r11
+    verdict finding #1).  ``fs.commit_file`` (hard-link + unlink)
+    raises on an existing target instead, making a single-writer
+    violation LOUD: data loss becomes a crash."""
     mdir = _manifest_dir(bus_dir)
-    os.makedirs(mdir, exist_ok=True)
+    fs.ensure_dir(mdir)
     # crashed commits leave __tmp_* strays (never .json, so invisible
     # to read_manifest) — sweep them here
-    for stray in glob.glob(os.path.join(mdir, "__tmp_*")):
-        os.remove(stray)
+    for stray in fs.list_dir(mdir):
+        if stray.startswith("__tmp_"):
+            fs.remove(os.path.join(mdir, stray))
     version = last_version(bus_dir) + 1
     entry = {"version": version, **entry}
     tmp = os.path.join(mdir, f"__tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(entry, fh)
     suffix = f"_{entry['key']}" if entry.get("key") else ""
-    os.rename(tmp, os.path.join(mdir, _MANIFEST_FMT.format(version, suffix)))
+    dst = os.path.join(mdir, _MANIFEST_FMT.format(version, suffix))
+    collision = (
+        f"manifest bus at {bus_dir}: version {version} already "
+        "committed by another writer — the bus is single-writer "
+        "(serial foreachBatch; compaction between folds); a second "
+        "concurrent writer would silently erase an append, so this "
+        "collision fails loudly instead"
+    )
+    try:
+        fs.commit_file(tmp, dst)
+    except FileExistsError:
+        fs.remove(tmp)
+        raise RuntimeError(collision) from None
+    # two racing writers with DIFFERENT keys commit different
+    # filenames at the same version — put-if-absent alone can't see
+    # that, so re-list and retract ours if a twin version landed
+    # (worst race: both retract and raise — loud, no silent loss)
+    base = os.path.basename(dst)
+    if any(v == version and n != base for v, n in _version_names(bus_dir)):
+        fs.remove(dst)
+        raise RuntimeError(collision)
     return version
 
 
-def bus_append(df: DataFrame, bus_dir: str, key: str) -> int:
+def bus_append(
+    df: DataFrame, bus_dir: str, key: str, on_replay: str = "skip"
+) -> int:
     """Append one batch of rows under ``key`` and commit an ``append``
     manifest version; returns the version.  Exactly-once under crash
-    replay: a key already manifested is skipped (returns its existing
-    version), orphan same-key files from a crashed attempt are
-    replaced."""
+    replay: orphan same-key files from a crashed attempt (moved but
+    never manifested) are replaced, and a key ALREADY manifested is
+    handled per ``on_replay``:
+
+    - ``"skip"`` (default): return the existing version — the crashed
+      attempt fully committed, the rows are on the bus.
+    - ``"replace_if_last"``: if the key's entry is the LATEST version,
+      retract it (delete entry + files) and re-append the current
+      rows at the same version.  This repairs the divergence window a
+      gate's bus mirror has when a crash lands between ``bus_append``
+      and the checkpoint commit and the REPLAYED batch legitimately
+      derives different rows (e.g. a reseed boundary re-draws
+      verdicts): under "skip" the bus would permanently keep the
+      crashed attempt's rows while the keyed stores follow the replay.
+      Single-writer + crash-before-checkpoint means the crashed entry
+      is necessarily the newest, so "not last" ⇒ the checkpoint
+      committed and this is not that window ⇒ skip.  Residual: a
+      consumer that committed PAST the crashed version before the
+      producer replayed keeps the old rows (sinks are at-least-once;
+      stores stay exact because their folds key on their own batch
+      ids, not bus content)."""
     import re
 
     if not re.fullmatch(r"[A-Za-z0-9.\-]+", key):
@@ -164,23 +211,41 @@ def bus_append(df: DataFrame, bus_dir: str, key: str) -> int:
             "embedded in data and manifest FILENAMES (the epoch keyer's "
             "'{epoch}-b{batch}' keys qualify)"
         )
+    if on_replay not in ("skip", "replace_if_last"):
+        raise ValueError(f"on_replay must be skip|replace_if_last, got {on_replay!r}")
     # replay of a fully-committed append: its key is in a manifest
     # FILENAME — one directory listing, no JSON reads
-    for v, n in _version_names(bus_dir):
-        if n.endswith(f"_{key}.json"):
-            return v
     ddir = _data_dir(bus_dir)
-    os.makedirs(ddir, exist_ok=True)
-    # crash between the file move and the manifest commit left orphans
-    for f in list(os.listdir(ddir)):
-        if f.startswith(f"{key}-") and f.endswith(".parquet"):
-            os.remove(os.path.join(ddir, f))
+    versions = _version_names(bus_dir)
+    for v, n in versions:
+        if n.endswith(f"_{key}.json"):
+            if on_replay == "skip" or v != versions[-1][0]:
+                return v
+            # replace_if_last: retract the crashed attempt's entry and
+            # files, then fall through to a normal append (which will
+            # recommit at the same, still-next version number)
+            mpath = os.path.join(_manifest_dir(bus_dir), n)
+            with open(mpath) as fh:
+                stale = json.load(fh)
+            fs.remove(mpath)
+            for f in stale.get("files", []):
+                fs.remove(os.path.join(ddir, f))
+            break
+    fs.ensure_dir(ddir)
+    # crash between the file move and the manifest commit left orphans.
+    # EXACT file-shape match, not a bare "{key}-" prefix: '-' is legal
+    # inside keys, so a key that is a proper prefix of another
+    # hyphenated key (e.g. 'run' vs 'run-1') must never sweep the other
+    # key's committed files — only '{key}-NNNNN.parquet' is ours
+    # (r11 advice).
+    own = re.compile(re.escape(key) + r"-\d{5}\.parquet")
+    for f in fs.list_dir(ddir):
+        if own.fullmatch(f):
+            fs.remove(os.path.join(ddir, f))
     # crashed Spark writes leave __tmp_* dirs under the bus root
-    import glob as _glob
-    import shutil as _shutil
-
-    for stray in _glob.glob(os.path.join(bus_dir, "__tmp_*")):
-        _shutil.rmtree(stray, ignore_errors=True)
+    for stray in fs.list_dir(bus_dir):
+        if stray.startswith("__tmp_"):
+            fs.remove_tree(os.path.join(bus_dir, stray))
     tmp = os.path.join(bus_dir, f"__tmp_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(tmp)
     moved = []
@@ -188,11 +253,9 @@ def bus_append(df: DataFrame, bus_dir: str, key: str) -> int:
         f for f in os.listdir(tmp) if f.endswith(".parquet")
     ):
         name = f"{key}-{len(moved):05d}.parquet"
-        os.rename(os.path.join(tmp, p), os.path.join(ddir, name))
+        fs.move_file(os.path.join(tmp, p), os.path.join(ddir, name))
         moved.append(name)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.remove_tree(tmp)
     return _commit_entry(
         bus_dir, {"kind": "append", "key": key, "files": moved}
     )
@@ -227,7 +290,9 @@ def run_streaming_bus_writer(
     return writer.start()
 
 
-def bus_consumer_version(checkpoint_dir: str) -> int:
+def bus_consumer_version(
+    checkpoint_dir: str, source_index: int | None = None
+) -> int:
     """The last manifest version a ``cherry_bus`` consumer has fully
     COMMITTED, read from its Structured Streaming checkpoint (the
     offsets entry of the highest batch id present in ``commits/``).
@@ -237,33 +302,55 @@ def bus_consumer_version(checkpoint_dir: str) -> int:
     This is the safe ``keep_after_version`` for :func:`bus_compact`
     when that consumer may lag:
     ``bus_compact(spark, bus, keep_after_version=min(
-    bus_consumer_version(ck) for ck in consumer_checkpoints))``."""
+    bus_consumer_version(ck) for ck in consumer_checkpoints))``.
+
+    Without ``source_index`` the cherry_bus source must be the LAST
+    source line in the offsets file whose payload carries a
+    ``version`` key — true for every single-source query, which is
+    all the shipped pipelines run.  In a MULTI-source query (bus
+    unioned with another stream) another source's offset dict could
+    also carry ``version`` and win the scan, yielding a wrong — and
+    for compaction, dangerous — keep_after_version; pass
+    ``source_index`` (the cherry_bus source's 0-based position in the
+    query plan, = its position among the offset lines) to select the
+    offset positionally instead (r11 advice)."""
     commits = os.path.join(checkpoint_dir, "commits")
-    try:
-        done = [int(n) for n in os.listdir(commits) if n.isdigit()]
-    except OSError:
-        return 0
+    done = [n for n in fs.list_dir(commits) if n.isdigit()]
     if not done:
         return 0
-    off_file = os.path.join(checkpoint_dir, "offsets", str(max(done)))
+    off_file = os.path.join(
+        checkpoint_dir, "offsets", str(max(int(n) for n in done))
+    )
     try:
         with open(off_file) as fh:
             lines = [ln.strip() for ln in fh if ln.strip()]
     except OSError:
         return 0
-    # format: "v1" header, metadata JSON, then one offset per source —
-    # the cherry_bus offset is the last line, either the dict itself
-    # or a JSON-encoded string of it
-    for ln in reversed(lines):
+
+    def _parse(ln: str):
         try:
             obj = json.loads(ln)
         except ValueError:
-            continue
+            return None
         if isinstance(obj, str):
             try:
                 obj = json.loads(obj)
             except ValueError:
-                continue
+                return None
+        return obj
+
+    # format: "v1" header, metadata JSON, then one offset line per
+    # source in plan order
+    if source_index is not None:
+        offset_lines = lines[2:]
+        if source_index >= len(offset_lines):
+            return 0
+        obj = _parse(offset_lines[source_index])
+        if isinstance(obj, dict) and "version" in obj:
+            return int(obj["version"])
+        return 0
+    for ln in reversed(lines):
+        obj = _parse(ln)
         if isinstance(obj, dict) and "version" in obj:
             return int(obj["version"])
     return 0
@@ -318,9 +405,7 @@ def bus_compact(
         dead.update(e.get("replaces", []))
     ddir = _data_dir(bus_dir)
     for f in dead:
-        p = os.path.join(ddir, f)
-        if os.path.exists(p):
-            os.remove(p)
+        fs.remove(os.path.join(ddir, f))
     if not files:
         return {"files_before": 0, "files_after": 0, "bytes": 0}
     nbytes = sum(os.path.getsize(f) for f in files)
@@ -357,19 +442,15 @@ def bus_compact(
         # output (a key literally named "compact" would otherwise
         # sweep rewrite files)
         name = f"compact_{token}-{len(moved):05d}.parquet"
-        os.rename(os.path.join(tmp, p), os.path.join(ddir, name))
+        fs.move_file(os.path.join(tmp, p), os.path.join(ddir, name))
         moved.append(name)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.remove_tree(tmp)
     replaced = [os.path.basename(f) for f in files]
     _commit_entry(
         bus_dir, {"kind": "rewrite", "files": moved, "replaces": replaced}
     )
     for f in replaced:
-        p = os.path.join(ddir, f)
-        if os.path.exists(p):
-            os.remove(p)
+        fs.remove(os.path.join(ddir, f))
     return {
         "files_before": len(replaced),
         "files_after": len(moved),

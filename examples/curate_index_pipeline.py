@@ -11,18 +11,17 @@
     -> COMPOSED ADMISSION GATE        (decontaminate -> lexical dedup
        -> semantic dedup -> token budget; streaming/continuous.py:
        run_streaming_curation_gate — only admitted docs reach storage)
-    -> admitted-text BUS              (two lanes, same rows: the
-       gate's raw `state/text` parquet dir is itself a streamable
-       file source — store-as-bus — and, r11, a MANIFEST-LOG mirror
-       (`text_bus_dir=`) whose consumers track manifest versions, so
-       THAT lane can be compacted under live checkpoints)
-    -> INDEX MAINTAINERS              (run_streaming_bm25_index folds
-       the manifest bus through the cherry_bus DataSource;
-       run_streaming_pair_graph folds the raw file-source lane — both
-       see ONLY admitted docs, so search and the near-dup cluster
-       graph are fresh the moment admission lands and rejected docs
-       never enter an index; the bus is then COMPACTED and the served
-       snapshot re-verified)
+    -> admitted-text BUS              (the gate's MANIFEST-LOG mirror,
+       `text_bus_dir=` — consumers track manifest versions, so the
+       bus compacts under live checkpoints; the raw `state/text` dir
+       is now a plain store with no streaming consumer, compactable
+       like every other one — r12, the last raw-lane consumer moved)
+    -> INDEX MAINTAINERS              (run_streaming_bm25_index AND
+       run_streaming_pair_graph both fold the manifest bus through
+       the cherry_bus DataSource — both see ONLY admitted docs, so
+       search and the near-dup cluster graph are fresh the moment
+       admission lands and rejected docs never enter an index; the
+       bus is then COMPACTED and the served snapshot re-verified)
     -> serve                          (bm25_topk from the maintained
        index — verified identical to an inline build over exactly the
        admitted set; pair-graph edge count reported)
@@ -157,25 +156,34 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
     )
     q.awaitTermination(300)
 
-    # stage 2: the admitted-text bus is the indexing source — bm25
-    # over the manifest lane (compactable), the pair graph over the
-    # raw file-source lane (append-only forever) for contrast
+    # stage 2: the admitted-text manifest bus is the ONLY indexing
+    # source (r12) — both maintainers consume it through the
+    # cherry_bus DataSource, leaving the raw state/text dir a plain
+    # store with no streaming consumer
     from cherry_spark.sources.manifest_bus_datasource import (
         ManifestBusDataSource,
     )
 
     spark.dataSource.register(ManifestBusDataSource)
     admitted_src = f"{work_dir}/state/text"
+
+    def bus_stream():
+        return (
+            spark.readStream.format("cherry_bus")
+            .option("path", text_bus)
+            .load()
+        )
+
     qb = run_streaming_bm25_index(
         spark,
-        spark.readStream.format("cherry_bus").option("path", text_bus).load(),
+        bus_stream(),
         f"{work_dir}/bm25",
         lambda s, b: None,
         f"{work_dir}/ckpt_bm25",
     )
     qg = run_streaming_pair_graph(
         spark,
-        file_stream(admitted_src, "doc_id long, text string"),
+        bus_stream(),
         f"{work_dir}/graph",
         lambda s, b: None,
         f"{work_dir}/ckpt_graph",
@@ -194,18 +202,28 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
     served = canon(bm25_topk(None, qdf, k=5, index_dir=f"{work_dir}/bm25"))
     inline = canon(bm25_topk(admitted, qdf, k=5))
 
-    # the manifest lane's payoff: compact the drained bus under the
-    # maintainer's live checkpoint — the snapshot stays complete and a
-    # restarted maintainer would re-deliver nothing (offsets are
-    # manifest versions; the raw state/text lane can never do this)
+    # the manifest lane's payoff: compact the drained bus under BOTH
+    # maintainers' live checkpoints — the snapshot stays complete and
+    # restarted maintainers re-deliver nothing (offsets are manifest
+    # versions; a raw file-source lane can never do this).  The
+    # mechanical lag guard makes this safe even if a maintainer were
+    # still behind.
     from cherry_spark.writers.manifest_bus import (
         bus_compact,
+        bus_consumer_version,
         bus_snapshot,
         live_files,
     )
 
     bus_files_before = len(live_files(text_bus))
-    bus_compact(spark, text_bus)
+    bus_compact(
+        spark,
+        text_bus,
+        keep_after_version=min(
+            bus_consumer_version(f"{work_dir}/ckpt_bm25"),
+            bus_consumer_version(f"{work_dir}/ckpt_graph"),
+        ),
+    )
     bus_files_after = len(live_files(text_bus))
     bus_rows = bus_snapshot(spark, text_bus).count()
 

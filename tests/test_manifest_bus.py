@@ -423,3 +423,280 @@ def test_bus_consumer_version_reads_the_checkpoint(spark, tmp_path):
         .unionByName(_batch(spark, 20, 4))
     )
     assert bus_consumer_version(ckpt) >= 3
+
+
+def test_second_writer_version_collision_is_loud(spark, tmp_path):
+    """Single-writer enforcement (r11 verdict finding #1): two writers
+    racing the same bus both compute last_version()+1; the commit must
+    RAISE for the loser instead of silently clobbering (POSIX rename
+    replaces) or silently double-committing one version (different-key
+    filenames dodge put-if-absent).  Simulated by pinning the stale
+    version read a racing writer would have made."""
+    import pytest
+
+    from cherry_spark.writers import manifest_bus as mb
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 4), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 4), bus, "e1-b1")  # commits v2
+
+    # different-key race: writer B read last_version=1 before A's v2
+    # landed — its filename differs, so only the twin-version re-list
+    # can catch it
+    orig = mb.last_version
+    mb.last_version = lambda d: 1
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            mb._commit_entry(bus, {"kind": "append", "key": "zz", "files": []})
+    finally:
+        mb.last_version = orig
+    # the loser retracted its entry; the winner's v2 is intact
+    assert [e["key"] for e in read_manifest(bus)] == ["e1-b0", "e1-b1"]
+    assert len(_rows(bus_snapshot(spark, bus))) == 8
+
+    # same-filename race (two compactions: no key suffix): the
+    # put-if-absent primitive itself raises
+    mb._commit_entry(bus, {"kind": "rewrite", "files": [], "replaces": []})
+    mb.last_version = lambda d: 2
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            mb._commit_entry(bus, {"kind": "rewrite", "files": [], "replaces": []})
+    finally:
+        mb.last_version = orig
+    assert len(read_manifest(bus)) == 3
+    # no staged strays left behind by either loser
+    assert not [
+        n for n in os.listdir(os.path.join(bus, "manifest"))
+        if n.startswith("__tmp_")
+    ]
+
+
+def test_hyphen_prefix_key_cleanup_spares_sibling_committed_files(
+    spark, tmp_path
+):
+    """r11 advice (medium): '-' is legal inside keys, so key 'run'
+    replaying must sweep only its own 'run-NNNNN.parquet' shape —
+    never committed files of the hyphenated sibling key 'run-1'."""
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 5), bus, "run-1")
+    # plant a crashed-attempt orphan of key 'run' (exact own shape)
+    ddir = os.path.join(bus, "data")
+    orphan = os.path.join(ddir, "run-00099.parquet")
+    import shutil
+
+    shutil.copy(live_files(bus)[0], orphan)
+    bus_append(_batch(spark, 10, 5), bus, "run")
+    # own orphan swept, sibling's committed file intact, both live
+    assert not os.path.exists(orphan)
+    assert any(
+        os.path.basename(f).startswith("run-1-") for f in live_files(bus)
+    )
+    assert len(_rows(bus_snapshot(spark, bus))) == 10
+
+
+def test_bus_append_replace_if_last_repairs_diverged_replay(spark, tmp_path):
+    """r11 advice (low, continuous.py:943): a crash between bus_append
+    and the checkpoint commit replays the batch, whose verdicts may
+    legitimately differ — on_replay='replace_if_last' retracts the
+    crashed attempt's entry (necessarily the newest: single writer,
+    unCommitted checkpoint) and re-appends the replay's rows, keeping
+    bus == keyed stores.  A key that is NOT the latest version means
+    the checkpoint committed — replay semantics stay 'skip'."""
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 5), bus, "e1-b1")  # crashed attempt's rows
+
+    # replayed fold derives DIFFERENT rows for b1
+    v = bus_append(
+        _batch(spark, 50, 3), bus, "e1-b1", on_replay="replace_if_last"
+    )
+    assert v == 2  # same version slot, corrected rows
+    assert [e["key"] for e in read_manifest(bus)] == ["e1-b0", "e1-b1"]
+    assert _rows(bus_snapshot(spark, bus)) == sorted(
+        _rows(_batch(spark, 0, 5)) + _rows(_batch(spark, 50, 3))
+    )
+
+    # non-latest key: untouched skip (returns the existing version)
+    bus_append(_batch(spark, 20, 5), bus, "e1-b2")
+    v0 = bus_append(
+        _batch(spark, 99, 1), bus, "e1-b0", on_replay="replace_if_last"
+    )
+    assert v0 == 1
+    assert len(_rows(bus_snapshot(spark, bus))) == 13
+
+
+def test_bus_consumer_version_source_index_disambiguates(tmp_path):
+    """r11 advice (low): in a multi-source query another source's
+    offset dict can also carry 'version' and win the default scan —
+    source_index selects the cherry_bus offset positionally."""
+    import json
+
+    from cherry_spark.writers.manifest_bus import bus_consumer_version
+
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(os.path.join(ckpt, "commits"))
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    open(os.path.join(ckpt, "commits", "0"), "w").close()
+    with open(os.path.join(ckpt, "offsets", "0"), "w") as fh:
+        fh.write("v1\n")
+        fh.write(json.dumps({"batchWatermarkMs": 0}) + "\n")
+        # source 0 = cherry_bus at v3; source 1 = some other source
+        # whose offset ALSO has a 'version' field
+        fh.write(json.dumps(json.dumps({"version": 3})) + "\n")
+        fh.write(json.dumps({"version": 7, "topic": "other"}) + "\n")
+    assert bus_consumer_version(ckpt) == 7  # documented last-wins scan
+    assert bus_consumer_version(ckpt, source_index=0) == 3
+    assert bus_consumer_version(ckpt, source_index=1) == 7
+    assert bus_consumer_version(ckpt, source_index=5) == 0
+
+
+def test_producer_and_consumer_crash_composite_through_compaction(
+    spark, tmp_path
+):
+    """r11 verdict item #6: kill the producer mid-bus_append (data
+    files moved, manifest NOT committed) AND the consumer mid-batch in
+    the same scenario, restart both, and assert exactly-once
+    end-to-end through a compaction."""
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+    from cherry_spark.writers import manifest_bus as mb
+
+    bus = str(tmp_path / "bus")
+    ckpt = str(tmp_path / "ck")
+    bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+
+    # --- producer crash: file moves done, manifest commit dies
+    orig_commit = mb._commit_entry
+    mb._commit_entry = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("producer crash")
+    )
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="producer crash"):
+            bus_append(_batch(spark, 10, 5), bus, "e1-b1")
+    finally:
+        mb._commit_entry = orig_commit
+    # orphan files exist, manifest doesn't know them
+    assert len(read_manifest(bus)) == 1
+    assert any(
+        f.startswith("e1-b1-") for f in os.listdir(os.path.join(bus, "data"))
+    )
+
+    # --- consumer crash: first batch dies mid-sink before any commit
+    spark.dataSource.register(ManifestBusDataSource)
+    committed: dict[int, list] = {}
+    crash_once = {"armed": True}
+
+    def sink(df, bid):
+        rows = _rows(df)
+        if crash_once["armed"]:
+            crash_once["armed"] = False
+            raise RuntimeError("consumer crash")
+        committed[bid] = rows
+
+    def drain():
+        q = (
+            spark.readStream.format("cherry_bus").option("path", bus)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        except Exception:
+            pass
+
+    drain()  # dies on the crash-armed batch; nothing committed
+    assert committed == {}
+
+    # --- both restart: producer replay replaces its orphans and
+    # commits v2; consumer re-delivers from v0.  An availableNow
+    # restart with a PENDING planned batch terminates at that batch's
+    # planned offset (documented in the DataSource docstring), so the
+    # scheduler-loop runs it again until caught up — the second run
+    # picks up v2.
+    v = bus_append(_batch(spark, 10, 5), bus, "e1-b1")
+    assert v == 2
+    from cherry_spark.writers.manifest_bus import (
+        bus_consumer_version,
+        last_version,
+    )
+
+    for _ in range(4):
+        if bus_consumer_version(ckpt) >= last_version(bus):
+            break
+        drain()
+    delivered = sorted(r for rows in committed.values() for r in rows)
+    expect = sorted(_rows(_batch(spark, 0, 5)) + _rows(_batch(spark, 10, 5)))
+    assert delivered == expect
+
+    # --- compaction with the consumer drained, then one more append:
+    # restart delivers exactly the new rows, never the compacted ones
+    stats = bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] == 1
+    bus_append(_batch(spark, 20, 5), bus, "e1-b2")
+    committed.clear()
+    drain()
+    assert sorted(
+        r for rows in committed.values() for r in rows
+    ) == _rows(_batch(spark, 20, 5))
+
+
+def test_pair_graph_maintainer_over_bus_survives_compaction(spark, tmp_path):
+    """r11 verdict item #5 (the last raw-parquet bus consumer): the
+    pair-graph maintainer consuming the BUS keeps its unseen-ids
+    contract across a bus compaction — no re-delivery — and the final
+    edge table equals a from-scratch ngram_jaccard_pairs over
+    everything appended."""
+    from cherry_spark.ext.dedup import ngram_jaccard_pairs
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+    from cherry_spark.streaming.continuous import run_streaming_pair_graph
+
+    spark.dataSource.register(ManifestBusDataSource)
+    bus = str(tmp_path / "bus")
+    ckpt = str(tmp_path / "ck_graph")
+    state = str(tmp_path / "graph")
+    arrivals = [
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy cat")],
+        [(2, "completely different words live here today"),
+         (3, "the quick brown fox jumps over the lazy dog")],
+        [(4, "completely different words live here tomorrow"),
+         (5, "nothing shared with anything else at all")],
+    ]
+
+    def drain():
+        q = run_streaming_pair_graph(
+            spark,
+            spark.readStream.format("cherry_bus").option("path", bus).load(),
+            state,
+            lambda s, b: None,
+            ckpt,
+            threshold=0.5,
+        )
+        q.awaitTermination(240)
+
+    bus_append(spark.createDataFrame(arrivals[0], SCHEMA), bus, "e1-b0")
+    bus_append(spark.createDataFrame(arrivals[1], SCHEMA), bus, "e1-b1")
+    drain()
+    bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    bus_append(spark.createDataFrame(arrivals[2], SCHEMA), bus, "e1-b2")
+    drain()  # must fold ONLY batch 2 — compacted rows never re-deliver
+
+    all_docs = spark.createDataFrame([d for a in arrivals for d in a], SCHEMA)
+    # one sizes row per doc: re-delivery would duplicate them
+    assert spark.read.parquet(f"{state}/sizes").count() == 6
+    maintained = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/pairs").collect()
+    )
+    scratch = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(all_docs, threshold=0.5).collect()
+    )
+    assert maintained == scratch and len(maintained) >= 1

@@ -511,3 +511,70 @@ def test_trained_gate_sample_skips_noop_merges(spark, tmp_path):
         hist.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(8)
     )
     assert _canon_rows(spark.read.parquet(sample_dir)) == expect
+
+
+def test_trained_gate_sample_dedupes_repeated_ids(spark, tmp_path):
+    """r11 advice (low): the same id arriving in two batches must
+    occupy ONE sample slot, first arrival winning — a repeated id
+    must not double-weight its row in the refit, and a relabeled
+    re-arrival must not displace the original.  The sample equals the
+    global top-N over FIRST arrivals."""
+    import hashlib
+
+    state = str(tmp_path / "state")
+    label = F.col("text").contains("pos")
+    # batch 1 re-sends half of batch 0's ids RELABELED; batch 2 is
+    # fresh, plus one within-batch duplicate id
+    b0 = [(i, f"a{i} pos") for i in range(10)]
+    b1 = [(i, f"a{i} neg RELABELED") for i in range(5)] + [
+        (100 + i, f"b{i} neg") for i in range(5)
+    ]
+    b2 = [(200, "c0 pos"), (200, "c0dup neg"), (201, "c1 neg")]
+    _fold_batches(
+        spark, state, label, [b0, b1, b2],
+        n_buckets=4096, n_iters=2, refit_every=2, retain_docs=8,
+    )
+    sample = spark.read.parquet(f"{state}/train_sample")
+    got = _canon_rows(sample)
+    assert len(got) == 8
+    # distinct ids — no double slot
+    ids = [r[0] for r in got]
+    assert len(set(ids)) == len(ids)
+    # equals the global top-8 over first arrivals: earliest BATCH
+    # wins; within one batch (rows are unordered) the deterministic
+    # (label, md5(text)) winner
+    first = {}
+    for rows in (b0, b1, b2):
+        batch_first = {}
+        for i, t in rows:
+            cand = (i, t, int("pos" in t))
+            cur = batch_first.get(i)
+            if cur is None or (cand[2], hashlib.md5(cand[1].encode()).hexdigest()) < (
+                cur[2], hashlib.md5(cur[1].encode()).hexdigest()
+            ):
+                batch_first[i] = cand
+        for i, cand in batch_first.items():
+            first.setdefault(i, cand)
+    expect = sorted(
+        first.values(),
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+    )[:8]
+    assert got == sorted(expect)
+    # none of the surviving rows carry the relabeled content
+    assert not any("RELABELED" in r[1] for r in got)
+
+    # replay the last batch: idempotent with duplicates in play
+    from cherry_spark.streaming.continuous import trained_gate_fold
+
+    trained_gate_fold(
+        spark,
+        spark.createDataFrame(b2, "doc_id long, text string"),
+        state,
+        label,
+        2,
+        n_buckets=4096,
+        n_iters=2,
+        refit_every=2,
+        retain_docs=8,
+    )
+    assert _canon_rows(spark.read.parquet(f"{state}/train_sample")) == got

@@ -2710,3 +2710,79 @@ def test_run_epoch_path_hash_fallback_warns(spark, tmp_path):
         "PATH hash" in str(w.message) and w.category is RuntimeWarning
         for w in caught
     )
+
+
+def test_curation_gate_bus_mirror_follows_diverged_replay(spark, tmp_path):
+    """r12 (r11 advice): a crash between the gate's bus_append and the
+    checkpoint commit replays the batch; when the replayed verdicts
+    diverge, the bus mirror must follow them like the keyed stores do
+    — on_replay='replace_if_last' retracts the crashed attempt's
+    manifest entry and re-appends the replay's rows.  Divergence is
+    forced by replaying under budget=0 (the spent-store test's
+    pattern): the bus must end up holding ZERO admitted rows for the
+    batch, not the crashed attempt's two."""
+    import os
+    import shutil
+
+    from cherry_spark.streaming.continuous import run_streaming_curation_gate
+    from cherry_spark.writers.manifest_bus import live_files, read_manifest
+
+    rows = [
+        (1, "alpha bravo charlie delta echo words", [1.0, 0.0, 0.0, 0.0], 0.9, 4),
+        (2, "foxtrot golf hotel india juliet words", [0.0, 1.0, 0.0, 0.0], 0.8, 4),
+    ]
+    schema = (
+        "doc_id long, text string, embedding array<double>, "
+        "quality double, n_tokens long"
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    state = str(tmp_path / "state")
+    bus = str(tmp_path / "text_bus")
+    q = run_streaming_curation_gate(
+        spark, stream(), state, lambda v, b: None,
+        str(tmp_path / "ckpt1"), budget=8, jaccard_threshold=0.5,
+        semantic_threshold=0.95, text_bus_dir=bus,
+    )
+    q.awaitTermination(240)
+    entries = read_manifest(bus)
+    assert len(entries) == 1 and entries[0]["kind"] == "append"
+    assert spark.read.parquet(*live_files(bus)).count() == 2
+
+    # crash-replay the batch (checkpoint commit removed), forcing the
+    # verdicts to diverge to zero admissions
+    ck2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(str(tmp_path / "ckpt1"), ck2)
+    os.remove(os.path.join(ck2, "commits", "0"))
+    crc = os.path.join(ck2, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = run_streaming_curation_gate(
+        spark, stream(), state, lambda v, b: None,
+        ck2, budget=0, jaccard_threshold=0.5, semantic_threshold=0.95,
+        text_bus_dir=bus,
+    )
+    q2.awaitTermination(240)
+    # same single version slot, but now carrying the replay's (empty)
+    # admissions — the crashed attempt's two rows are gone, so the bus
+    # agrees with the text store (which holds nothing either)
+    entries = read_manifest(bus)
+    assert len(entries) == 1 and entries[0]["version"] == 1
+    assert sum(
+        spark.read.parquet(f).count() for f in live_files(bus)
+    ) == 0
+    text_dir = f"{state}/text"
+    n_text = (
+        spark.read.parquet(text_dir).count()
+        if os.path.isdir(text_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(text_dir)
+        )
+        else 0
+    )
+    assert n_text == 0

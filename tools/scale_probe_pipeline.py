@@ -17,11 +17,14 @@ What "pass" means here:
   from-scratch jaccard_pairs over the same corpus;
 - admission counts are internally consistent (admitted + rejected
   classes == model-survivor count);
-- (r11) the bm25 maintainer consumes the gate's MANIFEST-LOG bus
-  mirror (text_bus_dir -> cherry_bus DataSource): the drained bus
-  compacts to few files and a maintainer restart after the compaction
-  re-delivers ZERO rows — the raw file-source lane (which the pair
-  graph still uses for comparison) cannot compact at all.
+- (r12, verdict item #5) BOTH maintainers — bm25 AND the pair graph —
+  consume the gate's MANIFEST-LOG bus mirror (text_bus_dir ->
+  cherry_bus DataSource): with both lanes drained the bus compacts to
+  few files under their live checkpoints (keep_after_version = the
+  minimum consumer version, the mechanical guard) and BOTH restarts
+  after the compaction re-deliver ZERO rows.  No raw file-source
+  consumer remains, so the admitted ``text/`` dir is a plain store
+  again — compactable like every other one.
 
 Usage: python tools/scale_probe_pipeline.py [sf_dir] [n_arrivals]
 """
@@ -167,13 +170,16 @@ def main() -> None:
     q.awaitTermination(1800)
     cg_times = fold_times(cg_marks, t0)
 
-    # stage 2a: bm25 maintainer over the MANIFEST BUS (r11) — the
-    # compactable lane; the pair graph stays on the raw file-source
-    # for comparison
+    # stage 2: BOTH maintainers over the MANIFEST BUS (r12) — no raw
+    # file-source consumer remains on the admitted text/ store
     from cherry_spark.sources.manifest_bus_datasource import (
         ManifestBusDataSource,
     )
-    from cherry_spark.writers.manifest_bus import bus_compact, live_files
+    from cherry_spark.writers.manifest_bus import (
+        bus_compact,
+        bus_consumer_version,
+        live_files,
+    )
 
     spark.dataSource.register(ManifestBusDataSource)
     admitted_src = f"{work}/state/text"
@@ -198,10 +204,32 @@ def main() -> None:
     qb.awaitTermination(1200)
     bm_times = fold_times(bm_marks, t0)
 
-    # compact the DRAINED bus, then restart the maintainer: zero
-    # re-delivery (offsets are manifest versions, not file names)
+    t0 = time.perf_counter()
+    qg = run_streaming_pair_graph(
+        spark,
+        bus_stream(),
+        f"{work}/graph",
+        timed_sink(pg_marks),
+        f"{work}/ckpt_graph",
+        threshold=0.5,
+    )
+    qg.awaitTermination(1200)
+    pg_times = fold_times(pg_marks, t0)
+
+    # compact under BOTH live checkpoints with the mechanical lag
+    # guard, then restart BOTH maintainers: zero re-delivery (offsets
+    # are manifest versions, not file names)
+    keep_after = min(
+        bus_consumer_version(f"{work}/ckpt_bm25"),
+        bus_consumer_version(f"{work}/ckpt_graph"),
+    )
     bus_files_before = len(live_files(text_bus))
-    bus_compact(spark, text_bus, target_file_bytes=128 * 1024 * 1024)
+    bus_compact(
+        spark,
+        text_bus,
+        target_file_bytes=128 * 1024 * 1024,
+        keep_after_version=keep_after,
+    )
     bus_files_after = len(live_files(text_bus))
     bm_replay_marks: list = []
     qb2 = run_streaming_bm25_index(
@@ -212,20 +240,20 @@ def main() -> None:
         f"{work}/ckpt_bm25",
     )
     qb2.awaitTermination(1200)
-    # dl holds one row per doc ever folded: > n_admitted would mean
-    # the compaction re-delivered rows into the maintainer
-    n_dl = spark.read.parquet(f"{work}/bm25/dl").count()
-    t0 = time.perf_counter()
-    qg = run_streaming_pair_graph(
+    qg2 = run_streaming_pair_graph(
         spark,
-        file_stream(admitted_src, "doc_id long, text string"),
+        bus_stream(),
         f"{work}/graph",
-        timed_sink(pg_marks),
+        timed_sink([]),
         f"{work}/ckpt_graph",
         threshold=0.5,
     )
-    qg.awaitTermination(1200)
-    pg_times = fold_times(pg_marks, t0)
+    qg2.awaitTermination(1200)
+    # dl holds one row per doc ever folded: > n_admitted would mean
+    # the compaction re-delivered rows into the bm25 maintainer; the
+    # sizes table is the pair graph's per-doc twin
+    n_dl = spark.read.parquet(f"{work}/bm25/dl").count()
+    n_sizes = spark.read.parquet(f"{work}/graph/sizes").count()
 
     # verification: maintained stores == batch equivalents over
     # exactly the admitted corpus
@@ -261,12 +289,13 @@ def main() -> None:
     print(f"[trained gate] per-fold s: {tg_times}")
     print(f"[curation gate] per-fold s: {cg_times}")
     print(f"[bm25 maintainer over cherry_bus] per-fold s: {bm_times}")
-    print(f"[pair graph] per-fold s: {pg_times}")
+    print(f"[pair graph over cherry_bus] per-fold s: {pg_times}")
     print(
         f"[bus] live files {bus_files_before} -> {bus_files_after} after "
-        f"bus_compact; maintainer restart after compaction re-delivered "
-        f"{n_dl - n_admitted} rows "
-        f"({'OK' if n_dl == n_admitted else 'MISMATCH'})"
+        f"guarded bus_compact (keep_after_version={keep_after}); restarts "
+        f"after compaction re-delivered {n_dl - n_admitted} rows to bm25 "
+        f"and {n_sizes - n_admitted} to the pair graph "
+        f"({'OK' if n_dl == n_admitted and n_sizes == n_admitted else 'MISMATCH'})"
     )
     print(
         f"[verify] admitted {n_admitted}; bm25 maintained (via bus) == "
