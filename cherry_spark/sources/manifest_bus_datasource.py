@@ -33,7 +33,14 @@ the repo's tests and probes use.
 
 Scale note: one input partition per data file of each consumed
 version — reads parallelize across executors; the driver tracks only
-the integer version.  Same DataSource pattern as
+the integer version.  ``max_versions_per_batch`` (the Kafka
+``maxOffsetsPerTrigger`` analogue) bounds how many manifest versions
+one micro-batch may cover, so a consumer starting or restarting into
+a deep backlog takes bounded bites instead of planning the whole
+history as one batch; pass the consumer's own checkpoint path as the
+``checkpoint`` option to make the FIRST batch of a run capped too
+(the reader's rate-limit notes explain why that hint is the only
+safe base the Python API allows).  Same DataSource pattern as
 sources/replay_datasource.py (the provider replay stream).
 """
 
@@ -64,23 +71,72 @@ class ManifestBusStreamReader(DataSourceStreamReader):
         # version.  Only consulted at the FIRST start — afterwards the
         # checkpoint's offset governs, like any streaming source.
         self.starting = options.get("starting_version", "earliest")
+        # Rate limit (the Kafka maxOffsetsPerTrigger analogue): cap
+        # each planned micro-batch at this many manifest VERSIONS, so
+        # a consumer working through a backlog takes bounded bites
+        # instead of one batch holding the entire history.  The cap
+        # needs a safe BASE — latestOffset must never return less than
+        # the engine's current planned offset, or the offset log would
+        # step backwards and re-deliver rows.  The Python API gives
+        # latestOffset no view of that offset (and the engine calls it
+        # BEFORE initialOffset; partitions() runs on a different
+        # worker instance — measured, not assumed), so the base is:
+        #   1. the previous value THIS instance returned (monotone,
+        #      the long-lived offset-runner instance), else
+        #   2. the consumer's own checkpoint, when the caller passes
+        #      its path as the ``checkpoint`` option: the max PLANNED
+        #      offset in its offsets log (>= anything the engine will
+        #      replay; bus_planned_version), else the starting_version
+        #      when that log is empty (a genuinely fresh consumer —
+        #      this is what makes a capped COLD START over deep
+        #      history possible), else
+        #   3. unknown: return the uncapped disk head (safe for any
+        #      restart) and cap from the next call on.
+        # Under availableNow (one end offset captured per run) a
+        # capped run processes ONE bounded batch and terminates — the
+        # documented drain loop absorbs the rest run by run.  The
+        # ``checkpoint`` hint must be readable from the driver-side
+        # python worker (local paths in this sandbox; on a cluster
+        # pass it only if the checkpoint fs is mounted/readable).
+        mvpb = options.get("max_versions_per_batch")
+        self.max_versions = int(mvpb) if mvpb is not None else None
+        self.checkpoint_hint = options.get("checkpoint")
+        self._last_ret: int | None = None
         self._schema = schema
 
-    def initialOffset(self) -> dict:
+    def _starting_version(self) -> int:
         if self.starting == "earliest":
-            return {"version": 0}
+            return 0
         if self.starting == "latest":
             from cherry_spark.writers.manifest_bus import last_version
 
-            return {"version": last_version(self.bus_dir)}
-        return {"version": int(self.starting)}
+            return last_version(self.bus_dir)
+        return int(self.starting)
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting_version()}
 
     def latestOffset(self) -> dict:
         # one directory listing, no JSON reads — this runs per
         # micro-batch for the life of the stream
         from cherry_spark.writers.manifest_bus import last_version
 
-        return {"version": last_version(self.bus_dir)}
+        latest = last_version(self.bus_dir)
+        if self.max_versions is None:
+            return {"version": latest}
+        base = self._last_ret
+        if base is None and self.checkpoint_hint:
+            from cherry_spark.writers.manifest_bus import bus_planned_version
+
+            base = bus_planned_version(self.checkpoint_hint)
+            if base is None:  # empty offsets log: genuinely fresh
+                base = self._starting_version()
+        if base is not None:
+            # never below the base (disk can sit below a 'latest'
+            # start), never more than max_versions above it
+            latest = max(base, min(latest, base + self.max_versions))
+        self._last_ret = max(latest, self._last_ret or 0)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         import os

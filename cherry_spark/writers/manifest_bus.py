@@ -356,6 +356,56 @@ def bus_consumer_version(
     return 0
 
 
+def bus_planned_version(
+    checkpoint_dir: str, source_index: int | None = None
+) -> int | None:
+    """The highest manifest version a ``cherry_bus`` consumer's
+    checkpoint has PLANNED (the offsets entry of the highest batch id
+    in ``offsets/`` — planned >= committed, and >= anything the engine
+    will replay), or None when the offsets log is empty (a genuinely
+    fresh consumer).  This is the safe rate-limit base the
+    ``max_versions_per_batch`` reader uses for a capped catch-up:
+    returning any offset below it would step the log backwards.  Same
+    single-source/``source_index`` contract as
+    :func:`bus_consumer_version`."""
+    odir = os.path.join(checkpoint_dir, "offsets")
+    done = [n for n in fs.list_dir(odir) if n.isdigit()]
+    if not done:
+        return None
+    off_file = os.path.join(odir, str(max(int(n) for n in done)))
+    try:
+        with open(off_file) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return None
+
+    def _parse(ln: str):
+        try:
+            obj = json.loads(ln)
+        except ValueError:
+            return None
+        if isinstance(obj, str):
+            try:
+                obj = json.loads(obj)
+            except ValueError:
+                return None
+        return obj
+
+    if source_index is not None:
+        offset_lines = lines[2:]
+        if source_index >= len(offset_lines):
+            return None
+        obj = _parse(offset_lines[source_index])
+        if isinstance(obj, dict) and "version" in obj:
+            return int(obj["version"])
+        return None
+    for ln in reversed(lines):
+        obj = _parse(ln)
+        if isinstance(obj, dict) and "version" in obj:
+            return int(obj["version"])
+    return None
+
+
 def bus_snapshot(spark: SparkSession, bus_dir: str) -> DataFrame:
     """Batch view of the bus at the latest committed version."""
     files = live_files(bus_dir)

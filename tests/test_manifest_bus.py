@@ -700,3 +700,97 @@ def test_pair_graph_maintainer_over_bus_survives_compaction(spark, tmp_path):
         for r in ngram_jaccard_pairs(all_docs, threshold=0.5).collect()
     )
     assert maintained == scratch and len(maintained) >= 1
+
+
+def test_max_versions_per_batch_bounds_backlog_batches(spark, tmp_path):
+    """r12: the rate limit (Kafka maxOffsetsPerTrigger analogue) —
+    a consumer facing a 5-version backlog with max_versions_per_batch=2
+    and its own checkpoint passed as the base hint must take bounded
+    bites (a capped COLD START over deep history), never one batch
+    holding the whole history, and still deliver everything exactly
+    once.  Without the hint the first batch of a run is uncapped (the
+    only offset provably safe for a restart is the disk head)."""
+    import time
+
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+    from cherry_spark.writers.manifest_bus import (
+        bus_consumer_version,
+        last_version,
+    )
+
+    spark.dataSource.register(ManifestBusDataSource)
+    bus = str(tmp_path / "bus")
+    for b in range(5):
+        bus_append(_batch(spark, b * 10, 4), bus, f"e1-b{b}")
+
+    # continuous (processingTime) lane, checkpoint hint: the cap
+    # engages from batch 0 of the cold start
+    ckpt = str(tmp_path / "ck_cont")
+    batch_rows: list[int] = []
+    q = (
+        spark.readStream.format("cherry_bus")
+        .option("path", bus)
+        .option("max_versions_per_batch", "2")
+        .option("checkpoint", ckpt)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: batch_rows.append(df.count())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if bus_consumer_version(ckpt) >= last_version(bus):
+            break
+        time.sleep(0.5)
+    q.stop()
+    delivered = [n for n in batch_rows if n]
+    # 5 versions x 4 rows at <=2 versions (8 rows) per batch
+    assert sum(delivered) == 20
+    assert max(delivered) <= 8 and len(delivered) >= 3
+
+    # availableNow lane: each run processes ONE capped batch and
+    # terminates; the documented drain loop absorbs the backlog
+    ckpt2 = str(tmp_path / "ck_an")
+    got: list = []
+    runs = 0
+    while bus_consumer_version(ckpt2) < last_version(bus) and runs < 10:
+        q = (
+            spark.readStream.format("cherry_bus")
+            .option("path", bus)
+            .option("max_versions_per_batch", "2")
+            .option("checkpoint", ckpt2)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(_rows(df))
+            )
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        runs += 1
+    assert runs >= 3  # bounded bites, not one run
+    assert sorted(got) == sorted(
+        r for b in range(5) for r in _rows(_batch(spark, b * 10, 4))
+    )
+
+    # no hint: the whole backlog lands in one (documented) first batch
+    ckpt3 = str(tmp_path / "ck_nohint")
+    sizes: list[int] = []
+    q = (
+        spark.readStream.format("cherry_bus")
+        .option("path", bus)
+        .option("max_versions_per_batch", "2")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: sizes.append(df.count()))
+        .option("checkpointLocation", ckpt3)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert sizes == [20]
