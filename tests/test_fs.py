@@ -69,3 +69,90 @@ def test_list_dir_missing_is_empty(tmp_path):
     assert fs.list_dir(str(tmp_path / "nope")) == []
     open(str(tmp_path / "f"), "w").close()
     assert fs.list_dir(str(tmp_path)) == ["f"]
+
+
+def test_bus_exactly_once_under_object_store_semantics(spark, tmp_path):
+    """The 100 TB portability claim behind the seam (fs.py docstring):
+    on an object store there is NO atomic rename — a move is
+    copy-then-delete, observable half-done — and only the
+    put-if-absent commit is atomic (S3 conditional PUT).  The manifest
+    bus must stay correct under exactly those semantics, because data
+    files only become visible when a manifest entry NAMES them: shim
+    the seam's moves to non-atomic copy+delete and drive the full
+    append / crash-replay / stream / compact cycle."""
+    import os
+    import shutil
+
+    from cherry_spark.writers import fs, manifest_bus as mb
+
+    moves = {"n": 0}
+    orig_move_file, orig_move_dir = fs.move_file, fs.move_dir
+
+    def slow_move_file(src, dst):
+        moves["n"] += 1
+        shutil.copyfile(src, dst)  # visible before the delete — no rename
+        os.remove(src)
+
+    def slow_move_dir(src, dst):
+        moves["n"] += 1
+        shutil.copytree(src, dst)
+        shutil.rmtree(src)
+
+    fs.move_file, fs.move_dir = slow_move_file, slow_move_dir
+    try:
+        bus = str(tmp_path / "bus")
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+        ).coalesce(1)
+        assert mb.bus_append(df, bus, "e1-b0") == 1
+
+        # crash mid-append: files copied into data/, manifest never
+        # committed — invisible to snapshot, replaced on replay
+        orig_commit = mb._commit_entry
+        mb._commit_entry = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash")
+        )
+        df2 = spark.createDataFrame(
+            [(10 + i, f"doc {10 + i}") for i in range(6)],
+            "doc_id long, text string",
+        ).coalesce(1)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="crash"):
+            mb.bus_append(df2, bus, "e1-b1")
+        mb._commit_entry = orig_commit
+        assert mb.bus_snapshot(spark, bus).count() == 6  # orphan invisible
+        assert mb.bus_append(df2, bus, "e1-b1") == 2  # replay replaces
+
+        # stream, compact, stream: exactly-once across the rewrite
+        from cherry_spark.sources.manifest_bus_datasource import (
+            ManifestBusDataSource,
+        )
+
+        spark.dataSource.register(ManifestBusDataSource)
+        got: list = []
+
+        def drain():
+            q = (
+                spark.readStream.format("cherry_bus").option("path", bus)
+                .load()
+                .writeStream.foreachBatch(
+                    lambda d, b: got.extend(
+                        (r["doc_id"], r["text"]) for r in d.collect()
+                    )
+                )
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(240)
+
+        drain()
+        assert len(got) == 12
+        mb.bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+        assert mb.bus_snapshot(spark, bus).count() == 12
+        drain()
+        assert len(got) == 12  # compaction re-delivered nothing
+        assert moves["n"] >= 3  # the shim actually carried the commits
+    finally:
+        fs.move_file, fs.move_dir = orig_move_file, orig_move_dir
