@@ -1847,22 +1847,32 @@ def _recover_store(path: str) -> None:
 
 
 def _drop_batch_files(state_dir: str, key: str) -> None:
-    """Delete a crashed attempt's committed ``{key}-*`` files (any
+    """Delete a crashed attempt's committed files for ``key`` (any
     depth).  Two callers, same reason: a replayed fold must see
     exactly the pre-batch store — :func:`pair_graph_fold` reads its
     own append tables, so leftover rows from the crashed attempt
     would corrupt the recomputation; and :func:`_self_compact` must
     never fold them into anonymous part files the replay's
-    delete-same-key pass can no longer find."""
+    delete-same-key pass can no longer find.
+
+    EXACT ``{key}-NNNNN.parquet`` shape, not a ``{key}-*`` prefix
+    (r12, the bus_append fix applied one layer down): '-' is legal in
+    keys, and while the epoch keyer's ``{hex}-b{N}`` shape cannot
+    prefix-collide, the gates accept caller-supplied batch keys — a
+    key that is a proper prefix of a hyphenated sibling ('run' vs
+    'run-1') must never delete the sibling's committed history."""
     import glob
     import os
+    import re
 
     from cherry_spark.writers import fs
 
+    own = re.compile(re.escape(key) + r"-\d{5,}\.parquet")
     for f in glob.glob(
         os.path.join(state_dir, "**", f"{key}-*.parquet"), recursive=True
     ):
-        fs.remove(f)
+        if own.fullmatch(os.path.basename(f)):
+            fs.remove(f)
 
 
 def _run_epoch(checkpoint_dir: str) -> str:

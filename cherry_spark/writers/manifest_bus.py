@@ -238,7 +238,7 @@ def bus_append(
     # hyphenated key (e.g. 'run' vs 'run-1') must never sweep the other
     # key's committed files — only '{key}-NNNNN.parquet' is ours
     # (r11 advice).
-    own = re.compile(re.escape(key) + r"-\d{5}\.parquet")
+    own = re.compile(re.escape(key) + r"-\d{5,}\.parquet")
     for f in fs.list_dir(ddir):
         if own.fullmatch(f):
             fs.remove(os.path.join(ddir, f))

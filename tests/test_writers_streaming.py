@@ -2786,3 +2786,31 @@ def test_curation_gate_bus_mirror_follows_diverged_replay(spark, tmp_path):
         else 0
     )
     assert n_text == 0
+
+
+def test_drop_batch_files_spares_hyphenated_sibling_keys(tmp_path):
+    """r12 (the bus_append prefix fix applied one layer down): the
+    store layer's delete-same-key pass must sweep only the exact
+    '{key}-NNNNN.parquet' shape — a caller-supplied key that is a
+    proper prefix of a hyphenated sibling ('run' vs 'run-1') must
+    never delete the sibling's committed history, at any depth."""
+    import os
+
+    from cherry_spark.streaming.continuous import _drop_batch_files
+
+    state = str(tmp_path / "table")
+    sub = os.path.join(state, "part=a")
+    os.makedirs(sub)
+    own = os.path.join(state, "run-00000.parquet")
+    own_deep = os.path.join(sub, "run-00001.parquet")
+    own_wide = os.path.join(sub, "run-100000.parquet")  # >5-digit index
+    sibling = os.path.join(state, "run-1-00000.parquet")
+    sibling_deep = os.path.join(sub, "run-12345-00000.parquet")
+    for p in (own, own_deep, own_wide, sibling, sibling_deep):
+        open(p, "w").close()
+    _drop_batch_files(state, "run")
+    assert not os.path.exists(own)
+    assert not os.path.exists(own_deep)
+    assert not os.path.exists(own_wide)
+    assert os.path.exists(sibling)
+    assert os.path.exists(sibling_deep)
