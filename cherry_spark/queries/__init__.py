@@ -3,7 +3,7 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-for the ROUND-12 window (_R09_REMAINING_R12 + _R10_FIRST1_R12).
+for the ROUND-13 window (_R10_REMAINING_R13 + _R11_FIRST1_R13).
 
 Standing rotation policy (round-7 verdict item #2): the registry holds
 115 queries and the driver window holds 50, so a strict "no query more
@@ -24,19 +24,18 @@ shares its oracle and result-hash with in-window ``decode_dynamic_abi``
 and differs only in the Arrow execution lane (a driver row for it would
 duplicate an existing hash check while displacing a unique one).
 
-ROUND-12 window (live): ``_R09_REMAINING_R12`` (49, the r09-window
-rows not swept in r11, in archived-artifact order) +
-``_R10_FIRST1_R12`` (1, the oldest row of the archived r10 artifact)
+ROUND-13 window (live): ``_R10_REMAINING_R13`` (49, the r10-window
+rows not swept in r12, in archived-artifact order) +
+``_R11_FIRST1_R13`` (1, the oldest row of the archived r11 artifact)
 = 50 exactly, asserted at import (rounds 6 AND 7 each shipped a silent
 hand-recount bug — every group here is pinned or DERIVED data, and the
-window tests re-derive them from the archived driver artifacts).  The
-two BPE rows sit in this sweep and have carried generated DuckDB twins
-since round 10 (unrolled 10-round CTE — see queries/vocab.py), so they
-hash-check like every other row.  Every r12-window row has a DuckDB
-oracle — no rows-only query sits inside the window.
+window tests re-derive them from the archived driver artifacts).  This
+sweep re-certifies the §2 relational/steps core (the 47 r07 rows) plus
+the three r08-head budget/percentile rows.  Every r13-window row has a
+DuckDB oracle — no rows-only query sits inside the window.
 
-ROUND-13 window (pre-staged below as ``_R10_REMAINING_R13`` +
-``_R11_FIRST1_R13`` = 49 + 1 = 50): at round-13 start, swap the group
+ROUND-14 window (pre-staged below as ``_R11_REMAINING_R14`` +
+``_R12_FIRST1_R14`` = 49 + 1 = 50): at round-14 start, swap the group
 tuple — nothing to recount.
 
 At 150 registered the 3-round guarantee is EXACTLY saturated
@@ -263,9 +262,8 @@ _R10_FIRST1_R12 = [
 ]
 
 # ---------------------------------------------------------------------
-# ROUND-13 window, PRE-STAGED (swap `_reorder_for_certification`'s
-# group tuple to `(_R10_REMAINING_R13, _R11_FIRST1_R13,
-# _PAST_WINDOW_FIRST)` at the start of round 13 — nothing to recount).
+# ROUND-13 window, LIVE: `_reorder_for_certification` leads with
+# `(_R10_REMAINING_R13, _R11_FIRST1_R13)`.
 # The 49 r10-window rows not swept in r12 + the oldest r11-window row
 # (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
 # (the archived r10 window is _R07_REMAINING_R10 + _R08_FIRST3_R10 in
@@ -279,6 +277,25 @@ _R10_REMAINING_R13 = [
 ]
 _R11_FIRST1_R13 = [
     "svm_decode_logs",
+]
+
+# ---------------------------------------------------------------------
+# ROUND-14 window, PRE-STAGED (swap `_reorder_for_certification`'s
+# group tuple to `(_R11_REMAINING_R14, _R12_FIRST1_R14,
+# _PAST_WINDOW_FIRST)` at the start of round 14 — nothing to recount).
+# The 49 r11-window rows not swept in r13 + the oldest r12-window row
+# (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
+# (the archived r11 window is _R08_REMAINING_R11 + _ADDED_R09 +
+# _R09_FIRST1_R11 in artifact order, pinned and test-verified), so
+# there is no hand-recount surface.
+# ---------------------------------------------------------------------
+_R11_REMAINING_R14 = [
+    n
+    for n in (_R08_REMAINING_R11 + _ADDED_R09 + _R09_FIRST1_R11)
+    if n not in set(_R11_FIRST1_R13)
+]
+_R12_FIRST1_R14 = [
+    "dataset_address_appearances",
 ]
 
 # ---------------------------------------------------------------------
@@ -314,13 +331,13 @@ _R11_FIRST1_R13 = [
 
 
 def _reorder_for_certification() -> None:
-    """Rebuild the registry in ROUND-12 certification order:
-    the 49 r09-window rows not swept in r11, then the oldest
-    r10-window row = 50 exactly; past-window rows follow."""
+    """Rebuild the registry in ROUND-13 certification order:
+    the 49 r10-window rows not swept in r12, then the oldest
+    r11-window row = 50 exactly; past-window rows follow."""
     ordered: list[str] = []
     for group in (
-        _R09_REMAINING_R12,
-        _R10_FIRST1_R12,
+        _R10_REMAINING_R13,
+        _R11_FIRST1_R13,
         _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
@@ -355,8 +372,8 @@ assert len(_ADDED_R08) + len(_R06_STALE_R09) + len(_R07_FIRST3) == 50, (
 )
 assert (
     list(REGISTRY)[:50]
-    == _R09_REMAINING_R12 + _R10_FIRST1_R12
-), "round-12 window order must be exactly the two derived groups"
+    == _R10_REMAINING_R13 + _R11_FIRST1_R13
+), "round-13 window order must be exactly the two derived groups"
 assert set(_ADDED_R09) <= set(REGISTRY) and not (
     set(_ADDED_R09)
     & (
@@ -404,7 +421,16 @@ assert _R11_FIRST1_R13[0] == _R08_REMAINING_R11[0], (
     "the r13 sweep head must be the oldest row of the r11 window"
 )
 assert set(_R10_REMAINING_R13) | set(_R11_FIRST1_R13) <= set(REGISTRY), (
-    "every pre-staged round-13 row must be registered"
+    "every round-13 window row must be registered"
+)
+assert (
+    len(_R11_REMAINING_R14) + len(_R12_FIRST1_R14) == 50
+), "round-14 window arithmetic: 49 remaining r11 rows + 1 r12 row"
+assert _R12_FIRST1_R14 == _R09_REMAINING_R12[:1], (
+    "the r14 sweep head must be the oldest row of the r12 window"
+)
+assert set(_R11_REMAINING_R14) | set(_R12_FIRST1_R14) <= set(REGISTRY), (
+    "every pre-staged round-14 row must be registered"
 )
 assert len(REGISTRY) <= 150, (
     f"registry holds {len(REGISTRY)} queries — the 3-round certification"

@@ -1,8 +1,8 @@
 """Certification-window invariants (round-7 verdict items #1/#2,
-rotated to the ROUND-12 window per the round-11 verdict item #1).
+rotated to the ROUND-13 window per the round-12 verdict item #1).
 
 The driver certifies exactly the first 50 registered queries, so the
-window composition is load-bearing: these tests pin the round-12
+window composition is load-bearing: these tests pin the round-13
 contract against the archived driver artifacts — a reorder mistake
 fails HERE, not in the next driver round."""
 
@@ -27,18 +27,41 @@ def _round_order(n: int) -> list[str]:
         return list(json.load(f))
 
 
-def test_r12_window_is_r09_remaining_plus_r10_head():
+def test_r13_window_is_r10_remaining_plus_r11_head():
     window = list(REGISTRY)[:50]
-    r11 = _round_keys(11)
+    r12 = _round_keys(12)
     # no slot wasted on a row certified last round
-    assert not set(window) & r11
-    # the 49 r09-window rows not swept in r11 lead the window
-    assert window[: len(Q._R09_REMAINING_R12)] == Q._R09_REMAINING_R12
-    # then the oldest row of the archived r10 artifact
-    assert window[49:] == Q._R10_FIRST1_R12
+    assert not set(window) & r12
+    # the 49 r10-window rows not swept in r12 lead the window
+    assert window[: len(Q._R10_REMAINING_R13)] == Q._R10_REMAINING_R13
+    # then the oldest row of the archived r11 artifact
+    assert window[49:] == Q._R11_FIRST1_R13
+    assert Q._R11_FIRST1_R13 == _round_order(11)[:1]
+    # this sweep re-certifies the §2 relational/steps core
+    assert {"flagship_revenue_by_nation", "sql_step", "u256_sum"} <= set(
+        window
+    )
+
+
+def test_r12_window_archived_matches_artifact():
+    """The archived r12 window (the r14 plan derives from it) must be
+    exactly the two derived groups, in artifact order."""
+    assert (
+        _round_order(12)
+        == Q._R09_REMAINING_R12 + Q._R10_FIRST1_R12
+    )
     assert Q._R10_FIRST1_R12 == _round_order(10)[:1]
-    # the BPE pair certifies for the first time this round
-    assert {"bpe_learn_merges", "bpe_tokenize_stats"} <= set(window)
+
+
+def test_r14_prestaged_window_matches_artifacts():
+    """The pre-staged r14 groups: the 49 r11-window rows not swept in
+    r13 (artifact order) + the oldest r12-window row."""
+    r11 = _round_order(11)
+    assert Q._R11_REMAINING_R14 == [
+        n for n in r11 if n not in set(Q._R11_FIRST1_R13)
+    ]
+    assert Q._R12_FIRST1_R14 == _round_order(12)[:1]
+    assert len(Q._R11_REMAINING_R14) + len(Q._R12_FIRST1_R14) == 50
 
 
 def test_r11_window_archived_matches_artifact():
@@ -129,6 +152,8 @@ def test_window_groups_contain_only_registered_names():
         Q._R10_FIRST1_R12,
         Q._R10_REMAINING_R13,
         Q._R11_FIRST1_R13,
+        Q._R11_REMAINING_R14,
+        Q._R12_FIRST1_R14,
     ):
         missing = [n for n in group if n not in REGISTRY]
         assert not missing, f"window group names not registered: {missing}"
