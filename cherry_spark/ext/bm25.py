@@ -89,19 +89,22 @@ def bm25_build_index(
     frequencies), stats (1 row).  Searches against the store skip the
     corpus tokenize + three aggregations per run — the ivf_build_index
     'index once, query many' contract applied to lexical retrieval."""
+    from cherry_spark.writers import store
+
     tf, dl, dfreq, stats = _index_tables(corpus, id_col, text_col)
-    tf.write.mode("overwrite").parquet(f"{index_dir}/tf")
-    dl.write.mode("overwrite").parquet(f"{index_dir}/dl")
-    dfreq.write.mode("overwrite").parquet(f"{index_dir}/dfreq")
-    stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+    # pointer-version commits (writers/store.py, r13): stats last so a
+    # half-built index can never look ready to bm25_index_exists
+    store.publish(tf, f"{index_dir}/tf")
+    store.publish(dl, f"{index_dir}/dl")
+    store.publish(dfreq, f"{index_dir}/dfreq")
+    store.publish(stats, f"{index_dir}/stats")
 
 
 def bm25_index_exists(index_dir: str) -> bool:
-    import os
+    from cherry_spark.writers import store
 
     return all(
-        os.path.exists(f"{index_dir}/{t}/_SUCCESS")
-        for t in ("tf", "dl", "dfreq", "stats")
+        store.ready(f"{index_dir}/{t}") for t in ("tf", "dl", "dfreq", "stats")
     )
 
 
@@ -137,11 +140,13 @@ def bm25_topk(
     c_b = F.lit(float(b))
 
     if index_dir is not None:
+        from cherry_spark.writers import store
+
         spark = query.sparkSession
-        tf = spark.read.parquet(f"{index_dir}/tf")
-        dl = spark.read.parquet(f"{index_dir}/dl")
-        dfreq = spark.read.parquet(f"{index_dir}/dfreq")
-        stats = spark.read.parquet(f"{index_dir}/stats")
+        tf = spark.read.parquet(store.data_dir(f"{index_dir}/tf"))
+        dl = spark.read.parquet(store.data_dir(f"{index_dir}/dl"))
+        dfreq = spark.read.parquet(store.data_dir(f"{index_dir}/dfreq"))
+        stats = spark.read.parquet(store.data_dir(f"{index_dir}/stats"))
     else:
         tf, dl, dfreq, stats = _index_tables(corpus, id_col, text_col)
     qterms = query.select(

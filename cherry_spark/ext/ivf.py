@@ -137,21 +137,28 @@ def ivf_build_index(
     it (the round-1 shape rebuilt centroids + assignment per query —
     a full corpus rewrite per lookup at scale).
     """
+    from cherry_spark.writers import store
+
     centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     corpus = vectors.join(ivf_assign(vectors, centroids, id_col, vec_col), on=id_col)
     # co-locate each cluster into one write task -> one file per
-    # partition dir instead of (tasks x clusters) small files
+    # partition dir instead of (tasks x clusters) small files; both
+    # tables commit as pointer versions (writers/store.py, r13 —
+    # crash-safe under object-store semantics), corpus first so a
+    # half-built index can never look ready
+    vdir = store.stage_version_dir(f"{index_dir}/corpus")
     corpus.repartition("centroid_id").write.partitionBy("centroid_id").mode(
         "overwrite"
-    ).parquet(f"{index_dir}/corpus")
-    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    ).parquet(vdir)
+    store.commit_version(f"{index_dir}/corpus", vdir)
+    store.publish(centroids, f"{index_dir}/centroids")
 
 
 def ivf_index_exists(index_dir: str) -> bool:
-    import os
+    from cherry_spark.writers import store
 
-    return os.path.exists(f"{index_dir}/centroids/_SUCCESS") and os.path.exists(
-        f"{index_dir}/corpus/_SUCCESS"
+    return store.ready(f"{index_dir}/centroids") and store.ready(
+        f"{index_dir}/corpus"
     )
 
 
@@ -170,8 +177,10 @@ def ivf_search(
     the partitioned corpus on centroid_id — the broadcast side drives
     dynamic partition pruning, so only nprobe/n_centroids of the
     corpus files are scanned."""
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
-    corpus = spark.read.parquet(f"{index_dir}/corpus")
+    from cherry_spark.writers import store
+
+    centroids = spark.read.parquet(store.data_dir(f"{index_dir}/centroids"))
+    corpus = spark.read.parquet(store.data_dir(f"{index_dir}/corpus"))
     q_probe = _probe_centroids(query, centroids, nprobe, vec_col, query_id_col)
     return _probe_scan_topk(corpus, q_probe, k, id_col, vec_col, query_id_col)
 
@@ -469,9 +478,11 @@ def knn_graph(
       automatic fallback when numpy/pandas are unavailable).
     """
     if index_dir is not None:
+        from cherry_spark.writers import store
+
         spark = vectors.sparkSession
-        centroids = spark.read.parquet(f"{index_dir}/centroids")
-        corpus = spark.read.parquet(f"{index_dir}/corpus").select(
+        centroids = spark.read.parquet(store.data_dir(f"{index_dir}/centroids"))
+        corpus = spark.read.parquet(store.data_dir(f"{index_dir}/corpus")).select(
             id_col, vec_col, "centroid_id"
         )
     else:

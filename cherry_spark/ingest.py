@@ -9,9 +9,11 @@ as something you compute ONCE per corpus version at ingest and serve
 many times, exactly like a search engine builds its index at crawl
 time, not per query.  Each store is individually lazy (its
 ``_ensure_*`` helper builds on first use, keyed by a
-path+size+mtime fingerprint of the source parquet, ``_SUCCESS``-gated
-so interrupted builds never serve), which is right for ad-hoc use but
-leaves the first query of each family paying the build.
+path+size+mtime fingerprint of the source parquet, and committed as
+an immutable version dir behind a put-if-absent pointer —
+writers/store.py, r13 — so an interrupted build is an invisible
+orphan that never serves), which is right for ad-hoc use but leaves
+the first query of each family paying the build.
 
 ``ingest_corpus_stores`` is the production entry point: run it when a
 corpus version lands and every store is warm before the first query

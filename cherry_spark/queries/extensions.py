@@ -316,13 +316,17 @@ def _ensure_doc_store(spark, sf_dir, name: str, epoch: str, build) -> str:
     produces the stored table."""
     import os
 
+    from cherry_spark.writers import store
+
     store_dir = _fingerprinted_store_dir(sf_dir, "documents", name, epoch)
-    # _SUCCESS marker (the ivf_index_exists contract): an interrupted
-    # build leaves a dir without it and gets rebuilt, never served
-    if not os.path.exists(os.path.join(store_dir, "_SUCCESS")):
+    # readiness = a committed pointer (r13, writers/store.py — or the
+    # legacy flat _SUCCESS): an interrupted build leaves an invisible
+    # orphan version and gets rebuilt, never served; concurrent
+    # builders race benignly (identical content per the fingerprint)
+    if not store.ready(store_dir):
         docs = load_table(spark, sf_dir, "documents", parallelize=True)
-        build(docs).write.mode("overwrite").parquet(store_dir)
-    return store_dir
+        store.publish(build(docs), store_dir)
+    return store.data_dir(store_dir)
 
 
 def _ensure_minhash_signatures(spark, sf_dir) -> str:
@@ -787,21 +791,23 @@ def _ensure_lsh_buckets(spark, sf_dir) -> str:
     per-run 8-plane × 64-dim fold over every corpus row (the
     `_ensure_minhash_signatures` contract applied to the
     hyperplane-LSH ANN lane)."""
-    import os
-
     from cherry_spark.ext.similarity import lsh_bucket
+    from cherry_spark.writers import store
 
     store_dir = _fingerprinted_store_dir(
         sf_dir, "embeddings", "lshb", "v1|d64|p8"
     )
-    if not os.path.exists(os.path.join(store_dir, "_SUCCESS")):
+    if not store.ready(store_dir):
         emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-        emb.select(
-            "vec_id",
-            "embedding",
-            lsh_bucket(F.col("embedding"), 64, 8).alias("__bucket"),
-        ).write.mode("overwrite").parquet(store_dir)
-    return store_dir
+        store.publish(
+            emb.select(
+                "vec_id",
+                "embedding",
+                lsh_bucket(F.col("embedding"), 64, 8).alias("__bucket"),
+            ),
+            store_dir,
+        )
+    return store.data_dir(store_dir)
 
 
 
@@ -834,8 +840,10 @@ def semantic_dedup_q(spark, sf_dir):
     # 16-centroid parameters as ann_ivf_topk; test_ivf.py certifies
     # prebuilt ≡ inline) — the per-run cost is the within-cluster
     # pairwise join only, not 6 index-build corpus passes
+    from cherry_spark.writers import store as _vstore
+
     assigned = spark.read.parquet(
-        f"{_ensure_ivf_index(spark, sf_dir)}/corpus"
+        _vstore.data_dir(f"{_ensure_ivf_index(spark, sf_dir)}/corpus")
     ).select("vec_id", "centroid_id")
     return semantic_dedup(emb, threshold=0.3, n_centroids=16, assigned=assigned)
 
@@ -866,8 +874,10 @@ def semdedup_cluster_stats_q(spark, sf_dir):
     from cherry_spark.ext.semdedup import semdedup_cluster_stats
 
     emb = load_table(spark, sf_dir, "embeddings")
+    from cherry_spark.writers import store as _vstore
+
     assigned = spark.read.parquet(
-        f"{_ensure_ivf_index(spark, sf_dir)}/corpus"
+        _vstore.data_dir(f"{_ensure_ivf_index(spark, sf_dir)}/corpus")
     ).select("vec_id", "centroid_id")
     return semdedup_cluster_stats(
         emb, n_centroids=16, max_cluster_size=30, assigned=assigned
@@ -1283,20 +1293,20 @@ def _ensure_delta_corpus_sigs(spark, sf_dir) -> str:
     delta-dedup corpus slice (doc_id % 5 != 0, n_hashes=32, md5 family
     — the certified parameters). Same staleness contract as
     `_ensure_minhash_signatures`; "v1" = linear-family epoch."""
-    import os
-
     from cherry_spark.ext.dedup import minhash_signatures
+    from cherry_spark.writers import store
 
     sig_dir = _fingerprinted_store_dir(
         sf_dir, "documents", "deltasig", "v1|delta32md5"
     )
-    if not os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+    if not store.ready(sig_dir):
         docs = load_table(spark, sf_dir, "documents", parallelize=True)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
-        minhash_signatures(
-            corpus, n_hashes=32, hash_family="md5"
-        ).write.mode("overwrite").parquet(sig_dir)
-    return sig_dir
+        store.publish(
+            minhash_signatures(corpus, n_hashes=32, hash_family="md5"),
+            sig_dir,
+        )
+    return store.data_dir(sig_dir)
 
 
 @query(

@@ -191,19 +191,17 @@ def run_streaming_growing_dedup(
         )
 
     if initial_corpus is not None:
-        initial_corpus.select(
-            F.col(id_col), F.col(text_col)
-        ).write.mode("overwrite").parquet(corpus_dir)
+        _overwrite_store(
+            initial_corpus.select(F.col(id_col), F.col(text_col)), corpus_dir
+        )
         if use_sig_store:
-            signatures_of(initial_corpus).write.mode("overwrite").parquet(sig_dir)
+            _overwrite_store(signatures_of(initial_corpus), sig_dir)
 
     schema = f"{id_col} long, {text_col} string"
 
     def read_store(path: str, sch: str) -> DataFrame:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            return spark.read.schema(sch).parquet(path)
+        if _store_has(path):
+            return spark.read.schema(sch).parquet(_dd(path))
         return spark.createDataFrame([], sch)
 
     key_of = _epoch_keyer(checkpoint_dir)
@@ -335,10 +333,7 @@ def run_streaming_growing_semdedup(
 
     cent_dir = f"{corpus_dir.rstrip('/')}_centroids"
 
-    def store_exists(path: str) -> bool:
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        )
+    store_exists = _store_has
 
     def centroid_rows(cents: DataFrame, built_n: int, reseed_key: str = ""):
         return cents.select(
@@ -365,7 +360,7 @@ def run_streaming_growing_semdedup(
         # centroid-only state is harmless; corpus rows without
         # centroids would strand the gate in bootstrap
         write_centroids(cents0, init.count())
-        assigned_of(init, cents0).write.mode("overwrite").parquet(corpus_dir)
+        _overwrite_store(assigned_of(init, cents0), corpus_dir)
 
     key_of = _epoch_keyer(checkpoint_dir)
 
@@ -376,7 +371,7 @@ def run_streaming_growing_semdedup(
         _recover_store(corpus_dir)
         _drop_batch_files(corpus_dir, key)  # replay sees pre-batch state
         if store_exists(cent_dir):
-            cent_rows = spark.read.parquet(cent_dir)
+            cent_rows = spark.read.parquet(_dd(cent_dir))
             cents = cent_rows.select("centroid_id", "centroid")
             built_n = cent_rows.agg(F.max("built_n")).collect()[0][0]
             # torn-reseed self-repair — see run_streaming_curation_gate
@@ -386,7 +381,7 @@ def run_streaming_growing_semdedup(
                     store_exists(corpus_dir)
                 ):
                     allv = (
-                        spark.read.parquet(corpus_dir)
+                        spark.read.parquet(_dd(corpus_dir))
                         .select(id_col, vec_col)
                         .localCheckpoint(eager=True)
                     )
@@ -410,7 +405,7 @@ def run_streaming_growing_semdedup(
             # RESEED baked the batch into the rewritten store, the
             # keyed-file drop above cannot restore the pre-batch view
             # — the anti-join can (no-op on a first delivery)
-            spark.read.parquet(corpus_dir).join(
+            spark.read.parquet(_dd(corpus_dir)).join(
                 batch_df.select(F.col(id_col)).distinct(),
                 id_col,
                 "left_anti",
@@ -451,9 +446,9 @@ def run_streaming_growing_semdedup(
             )
         # staleness rule: re-seed + re-assign when the corpus outgrew
         # the centroids it was indexed under
-        total = spark.read.parquet(corpus_dir).count()
+        total = spark.read.parquet(_dd(corpus_dir)).count()
         if built_n and total > reseed_factor * built_n and total >= n_centroids:
-            full = spark.read.parquet(corpus_dir).localCheckpoint(eager=True)
+            full = spark.read.parquet(_dd(corpus_dir)).localCheckpoint(eager=True)
             new_cents = ivf_centroids(
                 full.select(F.col(id_col), F.col(vec_col)),
                 n_centroids,
@@ -533,10 +528,8 @@ def run_streaming_budget_gate(
 
     def read_spent(key: str) -> int:
         _recover_store(state_dir)
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            row = spark.read.schema(state_schema).parquet(state_dir).first()
+        if _store_has(state_dir):
+            row = spark.read.schema(state_schema).parquet(_dd(state_dir)).first()
             if row is not None:
                 committed = int(row["spent"])
                 prev = (
@@ -688,11 +681,9 @@ def run_streaming_curation_gate(
     sig_schema = "id long, " + ", ".join(f"h{i} long" for i in range(n_hashes))
 
     def store(path: str, sch: str | None = None) -> DataFrame | None:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
+        if _store_has(path):
             r = spark.read
-            return (r.schema(sch) if sch else r).parquet(path)
+            return (r.schema(sch) if sch else r).parquet(_dd(path))
         return None
 
     def signatures_of(df: DataFrame) -> DataFrame:
@@ -701,9 +692,12 @@ def run_streaming_curation_gate(
         )
 
     if test_df is not None and store(eval_dir) is None:
-        shingle_postings(test_df, id_col, text_col, decon_shingle_k).select(
-            F.col("id").alias("test_id"), "shingle"
-        ).write.mode("overwrite").parquet(eval_dir)
+        _overwrite_store(
+            shingle_postings(test_df, id_col, text_col, decon_shingle_k).select(
+                F.col("id").alias("test_id"), "shingle"
+            ),
+            eval_dir,
+        )
 
     key_of = _epoch_keyer(checkpoint_dir)
 
@@ -729,7 +723,7 @@ def run_streaming_curation_gate(
         if test_df is not None:
             bp = shingle_postings(batch_df, id_col, text_col, decon_shingle_k)
             contaminated = (
-                bp.join(F.broadcast(spark.read.parquet(eval_dir)), "shingle")
+                bp.join(F.broadcast(spark.read.parquet(_dd(eval_dir))), "shingle")
                 .select(F.col("id").alias(id_col))
                 .distinct()
                 .localCheckpoint(eager=True)
@@ -1389,18 +1383,16 @@ def run_streaming_decontamination_gate(
 
     from cherry_spark.ext.dedup import shingle_postings
 
-    def store_exists(path: str) -> bool:
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
+    if not _store_has(eval_store_dir):
+        _overwrite_store(
+            shingle_postings(test_df, id_col, text_col, shingle_k).select(
+                F.col("id").alias("test_id"), "shingle"
+            ),
+            eval_store_dir,
         )
 
-    if not store_exists(eval_store_dir):
-        shingle_postings(test_df, id_col, text_col, shingle_k).select(
-            F.col("id").alias("test_id"), "shingle"
-        ).write.mode("overwrite").parquet(eval_store_dir)
-
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        te = spark.read.parquet(eval_store_dir)
+        te = spark.read.parquet(_dd(eval_store_dir))
         bp = shingle_postings(batch_df, id_col, text_col, shingle_k)
         hits = (
             bp.join(F.broadcast(te), on="shingle")
@@ -1510,11 +1502,7 @@ def run_streaming_span_gate(
         # marker a gram-less first fold can leave behind
         # (read.parquet on _SUCCESS-only dirs throws schema-inference
         # errors)
-        have_state = os.path.isdir(state_dir) and any(
-            f.endswith(".parquet")
-            for _r, _d, fs in os.walk(state_dir)
-            for f in fs
-        )
+        have_state = _store_has(state_dir, recursive=True)
         grams = _gram_postings(
             batch_df, min_len, doc_col, text_col
         ).localCheckpoint(eager=True)  # ONE tokenize+hash per batch:
@@ -1524,7 +1512,7 @@ def run_streaming_span_gate(
             # its own doc ids, so a crash-replayed batch (grams already
             # appended) cannot self-match at diag 0 and get every doc
             # wrongly verdicted span_dup
-            stored = spark.read.parquet(state_dir).join(
+            stored = spark.read.parquet(_dd(state_dir)).join(
                 batch_df.select(F.col(doc_col).alias("__doc")).distinct(),
                 "__doc",
                 "left_anti",
@@ -1637,53 +1625,80 @@ def run_streaming_bm25_index(
     return writer.start()
 
 
+def _dd(path: str) -> str:
+    """Resolve a store root to the dir its parquet actually lives in
+    (writers/store.py ``data_dir``): the live version dir for
+    pointer-versioned stores, the root itself for flat ones.  EVERY
+    read of a store table goes through this — reading the root of a
+    versioned store sees nothing."""
+    from cherry_spark.writers import store
+
+    return store.data_dir(path)
+
+
+def _store_has(path: str, recursive: bool = False) -> bool:
+    """Whether the store at ``path`` currently serves any parquet."""
+    from cherry_spark.writers import store
+
+    return store.has_parquet(path, recursive=recursive)
+
+
+def _store_ready(path: str) -> bool:
+    """Whether the store at ``path`` has a fully-committed state
+    (live pointer, or legacy flat ``_SUCCESS``)."""
+    from cherry_spark.writers import store
+
+    return store.ready(path)
+
+
 def _overwrite_store(
     df: DataFrame, path: str, merge_key: str | None = None
 ) -> None:
     """Crash-safe overwrite of a merge-table store: write the new
-    version to a temp sibling FIRST, then swap via two renames — the
-    only copy of accumulated state is never deleted before its
-    replacement is fully written (a plain ``mode("overwrite")`` deletes
-    the old files before writing, so a crash mid-write silently resets
-    the store to empty and the next fold's ``_SUCCESS`` check treats
-    that as a fresh start: total state loss, review r9).
+    state as an IMMUTABLE version directory FIRST, then publish it
+    with one put-if-absent pointer commit (writers/store.py, r13 —
+    the manifest-bus commit shape applied to stores; a plain
+    ``mode("overwrite")`` deletes the old files before writing, so a
+    crash mid-write silently resets the store to empty and the next
+    fold's readiness check treats that as a fresh start: total state
+    loss, review r9).
 
-    The unsafe window shrinks from the whole Spark write to two
-    ``fs.move_dir`` calls (writers/fs.py — the filesystem seam whose
-    docstring carries the object-store portability contract);
-    :func:`_recover_store` (called at every fold
-    start) repairs the one torn state a crash between them can leave —
-    the pre-fold dir parked under ``__old``, which is exactly the
-    state a replayed batch wants to merge into.  A crash AFTER the
-    swap double-merges the replayed batch UNLESS the caller records a
-    ``merge_key`` — with it, a replayed fold sees its own key in the
-    committed store and skips the re-merge (see :func:`_stage_store`),
-    making the merge-table maintainers exactly-once under replay."""
+    There is NO torn state: a crash before the pointer commit leaves
+    an invisible orphan version (swept at the next fold start), a
+    crash after it leaves the new version fully live.  A crash AFTER
+    the commit double-merges the replayed batch UNLESS the caller
+    records a ``merge_key`` — with it, a replayed fold sees its own
+    key in the committed store and skips the re-merge (see
+    :func:`_stage_store`), making the merge-table maintainers
+    exactly-once under replay."""
     _commit_stores([_stage_store(df, path, merge_key=merge_key)])
 
 
 def _stage_store(df: DataFrame, path: str, merge_key: str | None = None) -> tuple:
-    """Phase 1 of the crash-safe swap: fully write the replacement to
-    a temp sibling. Returns a staged entry for :func:`_commit_stores`.
+    """Phase 1 of the crash-safe overwrite: fully write the
+    replacement into a fresh version dir under the store root.
+    Returns a staged entry for :func:`_commit_stores`.
 
     ``merge_key`` (r10 review): for MERGE tables, record the batch key
-    in a ``_merge_key`` sidecar INSIDE the staged dir — it rides the
-    same atomic rename as the data (and is invisible to parquet
-    readers: underscore-prefixed files are ignored), so a replayed
-    fold can detect that the stored table ALREADY absorbed its batch
-    and skip the re-merge.  This retires the old 'one batch's counts
-    in one merge table' replay residual: each merge table
-    independently knows whether it counted the batch, so a crash at
-    ANY point between multi-table swaps replays to exactly-once."""
+    in a ``_merge_key`` sidecar INSIDE the staged version dir — it
+    becomes visible atomically with the pointer commit (and is
+    invisible to parquet readers: underscore-prefixed files are
+    ignored), so a replayed fold can detect that the stored table
+    ALREADY absorbed its batch and skip the re-merge.  This retires
+    the old 'one batch's counts in one merge table' replay residual:
+    each merge table independently knows whether it counted the
+    batch, so a crash at ANY point between multi-table commits
+    replays to exactly-once."""
     import os
-    import uuid
 
-    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    from cherry_spark.writers import store
+
+    vdir = store.stage_version_dir(path)
+    df.write.mode("overwrite").parquet(vdir)
     if merge_key is not None:
-        with open(os.path.join(tmp, "_merge_key"), "w") as fh:
+        with open(os.path.join(vdir, "_merge_key"), "w") as fh:
             fh.write(merge_key)
-    return ("swap", tmp, path)
+    return ("version", vdir, path)
 
 
 def _merged_fold(
@@ -1710,13 +1725,11 @@ def _merged_fold(
     serve = serve_fn or (lambda df: df)
     _recover_store(state_dir)
     if _merge_key_of(state_dir) == key:  # replay: already merged
-        sink(serve(spark.read.parquet(state_dir)), batch_id)
+        sink(serve(spark.read.parquet(_dd(state_dir))), batch_id)
         return
     partial = partial_fn()
-    if os.path.isdir(state_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(state_dir)
-    ):
-        merged = merge_fn(spark.read.parquet(state_dir), partial)
+    if _store_has(state_dir):
+        merged = merge_fn(spark.read.parquet(_dd(state_dir)), partial)
     else:
         merged = partial
     merged = merged.localCheckpoint(eager=True)
@@ -1727,13 +1740,16 @@ def _merged_fold(
 
 
 def _merge_key_of(path: str) -> str | None:
-    """The ``_merge_key`` recorded by the last committed swap of the
-    merge table at ``path`` (None: no marker — pre-r10 store, ingest
-    build, or a compaction that predates marker preservation)."""
+    """The ``_merge_key`` recorded by the last committed version of
+    the merge table at ``path`` (None: no marker — pre-r10 store,
+    ingest build, or a compaction that predates marker
+    preservation)."""
     import os
 
+    from cherry_spark.writers import store
+
     try:
-        with open(os.path.join(path, "_merge_key")) as fh:
+        with open(os.path.join(store.data_dir(path), "_merge_key")) as fh:
             return fh.read()
     except OSError:
         return None
@@ -1763,16 +1779,21 @@ def _stage_append(df: DataFrame, path: str, key: str) -> tuple:
 def _commit_append(tmp: str, path: str, key: str) -> None:
     import os
 
-    from cherry_spark.writers import fs
+    from cherry_spark.writers import fs, store
 
-    fs.ensure_dir(path)
+    # a table a compaction has converted to the versioned layout keeps
+    # receiving appends INSIDE its live version dir (readers resolve
+    # the same dir); a flat table keeps the flat fast path — either
+    # way each committed file is one deterministic-name atomic PUT
+    dest_root = store.data_dir(path)
+    fs.ensure_dir(dest_root)
     # drop a crashed previous attempt's files for this key (recursive:
     # hive-partitioned tables keep per-partition subdirs)
     _drop_batch_files(path, key)
     moved = 0
     for root, _dirs, files in os.walk(tmp):
         rel = os.path.relpath(root, tmp)
-        dest = path if rel == "." else os.path.join(path, rel)
+        dest = dest_root if rel == "." else os.path.join(dest_root, rel)
         parts = sorted(f for f in files if f.endswith(".parquet"))
         if parts:
             fs.ensure_dir(dest)
@@ -1782,60 +1803,54 @@ def _commit_append(tmp: str, path: str, key: str) -> None:
                 os.path.join(dest, f"{key}-{moved:05d}.parquet"),
             )
             moved += 1
-    open(os.path.join(path, "_SUCCESS"), "a").close()
+    open(os.path.join(dest_root, "_SUCCESS"), "a").close()
     fs.remove_tree(tmp)
 
 
 def _commit_stores(staged: list[tuple]) -> None:
-    """Phase 2: commit every staged table in one tight rename loop —
+    """Phase 2: commit every staged table in one tight commit loop —
     for multi-table folds (bm25's tf+dl+dfreq+stats) ALL replacements
-    are fully written before ANY canonical dir changes, shrinking the
-    cross-table torn window from a Spark write to adjacent renames.
-    Append-staged tables (:func:`_stage_append`) commit by moving
-    part files to deterministic per-batch names — idempotent under
-    replay at ANY crash point, so they carry no residual at all.
-    Merge (swap) tables staged WITH a ``merge_key`` are likewise
-    exactly-once (r10, retiring the r9 'one batch's counts in one
-    merge table' residual): the key rides the swapped dir itself, so
-    after a crash between two merge tables' rename pairs the replay
-    finds its own key in the earlier table (reads it as-is, no
-    double-merge) and not in the later (merges normally) — per-table
-    commit markers, without a log-structured format.  The only swaps
-    still staged WITHOUT a merge_key are the CENTROID stores
-    (bootstrap is deterministic from the same batch; the reseed pair
-    commits adjacently with the vec swap and tears are self-repaired
-    at the replay's fold start)."""
-    import os
-    import uuid
+    are fully written before ANY table's live state changes,
+    shrinking the cross-table torn window from a Spark write to
+    adjacent pointer commits.  Append-staged tables
+    (:func:`_stage_append`) commit by moving part files to
+    deterministic per-batch names (atomic single-object PUTs) —
+    idempotent under replay at ANY crash point, so they carry no
+    residual at all.  Merge tables staged WITH a ``merge_key`` are
+    likewise exactly-once (r10, retiring the r9 'one batch's counts
+    in one merge table' residual): the key rides the committed
+    version dir itself, so after a crash between two merge tables'
+    pointer commits the replay finds its own key in the earlier
+    table (reads it as-is, no double-merge) and not in the later
+    (merges normally) — per-table commit markers, without a
+    log-structured format.  The only versions still staged WITHOUT a
+    merge_key are the CENTROID stores (bootstrap is deterministic
+    from the same batch; the reseed pair commits adjacently with the
+    vec version and tears are self-repaired at the replay's fold
+    start)."""
+    from cherry_spark.writers import store
 
-    from cherry_spark.writers import fs
-
-    olds = []
     for entry in staged:
         if entry[0] == "append":
             _, tmp, path, key = entry
             _commit_append(tmp, path, key)
             continue
-        _, tmp, path = entry
-        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.exists(path):
-            fs.move_dir(path, old)
-            olds.append(old)
-        fs.move_dir(tmp, path)
-    for old in olds:
-        fs.remove_tree(old)
+        _, vdir, path = entry
+        store.commit_version(path, vdir)
 
 
 def _recover_store(path: str) -> None:
-    """Repair a torn :func:`_overwrite_store` (or
-    ``compact_dataset``) swap: if the canonical dir is missing but a
-    parked ``__old`` version exists, restore the newest one (pre-fold
-    state — correct for the batch replay that follows); drop stray
-    temp/old/compact siblings either way."""
+    """Fold-start cleanup of the store root at ``path``: sweep orphan
+    / superseded version dirs and stale pointers (writers/store.py —
+    a crash can only leave invisible orphans, never a torn state),
+    plus the legacy swap protocol's strays for state dirs written by
+    pre-r13 code: a canonical dir parked under ``__old`` with no
+    replacement is restored (that IS the pre-fold state the replay
+    wants), and ``__tmp``/``__compact`` siblings are dropped."""
     import glob
     import os
 
-    from cherry_spark.writers import fs
+    from cherry_spark.writers import fs, store
 
     olds = sorted(glob.glob(f"{path}__old_*"), key=os.path.getmtime)
     if not os.path.exists(path) and olds:
@@ -1844,6 +1859,7 @@ def _recover_store(path: str) -> None:
         olds + glob.glob(f"{path}__tmp_*") + glob.glob(f"{path}__compact_*")
     ):
         fs.remove_tree(stray)
+    store.sweep(path)
 
 
 def _drop_batch_files(state_dir: str, key: str) -> None:
@@ -2043,7 +2059,7 @@ def bm25_index_fold(
     _recover_store(f"{state_dir}/dl")
     _recover_store(f"{state_dir}/dfreq")
     _recover_store(f"{state_dir}/stats")
-    have = os.path.exists(f"{state_dir}/stats/_SUCCESS")
+    have = _store_ready(f"{state_dir}/stats")
     # per-table replay detection (r10 review): a table whose committed
     # _merge_key equals this batch's key ALREADY absorbed the batch in
     # a crashed attempt — read it as-is and skip both the re-merge and
@@ -2057,18 +2073,18 @@ def bm25_index_fold(
     )
     if have:
         if dfreq_done:
-            dfreq = spark.read.parquet(f"{state_dir}/dfreq")
+            dfreq = spark.read.parquet(_dd(f"{state_dir}/dfreq"))
         else:
-            old_df = spark.read.parquet(f"{state_dir}/dfreq")
+            old_df = spark.read.parquet(_dd(f"{state_dir}/dfreq"))
             dfreq = (
                 old_df.unionByName(dfreq)
                 .groupBy("term")
                 .agg(F.sum("df").cast("long").alias("df"))
             )
         if stats_done:
-            stats = spark.read.parquet(f"{state_dir}/stats")
+            stats = spark.read.parquet(_dd(f"{state_dir}/stats"))
         else:
-            old_st = spark.read.parquet(f"{state_dir}/stats")
+            old_st = spark.read.parquet(_dd(f"{state_dir}/stats"))
             stats = (
                 old_st.unionByName(stats)
                 .agg(
@@ -2082,8 +2098,8 @@ def bm25_index_fold(
     # self-overwrite), so its old checkpoint was pure overhead
     stats = stats.localCheckpoint(eager=True)
     if batch_key is None:
-        tf.write.mode("append").parquet(f"{state_dir}/tf")
-        dl.write.mode("append").parquet(f"{state_dir}/dl")
+        tf.write.mode("append").parquet(_dd(f"{state_dir}/tf"))
+        dl.write.mode("append").parquet(_dd(f"{state_dir}/dl"))
         appends = []
     else:
         appends = [
@@ -2310,7 +2326,7 @@ def pair_graph_fold(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     _recover_store(f"{state_dir}/dfreq")
-    have = os.path.exists(f"{state_dir}/dfreq/_SUCCESS")
+    have = _store_ready(f"{state_dir}/dfreq")
     # replay detection (r10 review): if the committed dfreq already
     # carries this batch's key, the crashed attempt merged it — read
     # as-is so the replay reproduces the SAME capped profile (a
@@ -2322,9 +2338,9 @@ def pair_graph_fold(
     )
     if have:
         if dfreq_done:
-            dfreq = spark.read.parquet(f"{state_dir}/dfreq")
+            dfreq = spark.read.parquet(_dd(f"{state_dir}/dfreq"))
         else:
-            old = spark.read.parquet(f"{state_dir}/dfreq")
+            old = spark.read.parquet(_dd(f"{state_dir}/dfreq"))
             dfreq = (
                 old.unionByName(bdfreq)
                 .groupBy("shingle")
@@ -2343,11 +2359,11 @@ def pair_graph_fold(
         # marker — schema inference would throw, the pinned schema
         # reads them as empty (bpost/bsizes ARE the store schemas)
         stored_post = spark.read.schema(bpost.schema).parquet(
-            f"{state_dir}/postings"
+            _dd(f"{state_dir}/postings")
         )
         all_post = stored_post.unionByName(bpost)
         all_sizes = spark.read.schema(bsizes.schema).parquet(
-            f"{state_dir}/sizes"
+            _dd(f"{state_dir}/sizes")
         ).unionByName(bsizes)
     else:
         all_post = bpost
@@ -2395,10 +2411,10 @@ def pair_graph_fold(
         .localCheckpoint(eager=True)
     )
     if batch_key is None:
-        bpost.write.mode("append").parquet(f"{state_dir}/postings")
-        bsizes.write.mode("append").parquet(f"{state_dir}/sizes")
+        bpost.write.mode("append").parquet(_dd(f"{state_dir}/postings"))
+        bsizes.write.mode("append").parquet(_dd(f"{state_dir}/sizes"))
         _overwrite_store(dfreq, f"{state_dir}/dfreq")
-        pairs.write.mode("append").parquet(f"{state_dir}/pairs")
+        pairs.write.mode("append").parquet(_dd(f"{state_dir}/pairs"))
     else:
         # bsizes/pairs are projections of checkpointed frames; bpost is
         # checkpointed — staging writes re-derive them cheaply
@@ -2444,7 +2460,7 @@ def ivf_index_fold(
     hive subdirs are preserved on the per-file move)."""
     from cherry_spark.ext.ivf import ivf_assign
 
-    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    centroids = spark.read.parquet(_dd(f"{index_dir}/centroids"))
     assigned = batch_vectors.join(
         ivf_assign(batch_vectors, centroids, id_col, vec_col), on=id_col
     ).localCheckpoint(eager=True)
@@ -2453,7 +2469,7 @@ def ivf_index_fold(
     co_located = assigned.repartition("centroid_id")
     if batch_key is None:
         co_located.write.partitionBy("centroid_id").mode("append").parquet(
-            f"{index_dir}/corpus"
+            _dd(f"{index_dir}/corpus")
         )
     else:
         import uuid as _uuid
@@ -2544,7 +2560,7 @@ def doc_store_fold(
     append commits idempotently under replay."""
     rows = transform(batch_df).localCheckpoint(eager=True)
     if batch_key is None:
-        rows.write.mode("append").parquet(state_dir)
+        rows.write.mode("append").parquet(_dd(state_dir))
     else:
         _recover_store(state_dir)
         _commit_stores([_stage_append(rows, state_dir, batch_key)])
@@ -2627,12 +2643,12 @@ def count_store_fold(
 
     _recover_store(state_dir)
     if batch_key is not None and _merge_key_of(state_dir) == batch_key:
-        merged = spark.read.parquet(state_dir)
+        merged = spark.read.parquet(_dd(state_dir))
         return merged.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     new = transform(batch_df)
     val_cols = [c for c in new.columns if c not in key_cols]
-    if os.path.exists(f"{state_dir}/_SUCCESS"):
-        new = spark.read.parquet(state_dir).unionByName(new)
+    if _store_ready(state_dir):
+        new = spark.read.parquet(_dd(state_dir)).unionByName(new)
     merged = new.groupBy(*key_cols).agg(
         *[F.sum(c).cast("long").alias(c) for c in val_cols]
     )
@@ -2785,8 +2801,8 @@ def trained_gate_fold(
     # re-enter through a later copy.
     rank = F.md5(F.col(id_col).cast("string"))
     stored_sample = None
-    if os.path.exists(f"{sample_dir}/_SUCCESS"):
-        stored_sample = spark.read.parquet(sample_dir)
+    if _store_ready(sample_dir):
+        stored_sample = spark.read.parquet(_dd(sample_dir))
     skip_merge = False
     if stored_sample is not None and _merge_key_of(sample_dir) != key:
         # steady-state fast path: once the sample is FULL, a batch with
@@ -2806,14 +2822,43 @@ def trained_gate_fold(
     if not skip_merge:
         from pyspark.sql import Window
 
-        batch_cand = labeled.withColumn("__pri", F.lit(1))
-        cand = (
-            stored_sample.withColumn("__pri", F.lit(0)).unionByName(batch_cand)
-            if stored_sample is not None
-            else batch_cand
+        # Per-id priority (r12 advice refines the r11 rule): each
+        # sample row records the batch key that admitted it (__src).
+        # The dedupe prefers (0) stored rows from OTHER batches — true
+        # first arrivals, the cross-batch first-arrival-wins lemma —
+        # then (1) this batch's rows, then (2) stored rows from THIS
+        # key: a crashed attempt's own copies.  On a clean delivery
+        # class (2) is empty and this is exactly stored-first; on an
+        # own-key replay the replay's rows beat only the crashed
+        # attempt's copies, so a DIVERGED replay (possible when the
+        # source is a bus whose producer corrected the version via
+        # replace_if_last) updates the sample to follow the replay —
+        # like the keyed labeled store and the bus mirror — without
+        # ever displacing an earlier batch's first arrival.  Samples
+        # written before __src existed read as NULL = "other batch".
+        stored_pri = (
+            F.when(F.col("__src") == F.lit(key), F.lit(2)).otherwise(
+                F.lit(0)
+            )
+            if stored_sample is not None and "__src" in stored_sample.columns
+            else F.lit(0)
         )
-        # one row per id: stored copy first, then a deterministic
-        # winner among same-batch duplicates (label, then text)
+        batch_cand = labeled.withColumn("__src", F.lit(key)).withColumn(
+            "__pri", F.lit(1)
+        )
+        if stored_sample is not None:
+            stored_cand = stored_sample
+            if "__src" not in stored_cand.columns:
+                stored_cand = stored_cand.withColumn(
+                    "__src", F.lit(None).cast("string")
+                )
+            cand = stored_cand.withColumn("__pri", stored_pri).unionByName(
+                batch_cand
+            )
+        else:
+            cand = batch_cand
+        # one row per id: priority class first, then a deterministic
+        # winner among same-class duplicates (label, then text)
         dedup_w = Window.partitionBy(id_col).orderBy(
             "__pri", "__lbl", F.md5(F.col(text_col))
         )
@@ -2835,10 +2880,8 @@ def trained_gate_fold(
     # together (crash-safe swap; serving reads either the old or the
     # new FULL (model, threshold) pair, never a mixture). batch 0 is
     # the bootstrap version.
-    if batch_id % refit_every == 0 or not os.path.exists(
-        f"{weights_dir}/_SUCCESS"
-    ):
-        corpus = spark.read.parquet(sample_dir)
+    if batch_id % refit_every == 0 or not _store_ready(weights_dir):
+        corpus = spark.read.parquet(_dd(sample_dir))
         w = train_hashed_classifier(
             corpus, "__lbl", id_col, text_col, n_buckets, n_iters, lr_inv
         ).localCheckpoint(eager=True)
@@ -2892,7 +2935,7 @@ def trained_gate_fold(
     # 3. score the batch with the CURRENT stored (model, threshold)
     # pair (between boundaries that is the last version — train once
     # per corpus version, score many)
-    wrow = spark.read.parquet(weights_dir)
+    wrow = spark.read.parquet(_dd(weights_dir))
     head = wrow.agg(
         F.max("model_version").alias("v"), F.max("thr_micro").alias("t")
     ).first()

@@ -59,16 +59,37 @@ def compact_dataset(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    versioned: bool | None = None,
 ) -> dict:
     """Compact the parquet dataset at ``path`` (optionally
     hive-partitioned one level, ``key=value`` subdirs) so each
     partition holds ~``target_file_bytes`` files. Returns
     {files_before, files_after, bytes} stats.
 
-    Local-filesystem implementation (the container's reality); on
-    object storage the same logic runs against the file index and the
-    swap is a manifest/rename step.
+    Two commit lanes:
+
+    - **versioned** (``versioned=True``, or auto when ``path`` is
+      already a pointer-versioned store — writers/store.py): the
+      compacted table is written as a fresh immutable version dir and
+      published with one put-if-absent pointer commit.  No rename is
+      ever observed half-done, so this lane is object-store-safe end
+      to end; the cost is that a partitioned table rewrites WHOLLY
+      (every partition, compact or not) instead of per-dir.  This is
+      the lane the streaming maintainers' state tables take
+      (:func:`compact_state_dir` defaults to it) — a flat store is
+      CONVERTED to the versioned layout by its first compaction, and
+      subsequent keyed appends land inside the live version.
+    - **in-place swap** (default for plain datasets): partition dirs
+      compact independently via atomic local renames — the right
+      trade on a local filesystem where readers address ``path``
+      directly and untouched partitions must not be rewritten.
     """
+    from cherry_spark.writers import store as _store
+
+    if versioned is None:
+        versioned = _store.live_version(path) is not None
+    if versioned:
+        return _compact_versioned(spark, path, target_file_bytes)
     part_dirs = [
         os.path.join(path, d)
         for d in sorted(os.listdir(path))
@@ -171,10 +192,88 @@ def compact_dataset(
     }
 
 
+def _compact_versioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int,
+) -> dict:
+    """The pointer-commit compaction lane: read the live data dir,
+    rewrite at target file sizes into a staged version dir, verify
+    row counts, copy the ``_merge_key`` replay marker, commit the
+    pointer (writers/store.py — sweeps the superseded version).  A
+    crash before the commit leaves an invisible orphan version; after
+    it, the new version is fully live — no torn state at any point,
+    under object-store semantics included."""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.writers import store as _store
+
+    # runs between folds (a protocol-safe point): clear any orphan
+    # version a crashed earlier compaction staged, so the flat lane's
+    # listing below never mixes layouts
+    _store.sweep(path)
+    ddir = _store.data_dir(path)
+    files_before = _n_parquet_files(ddir)
+    total_bytes = _dir_bytes(ddir)
+    stats = {
+        "files_before": files_before,
+        "files_after": files_before,
+        "bytes": total_bytes,
+    }
+    if total_bytes == 0:
+        return stats
+    part_dirs = [
+        os.path.join(ddir, d)
+        for d in sorted(os.listdir(ddir))
+        if os.path.isdir(os.path.join(ddir, d)) and "=" in d
+    ]
+    needed = sum(
+        max(1, math.ceil(_dir_bytes(t) / target_file_bytes))
+        for t in (part_dirs or [ddir])
+        if _dir_bytes(t) > 0
+    )
+    if files_before <= needed:
+        return stats
+    vdir = _store.stage_version_dir(path)
+    if part_dirs:
+        pcol = os.path.basename(part_dirs[0]).split("=", 1)[0]
+        df = spark.read.parquet(ddir)
+        orig = {
+            r[pcol]: r["n"]
+            for r in df.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        df.repartition(F.col(pcol)).write.partitionBy(pcol).mode(
+            "overwrite"
+        ).parquet(vdir)
+        got = {
+            r[pcol]: r["n"]
+            for r in spark.read.parquet(vdir)
+            .groupBy(pcol)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        ok = got == orig
+    else:
+        df = spark.read.parquet(ddir)
+        n_rows = df.count()
+        df.repartition(needed).write.mode("overwrite").parquet(vdir)
+        ok = spark.read.parquet(vdir).count() == n_rows
+    if not ok:  # pragma: no cover - safety net
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise RuntimeError(f"compaction row-count mismatch under {path}")
+    mk = os.path.join(ddir, "_merge_key")
+    if os.path.exists(mk):
+        shutil.copy(mk, os.path.join(vdir, "_merge_key"))
+    _store.commit_version(path, vdir)
+    stats["files_after"] = _n_parquet_files(_store.data_dir(path))
+    return stats
+
+
 def compact_state_dir(
     spark: SparkSession,
     state_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    versioned: bool = True,
 ) -> dict:
     """Compact a streaming maintainer's state tables (the append-only
     ones are what fragment: tf/dl/postings/sizes/pairs gain one file
@@ -205,10 +304,16 @@ def compact_state_dir(
     (Delta/Iceberg), not raw parquet.
     Returns {table: compact_dataset stats}.
     """
+    from cherry_spark.writers import store as _store
+
     tables = [
         os.path.join(state_dir, d)
         for d in sorted(os.listdir(state_dir))
         if os.path.isdir(os.path.join(state_dir, d))
+        # a version dir / pointer dir / hive partition dir is part of
+        # its table, never a table of its own
+        and not _store.is_version_name(d)
+        and "=" not in d
         and any(
             f.endswith(".parquet")
             for _r, _d, fs in os.walk(os.path.join(state_dir, d))
@@ -218,6 +323,8 @@ def compact_state_dir(
     if not tables:
         tables = [state_dir]
     return {
-        os.path.basename(t): compact_dataset(spark, t, target_file_bytes)
+        os.path.basename(t): compact_dataset(
+            spark, t, target_file_bytes, versioned=versioned
+        )
         for t in tables
     }

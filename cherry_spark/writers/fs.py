@@ -20,14 +20,22 @@ Object-store contract (what a non-local implementation must provide):
   ``ifGenerationMatch=0``.  This is the manifest bus's version-commit
   primitive — uniqueness of the committed name is what makes a
   single-writer violation loud instead of silently clobbering.
-- ``move_dir(src, dst)`` / ``move_file(src, dst)``: atomic only
-  locally.  An object-store impl replaces the swap-based stores with
-  manifest pointers (the bus already works this way: data files are
-  immutable once committed and the manifest names the live set), or
-  routes them through a transactional table format the way the
-  reference's Delta writer does
-  (/root/reference/src/cherry_etl/writers/delta_lake.py:24-32 rides
-  Delta's log).  The seam exists so THAT rewrite happens here.
+- ``move_file(src, dst)``: publish one fully-written object at a
+  deterministic name, replacing any previous object there — an
+  object store's unconditional single-object PUT (atomic per object;
+  readers see the old bytes or the new bytes, never a mixture).
+  This carries the keyed append commits (``_commit_append``, the
+  bus's data-file moves): every committed file is immutable and
+  deterministically named, so replacement-on-replay is the
+  exactly-once mechanism, not rename atomicity.
+- ``move_dir(src, dst)``: atomic only locally, and — since the r13
+  store port — NOT part of any store/bus commit protocol.  The
+  stores commit through immutable version dirs + put-if-absent
+  pointers (writers/store.py), the bus through its manifest; both
+  are proven under non-atomic-move semantics by the shim tests in
+  tests/test_fs.py.  ``move_dir`` remains only for the plain-dataset
+  in-place compaction lane (``compact_dataset`` on a local
+  filesystem dataset) and the legacy pre-r13 swap recovery.
 - ``list_dir(path)``: a flat listing (no recursion), empty for a
   missing dir — object stores list by prefix; callers never assume
   inode semantics.

@@ -1,0 +1,191 @@
+"""Manifest-pointer commits for the fingerprinted / streaming stores.
+
+Round-12 proved the manifest BUS correct under object-store semantics
+(no atomic rename; only put-if-absent file commits are atomic — see
+writers/fs.py).  This module applies the same commit shape to the
+STORE layer, replacing the two-rename directory swap that
+``_overwrite_store`` / ``compact_dataset`` used (r12 verdict
+"what's missing" #4, the last local-fs-only surface):
+
+- a store table lives under one root ``path``;
+- each committed state of the table is an IMMUTABLE version directory
+  ``path/v-<hex>/`` holding ordinary parquet (hive partition subdirs
+  allowed) — fully written before anything references it;
+- the LIVE version is named by the highest-sequenced POINTER file in
+  ``path/_v/`` (``p<seq 10 digits>-<hex>``), committed with
+  ``fs.commit_file`` (put-if-absent).  The pointer filename carries
+  both the order and the target, so resolving the live version is one
+  directory listing — no file contents are read on the hot path (the
+  bus's O(listing) rule);
+- readers resolve ``data_dir(path)`` and read parquet from it; a root
+  with no pointer serves its own flat files (the legacy layout and
+  the append-table fast path, whose per-file deterministic-name
+  commits map to atomic object PUTs already);
+- cleanup (``sweep``) deletes only what the live pointer does NOT
+  reference, so a crash at ANY point leaves either the old complete
+  version live or the new complete version live — never a mixture,
+  never a loss.  There is nothing to "repair" after a crash, only
+  orphans to sweep at the next safe point (fold start / post-commit,
+  the same points the old swap protocol used).
+
+Crash matrix (replacing the old ``__old``/``__tmp`` repair logic):
+staged version written, pointer not committed → orphan ``v-*`` dir,
+invisible, swept later; pointer committed, sweep not run → old
+version + stale flat files linger, invisible to resolvers, swept
+later.  Both end states are exactly-once; the ``_merge_key`` sidecar
+(written INSIDE the staged version dir) rides the pointer commit just
+as it rode the rename.
+
+Single-writer discipline: the streaming maintainers already own their
+state dirs exclusively (foreachBatch is serial).  The fingerprinted
+``_ensure_*`` stores may legitimately race across sessions — both
+writers build identical content from the same fingerprint, so the
+pointer commit retries past the collision and either version serves.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import uuid
+
+from cherry_spark.writers import fs
+
+_PTR_DIR = "_v"
+_PTR_RE = re.compile(r"p(\d{10})-([0-9a-f]+)\Z")
+_VDIR_RE = re.compile(r"v-[0-9a-f]+\Z")
+
+
+def is_version_name(name: str) -> bool:
+    """True for reserved child names (``v-<hex>`` data dirs and the
+    ``_v`` pointer dir) that table discovery must never treat as
+    tables of their own."""
+    return name == _PTR_DIR or bool(_VDIR_RE.match(name))
+
+
+def _pointers(path: str) -> list[tuple[int, str]]:
+    out = []
+    for f in fs.list_dir(os.path.join(path, _PTR_DIR)):
+        m = _PTR_RE.match(f)
+        if m:
+            out.append((int(m.group(1)), f"v-{m.group(2)}"))
+    return sorted(out)
+
+
+def live_version(path: str) -> str | None:
+    """Basename of the live version dir, or None (flat/absent store)."""
+    ptrs = _pointers(path)
+    return ptrs[-1][1] if ptrs else None
+
+
+def data_dir(path: str) -> str:
+    """The directory readers should load parquet from: the live
+    version dir when the store is versioned, else ``path`` itself
+    (legacy flat layout / append-table fast path)."""
+    lv = live_version(path)
+    return os.path.join(path, lv) if lv else path
+
+
+def ready(path: str) -> bool:
+    """True once the store has a fully-committed state: a live
+    pointer, or (legacy flat layout) a ``_SUCCESS`` marker."""
+    if live_version(path) is not None:
+        return True
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def has_parquet(path: str, recursive: bool = False) -> bool:
+    """Whether the store currently serves any data files."""
+    d = data_dir(path)
+    if recursive:
+        return any(
+            f.endswith(".parquet")
+            for _r, _d, files in os.walk(d)
+            for f in files
+        )
+    return any(f.endswith(".parquet") for f in fs.list_dir(d))
+
+
+def stage_version_dir(path: str) -> str:
+    """A fresh (not yet existing) version dir name to stage a full
+    table write into.  Nothing references it until
+    :func:`commit_version` publishes a pointer to it."""
+    fs.ensure_dir(path)
+    return os.path.join(path, f"v-{uuid.uuid4().hex[:12]}")
+
+
+def commit_version(path: str, staged_vdir: str) -> str:
+    """Publish the fully-written ``staged_vdir`` as the store's live
+    version: put-if-absent commit of the next-sequence pointer file.
+    A sequence collision (another writer committed concurrently)
+    re-lists and retries at a higher sequence — both contenders'
+    versions are committed in a total order and the later one serves,
+    matching the old last-rename-wins semantics without ever tearing.
+    Sweeps superseded state afterwards.  Returns the version name."""
+    name = os.path.basename(staged_vdir)
+    m = _VDIR_RE.match(name)
+    if not m or not os.path.isdir(staged_vdir):
+        raise ValueError(f"not a staged version dir: {staged_vdir}")
+    ptr_dir = os.path.join(path, _PTR_DIR)
+    fs.ensure_dir(ptr_dir)
+    hexpart = name[2:]
+    for _attempt in range(50):
+        ptrs = _pointers(path)
+        seq = (ptrs[-1][0] + 1) if ptrs else 1
+        staged_ptr = os.path.join(ptr_dir, f".stage-{uuid.uuid4().hex[:8]}")
+        open(staged_ptr, "w").close()
+        try:
+            fs.commit_file(staged_ptr, os.path.join(ptr_dir, f"p{seq:010d}-{hexpart}"))
+            break
+        except FileExistsError:
+            fs.remove(staged_ptr)
+            continue
+    else:  # pragma: no cover - 50 live collisions means a writer storm
+        raise RuntimeError(
+            f"store pointer commit at {path} lost 50 straight races — "
+            "more than one writer is updating this store"
+        )
+    sweep(path)
+    return name
+
+
+def publish(df, path: str) -> str:
+    """Write ``df`` as a fully-staged version of the store at
+    ``path`` and commit it — the one-call form of
+    stage → write → :func:`commit_version` for build-once stores
+    (the ``_ensure_*`` family).  Returns the live data dir."""
+    vdir = stage_version_dir(path)
+    df.write.mode("overwrite").parquet(vdir)
+    commit_version(path, vdir)
+    return data_dir(path)
+
+
+def sweep(path: str) -> None:
+    """Delete everything the live pointer does not reference: orphan
+    / superseded ``v-*`` dirs, pointer files below the latest, stale
+    pointer stagings, and — once a live version exists — the legacy
+    flat-layout leftovers at the top level (data files, ``_SUCCESS``,
+    ``_merge_key``, hive partition dirs, old swap-protocol strays).
+
+    Safe only at protocol-safe points (fold start, post-commit): a
+    concurrently STAGED version dir would be swept as an orphan.
+    Idempotent; missing targets are fine."""
+    ptrs = _pointers(path)
+    lv = ptrs[-1][1] if ptrs else None
+    ptr_dir = os.path.join(path, _PTR_DIR)
+    for f in fs.list_dir(ptr_dir):
+        m = _PTR_RE.match(f)
+        if (m and f"v-{m.group(2)}" != lv) or f.startswith(".stage-"):
+            fs.remove(os.path.join(ptr_dir, f))
+    for entry in fs.list_dir(path):
+        if entry == _PTR_DIR or entry == lv:
+            continue
+        full = os.path.join(path, entry)
+        if _VDIR_RE.match(entry):
+            fs.remove_tree(full)  # orphan or superseded version
+        elif lv is not None:
+            # versioned store: the top level is dead legacy state
+            if os.path.isdir(full):
+                fs.remove_tree(full)
+            else:
+                fs.remove(full)

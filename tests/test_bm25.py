@@ -90,6 +90,7 @@ def test_bm25_prebuilt_index_equals_inline_and_no_rebuild(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
+    from cherry_spark.writers.store import data_dir as dd
     from cherry_spark.ext.bm25 import (
         bm25_build_index,
         bm25_index_exists,
@@ -114,11 +115,11 @@ def test_bm25_prebuilt_index_equals_inline_and_no_rebuild(spark, tmp_path):
     assert not bm25_index_exists(idx)
     bm25_build_index(docs, idx)
     assert bm25_index_exists(idx)
-    marker = os.path.getmtime(f"{idx}/tf/_SUCCESS")
+    marker = os.path.getmtime(os.path.join(dd(f"{idx}/tf"), "_SUCCESS"))
     for _ in range(2):
         served = sorted(
             tuple(r)
             for r in bm25_topk(None, q, k=3, index_dir=idx).collect()
         )
         assert served == inline
-    assert os.path.getmtime(f"{idx}/tf/_SUCCESS") == marker
+    assert os.path.getmtime(os.path.join(dd(f"{idx}/tf"), "_SUCCESS")) == marker

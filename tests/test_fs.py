@@ -71,6 +71,159 @@ def test_list_dir_missing_is_empty(tmp_path):
     assert fs.list_dir(str(tmp_path)) == ["f"]
 
 
+def _shim_nonatomic_moves():
+    """Replace the seam's moves with object-store semantics: copy then
+    delete, observable half-done — no rename anywhere.  Returns the
+    originals for the caller's finally block."""
+    import shutil
+
+    orig_move_file, orig_move_dir = fs.move_file, fs.move_dir
+
+    def slow_move_file(src, dst):
+        shutil.copyfile(src, dst)
+        os.remove(src)
+
+    def slow_move_dir(src, dst):
+        shutil.copytree(src, dst)
+        shutil.rmtree(src)
+
+    fs.move_file, fs.move_dir = slow_move_file, slow_move_dir
+    return orig_move_file, orig_move_dir
+
+
+def test_store_layer_exactly_once_under_object_store_semantics(
+    spark, tmp_path
+):
+    """r12 verdict item #2: the STORE layer (not just the bus) must
+    survive object-store semantics.  Under shimmed non-atomic moves,
+    drive a merge store (pointer-versioned overwrites) and a keyed
+    append store through fold + CRASH + replay + self-compaction:
+    every committed read equals the clean serial fold, at every crash
+    point — a crash before the pointer commit leaves an invisible
+    orphan, never a torn or lost table."""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.writers import store
+    from cherry_spark.streaming.continuous import (
+        _self_compact,
+        count_store_fold,
+        doc_store_fold,
+    )
+
+    orig = _shim_nonatomic_moves()
+    try:
+        schema = "doc_id long, text string"
+        state = str(tmp_path / "counts")
+        docs = str(tmp_path / "docs")
+        tf = lambda df: df.groupBy("text").agg(  # noqa: E731
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        ident = lambda df: df.select("doc_id", "text")  # noqa: E731
+        b0 = spark.createDataFrame([(0, "a"), (1, "b")], schema)
+        b1 = spark.createDataFrame([(2, "a"), (3, "c")], schema)
+
+        count_store_fold(spark, b0, state, tf, ["text"], batch_key="e-b0")
+        doc_store_fold(spark, b0, docs, ident, batch_key="e-b0")
+
+        # crash the merge fold's pointer commit: version dir written,
+        # pointer never lands → the committed store must still serve
+        # the pre-fold state, and the replay must merge exactly once
+        orig_commit = store.commit_version
+        store.commit_version = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before pointer commit")
+        )
+        with pytest.raises(RuntimeError, match="crash"):
+            count_store_fold(
+                spark, b1, state, tf, ["text"], batch_key="e-b1"
+            )
+        store.commit_version = orig_commit
+        pre = {
+            (r["text"], r["n"])
+            for r in spark.read.parquet(store.data_dir(state)).collect()
+        }
+        assert pre == {("a", 1), ("b", 1)}  # orphan invisible
+
+        # replay both folds (the append store's crash class: files
+        # moved, then the whole fold re-runs)
+        count_store_fold(spark, b1, state, tf, ["text"], batch_key="e-b1")
+        doc_store_fold(spark, b1, docs, ident, batch_key="e-b1")
+        # replay AGAIN (merge key short-circuit + append replacement)
+        count_store_fold(spark, b1, state, tf, ["text"], batch_key="e-b1")
+        doc_store_fold(spark, b1, docs, ident, batch_key="e-b1")
+
+        want_counts = {("a", 2), ("b", 1), ("c", 1)}
+        got = {
+            (r["text"], r["n"])
+            for r in spark.read.parquet(store.data_dir(state)).collect()
+        }
+        assert got == want_counts
+        assert spark.read.parquet(store.data_dir(docs)).count() == 4
+
+        # self-compaction under the shim: converts the flat append
+        # store to the versioned layout, preserves rows + serving
+        _self_compact(spark, docs, "e-b2", 128 * 1024 * 1024)
+        assert store.live_version(docs) is not None
+        assert spark.read.parquet(store.data_dir(docs)).count() == 4
+        # appends keep landing inside the live version afterwards
+        b2 = spark.createDataFrame([(9, "z")], schema)
+        doc_store_fold(spark, b2, docs, ident, batch_key="e-b2")
+        assert spark.read.parquet(store.data_dir(docs)).count() == 5
+        got = {
+            (r["text"], r["n"])
+            for r in spark.read.parquet(store.data_dir(state)).collect()
+        }
+        assert got == want_counts  # merge store untouched by compaction
+    finally:
+        fs.move_file, fs.move_dir = orig
+
+
+def test_ensure_store_rebuild_under_object_store_semantics(spark, tmp_path):
+    """The _ensure_* build-once stores commit via pointer publish: an
+    interrupted build (crash before the pointer) leaves the store
+    not-ready and the next call rebuilds; a completed build is served
+    verbatim by later calls — all under shimmed non-atomic moves."""
+    import shutil as _sh
+
+    from cherry_spark.queries.extensions import (
+        _ensure_minhash_signatures,
+        _fingerprinted_store_dir,
+    )
+    from cherry_spark.writers import store
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _sh.copyfile(
+        "/root/testdata/sf0.001/documents.parquet",
+        os.path.join(sf, "documents.parquet"),
+    )
+    root = _fingerprinted_store_dir(sf, "documents", "minhash", "v2")
+    _sh.rmtree(root, ignore_errors=True)
+
+    orig = _shim_nonatomic_moves()
+    try:
+        # crash the first build before its pointer commit
+        orig_commit = store.commit_version
+        store.commit_version = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before pointer commit")
+        )
+        with pytest.raises(RuntimeError, match="crash"):
+            _ensure_minhash_signatures(spark, sf)
+        store.commit_version = orig_commit
+        assert not store.ready(root)  # orphan version is invisible
+
+        ddir = _ensure_minhash_signatures(spark, sf)
+        assert store.ready(root) and ddir == store.data_dir(root)
+        n = spark.read.parquet(ddir).count()
+        assert n == 500
+        mtime = os.path.getmtime(os.path.join(ddir, "_SUCCESS"))
+        # second call serves the same committed version, no rebuild
+        assert _ensure_minhash_signatures(spark, sf) == ddir
+        assert os.path.getmtime(os.path.join(ddir, "_SUCCESS")) == mtime
+    finally:
+        fs.move_file, fs.move_dir = orig
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def test_bus_exactly_once_under_object_store_semantics(spark, tmp_path):
     """The 100 TB portability claim behind the seam (fs.py docstring):
     on an object store there is NO atomic rename — a move is

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from cherry_spark.writers.store import data_dir as dd
+
 from cherry_spark.ext.ivf import ivf_assign, ivf_centroids, ivf_topk
 from cherry_spark.ext.similarity import brute_force_topk
 
@@ -50,14 +52,14 @@ def test_ivf_prebuilt_index_reuse(spark, sf_dir, tmp_path):
         (r["query_id"], r["vec_id"], r["sim"])
         for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4).collect()
     }
-    marker = os.path.getmtime(f"{idx}/corpus/_SUCCESS")
+    marker = os.path.getmtime(os.path.join(dd(f"{idx}/corpus"), "_SUCCESS"))
     for _ in range(2):  # search twice — index must not be rebuilt
         searched = {
             (r["query_id"], r["vec_id"], r["sim"])
             for r in ivf_search(spark, idx, q, k=5, nprobe=4).collect()
         }
         assert searched == one_shot
-    assert os.path.getmtime(f"{idx}/corpus/_SUCCESS") == marker
+    assert os.path.getmtime(os.path.join(dd(f"{idx}/corpus"), "_SUCCESS")) == marker
 
 
 def test_ivf_topk_recall(spark, sf_dir):
@@ -143,7 +145,7 @@ def test_semantic_dedup_prebuilt_assignment(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     idx = str(tmp_path / "ivf")
     ivf_build_index(emb, idx, n_centroids=8)
-    prebuilt = spark.read.parquet(f"{idx}/corpus").select("vec_id", "centroid_id")
+    prebuilt = spark.read.parquet(dd(f"{idx}/corpus")).select("vec_id", "centroid_id")
 
     inline = {
         (r["vec_id"], r["centroid_id"], r["is_dup"])

@@ -8,6 +8,8 @@ import hashlib
 
 from pyspark.sql import functions as F
 
+from cherry_spark.writers.store import data_dir as dd
+
 from cherry_spark.ext.train import (
     SCALE,
     train_hashed_classifier,
@@ -260,7 +262,7 @@ def test_streaming_trained_gate_refit_changes_admissions(spark, tmp_path):
     }
     got = {
         r["bucket"]: r["w"]
-        for r in spark.read.parquet(f"{state}/weights").collect()
+        for r in spark.read.parquet(dd(f"{state}/weights")).collect()
     }
     assert got == expect
 
@@ -288,7 +290,7 @@ def test_streaming_trained_gate_torn_swap_serves_previous_full_model(
     label = F.col("text").contains("pos")
     trained_gate_fold(spark, b0, state, label, 0, n_buckets=4096, n_iters=2)
     canon = lambda p: sorted(  # noqa: E731
-        tuple(r) for r in spark.read.parquet(p).collect()
+        tuple(r) for r in spark.read.parquet(dd(p)).collect()
     )
     v0 = canon(weights_dir)
 
@@ -301,17 +303,18 @@ def test_streaming_trained_gate_torn_swap_serves_previous_full_model(
     assert canon(weights_dir) == v0  # previous FULL model restored
     assert [(r["keep"], r["model_version"]) for r in out] == [(1, 0)]
 
-    # half-staged new model left by a crash before the swap: dropped,
-    # previous version still serves
-    os.makedirs(f"{weights_dir}__tmp_deadbeef")
-    shutil.copy(
-        next(
-            f"{weights_dir}/{f}"
-            for f in os.listdir(weights_dir)
-            if f.endswith(".parquet")
-        ),
-        f"{weights_dir}__tmp_deadbeef/part-00000.parquet",
+    # half-staged new model left by a crash before the commit —
+    # legacy __tmp sibling AND an r13 orphan version dir (staged,
+    # never pointer-committed): both dropped, previous version serves
+    src_part = next(
+        f"{dd(weights_dir)}/{f}"
+        for f in os.listdir(dd(weights_dir))
+        if f.endswith(".parquet")
     )
+    os.makedirs(f"{weights_dir}__tmp_deadbeef")
+    shutil.copy(src_part, f"{weights_dir}__tmp_deadbeef/part-00000.parquet")
+    os.makedirs(f"{weights_dir}/v-deadbeefcafe")
+    shutil.copy(src_part, f"{weights_dir}/v-deadbeefcafe/part-00000.parquet")
     out2 = trained_gate_fold(
         spark,
         spark.createDataFrame([(901, "alpha alpha alpha")], schema),
@@ -322,6 +325,7 @@ def test_streaming_trained_gate_torn_swap_serves_previous_full_model(
         n_iters=2,
     ).collect()
     assert not os.path.exists(f"{weights_dir}__tmp_deadbeef")
+    assert not os.path.exists(f"{weights_dir}/v-deadbeefcafe")
     assert canon(weights_dir) == v0
     assert [(r["keep"], r["model_version"]) for r in out2] == [(1, 0)]
 
@@ -342,7 +346,7 @@ def _fold_batches(spark, state, label, batches, **kw):
 
 
 def _canon(spark, path):
-    return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    return sorted(tuple(r) for r in spark.read.parquet(dd(path)).collect())
 
 
 def test_trained_gate_sample_store_equals_global_topn(spark, tmp_path):
@@ -365,7 +369,7 @@ def test_trained_gate_sample_store_equals_global_topn(spark, tmp_path):
     expect = _canon_rows(
         hist.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(10)
     )
-    got = _canon_rows(spark.read.parquet(f"{state}/train_sample"))
+    got = _canon_rows(spark.read.parquet(dd(f"{state}/train_sample")))
     assert got == expect
     assert len(got) == 10
 
@@ -389,7 +393,7 @@ def test_trained_gate_bounded_refit_trains_on_sample_only(spark, tmp_path):
         spark, state, label, batches,
         n_buckets=4096, n_iters=2, refit_every=1, retain_docs=12,
     )
-    sample = spark.read.parquet(f"{state}/train_sample")
+    sample = spark.read.parquet(dd(f"{state}/train_sample"))
     assert sample.count() == 12
     expect = {
         r["bucket"]: r["w"]
@@ -399,7 +403,7 @@ def test_trained_gate_bounded_refit_trains_on_sample_only(spark, tmp_path):
     }
     got = {
         r["bucket"]: r["w"]
-        for r in spark.read.parquet(f"{state}/weights")
+        for r in spark.read.parquet(dd(f"{state}/weights"))
         .select("bucket", "w")
         .collect()
     }
@@ -425,13 +429,13 @@ def test_trained_gate_sample_replay_idempotent(spark, tmp_path):
         spark, spark.createDataFrame(b1, schema), state, label, 1,
         n_buckets=4096, retain_docs=6,
     )
-    clean = _canon_rows(spark.read.parquet(f"{state}/train_sample"))
+    clean = _canon_rows(spark.read.parquet(dd(f"{state}/train_sample")))
     # replay batch 1 (same data, same key): store must not change
     trained_gate_fold(
         spark, spark.createDataFrame(b1, schema), state, label, 1,
         n_buckets=4096, retain_docs=6,
     )
-    assert _canon_rows(spark.read.parquet(f"{state}/train_sample")) == clean
+    assert _canon_rows(spark.read.parquet(dd(f"{state}/train_sample"))) == clean
     # and the labeled history did not duplicate the batch
     assert spark.read.parquet(f"{state}/labeled").count() == 18
 
@@ -510,7 +514,7 @@ def test_trained_gate_sample_skips_noop_merges(spark, tmp_path):
     expect = _canon_rows(
         hist.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").limit(8)
     )
-    assert _canon_rows(spark.read.parquet(sample_dir)) == expect
+    assert _canon_rows(spark.read.parquet(dd(sample_dir))) == expect
 
 
 def test_trained_gate_sample_dedupes_repeated_ids(spark, tmp_path):
@@ -534,7 +538,7 @@ def test_trained_gate_sample_dedupes_repeated_ids(spark, tmp_path):
         spark, state, label, [b0, b1, b2],
         n_buckets=4096, n_iters=2, refit_every=2, retain_docs=8,
     )
-    sample = spark.read.parquet(f"{state}/train_sample")
+    sample = spark.read.parquet(dd(f"{state}/train_sample"))
     got = _canon_rows(sample)
     assert len(got) == 8
     # distinct ids — no double slot
@@ -577,4 +581,64 @@ def test_trained_gate_sample_dedupes_repeated_ids(spark, tmp_path):
         refit_every=2,
         retain_docs=8,
     )
-    assert _canon_rows(spark.read.parquet(f"{state}/train_sample")) == got
+    assert _canon_rows(spark.read.parquet(dd(f"{state}/train_sample"))) == got
+
+
+def test_trained_gate_sample_follows_diverged_replay(spark, tmp_path):
+    """r12 advice (low): a diverged crash replay (possible when the
+    gate consumes a bus whose producer corrected the version via
+    replace_if_last) must update the sample to follow the replay —
+    like the keyed labeled store — WITHOUT displacing an earlier
+    batch's first arrival.  Sample rows carry their admitting batch
+    key (__src): on an own-key replay only the crashed attempt's own
+    copies lose the per-id dedupe to the replay's rows."""
+    from cherry_spark.streaming.continuous import trained_gate_fold
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    label = F.col("text").contains("pos")
+    sample_dir = f"{state}/train_sample"
+
+    b0 = [(i, f"a{i} pos") for i in range(6)]
+    # batch 1: fresh ids 100.. plus a REPEAT of id 2 (first arrival in
+    # batch 0 must keep winning, even through the replay below)
+    b1 = [(100 + i, f"b{i} neg") for i in range(4)] + [(2, "dup neg")]
+    trained_gate_fold(
+        spark, spark.createDataFrame(b0, schema), state, label, 0,
+        n_buckets=4096, retain_docs=20,
+    )
+    trained_gate_fold(
+        spark, spark.createDataFrame(b1, schema), state, label, 1,
+        n_buckets=4096, retain_docs=20,
+    )
+
+    # diverged replay of batch 1: same ids, different text/labels
+    b1_replay = [(100 + i, f"CORRECTED{i} pos") for i in range(4)] + [
+        (2, "dup2 neg")
+    ]
+    trained_gate_fold(
+        spark, spark.createDataFrame(b1_replay, schema), state, label, 1,
+        n_buckets=4096, retain_docs=20,
+    )
+
+    sample = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(dd(f"{state}/train_sample")).collect()
+    }
+    # the replay's rows replaced the crashed attempt's copies
+    for i in range(4):
+        assert sample[100 + i] == f"CORRECTED{i} pos"
+    # the batch-0 first arrival of id 2 still wins
+    assert sample[2] == "a2 pos"
+    # idempotence: replaying the SAME corrected batch again changes
+    # nothing
+    before = sorted(sample.items())
+    trained_gate_fold(
+        spark, spark.createDataFrame(b1_replay, schema), state, label, 1,
+        n_buckets=4096, retain_docs=20,
+    )
+    after = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(dd(f"{state}/train_sample")).collect()
+    )
+    assert after == before

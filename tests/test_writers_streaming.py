@@ -18,6 +18,7 @@ from cherry_spark.writers import (
     create_writer,
 )
 from cherry_spark.writers.clickhouse_writer import create_table_ddl, spark_type_to_clickhouse
+from cherry_spark.writers.store import data_dir as dd
 
 
 def test_parquet_writer_anchor_order(spark, tmp_path):
@@ -316,12 +317,12 @@ def test_streaming_growing_semdedup_catches_paraphrase_clones(spark, tmp_path):
 
     # one re-seed actually happened (corpus outgrew 1.5 x built_n=2)
     built_n = (
-        spark.read.parquet(f"{corpus_dir}_centroids")
+        spark.read.parquet(dd(f"{corpus_dir}_centroids"))
         .agg(F.max("built_n"))
         .collect()[0][0]
     )
     assert built_n == 4
-    assert spark.read.parquet(corpus_dir).count() == 6
+    assert spark.read.parquet(dd(corpus_dir)).count() == 6
 
     # serial replay with identical folding + re-seed rule, in recorded
     # batch order (all library calls are deterministic)
@@ -410,13 +411,13 @@ def test_growing_semdedup_torn_reseed_self_repairs(spark, tmp_path):
     )
     q.awaitTermination(240)
     # batch 1 (12 > 1.5 * 4) reseeded: the centroid table records it
-    cent_rows = spark.read.parquet(cent_dir)
+    cent_rows = spark.read.parquet(dd(cent_dir))
     (rk,) = cent_rows.agg(F.max("reseed_key")).first()
     assert rk.endswith("-b1")
 
     # fabricate the torn state: corpus content present but assigned in
     # the WRONG space (deranged ids) and the paired merge marker gone
-    stored = spark.read.parquet(corpus_dir).localCheckpoint(eager=True)
+    stored = spark.read.parquet(dd(corpus_dir)).localCheckpoint(eager=True)
     n_ids = 2
     deranged = stored.withColumn(
         "centroid_id",
@@ -443,8 +444,8 @@ def test_growing_semdedup_torn_reseed_self_repairs(spark, tmp_path):
     q2.awaitTermination(240)
 
     # the corpus assignment space matches the stored centroids exactly
-    final = spark.read.parquet(corpus_dir)
-    cents = spark.read.parquet(cent_dir).select("centroid_id", "centroid")
+    final = spark.read.parquet(dd(corpus_dir))
+    cents = spark.read.parquet(dd(cent_dir)).select("centroid_id", "centroid")
     expect = {
         r["vec_id"]: r["centroid_id"]
         for r in ivf_assign(
@@ -584,7 +585,7 @@ def test_curation_gate_replay_is_store_idempotent(spark, tmp_path):
         out = {}
         for t in ("text", "text_sigs", "vecs", "spent"):
             out[t] = sorted(
-                tuple(r) for r in spark.read.parquet(f"{state}/{t}").collect()
+                tuple(r) for r in spark.read.parquet(dd(f"{state}/{t}")).collect()
             )
         return out
 
@@ -663,13 +664,13 @@ def test_curation_gate_torn_reseed_self_repairs(spark, tmp_path):
         reseed_factor=1.5,
     )
     q.awaitTermination(240)
-    cent_rows = spark.read.parquet(f"{state}/centroids")
+    cent_rows = spark.read.parquet(dd(f"{state}/centroids"))
     (rk,) = cent_rows.agg(F.max("reseed_key")).first()
     assert rk.endswith("-b1")  # batch 1 reseeded (12 > 1.5 * 4)
 
     # fabricate the torn state: deranged assignments, no merge marker
     vec_dir = f"{state}/vecs"
-    stored = spark.read.parquet(vec_dir).localCheckpoint(eager=True)
+    stored = spark.read.parquet(dd(vec_dir)).localCheckpoint(eager=True)
     deranged = stored.withColumn(
         "centroid_id",
         ((F.col("centroid_id").cast("long") + 1) % 2).cast(
@@ -693,8 +694,8 @@ def test_curation_gate_torn_reseed_self_repairs(spark, tmp_path):
     )
     q2.awaitTermination(240)
 
-    final = spark.read.parquet(vec_dir)
-    cents = spark.read.parquet(f"{state}/centroids").select(
+    final = spark.read.parquet(dd(vec_dir))
+    cents = spark.read.parquet(dd(f"{state}/centroids")).select(
         "centroid_id", "centroid"
     )
     expect = {
@@ -789,10 +790,10 @@ def test_streaming_curation_gate_composes_all_three_gates(spark, tmp_path):
     cum_of = {r["doc_id"]: r["cum_tokens"] for r in got if r["cum_tokens"] is not None}
     assert cum_of == {1: 30, 2: 60, 5: 90}
     # every store folded exactly the admissions
-    assert spark.read.parquet(os.path.join(state, "text")).count() == 3
-    assert spark.read.parquet(os.path.join(state, "text_sigs")).count() == 3
-    assert spark.read.parquet(os.path.join(state, "vecs")).count() == 3
-    assert spark.read.parquet(os.path.join(state, "spent")).first()["spent"] == 90
+    assert spark.read.parquet(dd(os.path.join(state, "text"))).count() == 3
+    assert spark.read.parquet(dd(os.path.join(state, "text_sigs"))).count() == 3
+    assert spark.read.parquet(dd(os.path.join(state, "vecs"))).count() == 3
+    assert spark.read.parquet(dd(os.path.join(state, "spent"))).first()["spent"] == 90
 
 
 def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
@@ -940,7 +941,7 @@ def test_streaming_rollup_matches_batch_groupby(spark, tmp_path):
         for lang, e in expect.items():
             assert {m: got[lang][m] for m in e} == e
     # the store holds the final rollup (restart-ready)
-    final = {r["lang"]: r["sum_n_tokens"] for r in spark.read.parquet(state).collect()}
+    final = {r["lang"]: r["sum_n_tokens"] for r in spark.read.parquet(dd(state)).collect()}
     assert final == {"en": 45, "de": 107, "fr": 52}
 
 
@@ -1237,7 +1238,7 @@ def test_streaming_decontamination_gate_matches_batch(spark, tmp_path):
     # the store was built once and persists for restarts
     import os
 
-    assert any(f.endswith(".parquet") for f in os.listdir(store))
+    assert any(f.endswith(".parquet") for f in os.listdir(dd(store)))
 
 
 def test_streaming_curation_gate_with_decontamination_stage(spark, tmp_path):
@@ -1318,12 +1319,12 @@ def test_streaming_curation_gate_with_decontamination_stage(spark, tmp_path):
         4: "admitted",
     }
     # contaminated docs never touched a store or the budget
-    assert spark.read.parquet(os.path.join(state, "text")).count() == 2
-    assert spark.read.parquet(os.path.join(state, "spent")).first()["spent"] == 60
+    assert spark.read.parquet(dd(os.path.join(state, "text"))).count() == 2
+    assert spark.read.parquet(dd(os.path.join(state, "spent"))).first()["spent"] == 60
     # the eval-posting store was built once and persists
     assert any(
         f.endswith(".parquet")
-        for f in os.listdir(os.path.join(state, "eval_postings"))
+        for f in os.listdir(dd(os.path.join(state, "eval_postings")))
     )
 
 
@@ -1394,8 +1395,8 @@ def test_streaming_curation_gate_restart_uses_persisted_stores(spark, tmp_path):
     }
     assert len(got) == 4  # docs 1/2 classified exactly once
     # budget resumed from the persisted spent row: 30 + 30 + 25
-    assert spark.read.parquet(os.path.join(state, "spent")).first()["spent"] == 85
-    assert spark.read.parquet(os.path.join(state, "text")).count() == 3
+    assert spark.read.parquet(dd(os.path.join(state, "spent"))).first()["spent"] == 85
+    assert spark.read.parquet(dd(os.path.join(state, "text"))).count() == 3
 
 
 def test_streaming_span_gate_rejects_and_restarts(spark, tmp_path):
@@ -1457,7 +1458,7 @@ def test_streaming_span_gate_rejects_and_restarts(spark, tmp_path):
     assert got[4]["n_overlap_tokens"] == 6 and got[4]["n_tokens"] == 12
     # the store holds postings ONLY for admitted docs
     stored_docs = {
-        r["__doc"] for r in spark.read.parquet(state).select("__doc").distinct().collect()
+        r["__doc"] for r in spark.read.parquet(dd(state)).select("__doc").distinct().collect()
     }
     assert stored_docs == {1, 2, 4, 6}
 
@@ -1481,7 +1482,7 @@ def test_streaming_span_gate_rejects_and_restarts(spark, tmp_path):
     assert batch[7]["verdict"] == "span_dup"
     assert batch[7]["n_overlap_tokens"] == 6
     stored_docs = {
-        r["__doc"] for r in spark.read.parquet(state).select("__doc").distinct().collect()
+        r["__doc"] for r in spark.read.parquet(dd(state)).select("__doc").distinct().collect()
     }
     assert stored_docs == {1, 2, 4, 6}  # the rejected clone stored nothing
 
@@ -1532,7 +1533,7 @@ def test_streaming_span_gate_replay_is_idempotent(spark, tmp_path):
         1: "unique", 2: "unique"
     }
     stored_before = sorted(
-        tuple(r) for r in spark.read.parquet(state).collect()
+        tuple(r) for r in spark.read.parquet(dd(state)).collect()
     )
 
     # simulate a crash between the store append and the checkpoint
@@ -1564,7 +1565,7 @@ def test_streaming_span_gate_replay_is_idempotent(spark, tmp_path):
         1: "unique", 2: "unique"  # NOT span_dup: no diag-0 self-match
     }
     stored_after = sorted(
-        tuple(r) for r in spark.read.parquet(state).collect()
+        tuple(r) for r in spark.read.parquet(dd(state)).collect()
     )
     assert stored_after == stored_before  # overwrite, never duplicate
 
@@ -1700,7 +1701,7 @@ def test_bm25_fold_replay_never_duplicates_tf_dl(spark, tmp_path):
         out = {}
         for t in ("tf", "dl", "dfreq", "stats"):
             out[t] = sorted(
-                tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()
+                tuple(r) for r in spark.read.parquet(dd(f"{path}/{t}")).collect()
             )
         return out
 
@@ -1754,7 +1755,7 @@ def test_self_compact_preserves_merge_marker_for_replay(spark, tmp_path):
     def canon(path):
         return {
             t: sorted(
-                tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()
+                tuple(r) for r in spark.read.parquet(dd(f"{path}/{t}")).collect()
             )
             for t in ("tf", "dl", "dfreq", "stats")
         }
@@ -1787,7 +1788,7 @@ def test_count_store_fold_replay_never_double_merges(spark, tmp_path):
     b0 = spark.createDataFrame([(0, "a b a b c")], schema)
     b1 = spark.createDataFrame([(1, "a b x y")], schema)
     canon = lambda p: sorted(  # noqa: E731
-        tuple(r) for r in spark.read.parquet(p).collect()
+        tuple(r) for r in spark.read.parquet(dd(p)).collect()
     )
 
     ref = str(tmp_path / "ref")
@@ -1865,7 +1866,7 @@ def test_streaming_positional_index_equals_from_scratch(spark, tmp_path):
     inline = canon(phrase_search_topk(all_docs, phrases, k=3))
     served = canon(
         phrase_search_topk(
-            None, phrases, k=3, postings=spark.read.parquet(state)
+            None, phrases, k=3, postings=spark.read.parquet(dd(state))
         )
     )
     assert served == inline
@@ -1875,7 +1876,7 @@ def test_streaming_positional_index_equals_from_scratch(spark, tmp_path):
     assert got[(0, 0)] == 2 and got[(0, 3)] == 3
 
     # store is row-identical to a from-scratch build (not just same ranks)
-    assert canon(spark.read.parquet(state)) == canon(
+    assert canon(spark.read.parquet(dd(state))) == canon(
         positional_postings(all_docs)
     )
 
@@ -1897,7 +1898,7 @@ def test_streaming_positional_index_equals_from_scratch(spark, tmp_path):
     inline7 = canon(phrase_search_topk(all7, phrases, k=3))
     served7 = canon(
         phrase_search_topk(
-            None, phrases, k=3, postings=spark.read.parquet(state)
+            None, phrases, k=3, postings=spark.read.parquet(dd(state))
         )
     )
     assert served7 == inline7
@@ -1955,7 +1956,7 @@ def test_streaming_pair_graph_equals_from_scratch(spark, tmp_path):
     all_docs = spark.createDataFrame([d for a in arrivals for d in a], schema)
     canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     inline = canon(ngram_jaccard_pairs(all_docs, threshold=0.3))
-    served = canon(spark.read.parquet(f"{state}/pairs"))
+    served = canon(spark.read.parquet(dd(f"{state}/pairs")))
     assert served == inline and len(inline) >= 3
 
     # downtime arrival, then restart from the same checkpoint: only
@@ -1982,7 +1983,7 @@ def test_streaming_pair_graph_equals_from_scratch(spark, tmp_path):
     assert len(folds2) == 1 and folds2[0][1][0] == 1
     all7 = all_docs.unionByName(spark.createDataFrame(late, schema))
     inline7 = canon(ngram_jaccard_pairs(all7, threshold=0.3))
-    served7 = canon(spark.read.parquet(f"{state}/pairs"))
+    served7 = canon(spark.read.parquet(dd(f"{state}/pairs")))
     assert served7 == inline7
 
 
@@ -2017,7 +2018,7 @@ def test_streaming_pair_graph_fold_time_cap_semantics(spark, tmp_path):
     # fold 1: pair (0,1) via shared "x y z" (J = 1/3); fold 2: "x y z"
     # now hot -> doc 2 shares nothing capped with anyone, no new edges
     assert folds == [1, 0]
-    rows = sorted(tuple(r) for r in spark.read.parquet(f"{state}/pairs").collect())
+    rows = sorted(tuple(r) for r in spark.read.parquet(dd(f"{state}/pairs")).collect())
     assert rows == [(0, 1, 1.0 / 3.0)]
     # the from-scratch twin under the SAME cap drops the old edge too —
     # the fold-time graph is the more-history-preserving of the two
@@ -2057,13 +2058,13 @@ def test_compact_state_dir_preserves_maintainer_serving(spark, tmp_path):
         ).collect()
 
     canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
-    before = canon(spark.read.parquet(f"{state}/pairs"))
+    before = canon(spark.read.parquet(dd(f"{state}/pairs")))
     files_before = _n_parquet_files(f"{state}/postings")
 
     stats = compact_state_dir(spark, state)
     assert set(stats) >= {"postings", "sizes", "pairs", "dfreq"}
     assert _n_parquet_files(f"{state}/postings") < files_before
-    assert canon(spark.read.parquet(f"{state}/pairs")) == before
+    assert canon(spark.read.parquet(dd(f"{state}/pairs"))) == before
 
     # the maintainer keeps folding correctly over the compacted state
     late = [(5, "the quick brown fox jumps")]
@@ -2073,7 +2074,7 @@ def test_compact_state_dir_preserves_maintainer_serving(spark, tmp_path):
     all_docs = spark.createDataFrame(
         [d for a in arrivals for d in a] + late, schema
     )
-    assert canon(spark.read.parquet(f"{state}/pairs")) == canon(
+    assert canon(spark.read.parquet(dd(f"{state}/pairs"))) == canon(
         ngram_jaccard_pairs(all_docs, threshold=0.3)
     )
 
@@ -2126,7 +2127,7 @@ def test_maintainer_self_compacts_on_cadence(spark, tmp_path):
     assert _n_parquet_files(state) < len(arrivals)
     canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     all_docs = spark.createDataFrame([d for a in arrivals for d in a], schema)
-    assert canon(spark.read.parquet(state)) == canon(
+    assert canon(spark.read.parquet(dd(state))) == canon(
         positional_postings(all_docs)
     )
 
@@ -2162,7 +2163,7 @@ def test_self_compact_crash_windows_never_lose_state(spark, tmp_path):
             batch_key=f"b{i}",
         ).collect()
     canon = lambda p: sorted(  # noqa: E731
-        tuple(r) for r in spark.read.parquet(p).collect()
+        tuple(r) for r in spark.read.parquet(dd(p)).collect()
     )
     ref = canon(state)
 
@@ -2219,7 +2220,7 @@ def test_pair_graph_fold_replay_after_commit_is_idempotent(spark, tmp_path):
     def canon(path, tables=("postings", "sizes", "pairs", "dfreq")):
         return {
             t: sorted(
-                tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()
+                tuple(r) for r in spark.read.parquet(dd(f"{path}/{t}")).collect()
             )
             for t in tables
         }
@@ -2273,7 +2274,7 @@ def test_fresh_checkpoint_run_preserves_prior_state(spark, tmp_path):
 
     run_once("one", [(0, "first run doc"), (1, "another first run doc")])
     run_once("two", [(2, "second run doc")])
-    got = sorted(r["doc_id"] for r in spark.read.parquet(state).collect())
+    got = sorted(r["doc_id"] for r in spark.read.parquet(dd(state)).collect())
     assert got == [0, 1, 2]  # run two added; run one's history intact
 
 
@@ -2295,7 +2296,7 @@ def test_self_compact_preserves_replay_of_crashed_attempt(spark, tmp_path):
     b0 = spark.createDataFrame([(0, "first doc"), (1, "second doc")], schema)
     b1 = spark.createDataFrame([(2, "third doc"), (3, "fourth doc")], schema)
     canon = lambda p: sorted(  # noqa: E731
-        tuple(r) for r in spark.read.parquet(p).collect()
+        tuple(r) for r in spark.read.parquet(dd(p)).collect()
     )
 
     ref = str(tmp_path / "ref")
@@ -2362,13 +2363,13 @@ def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
     # maintained corpus == one-shot assignment against the SAME centroids
     all_rows = base + [r for a in arrivals for r in a]
     all_df = spark.createDataFrame(all_rows, schema)
-    centroids = spark.read.parquet(f"{index}/centroids")
+    centroids = spark.read.parquet(dd(f"{index}/centroids"))
     ref = all_df.join(ivf_assign(all_df, centroids), on="vec_id")
     canon = lambda df: sorted(  # noqa: E731
         (r["vec_id"], tuple(r["embedding"]), r["centroid_id"])
         for r in df.collect()
     )
-    assert canon(spark.read.parquet(f"{index}/corpus")) == canon(ref)
+    assert canon(spark.read.parquet(dd(f"{index}/corpus"))) == canon(ref)
 
     # served search == search over a reference index built in one shot
     ref_index = str(tmp_path / "ivf_ref")
@@ -2406,7 +2407,7 @@ def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
     assert len(folds2) == 1 and folds2[0][0] == 2 and folds2[0][1] >= 1
     all7 = all_df.unionByName(spark.createDataFrame(late, schema))
     ref7 = all7.join(ivf_assign(all7, centroids), on="vec_id")
-    assert canon(spark.read.parquet(f"{index}/corpus")) == canon(ref7)
+    assert canon(spark.read.parquet(dd(f"{index}/corpus"))) == canon(ref7)
 
 
 def test_streaming_doc_store_serves_all_three_transforms(spark, tmp_path):
@@ -2465,7 +2466,7 @@ def test_streaming_doc_store_serves_all_three_transforms(spark, tmp_path):
         )
         q.awaitTermination(240)
         assert len(folds) == 2 and all(n > 0 for n in folds), name
-        assert canon(spark.read.parquet(state)) == canon(tf(all_docs)), name
+        assert canon(spark.read.parquet(dd(state))) == canon(tf(all_docs)), name
         stores[name] = state
 
     # a batch consumer serves from the maintained store: identical
@@ -2520,9 +2521,9 @@ def test_streaming_count_store_maintains_bigram_lm(spark, tmp_path):
 
     all_docs = spark.createDataFrame([d for a in arrivals for d in a], schema)
     canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
-    assert canon(spark.read.parquet(state)) == canon(bigram_counts(all_docs))
+    assert canon(spark.read.parquet(dd(state))) == canon(bigram_counts(all_docs))
     served = canon(
-        bigram_logprob(all_docs, counts=spark.read.parquet(state))
+        bigram_logprob(all_docs, counts=spark.read.parquet(dd(state)))
     )
     assert served == canon(bigram_logprob(all_docs))
 
@@ -2551,7 +2552,7 @@ def test_fold_overwrite_survives_torn_swap(spark, tmp_path):
 
     got = {
         (r["prev"], r["cur"]): r["c2"]
-        for r in spark.read.parquet(state).collect()
+        for r in spark.read.parquet(dd(state)).collect()
     }
     # full history: both folds' counts, not a silent reset to batch 2
     assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
@@ -2671,7 +2672,7 @@ def test_curation_gate_zero_admission_replay_rewrites_spent(spark, tmp_path):
     )
     q.awaitTermination(240)
     assert first == [{1: "admitted", 2: "admitted"}]
-    spent0 = spark.read.parquet(f"{state}/spent").first()
+    spent0 = spark.read.parquet(dd(f"{state}/spent")).first()
     assert (spent0["spent"], spent0["prev"]) == (8, 0)
 
     # crash-replay the batch, forcing zero admissions
@@ -2690,7 +2691,7 @@ def test_curation_gate_zero_admission_replay_rewrites_spent(spark, tmp_path):
     assert replay == [{1: "over_budget", 2: "over_budget"}]
     # the spent store follows the delivered verdicts: nothing admitted
     # => spent back at the pre-batch basis, not the crashed attempt's 8
-    spent1 = spark.read.parquet(f"{state}/spent").first()
+    spent1 = spark.read.parquet(dd(f"{state}/spent")).first()
     assert (spent1["spent"], spent1["prev"]) == (0, 0)
 
 
