@@ -98,9 +98,18 @@ class ManifestBusStreamReader(DataSourceStreamReader):
         # ``checkpoint`` hint must be readable from the driver-side
         # python worker (local paths in this sandbox; on a cluster
         # pass it only if the checkpoint fs is mounted/readable).
+        # ``source_index`` (r12 advice): in a MULTI-source query the
+        # checkpoint's offsets file holds one line per source, and
+        # another source's payload may also carry a "version" field —
+        # the default last-wins scan would read the wrong base.  Pass
+        # the cherry_bus source's 0-based position in the query plan
+        # to select its offset line positionally (the
+        # bus_consumer_version contract).
         mvpb = options.get("max_versions_per_batch")
         self.max_versions = int(mvpb) if mvpb is not None else None
         self.checkpoint_hint = options.get("checkpoint")
+        src_idx = options.get("source_index")
+        self.source_index = int(src_idx) if src_idx is not None else None
         self._last_ret: int | None = None
         self._schema = schema
 
@@ -128,10 +137,35 @@ class ManifestBusStreamReader(DataSourceStreamReader):
         if base is None and self.checkpoint_hint:
             from cherry_spark.writers.manifest_bus import bus_planned_version
 
-            base = bus_planned_version(self.checkpoint_hint)
+            base = bus_planned_version(
+                self.checkpoint_hint, source_index=self.source_index
+            )
             if base is None:  # empty offsets log: genuinely fresh
                 base = self._starting_version()
-        if base is not None:
+        if base is None:
+            # no checkpoint hint: the only safe offset is the disk
+            # head, which over a deep backlog plans the WHOLE history
+            # as batch one — at scale that unbounded first batch is
+            # exactly the one that dies (r12 verdict).  Loud, not
+            # silent: tell the caller the two bounded recipes.
+            start = self._starting_version()
+            if latest - start > self.max_versions:
+                import warnings
+
+                warnings.warn(
+                    f"cherry_bus at {self.bus_dir}: max_versions_per_batch="
+                    f"{self.max_versions} is set but no 'checkpoint' "
+                    f"option was given, and the backlog ({latest - start} "
+                    "versions) exceeds the cap — the FIRST batch of this "
+                    "run is unbounded (later batches are capped). Pass "
+                    "the consumer's own checkpoint path as the "
+                    "'checkpoint' option for a capped cold start, or "
+                    "bootstrap with bus_snapshot + "
+                    "starting_version=latest.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        else:
             # never below the base (disk can sit below a 'latest'
             # start), never more than max_versions above it
             latest = max(base, min(latest, base + self.max_versions))

@@ -189,20 +189,38 @@ def bus_append(
     - ``"skip"`` (default): return the existing version — the crashed
       attempt fully committed, the rows are on the bus.
     - ``"replace_if_last"``: if the key's entry is the LATEST version,
-      retract it (delete entry + files) and re-append the current
-      rows at the same version.  This repairs the divergence window a
-      gate's bus mirror has when a crash lands between ``bus_append``
-      and the checkpoint commit and the REPLAYED batch legitimately
-      derives different rows (e.g. a reseed boundary re-draws
-      verdicts): under "skip" the bus would permanently keep the
-      crashed attempt's rows while the keyed stores follow the replay.
-      Single-writer + crash-before-checkpoint means the crashed entry
-      is necessarily the newest, so "not last" ⇒ the checkpoint
-      committed and this is not that window ⇒ skip.  Residual: a
-      consumer that committed PAST the crashed version before the
-      producer replayed keeps the old rows (sinks are at-least-once;
-      stores stay exact because their folds key on their own batch
-      ids, not bus content)."""
+      supersede it with the current rows.  STAGED-FIRST (r12 advice):
+      the replacement data files are fully written and moved into the
+      data dir under deterministic ``replace_<md5(key)>-NNNNN`` names
+      (the ``_`` is unreachable from any key's cleanup pattern, the
+      md5 makes a crashed attempt's files replayable-by-name) while
+      the old entry stays fully readable; only then does the entry
+      swap run — remove old entry, recommit at the same version —
+      two adjacent metadata ops, and the retired data files are
+      deleted only after the new entry is committed.  This repairs
+      the divergence window a gate's bus mirror has when a crash
+      lands between ``bus_append`` and the checkpoint commit and the
+      REPLAYED batch legitimately derives different rows (e.g. a
+      reseed boundary re-draws verdicts): under "skip" the bus would
+      permanently keep the crashed attempt's rows while the keyed
+      stores follow the replay.  Single-writer +
+      crash-before-checkpoint means the crashed entry is necessarily
+      the newest, so "not last" ⇒ the checkpoint committed and this
+      is not that window ⇒ skip — UNLESS the newest entry is a
+      ``bus_compact`` rewrite that already absorbed the crashed
+      files, where a silent skip would keep the diverged rows with
+      no signal: that degradation now warns loudly (compaction must
+      not run between a producer crash and its replay — see
+      ``bus_compact``'s ``producer_checkpoints`` guard).  A crash
+      between the entry remove and the recommit self-heals: the
+      replay finds the key unmanifested and re-appends normally (the
+      orphan sweep covers both file shapes).  Residuals: a consumer
+      that committed PAST the crashed version before the producer
+      replayed keeps the old rows, and one whose ALREADY-PLANNED
+      batch reads the version inside the two-op swap window sees it
+      empty (sinks are at-least-once; stores stay exact because
+      their folds key on their own batch ids, not bus content)."""
+    import hashlib
     import re
 
     if not re.fullmatch(r"[A-Za-z0-9.\-]+", key):
@@ -216,21 +234,38 @@ def bus_append(
     # replay of a fully-committed append: its key is in a manifest
     # FILENAME — one directory listing, no JSON reads
     ddir = _data_dir(bus_dir)
+    rtoken = f"replace_{hashlib.md5(key.encode()).hexdigest()[:8]}"
     versions = _version_names(bus_dir)
     for v, n in versions:
         if n.endswith(f"_{key}.json"):
-            if on_replay == "skip" or v != versions[-1][0]:
+            if on_replay == "skip":
                 return v
-            # replace_if_last: retract the crashed attempt's entry and
-            # files, then fall through to a normal append (which will
-            # recommit at the same, still-next version number)
-            mpath = os.path.join(_manifest_dir(bus_dir), n)
-            with open(mpath) as fh:
-                stale = json.load(fh)
-            fs.remove(mpath)
-            for f in stale.get("files", []):
-                fs.remove(os.path.join(ddir, f))
-            break
+            if v != versions[-1][0]:
+                mpath = os.path.join(_manifest_dir(bus_dir), n)
+                with open(mpath) as fh:
+                    stale = json.load(fh)
+                dead = {
+                    df_
+                    for e in entries_between(bus_dir, v, versions[-1][0])
+                    for df_ in e.get("replaces", [])
+                }
+                if any(f in dead for f in stale.get("files", [])):
+                    import warnings
+
+                    warnings.warn(
+                        f"bus_append(replace_if_last) at {bus_dir}: the "
+                        f"crashed batch {key!r} (version {v}) was already "
+                        "absorbed by a later bus_compact rewrite — the "
+                        "diverged rows CANNOT be corrected and stay on "
+                        "the bus. Compaction must not run between a "
+                        "producer crash and its replay; pass the "
+                        "producer's checkpoint to bus_compact's "
+                        "producer_checkpoints guard.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                return v
+            return _replace_last_entry(bus_dir, df, key, n, rtoken)
     fs.ensure_dir(ddir)
     # crash between the file move and the manifest commit left orphans.
     # EXACT file-shape match, not a bare "{key}-" prefix: '-' is legal
@@ -238,7 +273,16 @@ def bus_append(
     # hyphenated key (e.g. 'run' vs 'run-1') must never sweep the other
     # key's committed files — only '{key}-NNNNN.parquet' is ours
     # (r11 advice).
-    own = re.compile(re.escape(key) + r"-\d{5,}\.parquet")
+    # ... including the deterministic replace_<md5(key)> shape a crash
+    # between _replace_last_entry's entry-remove and recommit leaves
+    # (that replay lands HERE: the key is no longer manifested)
+    own = re.compile(
+        "(?:"
+        + re.escape(key)
+        + "|"
+        + re.escape(rtoken)
+        + r")-\d{5,}\.parquet"
+    )
     for f in fs.list_dir(ddir):
         if own.fullmatch(f):
             fs.remove(os.path.join(ddir, f))
@@ -259,6 +303,59 @@ def bus_append(
     return _commit_entry(
         bus_dir, {"kind": "append", "key": key, "files": moved}
     )
+
+
+def _replace_last_entry(
+    bus_dir: str, df: DataFrame, key: str, entry_name: str, rtoken: str
+) -> int:
+    """The staged-first supersede behind ``on_replay="replace_if_last"``
+    (r12 advice): (1) fully write the replacement rows and move them
+    into the data dir under deterministic ``{rtoken}-NNNNN.parquet``
+    names — a second replay REPLACES its own previous attempt, the
+    ``_commit_append`` discipline — while the old entry stays fully
+    readable; (2) swap the entry: remove + recommit at the same
+    version, two adjacent metadata ops (a crash between them replays
+    through the normal-append path, which sweeps both file shapes);
+    (3) delete the retired files only AFTER the new entry is
+    committed, and record them as ``replaces`` so a crashed deletion
+    is swept by the next compaction like any dead file."""
+    ddir = _data_dir(bus_dir)
+    mpath = os.path.join(_manifest_dir(bus_dir), entry_name)
+    with open(mpath) as fh:
+        stale = json.load(fh)
+    # 1. stage the replacement fully
+    for stray in fs.list_dir(bus_dir):
+        if stray.startswith("__tmp_"):
+            fs.remove_tree(os.path.join(bus_dir, stray))
+    tmp = os.path.join(bus_dir, f"__tmp_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    moved = []
+    for p in sorted(f for f in os.listdir(tmp) if f.endswith(".parquet")):
+        name = f"{rtoken}-{len(moved):05d}.parquet"
+        fs.move_file(os.path.join(tmp, p), os.path.join(ddir, name))
+        moved.append(name)
+    fs.remove_tree(tmp)
+    # a previous attempt that produced MORE part files leaves excess
+    # deterministic names behind — sweep them before they dangle
+    import re as _re
+
+    shape = _re.compile(_re.escape(rtoken) + r"-\d{5,}\.parquet")
+    keep = set(moved) | set(stale.get("files", []))
+    for f in fs.list_dir(ddir):
+        if shape.fullmatch(f) and f not in keep:
+            fs.remove(os.path.join(ddir, f))
+    # 2. entry swap (adjacent metadata ops; recommits at the same
+    # version — the old entry was the latest, so last+1 == its version)
+    retired = [f for f in stale.get("files", []) if f not in moved]
+    fs.remove(mpath)
+    version = _commit_entry(
+        bus_dir,
+        {"kind": "append", "key": key, "files": moved, "replaces": retired},
+    )
+    # 3. retired data files go only after the commit
+    for f in retired:
+        fs.remove(os.path.join(ddir, f))
+    return version
 
 
 def run_streaming_bus_writer(
@@ -406,6 +503,56 @@ def bus_planned_version(
     return None
 
 
+def drain_bus(
+    start_run,
+    bus_dir: str,
+    checkpoint_dir: str,
+    source_index: int | None = None,
+    max_runs: int = 100,
+    timeout_secs: float | None = None,
+) -> int:
+    """Run availableNow consumer runs until ``checkpoint_dir`` has
+    COMMITTED through the bus head — the loop-until-caught-up
+    discipline as code (r12 verdict: it lived only in docs, and every
+    probe hand-rolled it).  Two ways a single availableNow run ends
+    early: a restart with a PENDING planned batch terminates at that
+    batch's planned offset (versions appended after the crash wait
+    for the next run), and a ``max_versions_per_batch`` cap bounds
+    each run to one bite of a backlog.  ``start_run`` is a zero-arg
+    callable that starts and returns the consumer's StreamingQuery
+    (configured with this checkpoint and availableNow).  Returns the
+    number of runs executed.  Raises if a completed run makes no
+    progress while still behind (a mis-wired checkpoint would
+    otherwise loop forever) or ``max_runs`` is exhausted."""
+    runs = 0
+    while True:
+        done = bus_consumer_version(checkpoint_dir, source_index=source_index)
+        if done >= last_version(bus_dir):
+            return runs
+        if runs >= max_runs:
+            raise RuntimeError(
+                f"drain_bus: {checkpoint_dir} still at version {done} < "
+                f"{last_version(bus_dir)} after {runs} runs"
+            )
+        q = start_run()
+        if timeout_secs is not None:
+            if not q.awaitTermination(timeout_secs):
+                q.stop()
+                raise RuntimeError(
+                    f"drain_bus: run {runs} exceeded {timeout_secs}s"
+                )
+        else:
+            q.awaitTermination()
+        runs += 1
+        now = bus_consumer_version(checkpoint_dir, source_index=source_index)
+        if now <= done and now < last_version(bus_dir):
+            raise RuntimeError(
+                f"drain_bus: run {runs} committed nothing (stuck at "
+                f"version {now} with bus head {last_version(bus_dir)}) — "
+                "is the checkpoint path the consumer's own?"
+            )
+
+
 def bus_snapshot(spark: SparkSession, bus_dir: str) -> DataFrame:
     """Batch view of the bus at the latest committed version."""
     files = live_files(bus_dir)
@@ -420,6 +567,7 @@ def bus_compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     keep_after_version: int | None = None,
     sort_cols: list[str] | None = None,
+    producer_checkpoints: list[str] | None = None,
 ) -> dict:
     """Rewrite the bus's live files into ~``target_file_bytes`` ones
     and commit a ``rewrite`` manifest version.  ``sort_cols``
@@ -440,7 +588,31 @@ def bus_compact(
     (availableNow between folds, the compact_state_dir discipline) or
     pass ``keep_after_version`` = the MINIMUM checkpointed version
     across consumers: files added by versions above it are left
-    alone."""
+    alone.
+
+    PRODUCER GUARD (r12 advice): a compaction that runs between a
+    producer's crash and its replay absorbs the crashed batch's files
+    into compact outputs, after which ``replace_if_last`` can no
+    longer correct a diverged replay (it warns and skips).  Pass the
+    bus writers' checkpoint dirs as ``producer_checkpoints``: if any
+    has a PLANNED batch its commits log has not confirmed, the
+    producer may be mid-crash and this call refuses."""
+    for ck in producer_checkpoints or []:
+        commits = os.path.join(ck, "commits")
+        offsets = os.path.join(ck, "offsets")
+        n_planned = [n for n in fs.list_dir(offsets) if n.isdigit()]
+        n_done = [n for n in fs.list_dir(commits) if n.isdigit()]
+        if n_planned and (
+            not n_done
+            or max(int(n) for n in n_planned) > max(int(n) for n in n_done)
+        ):
+            raise RuntimeError(
+                f"bus_compact at {bus_dir}: producer checkpoint {ck} has "
+                "a planned batch with no commit — the producer may be "
+                "mid-crash, and compacting now would absorb its batch "
+                "beyond replace_if_last's repair. Let the producer "
+                "replay (or drain it) first."
+            )
     entries = read_manifest(bus_dir)
     files = live_files(bus_dir, entries)
     if keep_after_version is not None:

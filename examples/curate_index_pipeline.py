@@ -174,23 +174,37 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
             .load()
         )
 
-    qb = run_streaming_bm25_index(
-        spark,
-        bus_stream(),
-        f"{work_dir}/bm25",
-        lambda s, b: None,
+    # drain_bus (r13): loop availableNow runs until each maintainer's
+    # checkpoint has committed through the bus head — a single run can
+    # legitimately stop early (pending-batch restart, rate cap)
+    from cherry_spark.writers.manifest_bus import drain_bus
+    from cherry_spark.writers.store import data_dir as dd
+
+    drain_bus(
+        lambda: run_streaming_bm25_index(
+            spark,
+            bus_stream(),
+            f"{work_dir}/bm25",
+            lambda s, b: None,
+            f"{work_dir}/ckpt_bm25",
+        ),
+        text_bus,
         f"{work_dir}/ckpt_bm25",
+        timeout_secs=300,
     )
-    qg = run_streaming_pair_graph(
-        spark,
-        bus_stream(),
-        f"{work_dir}/graph",
-        lambda s, b: None,
+    drain_bus(
+        lambda: run_streaming_pair_graph(
+            spark,
+            bus_stream(),
+            f"{work_dir}/graph",
+            lambda s, b: None,
+            f"{work_dir}/ckpt_graph",
+            threshold=0.5,
+        ),
+        text_bus,
         f"{work_dir}/ckpt_graph",
-        threshold=0.5,
+        timeout_secs=300,
     )
-    qb.awaitTermination(300)
-    qg.awaitTermination(300)
 
     # serve + verify: maintained index == inline build over EXACTLY
     # the admitted set
@@ -243,7 +257,7 @@ def run(spark, sf_dir: str, work_dir: str, budget: int = 50_000) -> dict:
         "search_matches_inline": served == inline,
         "n_search_rows": len(served),
         "n_neardup_edges": spark.read.parquet(
-            f"{work_dir}/graph/pairs"
+            dd(f"{work_dir}/graph/pairs")
         ).count(),
         "bus_files": (bus_files_before, bus_files_after),
         "bus_snapshot_complete": bus_rows == n_admitted,

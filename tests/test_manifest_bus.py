@@ -794,3 +794,221 @@ def test_max_versions_per_batch_bounds_backlog_batches(spark, tmp_path):
     )
     q.awaitTermination(240)
     assert sizes == [20]
+
+
+def test_replace_if_last_crash_mid_swap_self_heals(spark, tmp_path):
+    """r12 advice (medium): the replacement is STAGED FULLY before any
+    metadata changes, and the entry swap is two adjacent ops — a crash
+    between the entry remove and the recommit leaves the key
+    unmanifested with both file generations on disk, and the replay
+    (which lands in the normal-append path) re-appends the corrected
+    rows at the same version and sweeps both file shapes."""
+    import pytest as _pytest
+
+    from cherry_spark.writers import manifest_bus as mb
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 5), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 5), bus, "e1-b1")  # crashed attempt
+
+    orig = mb._commit_entry
+    mb._commit_entry = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("crash inside the swap")
+    )
+    with _pytest.raises(RuntimeError, match="crash inside"):
+        bus_append(
+            _batch(spark, 50, 3), bus, "e1-b1", on_replay="replace_if_last"
+        )
+    mb._commit_entry = orig
+    # entry gone, version regressed — the documented mid-swap state
+    assert [e["key"] for e in read_manifest(bus)] == ["e1-b0"]
+
+    # the replay self-heals through the normal append path
+    v = bus_append(
+        _batch(spark, 50, 3), bus, "e1-b1", on_replay="replace_if_last"
+    )
+    assert v == 2
+    assert _rows(bus_snapshot(spark, bus)) == sorted(
+        _rows(_batch(spark, 0, 5)) + _rows(_batch(spark, 50, 3))
+    )
+    # no stray generation left in the data dir
+    data = set(os.listdir(os.path.join(bus, "data")))
+    manifested = {f for e in read_manifest(bus) for f in e["files"]}
+    assert data == manifested
+
+
+def test_replace_if_last_success_retires_old_files(spark, tmp_path):
+    """After a successful staged-first replace: the corrected entry
+    names the replacement files, records the old generation as
+    ``replaces``, and the old data files are gone from disk."""
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 2), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 2), bus, "e1-b1")
+    old_files = read_manifest(bus)[-1]["files"]
+    v = bus_append(
+        _batch(spark, 50, 2), bus, "e1-b1", on_replay="replace_if_last"
+    )
+    assert v == 2
+    entry = read_manifest(bus)[-1]
+    assert entry["key"] == "e1-b1"
+    assert all(f.startswith("replace_") for f in entry["files"])
+    assert set(entry["replaces"]) == set(old_files)
+    data = set(os.listdir(os.path.join(bus, "data")))
+    assert not (data & set(old_files))
+    # a SECOND diverged replay replaces its own replacement in place
+    v = bus_append(
+        _batch(spark, 70, 2), bus, "e1-b1", on_replay="replace_if_last"
+    )
+    assert v == 2
+    assert _rows(bus_snapshot(spark, bus)) == sorted(
+        _rows(_batch(spark, 0, 2)) + _rows(_batch(spark, 70, 2))
+    )
+
+
+def test_replace_after_compaction_absorption_warns(spark, tmp_path):
+    """r12 advice (low): a bus_compact rewrite between the producer
+    crash and its replay absorbs the crashed files — replace_if_last
+    can no longer repair the divergence and must say so loudly
+    instead of silently degrading to skip."""
+    import pytest as _pytest
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 2), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 2), bus, "e1-b1")
+    bus_compact(spark, bus, target_file_bytes=64 * 1024 * 1024)
+    with _pytest.warns(RuntimeWarning, match="absorbed by a later"):
+        v = bus_append(
+            _batch(spark, 50, 2), bus, "e1-b1", on_replay="replace_if_last"
+        )
+    assert v == 2  # skip: the existing version stands
+    assert len(_rows(bus_snapshot(spark, bus))) == 4
+
+
+def test_bus_compact_producer_guard_refuses_pending_batch(spark, tmp_path):
+    """r12 advice (low): compacting while a bus producer has a planned
+    batch its commits log has not confirmed risks absorbing a
+    mid-crash batch beyond replace_if_last's repair — the
+    producer_checkpoints guard refuses."""
+    import pytest as _pytest
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 2), bus, "e1-b0")
+    ck = str(tmp_path / "producer_ck")
+    os.makedirs(os.path.join(ck, "offsets"))
+    os.makedirs(os.path.join(ck, "commits"))
+    open(os.path.join(ck, "offsets", "0"), "w").close()
+    with _pytest.raises(RuntimeError, match="planned batch with no commit"):
+        bus_compact(spark, bus, producer_checkpoints=[ck])
+    open(os.path.join(ck, "commits", "0"), "w").close()
+    bus_compact(spark, bus, producer_checkpoints=[ck])  # drained: fine
+
+
+def test_drain_bus_loops_until_caught_up(spark, tmp_path):
+    """r12 verdict item: the availableNow drain discipline as code.  A
+    rate-limited consumer needs one run per backlog bite; drain_bus
+    loops runs until the checkpoint has committed through the bus
+    head, and returns 0 runs when already caught up."""
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusDataSource,
+    )
+    from cherry_spark.writers.manifest_bus import (
+        bus_consumer_version,
+        drain_bus,
+        last_version,
+    )
+
+    spark.dataSource.register(ManifestBusDataSource)
+    bus = str(tmp_path / "bus")
+    for b in range(4):
+        bus_append(_batch(spark, 10 * b, 2), bus, f"e1-b{b}")
+    ck = str(tmp_path / "ck")
+    got: list = []
+
+    def start_run():
+        return (
+            spark.readStream.format("cherry_bus")
+            .option("path", bus)
+            .option("max_versions_per_batch", "1")
+            .option("checkpoint", ck)
+            .load()
+            .writeStream.foreachBatch(lambda d, b: got.extend(_rows(d)))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs = drain_bus(start_run, bus, ck, timeout_secs=240)
+    assert runs >= 2  # the cap forced more than one availableNow run
+    assert bus_consumer_version(ck) == last_version(bus) == 4
+    assert sorted(set(got)) == sorted(
+        r for b in range(4) for r in _rows(_batch(spark, 10 * b, 2))
+    )
+    assert drain_bus(start_run, bus, ck, timeout_secs=240) == 0
+
+
+def test_hintless_cold_start_warns_over_deep_backlog(spark, tmp_path):
+    """r12 verdict ("what's wrong" #1): a rate-limited consumer
+    started WITHOUT the checkpoint hint over a backlog deeper than the
+    cap plans its whole history as batch one — that first batch is now
+    LOUD (with the two bounded recipes), never a silent unbounded
+    plan; subsequent calls cap from the first return."""
+    import pytest as _pytest
+
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusStreamReader,
+    )
+
+    bus = str(tmp_path / "bus")
+    for b in range(5):
+        bus_append(_batch(spark, 10 * b, 1), bus, f"e1-b{b}")
+    reader = ManifestBusStreamReader(
+        None, {"path": bus, "max_versions_per_batch": "2"}
+    )
+    with _pytest.warns(RuntimeWarning, match="unbounded"):
+        off = reader.latestOffset()
+    assert off == {"version": 5}  # safe (uncapped) head
+    bus_append(_batch(spark, 90, 1), bus, "e1-b5")
+    assert reader.latestOffset() == {"version": 6}  # capped from base
+
+    # with the checkpoint hint the cold start is capped and silent
+    import warnings as _warnings
+
+    ck = str(tmp_path / "nonexistent_ck")
+    hinted = ManifestBusStreamReader(
+        None,
+        {"path": bus, "max_versions_per_batch": "2", "checkpoint": ck},
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert hinted.latestOffset() == {"version": 2}
+
+
+def test_rate_limit_checkpoint_hint_respects_source_index(spark, tmp_path):
+    """r12 advice (low): the rate-limit base must read the cherry_bus
+    source's OWN offset line in a multi-source checkpoint — forwarded
+    via the source_index reader option."""
+    import json
+
+    from cherry_spark.sources.manifest_bus_datasource import (
+        ManifestBusStreamReader,
+    )
+
+    bus = str(tmp_path / "bus")
+    for b in range(9):
+        bus_append(_batch(spark, 10 * b, 1), bus, f"e1-b{b}")
+    ck = str(tmp_path / "ck")
+    os.makedirs(os.path.join(ck, "offsets"))
+    with open(os.path.join(ck, "offsets", "0"), "w") as fh:
+        fh.write("v1\n")
+        fh.write(json.dumps({"batchWatermarkMs": 0}) + "\n")
+        fh.write(json.dumps(json.dumps({"version": 3})) + "\n")  # bus
+        fh.write(json.dumps({"version": 7, "topic": "other"}) + "\n")
+    base_opts = {"path": bus, "max_versions_per_batch": "2", "checkpoint": ck}
+    # default last-wins scan reads the WRONG source's 7
+    assert ManifestBusStreamReader(None, dict(base_opts)).latestOffset() == {
+        "version": 9
+    }
+    # source_index selects the bus's own line: base 3, cap 3+2
+    assert ManifestBusStreamReader(
+        None, dict(base_opts, source_index="0")
+    ).latestOffset() == {"version": 5}

@@ -193,27 +193,37 @@ def main() -> None:
             .load()
         )
 
+    from cherry_spark.writers.manifest_bus import drain_bus
+
     t0 = time.perf_counter()
-    qb = run_streaming_bm25_index(
-        spark,
-        bus_stream(),
-        f"{work}/bm25",
-        timed_sink(bm_marks),
+    drain_bus(
+        lambda: run_streaming_bm25_index(
+            spark,
+            bus_stream(),
+            f"{work}/bm25",
+            timed_sink(bm_marks),
+            f"{work}/ckpt_bm25",
+        ),
+        text_bus,
         f"{work}/ckpt_bm25",
+        timeout_secs=1200,
     )
-    qb.awaitTermination(1200)
     bm_times = fold_times(bm_marks, t0)
 
     t0 = time.perf_counter()
-    qg = run_streaming_pair_graph(
-        spark,
-        bus_stream(),
-        f"{work}/graph",
-        timed_sink(pg_marks),
+    drain_bus(
+        lambda: run_streaming_pair_graph(
+            spark,
+            bus_stream(),
+            f"{work}/graph",
+            timed_sink(pg_marks),
+            f"{work}/ckpt_graph",
+            threshold=0.5,
+        ),
+        text_bus,
         f"{work}/ckpt_graph",
-        threshold=0.5,
+        timeout_secs=1200,
     )
-    qg.awaitTermination(1200)
     pg_times = fold_times(pg_marks, t0)
 
     # compact under BOTH live checkpoints with the mechanical lag
