@@ -1988,11 +1988,11 @@ def _self_compact(
     writes anything, at which point every file in the store belongs
     either to a fully-committed earlier batch (its checkpoint commit
     is what triggered this fold id) or to a crashed attempt of THE
-    CURRENT batch.  Step 1 repairs torn swaps at ANY depth — table
-    dirs and hive partition dirs alike (``compact_dataset`` swaps
-    *partition* dirs of a partitioned table, so its ``__old``/
-    ``__compact`` siblings can sit one level below the table root
-    where the fold's own ``_recover_store(table)`` never looks).
+    CURRENT batch.  Step 1 sweeps crash leftovers at ANY depth —
+    orphan version dirs at table roots plus the legacy swap
+    protocol's ``__old``/``__compact`` siblings, which can sit one
+    level below the table root (pre-r13 partitioned-table swaps)
+    where the fold's own ``_recover_store(table)`` never looks.
     Step 2 deletes the current batch's ``{current_key}-*`` crashed-
     attempt files outright: compacting them would fold their rows
     into anonymous part files the replay's delete-same-key pass can

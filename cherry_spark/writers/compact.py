@@ -286,8 +286,13 @@ def compact_state_dir(
     files.
 
     Run BETWEEN folds: foreachBatch executes serially, so schedule
-    this in the availableNow gap or while the stream is quiesced — the
-    swap is not safe against a concurrent append to the same table.
+    this in the availableNow gap or while the stream is quiesced —
+    the commit is not safe against a concurrent append to the same
+    table.  ``versioned=True`` (default) commits each table through
+    the pointer-version lane (object-store-safe; a flat table is
+    converted by its first compaction); pass ``versioned=False`` only
+    for local plain-dataset layouts whose readers address the dir
+    directly.
 
     NEVER compact a table that a DOWNSTREAM stream consumes as a file
     source (the store-as-bus pattern, e.g. the curation gate's
