@@ -242,7 +242,35 @@ def _compact_versioned(
             r[pcol]: r["n"]
             for r in df.groupBy(pcol).agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        df.repartition(F.col(pcol)).write.partitionBy(pcol).mode(
+        # per-partition file sizing (the swap lane's byte heuristic,
+        # kept through the whole-table rewrite): an oversized
+        # partition value splits across ~n_v write tasks via a salt,
+        # a small one stays a single file
+        n_per_value = {
+            os.path.basename(t).split("=", 1)[1]: max(
+                1, math.ceil(_dir_bytes(t) / target_file_bytes)
+            )
+            for t in part_dirs
+            if _dir_bytes(t) > 0
+        }
+        salt_expr = F.lit(0)
+        if any(n > 1 for n in n_per_value.values()):
+            split_map = F.create_map(
+                *[
+                    x
+                    for v, n in n_per_value.items()
+                    for x in (F.lit(v), F.lit(n))
+                ]
+            )
+            salt_expr = F.pmod(
+                F.abs(F.hash(*[F.col(c) for c in df.columns])),
+                F.coalesce(
+                    split_map[F.col(pcol).cast("string")], F.lit(1)
+                ),
+            )
+        df.withColumn("__salt", salt_expr).repartition(
+            F.col(pcol), F.col("__salt")
+        ).drop("__salt").write.partitionBy(pcol).mode(
             "overwrite"
         ).parquet(vdir)
         got = {

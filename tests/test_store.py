@@ -129,3 +129,47 @@ def test_is_version_name_reserved_children():
     assert not store.is_version_name("tf")
     assert not store.is_version_name("centroid_id=3")
     assert not store.is_version_name("v-XYZ")
+
+
+def test_versioned_compaction_sizes_partitions_by_bytes(spark, tmp_path):
+    """The versioned compaction lane keeps the swap lane's byte
+    heuristic at partition granularity: an oversized partition value
+    splits across ~ceil(bytes/target) files (salted write tasks), a
+    small one compacts to a single file — inside one immutable
+    committed version."""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.writers.compact import compact_dataset
+
+    path = str(tmp_path / "t")
+    big = spark.range(40_000).select(
+        F.lit(0).alias("p"),
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    small = spark.range(10).select(
+        F.lit(1).alias("p"), F.col("id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    big.unionByName(small).repartition(8).write.partitionBy("p").parquet(path)
+
+    stats = compact_dataset(
+        spark, path, target_file_bytes=256 * 1024, versioned=True
+    )
+    live = store.data_dir(path)
+    assert live != path  # converted to the versioned layout
+    per_part = {
+        d: sum(
+            1
+            for f in os.listdir(os.path.join(live, d))
+            if f.endswith(".parquet")
+        )
+        for d in os.listdir(live)
+        if "=" in d
+    }
+    assert per_part["p=1"] == 1
+    assert per_part["p=0"] >= 2  # oversized partition actually split
+    assert stats["files_after"] == sum(per_part.values())
+    got = spark.read.parquet(live)
+    assert got.count() == 40_010
+    assert got.filter("p = 1").count() == 10
