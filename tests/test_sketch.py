@@ -8,6 +8,8 @@ import time
 
 from pyspark.sql import functions as F
 
+from cherry_spark.writers.store import data_dir as dd
+
 
 def _cells(df):
     return {(r["depth"], r["bucket"]): r["cnt"] for r in df.collect()}
@@ -123,7 +125,7 @@ def test_streaming_cms_fold_equals_batch_build(spark, tmp_path):
     everything = spark.createDataFrame(
         [t for a in arrivals for t in a], "token string"
     )
-    assert _cells(spark.read.parquet(state)) == _cells(
+    assert _cells(spark.read.parquet(dd(state))) == _cells(
         cms_build(everything, "token", 4, 8)
     )
 
@@ -197,7 +199,7 @@ def test_streaming_mg_fold_keeps_guarantee(spark, tmp_path):
     assert len(seen) == 3
     got = {
         r["token"]: r["w"]
-        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+        for r in spark.read.parquet(dd(str(tmp_path / "state"))).collect()
     }
     n, exact_hh, kk = 18, 9, 4
     assert len(got) <= kk
