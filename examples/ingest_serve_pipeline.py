@@ -7,7 +7,8 @@ a production deployment runs it —
        signatures, shingle/positional postings, pair graph, bm25
        index, bigram LM, trained classifier weights, ivf index)
     -> re-ingest is a NO-OP                        (fingerprint +
-       _SUCCESS contract: a re-run after partial failure pays only
+       pointer-commit contract: an interrupted build is an invisible
+       orphan version, so a re-run after partial failure pays only
        for what's missing)
     -> queries serve warm                          (bm25 / phrase /
        near-dup / trained gate read the same directories — nothing
