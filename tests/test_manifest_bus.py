@@ -616,20 +616,26 @@ def test_producer_and_consumer_crash_composite_through_compaction(
     # --- both restart: producer replay replaces its orphans and
     # commits v2; consumer re-delivers from v0.  An availableNow
     # restart with a PENDING planned batch terminates at that batch's
-    # planned offset (documented in the DataSource docstring), so the
-    # scheduler-loop runs it again until caught up — the second run
-    # picks up v2.
+    # planned offset (documented in the DataSource docstring) — this
+    # is exactly the case drain_bus (r13) exists for: its first run
+    # replays the pending batch and stops at v1, the loop detects the
+    # checkpoint still behind the head and runs again for v2.
     v = bus_append(_batch(spark, 10, 5), bus, "e1-b1")
     assert v == 2
-    from cherry_spark.writers.manifest_bus import (
-        bus_consumer_version,
-        last_version,
-    )
+    from cherry_spark.writers.manifest_bus import drain_bus
 
-    for _ in range(4):
-        if bus_consumer_version(ckpt) >= last_version(bus):
-            break
-        drain()
+    def start_run():
+        return (
+            spark.readStream.format("cherry_bus").option("path", bus)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    runs = drain_bus(start_run, bus, ckpt, timeout_secs=240)
+    assert runs == 2  # pending-batch replay run + the catch-up run
     delivered = sorted(r for rows in committed.values() for r in rows)
     expect = sorted(_rows(_batch(spark, 0, 5)) + _rows(_batch(spark, 10, 5)))
     assert delivered == expect
