@@ -173,3 +173,56 @@ def test_versioned_compaction_sizes_partitions_by_bytes(spark, tmp_path):
     got = spark.read.parquet(live)
     assert got.count() == 40_010
     assert got.filter("p = 1").count() == 10
+
+
+def test_store_protocol_invariants_random_interleaving(tmp_path):
+    """Property test (hypothesis): under ANY interleaving of
+    {successful commit, crashed staging (orphan), sweep}, the store
+    always resolves to the LAST successfully committed version, its
+    content is never lost or mixed, and a sweep leaves at most one
+    version dir and one pointer alive."""
+    from hypothesis import given, settings, strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        ops=st.lists(
+            st.sampled_from(["commit", "orphan", "sweep"]),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def run(ops):
+        counter[0] += 1
+        root = str(tmp_path / f"s{counter[0]}")
+        committed = None  # content of the last committed version
+        n_commits = 0
+        for op in ops:
+            if op == "commit":
+                n_commits += 1
+                content = f"gen-{n_commits}"
+                store.commit_version(root, _stage(root, content))
+                committed = content
+            elif op == "orphan":
+                _stage(root, "crashed")  # staged, never committed
+            else:
+                store.sweep(root)
+                vdirs = [
+                    d for d in os.listdir(root) if d.startswith("v-")
+                ] if os.path.isdir(root) else []
+                ptr_dir = os.path.join(root, "_v")
+                ptrs = (
+                    os.listdir(ptr_dir) if os.path.isdir(ptr_dir) else []
+                )
+                assert len(vdirs) <= 1 and len(ptrs) <= 1
+            # resolution invariant after EVERY op
+            if committed is None:
+                assert store.live_version(root) is None
+            else:
+                ddir = store.data_dir(root)
+                assert ddir != root
+                with open(os.path.join(ddir, "part-0.parquet")) as fh:
+                    assert fh.read() == committed
+
+    run()
