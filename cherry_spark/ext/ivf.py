@@ -150,7 +150,14 @@ def ivf_build_index(
     corpus.repartition("centroid_id").write.partitionBy("centroid_id").mode(
         "overwrite"
     ).parquet(vdir)
-    store.commit_version(f"{index_dir}/corpus", vdir)
+    try:
+        store.commit_version(f"{index_dir}/corpus", vdir)
+    except ValueError:
+        # a concurrent builder of the same fingerprinted index won and
+        # its sweep removed our staging — identical content, serve the
+        # winner (the store.publish race-tolerance contract)
+        if store.live_version(f"{index_dir}/corpus") is None:
+            raise
     store.publish(centroids, f"{index_dir}/centroids")
 
 

@@ -153,10 +153,22 @@ def publish(df, path: str) -> str:
     """Write ``df`` as a fully-staged version of the store at
     ``path`` and commit it — the one-call form of
     stage → write → :func:`commit_version` for build-once stores
-    (the ``_ensure_*`` family).  Returns the live data dir."""
+    (the ``_ensure_*`` family).  Returns the live data dir.
+
+    RACE-TOLERANT, unlike the strict streaming commit path: two
+    sessions may legitimately build the same fingerprinted store
+    concurrently, and the first committer's sweep deletes the
+    loser's in-flight staging dir.  Both build identical content
+    from the same fingerprint, so when our staging vanished AND a
+    live version exists, the winner's version is served instead of
+    raising."""
     vdir = stage_version_dir(path)
     df.write.mode("overwrite").parquet(vdir)
-    commit_version(path, vdir)
+    try:
+        commit_version(path, vdir)
+    except ValueError:
+        if live_version(path) is None:
+            raise
     return data_dir(path)
 
 

@@ -226,3 +226,39 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
                     assert fh.read() == committed
 
     run()
+
+
+def test_publish_tolerates_losing_the_ensure_race(spark, tmp_path):
+    """Two sessions build the same fingerprinted store concurrently;
+    the winner's sweep deletes the loser's in-flight staging.  The
+    loser's publish must serve the winner's identical version instead
+    of raising (streaming commits stay strict — only publish carries
+    the tolerance)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+
+    orig = store.commit_version
+
+    def winner_races_then_commit(path, vdir):
+        # the concurrent winner lands AND sweeps (deleting `vdir`)
+        # just before our commit runs
+        store.commit_version = orig
+        w = store.stage_version_dir(path)
+        df.write.mode("overwrite").parquet(w)
+        orig(path, w)  # winner's commit + sweep removes our staging
+        return orig(path, vdir)  # our original (doomed) commit
+
+    store.commit_version = winner_races_then_commit
+    try:
+        ddir = store.publish(df, root)
+    finally:
+        store.commit_version = orig
+    assert ddir == store.data_dir(root)
+    assert spark.read.parquet(ddir).count() == 1
+    # strict path: with NO live version a vanished staging still raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.commit_version(
+            str(tmp_path / "empty"), str(tmp_path / "empty" / "v-aaaa")
+        )
