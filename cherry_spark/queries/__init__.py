@@ -3,7 +3,7 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-for the ROUND-13 window (_R10_REMAINING_R13 + _R11_FIRST1_R13).
+for the ROUND-14 window (_R11_REMAINING_R14 + _R12_FIRST1_R14).
 
 Standing rotation policy (round-7 verdict item #2): the registry holds
 115 queries and the driver window holds 50, so a strict "no query more
@@ -24,18 +24,18 @@ shares its oracle and result-hash with in-window ``decode_dynamic_abi``
 and differs only in the Arrow execution lane (a driver row for it would
 duplicate an existing hash check while displacing a unique one).
 
-ROUND-13 window (live): ``_R10_REMAINING_R13`` (49, the r10-window
-rows not swept in r12, in archived-artifact order) +
-``_R11_FIRST1_R13`` (1, the oldest row of the archived r11 artifact)
+ROUND-14 window (live): ``_R11_REMAINING_R14`` (49, the r11-window
+rows not swept in r13, in archived-artifact order) +
+``_R12_FIRST1_R14`` (1, the oldest row of the archived r12 artifact)
 = 50 exactly, asserted at import (rounds 6 AND 7 each shipped a silent
 hand-recount bug — every group here is pinned or DERIVED data, and the
 window tests re-derive them from the archived driver artifacts).  This
-sweep re-certifies the §2 relational/steps core (the 47 r07 rows) plus
-the three r08-head budget/percentile rows.  Every r13-window row has a
-DuckDB oracle — no rows-only query sits inside the window.
+sweep re-certifies the dedup/ANN/text cohort — exactly the rows whose
+serving paths the r13 store-pointer port rewrote.  Every r14-window
+row has a DuckDB oracle — no rows-only query sits inside the window.
 
-ROUND-14 window (pre-staged below as ``_R11_REMAINING_R14`` +
-``_R12_FIRST1_R14`` = 49 + 1 = 50): at round-14 start, swap the group
+ROUND-15 window (pre-staged below as ``_R12_REMAINING_R15`` +
+``_R13_FIRST1_R15`` = 49 + 1 = 50): at round-15 start, swap the group
 tuple — nothing to recount.
 
 At 150 registered the 3-round guarantee is EXACTLY saturated
@@ -299,6 +299,25 @@ _R12_FIRST1_R14 = [
 ]
 
 # ---------------------------------------------------------------------
+# ROUND-15 window, PRE-STAGED (swap `_reorder_for_certification`'s
+# group tuple to `(_R12_REMAINING_R15, _R13_FIRST1_R15,
+# _PAST_WINDOW_FIRST)` at the start of round 15 — nothing to recount).
+# The 49 r12-window rows not swept in r14 + the oldest r13-window row
+# (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
+# (the archived r12 window is _R09_REMAINING_R12 + _R10_FIRST1_R12 in
+# artifact order, pinned and test-verified), so there is no
+# hand-recount surface.
+# ---------------------------------------------------------------------
+_R12_REMAINING_R15 = [
+    n
+    for n in (_R09_REMAINING_R12 + _R10_FIRST1_R12)
+    if n not in set(_R12_FIRST1_R14)
+]
+_R13_FIRST1_R15 = [
+    "flagship_revenue_by_nation",
+]
+
+# ---------------------------------------------------------------------
 # Registry-pruning policy (round-8 verdict item #2, adopted round 9):
 # the 3-round certification guarantee requires registered <= 3 x 50 =
 # 150.  The registry sits AT the ceiling (the import-time assert below
@@ -331,13 +350,13 @@ _R12_FIRST1_R14 = [
 
 
 def _reorder_for_certification() -> None:
-    """Rebuild the registry in ROUND-13 certification order:
-    the 49 r10-window rows not swept in r12, then the oldest
-    r11-window row = 50 exactly; past-window rows follow."""
+    """Rebuild the registry in ROUND-14 certification order:
+    the 49 r11-window rows not swept in r13, then the oldest
+    r12-window row = 50 exactly; past-window rows follow."""
     ordered: list[str] = []
     for group in (
-        _R10_REMAINING_R13,
-        _R11_FIRST1_R13,
+        _R11_REMAINING_R14,
+        _R12_FIRST1_R14,
         _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
@@ -372,8 +391,8 @@ assert len(_ADDED_R08) + len(_R06_STALE_R09) + len(_R07_FIRST3) == 50, (
 )
 assert (
     list(REGISTRY)[:50]
-    == _R10_REMAINING_R13 + _R11_FIRST1_R13
-), "round-13 window order must be exactly the two derived groups"
+    == _R11_REMAINING_R14 + _R12_FIRST1_R14
+), "round-14 window order must be exactly the two derived groups"
 assert set(_ADDED_R09) <= set(REGISTRY) and not (
     set(_ADDED_R09)
     & (
@@ -431,6 +450,15 @@ assert _R12_FIRST1_R14 == _R09_REMAINING_R12[:1], (
 )
 assert set(_R11_REMAINING_R14) | set(_R12_FIRST1_R14) <= set(REGISTRY), (
     "every pre-staged round-14 row must be registered"
+)
+assert (
+    len(_R12_REMAINING_R15) + len(_R13_FIRST1_R15) == 50
+), "round-15 window arithmetic: 49 remaining r12 rows + 1 r13 row"
+assert _R13_FIRST1_R15 == _R10_REMAINING_R13[:1], (
+    "the r15 sweep head must be the oldest row of the r13 window"
+)
+assert set(_R12_REMAINING_R15) | set(_R13_FIRST1_R15) <= set(REGISTRY), (
+    "every pre-staged round-15 row must be registered"
 )
 assert len(REGISTRY) <= 150, (
     f"registry holds {len(REGISTRY)} queries — the 3-round certification"

@@ -1,8 +1,8 @@
 """Certification-window invariants (round-7 verdict items #1/#2,
-rotated to the ROUND-13 window per the round-12 verdict item #1).
+rotated to the ROUND-14 window per the round-13 verdict item #1).
 
 The driver certifies exactly the first 50 registered queries, so the
-window composition is load-bearing: these tests pin the round-13
+window composition is load-bearing: these tests pin the round-14
 contract against the archived driver artifacts — a reorder mistake
 fails HERE, not in the next driver round."""
 
@@ -27,20 +27,45 @@ def _round_order(n: int) -> list[str]:
         return list(json.load(f))
 
 
-def test_r13_window_is_r10_remaining_plus_r11_head():
+def test_r14_window_is_r11_remaining_plus_r12_head():
     window = list(REGISTRY)[:50]
-    r12 = _round_keys(12)
+    r13 = _round_keys(13)
     # no slot wasted on a row certified last round
-    assert not set(window) & r12
-    # the 49 r10-window rows not swept in r12 lead the window
-    assert window[: len(Q._R10_REMAINING_R13)] == Q._R10_REMAINING_R13
-    # then the oldest row of the archived r11 artifact
-    assert window[49:] == Q._R11_FIRST1_R13
-    assert Q._R11_FIRST1_R13 == _round_order(11)[:1]
-    # this sweep re-certifies the §2 relational/steps core
-    assert {"flagship_revenue_by_nation", "sql_step", "u256_sum"} <= set(
-        window
+    assert not set(window) & r13
+    # the 49 r11-window rows not swept in r13 lead the window
+    assert window[: len(Q._R11_REMAINING_R14)] == Q._R11_REMAINING_R14
+    # then the oldest row of the archived r12 artifact
+    assert window[49:] == Q._R12_FIRST1_R14
+    assert Q._R12_FIRST1_R14 == _round_order(12)[:1]
+    # this sweep re-certifies the dedup/ANN/text cohort — the rows
+    # whose serving paths the r13 store-pointer port rewrote
+    assert {
+        "minhash_lsh_dedup",
+        "ann_ivf_topk",
+        "dedup_clusters",
+        "trained_quality_gate",
+    } <= set(window)
+
+
+def test_r13_window_archived_matches_artifact():
+    """The archived r13 window (the r15 plan derives from it) must be
+    exactly the two derived groups, in artifact order."""
+    assert (
+        _round_order(13)
+        == Q._R10_REMAINING_R13 + Q._R11_FIRST1_R13
     )
+    assert Q._R11_FIRST1_R13 == _round_order(11)[:1]
+
+
+def test_r15_prestaged_window_matches_artifacts():
+    """The pre-staged r15 groups: the 49 r12-window rows not swept in
+    r14 (artifact order) + the oldest r13-window row."""
+    r12 = _round_order(12)
+    assert Q._R12_REMAINING_R15 == [
+        n for n in r12 if n not in set(Q._R12_FIRST1_R14)
+    ]
+    assert Q._R13_FIRST1_R15 == _round_order(13)[:1]
+    assert len(Q._R12_REMAINING_R15) + len(Q._R13_FIRST1_R15) == 50
 
 
 def test_r12_window_archived_matches_artifact():
@@ -154,6 +179,8 @@ def test_window_groups_contain_only_registered_names():
         Q._R11_FIRST1_R13,
         Q._R11_REMAINING_R14,
         Q._R12_FIRST1_R14,
+        Q._R12_REMAINING_R15,
+        Q._R13_FIRST1_R15,
     ):
         missing = [n for n in group if n not in REGISTRY]
         assert not missing, f"window group names not registered: {missing}"
