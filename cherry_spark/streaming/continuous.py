@@ -1636,8 +1636,11 @@ def _dd(path: str) -> str:
     return store.data_dir(path)
 
 
-def _store_has(path: str, recursive: bool = False) -> bool:
-    """Whether the store at ``path`` currently serves any parquet."""
+def _store_has(path: str, recursive: bool | None = None) -> bool:
+    """Whether the store at ``path`` currently serves any parquet.
+    ``recursive`` defaults by layout: versioned stores walk the live
+    version (it may be hive-partitioned), flat roots list shallowly
+    (writers/store.py:has_parquet)."""
     from cherry_spark.writers import store
 
     return store.has_parquet(path, recursive=recursive)

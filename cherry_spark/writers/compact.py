@@ -224,7 +224,7 @@ def _compact_versioned(
         return stats
     part_dirs = [
         os.path.join(ddir, d)
-        for d in sorted(os.listdir(ddir))
+        for d in sorted(_fs.list_dir(ddir))
         if os.path.isdir(os.path.join(ddir, d)) and "=" in d
     ]
     needed = sum(
@@ -287,11 +287,11 @@ def _compact_versioned(
         df.repartition(needed).write.mode("overwrite").parquet(vdir)
         ok = spark.read.parquet(vdir).count() == n_rows
     if not ok:  # pragma: no cover - safety net
-        shutil.rmtree(vdir, ignore_errors=True)
+        _fs.remove_tree(vdir)
         raise RuntimeError(f"compaction row-count mismatch under {path}")
     mk = os.path.join(ddir, "_merge_key")
     if os.path.exists(mk):
-        shutil.copy(mk, os.path.join(vdir, "_merge_key"))
+        _fs.copy_file(mk, os.path.join(vdir, "_merge_key"))
     _store.commit_version(path, vdir)
     stats["files_after"] = _n_parquet_files(_store.data_dir(path))
     return stats

@@ -77,6 +77,15 @@ def move_dir(src: str, dst: str) -> None:
     os.rename(src, dst)
 
 
+def copy_file(src: str, dst: str) -> None:
+    """Duplicate one committed immutable file at a new name (the
+    ``_merge_key`` sidecar riding a compaction rewrite into the staged
+    version dir).  Object store: a server-side copy (S3 CopyObject /
+    GCS rewrite) — both names address immutable bytes, so no atomicity
+    beyond single-object PUT is needed."""
+    shutil.copyfile(src, dst)
+
+
 def list_dir(path: str) -> list[str]:
     """Flat listing of ``path``; empty list if it doesn't exist."""
     try:

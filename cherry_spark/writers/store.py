@@ -94,9 +94,19 @@ def ready(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def has_parquet(path: str, recursive: bool = False) -> bool:
-    """Whether the store currently serves any data files."""
-    d = data_dir(path)
+def has_parquet(path: str, recursive: bool | None = None) -> bool:
+    """Whether the store currently serves any data files.
+
+    ``recursive`` defaults to True for VERSIONED stores (a live
+    version dir is bounded, and it may be hive-partitioned — e.g. an
+    IVF corpus, or any append table after a versioned compaction
+    converts it — so a flat listing would silently report "no data"
+    for a store that serves rows) and False for flat stores (whose
+    roots can hold arbitrary sibling state; callers opt in)."""
+    lv = live_version(path)
+    d = os.path.join(path, lv) if lv else path
+    if recursive is None:
+        recursive = lv is not None
     if recursive:
         return any(
             f.endswith(".parquet")
@@ -121,7 +131,17 @@ def commit_version(path: str, staged_vdir: str) -> str:
     re-lists and retries at a higher sequence — both contenders'
     versions are committed in a total order and the later one serves,
     matching the old last-rename-wins semantics without ever tearing.
-    Sweeps superseded state afterwards.  Returns the version name."""
+    Sweeps superseded state afterwards (superseded-ONLY: a concurrent
+    ensure builder's not-yet-committed staging is never touched — see
+    :func:`sweep`).  Returns the version name.
+
+    Defense-in-depth against an out-of-protocol deleter (r13 advice):
+    the staged dir is re-verified before every commit attempt AND
+    immediately after a successful pointer commit; if it vanished
+    post-commit, the just-committed pointer is retracted and
+    ValueError raised so :func:`publish`'s race tolerance serves the
+    surviving version instead of leaving a live pointer to a deleted
+    dir."""
     name = os.path.basename(staged_vdir)
     m = _VDIR_RE.match(name)
     if not m or not os.path.isdir(staged_vdir):
@@ -130,22 +150,35 @@ def commit_version(path: str, staged_vdir: str) -> str:
     fs.ensure_dir(ptr_dir)
     hexpart = name[2:]
     for _attempt in range(50):
+        if not os.path.isdir(staged_vdir):
+            raise ValueError(f"staged version dir vanished: {staged_vdir}")
         ptrs = _pointers(path)
         seq = (ptrs[-1][0] + 1) if ptrs else 1
         staged_ptr = os.path.join(ptr_dir, f".stage-{uuid.uuid4().hex[:8]}")
         open(staged_ptr, "w").close()
+        committed = os.path.join(ptr_dir, f"p{seq:010d}-{hexpart}")
         try:
-            fs.commit_file(staged_ptr, os.path.join(ptr_dir, f"p{seq:010d}-{hexpart}"))
-            break
+            fs.commit_file(staged_ptr, committed)
         except FileExistsError:
             fs.remove(staged_ptr)
             continue
+        except FileNotFoundError:
+            # an out-of-protocol full sweep removed our .stage-*
+            # pointer staging between creation and commit — benign:
+            # recreate at the next sequence and retry
+            continue
+        if not os.path.isdir(staged_vdir):
+            fs.remove(committed)
+            raise ValueError(
+                f"staged version dir vanished at commit: {staged_vdir}"
+            )
+        break
     else:  # pragma: no cover - 50 live collisions means a writer storm
         raise RuntimeError(
             f"store pointer commit at {path} lost 50 straight races — "
             "more than one writer is updating this store"
         )
-    sweep(path)
+    sweep(path, orphans=False)
     return name
 
 
@@ -157,11 +190,14 @@ def publish(df, path: str) -> str:
 
     RACE-TOLERANT, unlike the strict streaming commit path: two
     sessions may legitimately build the same fingerprinted store
-    concurrently, and the first committer's sweep deletes the
-    loser's in-flight staging dir.  Both build identical content
-    from the same fingerprint, so when our staging vanished AND a
-    live version exists, the winner's version is served instead of
-    raising."""
+    concurrently.  Since r14 the post-commit sweep is
+    superseded-only, so a racer can never delete this builder's
+    in-flight staging — the normal outcome of a race is both
+    versions committed in a total order, the later (identical)
+    one serving.  The ValueError branch stays as defense-in-depth:
+    if the staging vanished anyway (an out-of-protocol cleaner)
+    and a live version exists, that identical version is served
+    instead of raising."""
     vdir = stage_version_dir(path)
     df.write.mode("overwrite").parquet(vdir)
     try:
@@ -172,29 +208,46 @@ def publish(df, path: str) -> str:
     return data_dir(path)
 
 
-def sweep(path: str) -> None:
-    """Delete everything the live pointer does not reference: orphan
-    / superseded ``v-*`` dirs, pointer files below the latest, stale
-    pointer stagings, and — once a live version exists — the legacy
+def sweep(path: str, orphans: bool = True) -> None:
+    """Delete what the live pointer does not reference: superseded
+    ``v-*`` dirs (named by pointer files below the latest), those old
+    pointer files, and — once a live version exists — the legacy
     flat-layout leftovers at the top level (data files, ``_SUCCESS``,
     ``_merge_key``, hive partition dirs, old swap-protocol strays).
 
-    Safe only at protocol-safe points (fold start, post-commit): a
-    concurrently STAGED version dir would be swept as an orphan.
+    ``orphans=True`` (the FULL sweep) additionally deletes
+    NEVER-POINTED ``v-*`` dirs and stale ``.stage-*`` pointer
+    stagings.  Those are indistinguishable from a concurrent builder's
+    in-flight staging, so the full sweep is safe only at
+    single-writer-safe points (a streaming maintainer's fold start,
+    where foreachBatch serialization guarantees no concurrent
+    builder).  The post-commit sweep inside :func:`commit_version`
+    runs with ``orphans=False`` — superseded-only — which is what
+    makes the legitimate concurrent ``_ensure_*`` build race safe:
+    a racer can never delete the other's staging, only supersede its
+    committed version (r13 advice: the old full post-commit sweep
+    could strand a live pointer on a deleted dir).  A version dir
+    named by ANY pointer was fully written before its commit, so
+    superseded-dir deletion never races a writer.
+
     Idempotent; missing targets are fine."""
     ptrs = _pointers(path)
     lv = ptrs[-1][1] if ptrs else None
+    superseded = {v for _seq, v in ptrs if v != lv}
     ptr_dir = os.path.join(path, _PTR_DIR)
     for f in fs.list_dir(ptr_dir):
         m = _PTR_RE.match(f)
-        if (m and f"v-{m.group(2)}" != lv) or f.startswith(".stage-"):
+        if (m and f"v-{m.group(2)}" != lv) or (
+            orphans and f.startswith(".stage-")
+        ):
             fs.remove(os.path.join(ptr_dir, f))
     for entry in fs.list_dir(path):
         if entry == _PTR_DIR or entry == lv:
             continue
         full = os.path.join(path, entry)
         if _VDIR_RE.match(entry):
-            fs.remove_tree(full)  # orphan or superseded version
+            if orphans or entry in superseded:
+                fs.remove_tree(full)
         elif lv is not None:
             # versioned store: the top level is dead legacy state
             if os.path.isdir(full):

@@ -228,25 +228,27 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
     run()
 
 
-def test_publish_tolerates_losing_the_ensure_race(spark, tmp_path):
-    """Two sessions build the same fingerprinted store concurrently;
-    the winner's sweep deletes the loser's in-flight staging.  The
-    loser's publish must serve the winner's identical version instead
-    of raising (streaming commits stay strict — only publish carries
-    the tolerance)."""
+def test_concurrent_ensure_race_is_structurally_safe(spark, tmp_path):
+    """Two sessions build the same fingerprinted store concurrently.
+    Since r14 the winner's post-commit sweep is superseded-ONLY, so
+    the loser's in-flight staging SURVIVES the winner's commit and
+    lands at the next sequence — both identical versions committed in
+    a total order, the later one serving.  No deletion race exists in
+    protocol anymore (r13 advice: the old full post-commit sweep could
+    strand a live pointer on a deleted dir)."""
     root = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "a")], "id long, s string")
 
     orig = store.commit_version
 
     def winner_races_then_commit(path, vdir):
-        # the concurrent winner lands AND sweeps (deleting `vdir`)
-        # just before our commit runs
+        # the concurrent winner lands just before our commit runs
         store.commit_version = orig
         w = store.stage_version_dir(path)
         df.write.mode("overwrite").parquet(w)
-        orig(path, w)  # winner's commit + sweep removes our staging
-        return orig(path, vdir)  # our original (doomed) commit
+        orig(path, w)  # winner's commit: superseded-only sweep
+        assert os.path.isdir(vdir)  # our staging survived the winner
+        return orig(path, vdir)  # we land at the next sequence
 
     store.commit_version = winner_races_then_commit
     try:
@@ -255,10 +257,138 @@ def test_publish_tolerates_losing_the_ensure_race(spark, tmp_path):
         store.commit_version = orig
     assert ddir == store.data_dir(root)
     assert spark.read.parquet(ddir).count() == 1
-    # strict path: with NO live version a vanished staging still raises
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError):
+
+def test_publish_tolerates_out_of_protocol_staging_deletion(spark, tmp_path):
+    """Defense-in-depth: if something OUTSIDE the protocol (e.g. a
+    misplaced full sweep) deletes the staging before our commit, the
+    pre-attempt recheck raises ValueError and publish serves the
+    winner's identical version instead of raising (streaming commits
+    stay strict — only publish carries the tolerance)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+
+    orig = store.commit_version
+
+    def full_sweep_then_commit(path, vdir):
+        store.commit_version = orig
+        w = store.stage_version_dir(path)
+        df.write.mode("overwrite").parquet(w)
+        orig(path, w)
+        store.sweep(path)  # FULL sweep (fold-start style) kills vdir
+        assert not os.path.isdir(vdir)
+        return orig(path, vdir)  # doomed: pre-attempt recheck raises
+
+    store.commit_version = full_sweep_then_commit
+    try:
+        ddir = store.publish(df, root)
+    finally:
+        store.commit_version = orig
+    assert ddir == store.data_dir(root)
+    assert spark.read.parquet(ddir).count() == 1
+    # strict path: with NO live version a vanished staging still raises
+    with pytest.raises(ValueError):
         store.commit_version(
             str(tmp_path / "empty"), str(tmp_path / "empty" / "v-aaaa")
         )
+
+
+def test_lose_seq_race_then_swept_never_commits_dangling_pointer(
+    tmp_path, monkeypatch
+):
+    """The r13-advice interleaving: writer B loses the put-if-absent
+    seq race, and before its retry the staging vanishes (an
+    out-of-protocol sweep).  B must raise — never commit a pointer to
+    the deleted dir (which would mask permanent data loss as a
+    committed store) — and the winner's version must keep serving."""
+    root = str(tmp_path / "t")
+    v_live = _stage(root, "winner")
+    store.commit_version(root, v_live)
+    v_b = _stage(root, "loser")
+
+    real_commit = fs.commit_file
+    calls = []
+
+    def lose_then_swept(src, dst):
+        calls.append(dst)
+        if len(calls) == 1:
+            # simulate losing the seq race + the racer sweeping v_b
+            fs.remove_tree(v_b)
+            raise FileExistsError(dst)
+        real_commit(src, dst)  # pragma: no cover - must not be reached
+
+    monkeypatch.setattr(fs, "commit_file", lose_then_swept)
+    with pytest.raises(ValueError):
+        store.commit_version(root, v_b)
+    monkeypatch.undo()
+    # the winner still serves; no pointer references the deleted dir
+    assert store.live_version(root) == os.path.basename(v_live)
+    with open(os.path.join(store.data_dir(root), "part-0.parquet")) as fh:
+        assert fh.read() == "winner"
+
+
+def test_staging_swept_after_commit_retracts_the_pointer(
+    tmp_path, monkeypatch
+):
+    """The post-commit recheck: if the staging vanishes in the exact
+    window between a successful pointer commit and the recheck, the
+    pointer is RETRACTED and ValueError raised — ready() must never
+    report a store whose live pointer names a deleted dir."""
+    root = str(tmp_path / "t")
+    v_live = _stage(root, "winner")
+    store.commit_version(root, v_live)
+    v_b = _stage(root, "doomed")
+
+    real_commit = fs.commit_file
+
+    def commit_then_swept(src, dst):
+        real_commit(src, dst)
+        fs.remove_tree(v_b)  # the racer's sweep lands mid-window
+
+    monkeypatch.setattr(fs, "commit_file", commit_then_swept)
+    with pytest.raises(ValueError):
+        store.commit_version(root, v_b)
+    monkeypatch.undo()
+    assert store.live_version(root) == os.path.basename(v_live)
+    assert store.ready(root) and store.has_parquet(root)
+
+
+def test_commit_retries_past_deleted_pointer_staging(tmp_path, monkeypatch):
+    """An out-of-protocol full sweep deleting the `.stage-*` pointer
+    staging between creation and commit surfaces as FileNotFoundError
+    from commit_file; the retry loop must recreate and land (r13
+    advice low #2: previously crashed the build)."""
+    root = str(tmp_path / "t")
+    v1 = _stage(root, "one")
+
+    real_commit = fs.commit_file
+    calls = []
+
+    def flaky(src, dst):
+        calls.append(dst)
+        if len(calls) == 1:
+            raise FileNotFoundError(src)
+        real_commit(src, dst)
+
+    monkeypatch.setattr(fs, "commit_file", flaky)
+    name = store.commit_version(root, v1)
+    assert store.live_version(root) == name
+    assert len(calls) == 2
+
+
+def test_has_parquet_recurses_into_partitioned_versions(tmp_path):
+    """r13 advice low #3: a versioned store whose live version is
+    hive-partitioned must report has_parquet=True by default (the
+    flat listing saw only partition SUBDIRS and inverted the
+    readiness signal)."""
+    root = str(tmp_path / "t")
+    vdir = store.stage_version_dir(root)
+    _mkfile(os.path.join(vdir, "centroid_id=3", "part-0.parquet"))
+    _mkfile(os.path.join(vdir, "_SUCCESS"), "")
+    store.commit_version(root, vdir)
+    assert store.has_parquet(root)
+    assert not store.has_parquet(root, recursive=False)  # opt-out kept
+    # flat stores keep the non-recursive default (roots hold siblings)
+    flat = str(tmp_path / "flat")
+    _mkfile(os.path.join(flat, "sub", "x.parquet"))
+    assert not store.has_parquet(flat)
