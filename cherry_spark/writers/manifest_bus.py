@@ -52,13 +52,22 @@ from pyspark.sql import DataFrame, SparkSession
 from cherry_spark.writers import fs
 
 # Version (and, for appends, the batch key) are embedded in the
-# MANIFEST FILENAME — v{N:08d}[_{key}].json — so the per-fold hot
-# paths (append's replay check, the stream reader's latestOffset and
-# version-range listing) are directory listings with NO JSON parsing:
-# O(listing) per fold instead of O(versions) file reads, which at
-# 100k folds is the difference between flat and quadratic cumulative
-# cost.  Full-manifest reads remain only in the rare batch ops
-# (snapshot, compact).
+# MANIFEST FILENAME — v{N:08d}[g{G}][_{key}].json — so the per-fold
+# hot paths (append's replay check, the stream reader's latestOffset
+# and version-range listing) are directory listings with NO JSON
+# parsing: O(listing) per fold instead of O(versions) file reads,
+# which at 100k folds is the difference between flat and quadratic
+# cumulative cost.  Full-manifest reads remain only in the rare batch
+# ops (snapshot, compact).
+#
+# The OPTIONAL ``g{G}`` is the replacement GENERATION (r13 verdict
+# item #2): ``replace_if_last`` supersedes an entry by committing
+# ``v{N}g{G+1}_{key}.json`` — ONE put-if-absent op — and readers
+# resolve a version to its highest generation.  The old entry stays
+# fully readable until the new one is live, so there is no two-op
+# swap window for a concurrent consumer to observe (the pre-r14
+# remove+recommit could serve a planned batch EMPTY mid-swap).  A
+# missing ``g`` part means generation 1 (every normal append).
 _MANIFEST_FMT = "v{:08d}{}.json"
 
 
@@ -70,15 +79,48 @@ def _data_dir(bus_dir: str) -> str:
     return os.path.join(bus_dir, "data")
 
 
+def _parse_name(n: str) -> tuple[int, int] | None:
+    """(version, generation) from a manifest filename, or None for a
+    non-entry (``__tmp_*`` stagings etc.)."""
+    if not (n.startswith("v") and n.endswith(".json")) or len(n) < 14:
+        return None
+    try:
+        v = int(n[1:9])
+    except ValueError:
+        return None
+    g = 1
+    rest = n[9:]
+    if rest.startswith("g"):
+        i = 1
+        while i < len(rest) and rest[i].isdigit():
+            i += 1
+        if i == 1:
+            return None
+        g = int(rest[1:i])
+    return (v, g)
+
+
+def _version_names_all(bus_dir: str) -> list[tuple[int, int, str]]:
+    """(version, generation, filename) for every committed entry file,
+    including superseded generations — (version, gen) order."""
+    out = []
+    for n in fs.list_dir(_manifest_dir(bus_dir)):
+        vg = _parse_name(n)
+        if vg:
+            out.append((vg[0], vg[1], n))
+    return sorted(out)
+
+
 def _version_names(bus_dir: str) -> list[tuple[int, str]]:
     """(version, filename) for every committed entry, version order —
-    parsed from filenames only (no JSON reads)."""
-    mdir = _manifest_dir(bus_dir)
-    out = []
-    for n in fs.list_dir(mdir):
-        if n.startswith("v") and n.endswith(".json"):
-            out.append((int(n[1:9]), n))
-    return sorted(out)
+    parsed from filenames only (no JSON reads).  A version with
+    multiple generations resolves to the HIGHEST (the committed
+    replacement); superseded generations are invisible here and
+    swept lazily."""
+    latest: dict[int, tuple[int, str]] = {}
+    for v, g, n in _version_names_all(bus_dir):
+        latest[v] = (g, n)
+    return sorted((v, n) for v, (_g, n) in latest.items())
 
 
 def last_version(bus_dir: str) -> int:
@@ -89,27 +131,41 @@ def last_version(bus_dir: str) -> int:
     return vn[-1][0] if vn else 0
 
 
+def _read_entries(bus_dir: str, lo: int | None, hi: int | None) -> list[dict]:
+    """Entries with lo < version <= hi (None bounds = unbounded),
+    version order.  Tolerates one listing/open race: a replacement
+    commit sweeps the superseded generation file after the new one is
+    live, so an entry listed just before the commit can vanish before
+    the open — re-list once and the resolution lands on the new
+    generation."""
+    mdir = _manifest_dir(bus_dir)
+    for _retry in range(2):
+        out = []
+        try:
+            for v, n in _version_names(bus_dir):
+                if (lo is None or v > lo) and (hi is None or v <= hi):
+                    with open(os.path.join(mdir, n)) as fh:
+                        out.append(json.load(fh))
+            return out
+        except FileNotFoundError:
+            continue
+    raise RuntimeError(  # pragma: no cover - needs two racing sweeps
+        f"manifest bus at {bus_dir}: entry files keep vanishing "
+        "mid-read — more than one writer is replacing entries "
+        "(the bus is single-writer)"
+    )
+
+
 def entries_between(bus_dir: str, lo: int, hi: int) -> list[dict]:
     """Committed entries with lo < version <= hi, version order —
     reads only the JSON files in range."""
-    mdir = _manifest_dir(bus_dir)
-    out = []
-    for v, n in _version_names(bus_dir):
-        if lo < v <= hi:
-            with open(os.path.join(mdir, n)) as fh:
-                out.append(json.load(fh))
-    return out
+    return _read_entries(bus_dir, lo, hi)
 
 
 def read_manifest(bus_dir: str) -> list[dict]:
     """All committed manifest entries in version order (empty list for
     a fresh bus)."""
-    mdir = _manifest_dir(bus_dir)
-    out = []
-    for _v, n in _version_names(bus_dir):
-        with open(os.path.join(mdir, n)) as fh:
-            out.append(json.load(fh))
-    return out
+    return _read_entries(bus_dir, None, None)
 
 
 def live_files(bus_dir: str, entries: list[dict] | None = None) -> list[str]:
@@ -143,10 +199,19 @@ def _commit_entry(bus_dir: str, entry: dict) -> int:
     mdir = _manifest_dir(bus_dir)
     fs.ensure_dir(mdir)
     # crashed commits leave __tmp_* strays (never .json, so invisible
-    # to read_manifest) — sweep them here
+    # to read_manifest) — sweep them here, along with generations a
+    # crashed replacement superseded but never deleted (masked: every
+    # reader already resolves a version to its highest generation)
     for stray in fs.list_dir(mdir):
         if stray.startswith("__tmp_"):
             fs.remove(os.path.join(mdir, stray))
+    raw = _version_names_all(bus_dir)
+    latest_gen: dict[int, int] = {}
+    for v, g, _n in raw:
+        latest_gen[v] = max(g, latest_gen.get(v, 0))
+    for v, g, n in raw:
+        if g < latest_gen[v]:
+            fs.remove(os.path.join(mdir, n))
     version = last_version(bus_dir) + 1
     entry = {"version": version, **entry}
     tmp = os.path.join(mdir, f"__tmp_{uuid.uuid4().hex[:8]}")
@@ -169,9 +234,14 @@ def _commit_entry(bus_dir: str, entry: dict) -> int:
     # two racing writers with DIFFERENT keys commit different
     # filenames at the same version — put-if-absent alone can't see
     # that, so re-list and retract ours if a twin version landed
-    # (worst race: both retract and raise — loud, no silent loss)
+    # (worst race: both retract and raise — loud, no silent loss).
+    # Raw listing: a higher GENERATION at this version is the
+    # legitimate replacement lane, not a twin.
     base = os.path.basename(dst)
-    if any(v == version and n != base for v, n in _version_names(bus_dir)):
+    if any(
+        v == version and g == 1 and n != base
+        for v, g, n in _version_names_all(bus_dir)
+    ):
         fs.remove(dst)
         raise RuntimeError(collision)
     return version
@@ -194,10 +264,12 @@ def bus_append(
       data dir under deterministic ``replace_<md5(key)>-NNNNN`` names
       (the ``_`` is unreachable from any key's cleanup pattern, the
       md5 makes a crashed attempt's files replayable-by-name) while
-      the old entry stays fully readable; only then does the entry
-      swap run — remove old entry, recommit at the same version —
-      two adjacent metadata ops, and the retired data files are
-      deleted only after the new entry is committed.  This repairs
+      the old entry stays fully readable; then the entry swap is ONE
+      put-if-absent commit at the same version's next GENERATION
+      (r13 verdict item #2 — readers resolve a version to its highest
+      generation, so no instant exists where version N is missing or
+      empty), and the retired data files are deleted only after the
+      new entry is committed.  This repairs
       the divergence window a gate's bus mirror has when a crash
       lands between ``bus_append`` and the checkpoint commit and the
       REPLAYED batch legitimately derives different rows (e.g. a
@@ -211,15 +283,15 @@ def bus_append(
       files, where a silent skip would keep the diverged rows with
       no signal: that degradation now warns loudly (compaction must
       not run between a producer crash and its replay — see
-      ``bus_compact``'s ``producer_checkpoints`` guard).  A crash
-      between the entry remove and the recommit self-heals: the
-      replay finds the key unmanifested and re-appends normally (the
-      orphan sweep covers both file shapes).  Residuals: a consumer
-      that committed PAST the crashed version before the producer
-      replayed keeps the old rows, and one whose ALREADY-PLANNED
-      batch reads the version inside the two-op swap window sees it
-      empty (sinks are at-least-once; stores stay exact because
-      their folds key on their own batch ids, not bus content)."""
+      ``bus_compact``'s ``producer_checkpoints`` guard).  A crash at
+      ANY point of the swap self-heals: before the generation commit,
+      the key stays manifested and the replay re-enters this path
+      (restaging replaces its own files by name); after it, the new
+      generation serves and the superseded entry/data sweeps are
+      idempotent.  Residual: a consumer that committed PAST the
+      crashed version before the producer replayed keeps the old rows
+      (sinks are at-least-once; stores stay exact because their folds
+      key on their own batch ids, not bus content)."""
     import hashlib
     import re
 
@@ -273,14 +345,18 @@ def bus_append(
     # hyphenated key (e.g. 'run' vs 'run-1') must never sweep the other
     # key's committed files — only '{key}-NNNNN.parquet' is ours
     # (r11 advice).
-    # ... including the deterministic replace_<md5(key)> shape a crash
-    # between _replace_last_entry's entry-remove and recommit leaves
-    # (that replay lands HERE: the key is no longer manifested)
+    # ... including the deterministic replace_<md5(key)> shape: since
+    # the r14 generation commit the key stays manifested throughout a
+    # replacement (those replays re-enter _replace_last_entry above),
+    # but a pre-r14 crash between the old remove+recommit ops — or an
+    # out-of-band manifest repair — can still land here with rtoken
+    # orphans, and sweeping both shapes is free
     own = re.compile(
         "(?:"
         + re.escape(key)
         + "|"
         + re.escape(rtoken)
+        + r"(?:g\d+)?"
         + r")-\d{5,}\.parquet"
     )
     for f in fs.list_dir(ddir):
@@ -309,50 +385,121 @@ def _replace_last_entry(
     bus_dir: str, df: DataFrame, key: str, entry_name: str, rtoken: str
 ) -> int:
     """The staged-first supersede behind ``on_replay="replace_if_last"``
-    (r12 advice): (1) fully write the replacement rows and move them
-    into the data dir under deterministic ``{rtoken}-NNNNN.parquet``
-    names — a second replay REPLACES its own previous attempt, the
-    ``_commit_append`` discipline — while the old entry stays fully
-    readable; (2) swap the entry: remove + recommit at the same
-    version, two adjacent metadata ops (a crash between them replays
-    through the normal-append path, which sweeps both file shapes);
-    (3) delete the retired files only AFTER the new entry is
-    committed, and record them as ``replaces`` so a crashed deletion
-    is swept by the next compaction like any dead file."""
+    (r12 advice; swap collapsed to ONE atomic op per the r13 verdict):
+    (1) fully write the replacement rows and move them into the data
+    dir under deterministic ``{rtoken}g{G}-NNNNN.parquet`` names — a
+    replay of the same target generation REPLACES its own previous
+    attempt (the ``_commit_append`` discipline), while a DIFFERENT
+    generation's live files are never touched — the old entry stays
+    fully readable; (2) commit the replacement entry at the SAME version
+    under the NEXT GENERATION (``v{N}g{G+1}_{key}.json``), one
+    put-if-absent op — readers resolve a version to its highest
+    generation, so at every instant version N serves a complete entry
+    (old or new, never empty, never missing: the pre-r14
+    remove+recommit had a two-op window a concurrent consumer's
+    planned batch could read as empty); (3) only after the commit,
+    sweep the superseded generation file and the retired data files —
+    both recorded (``replaces``) so a crashed deletion is swept by
+    the next compaction / replacement like any dead file."""
     ddir = _data_dir(bus_dir)
-    mpath = os.path.join(_manifest_dir(bus_dir), entry_name)
+    mdir = _manifest_dir(bus_dir)
+    mpath = os.path.join(mdir, entry_name)
     with open(mpath) as fh:
         stale = json.load(fh)
-    # 1. stage the replacement fully
+    version, _gen = _parse_name(entry_name)
+    # the target generation is fixed BEFORE staging, and the staged
+    # data files carry it in their names ({rtoken}g{G}-NNNNN): a
+    # replacement of an already-replaced entry must never overwrite
+    # the LIVE generation's data files in place (the r14 property
+    # test caught exactly that: same-name staging mutated the served
+    # rows of a committed entry before any commit).  A replay of a
+    # crashed-BEFORE-commit attempt recomputes the same target
+    # generation (nothing committed) and replaces its own files; a
+    # crashed-AFTER-commit attempt is the live generation, so the
+    # replay targets one higher and stages fresh names.
+    gen_target = (
+        max(g for v, g, _n in _version_names_all(bus_dir) if v == version)
+        + 1
+    )
+    # 1. stage the replacement fully (sweeping crashed attempts'
+    # stagings first — data-dir tmp dirs AND manifest-dir tmp entries)
     for stray in fs.list_dir(bus_dir):
         if stray.startswith("__tmp_"):
             fs.remove_tree(os.path.join(bus_dir, stray))
+    for stray in fs.list_dir(mdir):
+        if stray.startswith("__tmp_"):
+            fs.remove(os.path.join(mdir, stray))
     tmp = os.path.join(bus_dir, f"__tmp_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(tmp)
     moved = []
     for p in sorted(f for f in os.listdir(tmp) if f.endswith(".parquet")):
-        name = f"{rtoken}-{len(moved):05d}.parquet"
+        name = f"{rtoken}g{gen_target}-{len(moved):05d}.parquet"
         fs.move_file(os.path.join(tmp, p), os.path.join(ddir, name))
         moved.append(name)
     fs.remove_tree(tmp)
-    # a previous attempt that produced MORE part files leaves excess
-    # deterministic names behind — sweep them before they dangle
+    # previous attempts' leftover rtoken files (any generation, any
+    # count) that are neither ours nor the live entry's — sweep them
+    # before they dangle
     import re as _re
 
-    shape = _re.compile(_re.escape(rtoken) + r"-\d{5,}\.parquet")
+    shape = _re.compile(_re.escape(rtoken) + r"(?:g\d+)?-\d{5,}\.parquet")
     keep = set(moved) | set(stale.get("files", []))
     for f in fs.list_dir(ddir):
         if shape.fullmatch(f) and f not in keep:
             fs.remove(os.path.join(ddir, f))
-    # 2. entry swap (adjacent metadata ops; recommits at the same
-    # version — the old entry was the latest, so last+1 == its version)
-    retired = [f for f in stale.get("files", []) if f not in moved]
-    fs.remove(mpath)
-    version = _commit_entry(
-        bus_dir,
-        {"kind": "append", "key": key, "files": moved, "replaces": retired},
+    # retired = the old live files, PLUS anything the superseded entry
+    # already recorded as replaced (a crashed earlier replacement's
+    # leftovers must stay on the dead list or they leak forever)
+    retired = sorted(
+        (set(stale.get("files", [])) | set(stale.get("replaces", [])))
+        - set(moved)
     )
-    # 3. retired data files go only after the commit
+    entry = {
+        "version": version,
+        "kind": "append",
+        "key": key,
+        "files": moved,
+        "replaces": retired,
+    }
+    # 2. one-op swap: put-if-absent at the target generation.  Single
+    # writer means a FileExistsError can only be a crashed attempt of
+    # our own that committed this generation between our listing and
+    # now — impossible within one process, but re-list and go one
+    # higher rather than fail (the entry's file NAMES are opaque, so
+    # committing gen G+1 naming gen-G-shaped files is fine).
+    gen = gen_target
+    for _attempt in range(50):
+        tmp_entry = os.path.join(mdir, f"__tmp_{uuid.uuid4().hex[:8]}")
+        with open(tmp_entry, "w") as fh:
+            json.dump(entry, fh)
+        dst = os.path.join(mdir, f"v{version:08d}g{gen}_{key}.json")
+        try:
+            fs.commit_file(tmp_entry, dst)
+            break
+        except FileExistsError:
+            fs.remove(tmp_entry)
+            gen = (
+                max(
+                    g
+                    for v, g, _n in _version_names_all(bus_dir)
+                    if v == version
+                )
+                + 1
+            )
+            continue
+    else:  # pragma: no cover - 50 own-crash generations is a storm
+        raise RuntimeError(
+            f"bus replace at {bus_dir} lost 50 straight generation "
+            f"commits for version {version} — another writer is "
+            "replacing this entry (the bus is single-writer)"
+        )
+    # 3. superseded generation files and retired data files go only
+    # after the commit (idempotent; a crash here leaves them masked —
+    # readers already resolve to the new generation; _commit_entry's
+    # stray sweep also retires masked generations at the next append)
+    for v, g, n in _version_names_all(bus_dir):
+        if v == version and n != os.path.basename(dst):
+            fs.remove(os.path.join(mdir, n))
     for f in retired:
         fs.remove(os.path.join(ddir, f))
     return version

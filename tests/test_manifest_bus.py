@@ -803,41 +803,73 @@ def test_max_versions_per_batch_bounds_backlog_batches(spark, tmp_path):
 
 
 def test_replace_if_last_crash_mid_swap_self_heals(spark, tmp_path):
-    """r12 advice (medium): the replacement is STAGED FULLY before any
-    metadata changes, and the entry swap is two adjacent ops — a crash
-    between the entry remove and the recommit leaves the key
-    unmanifested with both file generations on disk, and the replay
-    (which lands in the normal-append path) re-appends the corrected
-    rows at the same version and sweeps both file shapes."""
+    """r13 verdict item #2: the entry swap is ONE put-if-absent
+    generation commit.  A crash on either side of it leaves version N
+    serving a COMPLETE entry — the pre-r14 'key unmanifested, version
+    regressed' window no longer exists — and the replay re-enters the
+    replace path and corrects."""
     import pytest as _pytest
 
-    from cherry_spark.writers import manifest_bus as mb
+    from cherry_spark.writers import fs, manifest_bus as mb
 
     bus = str(tmp_path / "bus")
     bus_append(_batch(spark, 0, 5), bus, "e1-b0")
     bus_append(_batch(spark, 10, 5), bus, "e1-b1")  # crashed attempt
 
-    orig = mb._commit_entry
-    mb._commit_entry = lambda *a, **k: (_ for _ in ()).throw(
-        RuntimeError("crash inside the swap")
-    )
-    with _pytest.raises(RuntimeError, match="crash inside"):
-        bus_append(
-            _batch(spark, 50, 3), bus, "e1-b1", on_replay="replace_if_last"
-        )
-    mb._commit_entry = orig
-    # entry gone, version regressed — the documented mid-swap state
-    assert [e["key"] for e in read_manifest(bus)] == ["e1-b0"]
+    # crash BEFORE the generation commit: files staged, entry untouched
+    real_commit = fs.commit_file
 
-    # the replay self-heals through the normal append path
-    v = bus_append(
-        _batch(spark, 50, 3), bus, "e1-b1", on_replay="replace_if_last"
+    def crash_before(src, dst):
+        if "g2_" in os.path.basename(dst):
+            raise RuntimeError("crash inside the swap")
+        real_commit(src, dst)
+
+    fs.commit_file = crash_before
+    try:
+        with _pytest.raises(RuntimeError, match="crash inside"):
+            bus_append(
+                _batch(spark, 50, 3), bus, "e1-b1", on_replay="replace_if_last"
+            )
+    finally:
+        fs.commit_file = real_commit
+    # the key is STILL manifested and version 2 serves the old rows —
+    # at no instant is the version missing or empty
+    assert [e["key"] for e in read_manifest(bus)] == ["e1-b0", "e1-b1"]
+    assert _rows(bus_snapshot(spark, bus)) == sorted(
+        _rows(_batch(spark, 0, 5)) + _rows(_batch(spark, 10, 5))
     )
-    assert v == 2
+
+    # crash AFTER the generation commit, before the sweeps: the new
+    # generation already serves
+    def crash_after(src, dst):
+        real_commit(src, dst)
+        if "g2_" in os.path.basename(dst):
+            raise RuntimeError("crash after commit")
+
+    fs.commit_file = crash_after
+    try:
+        with _pytest.raises(RuntimeError, match="crash after"):
+            bus_append(
+                _batch(spark, 50, 3), bus, "e1-b1", on_replay="replace_if_last"
+            )
+    finally:
+        fs.commit_file = real_commit
     assert _rows(bus_snapshot(spark, bus)) == sorted(
         _rows(_batch(spark, 0, 5)) + _rows(_batch(spark, 50, 3))
     )
-    # no stray generation left in the data dir
+
+    # the replay replaces its own previous attempt (next generation)
+    v = bus_append(
+        _batch(spark, 60, 3), bus, "e1-b1", on_replay="replace_if_last"
+    )
+    assert v == 2
+    assert _rows(bus_snapshot(spark, bus)) == sorted(
+        _rows(_batch(spark, 0, 5)) + _rows(_batch(spark, 60, 3))
+    )
+    # one generation file per version; no stray data files
+    names = sorted(os.listdir(os.path.join(bus, "manifest")))
+    versions = [mb._parse_name(n)[0] for n in names]
+    assert len(versions) == len(set(versions)) == 2
     data = set(os.listdir(os.path.join(bus, "data")))
     manifested = {f for e in read_manifest(bus) for f in e["files"]}
     assert data == manifested
@@ -1018,3 +1050,145 @@ def test_rate_limit_checkpoint_hint_respects_source_index(spark, tmp_path):
     assert ManifestBusStreamReader(
         None, dict(base_opts, source_index="0")
     ).latestOffset() == {"version": 5}
+
+
+def test_bus_replace_protocol_random_interleavings(spark, tmp_path):
+    """Property test (r13 verdict item #2, the bus twin of the store
+    pointer property test): under ANY interleaving of {new-key append,
+    diverged-replay replace, replace crashed BEFORE its generation
+    commit, replace crashed AFTER it}, the bus's live rows always
+    equal the model (last batch whose generation commit landed, per
+    key), every version always resolves to exactly one complete entry
+    (never missing, never empty), and after replay + compaction no
+    stray data file or duplicate generation survives."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cherry_spark.writers import fs, manifest_bus as mb
+
+    real_commit = fs.commit_file
+    mode = {"crash": None}
+    _REPLACE = _re.compile(r"v\d{8}g\d+_")
+
+    def inject(src, dst):
+        is_replace = _REPLACE.match(os.path.basename(dst))
+        if is_replace and mode["crash"] == "before":
+            mode["crash"] = None
+            raise RuntimeError("injected crash before commit")
+        real_commit(src, dst)
+        if is_replace and mode["crash"] == "after":
+            mode["crash"] = None
+            raise RuntimeError("injected crash after commit")
+
+    def rows_of(tag):
+        return [(tag * 100 + i, f"r{tag}.{i}") for i in range(2)]
+
+    def batch(tag):
+        return spark.createDataFrame(rows_of(tag), SCHEMA).coalesce(1)
+
+    def live_rows(bus):
+        out = []
+        for f in mb.live_files(bus):
+            out += [
+                (r["doc_id"], r["text"])
+                for r in pq.read_table(f).to_pylist()
+            ]
+        return sorted(out)
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        ops=st.lists(
+            st.sampled_from(
+                ["append", "replace_ok", "crash_before", "crash_after"]
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def run(ops):
+        counter[0] += 1
+        bus = str(tmp_path / f"pb{counter[0]}")
+        model: dict[str, int] = {}  # key -> tag of the committed rows
+        tag = [0]
+        last_key = None
+        fs.commit_file = inject
+        try:
+            for op in ops:
+                tag[0] += 1
+                if op == "append" or last_key is None:
+                    key = f"k{len(model)}"
+                    mb.bus_append(batch(tag[0]), bus, key)
+                    model[key] = tag[0]
+                    last_key = key
+                elif op == "replace_ok":
+                    mb.bus_append(
+                        batch(tag[0]), bus, last_key,
+                        on_replay="replace_if_last",
+                    )
+                    model[last_key] = tag[0]
+                else:
+                    mode["crash"] = (
+                        "before" if op == "crash_before" else "after"
+                    )
+                    try:
+                        mb.bus_append(
+                            batch(tag[0]), bus, last_key,
+                            on_replay="replace_if_last",
+                        )
+                    except RuntimeError:
+                        pass
+                    assert mode["crash"] is None  # injection fired
+                    if op == "crash_after":
+                        # the generation commit landed: rows corrected
+                        model[last_key] = tag[0]
+                    # mid-crash invariants BEFORE the replay: version N
+                    # still serves a complete entry, old or new
+                    expect = sorted(
+                        r for t in model.values() for r in rows_of(t)
+                    )
+                    assert live_rows(bus) == expect
+                    # replay discipline: foreachBatch re-runs the failed
+                    # batch before any later batch can commit (the same
+                    # invariant bus_compact's producer guard enforces)
+                    tag[0] += 1
+                    mb.bus_append(
+                        batch(tag[0]), bus, last_key,
+                        on_replay="replace_if_last",
+                    )
+                    model[last_key] = tag[0]
+                # invariants after EVERY op, crashed or not
+                expect = sorted(
+                    r for t in model.values() for r in rows_of(t)
+                )
+                assert live_rows(bus) == expect
+                versions = [v for v, _n in mb._version_names(bus)]
+                assert versions == list(range(1, len(model) + 1))
+            mb.bus_compact(spark, bus)
+            expect = sorted(r for t in model.values() for r in rows_of(t))
+            assert live_rows(bus) == expect
+            # no duplicate generation and no unmanifested data file
+            names = os.listdir(os.path.join(bus, "manifest"))
+            parsed = [mb._parse_name(n) for n in names]
+            assert all(p is not None for p in parsed)
+            vs = [v for v, _g in parsed]
+            assert len(vs) == len(set(vs))
+            data = set(os.listdir(os.path.join(bus, "data")))
+            manifested = {
+                f for e in mb.read_manifest(bus) for f in e["files"]
+            }
+            dead = {
+                f
+                for e in mb.read_manifest(bus)
+                for f in e.get("replaces", [])
+            }
+            assert manifested - dead <= data
+            assert not (data - manifested)  # nothing stray survives
+        finally:
+            fs.commit_file = real_commit
+
+    run()
