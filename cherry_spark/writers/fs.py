@@ -33,9 +33,29 @@ Object-store contract (what a non-local implementation must provide):
   stores commit through immutable version dirs + put-if-absent
   pointers (writers/store.py), the bus through its manifest; both
   are proven under non-atomic-move semantics by the shim tests in
-  tests/test_fs.py.  ``move_dir`` remains only for the plain-dataset
-  in-place compaction lane (``compact_dataset`` on a local
-  filesystem dataset) and the legacy pre-r13 swap recovery.
+  tests/test_fs.py.  SCOPED EXEMPTION LIST (r13 verdict item #4 —
+  pinned mechanically by tests/test_fs.py's call-site audit; adding
+  a ``move_dir`` call anywhere else fails that test):
+
+  1. ``writers/compact.py`` — ``compact_dataset``'s IN-PLACE swap
+     lane only, which exists for plain LOCAL datasets whose readers
+     address the directory path directly (no pointer to follow) and
+     whose partition dirs must compact independently.  Every store
+     the engine owns takes the versioned lane instead
+     (``compact_state_dir`` defaults to it; a flat store converts on
+     first compaction), and an already-versioned path auto-routes
+     versioned — the in-place lane is reachable only by explicit
+     user choice on a non-store dataset.
+  2. ``streaming/continuous.py::_recover_store`` — one-time repair
+     of PRE-r13 swap-protocol state (a canonical dir parked under
+     ``__old`` by the retired two-rename swap).  Runs only when such
+     legacy strays exist on disk; a store born under the pointer
+     protocol never creates them.
+
+  An object-store port may implement ``move_dir`` as
+  ``NotImplementedError``: neither exempt lane is meaningful there
+  (1 is local-by-contract, 2 repairs a protocol that never ran on an
+  object store).
 - ``list_dir(path)``: a flat listing (no recursion), empty for a
   missing dir — object stores list by prefix; callers never assume
   inode semantics.

@@ -71,6 +71,37 @@ def test_list_dir_missing_is_empty(tmp_path):
     assert fs.list_dir(str(tmp_path)) == ["f"]
 
 
+def test_move_dir_call_sites_match_the_exemption_list():
+    """r13 verdict item #4: ``move_dir`` is out of every store/bus
+    commit protocol; the two exempt lanes are pinned in fs.py's
+    docstring.  This audit greps the package so a NEW call site —
+    i.e. rename-based commit semantics sneaking back into a
+    protocol — fails here, not in an object-store deployment."""
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "cherry_spark",
+    )
+    hits = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(root, f)
+            if os.path.relpath(p, pkg) == "writers/fs.py":
+                continue  # the seam itself: definition + contract docs
+            with open(p) as fh:
+                for i, line in enumerate(fh, 1):
+                    if re.search(r"\bmove_dir\(", line) and "def move_dir" not in line:
+                        hits.append((os.path.relpath(p, pkg), i))
+    allowed = {"writers/compact.py", "streaming/continuous.py"}
+    assert {f for f, _ in hits} == allowed, hits
+    # and the continuous.py exemption is exactly the legacy-swap
+    # recovery, a single call
+    assert sum(1 for f, _ in hits if f == "streaming/continuous.py") == 1
+
+
 def _shim_nonatomic_moves():
     """Replace the seam's moves with object-store semantics: copy then
     delete, observable half-done — no rename anywhere.  Returns the
