@@ -479,3 +479,97 @@ def test_numpy_lanes_accept_string_ids(spark):
     qr_fold = canon_g(quantized_rerank_topk(df, q, k=3, method="fold"))
     qr_fast = canon_g(quantized_rerank_topk(df, q, k=3, method="numpy"))
     assert qr_fast == qr_fold and len(qr_fast) > 0
+
+
+def test_knn_graph_stored_probes_paths(spark, tmp_path):
+    """The persisted probes table (r14): served when it covers nprobe
+    and matches the live centroids version; falls back to live scoring
+    when nprobe exceeds the stored ranks or a reseed superseded the
+    centroids; live-scores only the union gap for vectors missing from
+    the table (corpus appended after the build).  Every path must be
+    row-identical to the inline graph."""
+    import os
+
+    from cherry_spark.ext.ivf import (
+        _stored_probes,
+        ivf_build_index,
+        knn_graph,
+    )
+    from cherry_spark.writers import store
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    inline = sorted(
+        (r["query_id"], r["vec_id"], r["sim"])
+        for r in knn_graph(df, k=2, n_centroids=4, nprobe=2).collect()
+    )
+
+    # stored ranks < nprobe: full live fallback, same rows
+    idx1 = str(tmp_path / "ivf1")
+    ivf_build_index(df, idx1, n_centroids=4, store_probes=1)
+    assert (
+        _stored_probes(spark, idx1, None, 2, "vec_id", "embedding") is None
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["sim"])
+        for r in knn_graph(
+            df, k=2, n_centroids=4, nprobe=2, index_dir=idx1
+        ).collect()
+    )
+    assert got == inline
+
+    # covered: stored table serves (marker matches, ranks cover)
+    idx2 = str(tmp_path / "ivf2")
+    ivf_build_index(df, idx2, n_centroids=4, store_probes=4)
+    assert (
+        _stored_probes(spark, idx2, df, 2, "vec_id", "embedding") is not None
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["sim"])
+        for r in knn_graph(
+            df, k=2, n_centroids=4, nprobe=2, index_dir=idx2
+        ).collect()
+    )
+    assert got == inline
+
+    # union gap: shrink the stored table to half the ids (marker kept)
+    pdir = store.data_dir(f"{idx2}/probes")
+    stored = spark.read.parquet(pdir)
+    half = stored.filter((stored["query_id"] % 2) == 0)
+    vdir = store.stage_version_dir(f"{idx2}/probes")
+    half.repartition("proberank").write.partitionBy("proberank").mode(
+        "overwrite"
+    ).parquet(vdir)
+    with open(os.path.join(pdir, "_centroids_v")) as fh:
+        marker = fh.read()
+    with open(os.path.join(vdir, "_centroids_v"), "w") as fh:
+        fh.write(marker)
+    store.commit_version(f"{idx2}/probes", vdir)
+    covered, uncovered = _stored_probes(
+        spark, idx2, spark.read.parquet(store.data_dir(f"{idx2}/corpus")),
+        2, "vec_id", "embedding",
+    )
+    assert uncovered.count() == 20  # the odd ids live-score
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["sim"])
+        for r in knn_graph(
+            df, k=2, n_centroids=4, nprobe=2, index_dir=idx2
+        ).collect()
+    )
+    assert got == inline
+
+    # reseed invalidation: a superseding centroids publish flips the
+    # marker mismatch -> full live fallback (still the same graph,
+    # since the republished centroids are identical)
+    cents = spark.read.parquet(store.data_dir(f"{idx2}/centroids"))
+    store.publish(cents, f"{idx2}/centroids")
+    assert (
+        _stored_probes(spark, idx2, df, 2, "vec_id", "embedding") is None
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["sim"])
+        for r in knn_graph(
+            df, k=2, n_centroids=4, nprobe=2, index_dir=idx2
+        ).collect()
+    )
+    assert got == inline

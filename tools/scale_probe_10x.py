@@ -202,6 +202,43 @@ def main() -> int:
     }
     print("knn_graph_scaled_quantizer", json.dumps(results["knn_graph_scaled_quantizer"]), flush=True)
 
+    # prebuilt A/B (r13 verdict item #3): with the quantizer built
+    # once per corpus version (the production shape), the scaled-C
+    # per-run cost must not exceed fixed-C's — the r13 capture had
+    # scaled-C at 2.7x fixed because cogrouping per centroid_id paid
+    # Arrow/pandas overhead per GROUP; the r14 centroid-block batching
+    # caps the group count regardless of n_centroids.
+    import shutil as _sh
+
+    from cherry_spark.ext.ivf import ivf_build_index
+
+    ab: dict = {}
+    for label, n_c in (("fixed16", 16), ("scaled160", 160)):
+        idx = os.path.join(big_dir, f"ivf_{label}")
+        _sh.rmtree(idx, ignore_errors=True)
+        build_s, _ = _time(lambda: ivf_build_index(emb, idx, n_centroids=n_c) or 0)
+        cold, n = _time(
+            lambda: knn_graph(emb, k=3, n_centroids=n_c, nprobe=2, index_dir=idx).count()
+        )
+        warm, _ = _time(
+            lambda: knn_graph(emb, k=3, n_centroids=n_c, nprobe=2, index_dir=idx).count()
+        )
+        ab[label] = {
+            "build_s": build_s,
+            "cold_s": cold,
+            "warm_s": warm,
+            "rows": n,
+        }
+    ab["scaled_over_fixed_warm"] = round(
+        ab["scaled160"]["warm_s"] / ab["fixed16"]["warm_s"], 2
+    )
+    results["knn_graph_prebuilt_fixed_vs_scaled"] = ab
+    print(
+        "knn_graph_prebuilt_fixed_vs_scaled",
+        json.dumps(ab),
+        flush=True,
+    )
+
     with open(out_json, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps({"probe": "scale10x", "out": out_json}))
