@@ -195,27 +195,46 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_spread: dict[str, list[float]] = {}
-    for name in headline:
+    pinned_in = [q for q in headline if q in set(PINNED)]
+    rest_in = [q for q in headline if q not in set(PINNED)]
+    # cold pass over the pinned prefix first (JVM state of any pinned
+    # query depends only on the pinned prefix — see module docstring)
+    for name in pinned_in:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    # warm runs: whole-stage-codegen compile amortized — the
+    # steady-state engine throughput a long-running cluster sees.
+    # PINNED queries take the MEDIAN OF 3 INTERLEAVED warm passes
+    # (r13 verdict item #5, upgrading the r8 consecutive-triple):
+    # three full sweeps of the pinned suite, so the three samples of
+    # each query are spread across the whole bench window instead of
+    # back-to-back — machine-state drift (cache pressure, cron
+    # neighbors, thermal) decorrelates across samples, which is
+    # exactly the ±10% swing three consecutive rounds spent a day
+    # adjudicating by hand-run A/Bs.  The per-query [min, max] spread
+    # rides in the artifact so every cross-round comparison carries
+    # its own noise floor.  Basis note: r09–r13 medians were
+    # consecutive-triples — same estimator, tighter-correlated
+    # samples; totals remain comparable, spreads widen honestly.
+    runs_by_q: dict[str, list[float]] = {q: [] for q in pinned_in}
+    for _pass in range(3):
+        for name in pinned_in:
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, sf_dir))
+            runs_by_q[name].append(time.perf_counter() - t0)
+    for name in pinned_in:
+        runs = sorted(runs_by_q[name])
+        warm[name] = round(runs[len(runs) // 2], 3)
+        warm_spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+    for name in rest_in:
         fn = queries[name]
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        # warm runs: whole-stage-codegen compile amortized — the
-        # steady-state engine throughput a long-running cluster sees.
-        # PINNED queries take the MEDIAN OF 3 warm passes (round-8
-        # verdict item #5: the quiet-run spread on the identical pinned
-        # prefix was 13.9–18.4 s — single-sample warm numbers are
-        # noisier than most real effects the frozen series exists to
-        # detect); the per-query [min, max] spread is recorded so a
-        # cross-round comparison can see its own noise floor.
-        runs = []
-        for _ in range(3 if name in set(PINNED) else 1):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        warm[name] = round(sorted(runs)[len(runs) // 2], 3)
-        if len(runs) > 1:
-            warm_spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     # rotating secondary group (skipped when a subset filter is active
     # — subset runs are like-for-like comparisons, not coverage runs)
@@ -242,9 +261,11 @@ def main() -> None:
         "pinned_total": round(sum(timings[q] for q in pinned_run), 3),
         # warm totals for pinned rows are sums of per-query
         # MEDIANS of 3 passes (see loop note); r02–r08 artifacts
-        # were single-sample — compare medians to medians from
-        # r09 onward, and read pinned_warm_spread for the floor
+        # were single-sample, r09–r13 consecutive-triple medians,
+        # r14+ interleaved-triple medians — compare medians to
+        # medians, and read pinned_warm_spread for the floor
         "pinned_warm_total": round(sum(warm[q] for q in pinned_run), 3),
+        "pinned_warm_basis": "median3_interleaved",
         "pinned_warm": {q: warm[q] for q in pinned_run},
         "pinned_warm_spread": {
             q: warm_spread[q] for q in pinned_run if q in warm_spread
@@ -283,6 +304,28 @@ def compact_line(detail: dict) -> str:
             "pinned_total": detail["pinned_total"],
             "pinned_warm_total": detail["pinned_warm_total"],
             "pinned_n": detail["pinned_n"],
+            # interleaved-median basis + the suite-level noise floor
+            # (sum of per-query min / max warm samples): a cross-round
+            # delta inside this band is machine swing, not a plan
+            # change — the one-line answer to three rounds of manual
+            # A/B drift adjudication
+            "basis": "i3",
+            "pinned_warm_band": [
+                round(
+                    sum(
+                        detail["pinned_warm_spread"][q][0]
+                        for q in detail["pinned_warm_spread"]
+                    ),
+                    2,
+                ),
+                round(
+                    sum(
+                        detail["pinned_warm_spread"][q][1]
+                        for q in detail["pinned_warm_spread"]
+                    ),
+                    2,
+                ),
+            ],
             # the frozen r02 series IS the cross-round instrument —
             # it rides in the parsed line so no round ever loses it
             "queries": detail.get("pinned_warm", {}),

@@ -769,12 +769,13 @@ def _ensure_ivf_index(spark, sf_dir) -> str:
     Fingerprint = path + size + mtime of the source parquet: an
     in-place rewrite of the corpus gets a NEW index dir (no stale
     serve), and runs over different corpus versions never race on the
-    same directory (ADVICE r2). "v2" = index layout version, bumped
-    when centroid arithmetic changed (id-ordered fold) so stale
-    pre-change indexes never serve."""
+    same directory (ADVICE r2). "v3" = index layout version, bumped
+    when the layout gained the persisted probes table (r14 — a v2
+    index would silently live-score probes forever); "v2" was the
+    id-ordered centroid fold."""
     from cherry_spark.ext.ivf import ivf_build_index, ivf_index_exists
 
-    index_dir = _fingerprinted_store_dir(sf_dir, "embeddings", "ivf", "v2")
+    index_dir = _fingerprinted_store_dir(sf_dir, "embeddings", "ivf", "v3")
     if not ivf_index_exists(index_dir):
         ivf_build_index(
             load_table(spark, sf_dir, "embeddings"), index_dir, n_centroids=16

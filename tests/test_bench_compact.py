@@ -33,6 +33,10 @@ def _worst_case_detail() -> dict:
         "pinned_total": 99999.999,
         "pinned_warm_total": 99999.999,
         "pinned_warm": pinned_warm,
+        "pinned_warm_spread": {
+            name: [99999.999, 99999.999] for name in bench.PINNED
+        },
+        "pinned_warm_basis": "median3_interleaved",
         "pinned_n": len(bench.PINNED),
         "rotation_group": 9,
         "rotation_warm": {},
@@ -60,6 +64,13 @@ def test_compact_line_parses_and_carries_the_instruments():
     assert parsed["pinned_warm_total"] == 99999.999
     assert len(parsed["slowest5_warm"]) == 5
     assert parsed["detail_file"] == "BENCH_full.json"
+    # the noise band (sum of per-query min/max warm samples) rides in
+    # the line — drift adjudication without a worktree A/B
+    assert parsed["basis"] == "i3"
+    lo, hi = parsed["pinned_warm_band"]
+    assert lo <= hi
+    # band = sums of per-query min/max samples over the pinned set
+    assert lo == round(99999.999 * len(bench.PINNED), 2)
 
 
 def test_slowest5_are_the_actual_slowest():

@@ -307,6 +307,36 @@ def main() -> None:
         f"and {n_sizes - n_admitted} to the pair graph "
         f"({'OK' if n_dl == n_admitted and n_sizes == n_admitted else 'MISMATCH'})"
     )
+
+    # artifact for cross-run comparison (the r13 verdict item #6 10x
+    # streaming-substrate probe reads two of these side by side)
+    import json
+
+    art_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STREAM_probe.json",
+    )
+    art: dict = {}
+    if os.path.exists(art_path):
+        with open(art_path) as fh:
+            art = json.load(fh)
+    art[f"{os.path.basename(sf_dir.rstrip('/'))}_x{n_arrivals}"] = {
+        "staged": n_staged,
+        "model_rejected": sum(n_model_rejected),
+        "verdicts": counts,
+        "counts_consistent": sum(counts.values()) == n_survivors,
+        "trained_gate_folds_s": tg_times,
+        "curation_gate_folds_s": cg_times,
+        "bm25_folds_s": bm_times,
+        "pair_graph_folds_s": pg_times,
+        "bus_files": [bus_files_before, bus_files_after],
+        "redelivered": [n_dl - n_admitted, n_sizes - n_admitted],
+        "bm25_serve_matches_inline": served == inline,
+        "pair_graph_matches_scratch": maintained_edges == scratch_edges,
+    }
+    with open(art_path, "w") as fh:
+        json.dump(art, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(
         f"[verify] admitted {n_admitted}; bm25 maintained (via bus) == "
         f"inline: {'OK' if served == inline else 'MISMATCH'} "
