@@ -1192,3 +1192,28 @@ def test_bus_replace_protocol_random_interleavings(spark, tmp_path):
             fs.commit_file = real_commit
 
     run()
+
+
+def test_masked_generation_swept_at_next_commit(spark, tmp_path):
+    """A replacement that crashed after its generation commit but
+    before the superseded-generation sweep leaves the old entry file
+    masked (readers resolve to the highest generation).  The next
+    _commit_entry — any later append — retires it lazily."""
+    from cherry_spark.writers import manifest_bus as mb
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 2), bus, "e1-b0")
+    mdir = os.path.join(bus, "manifest")
+    # simulate the masked leftover: a lower-generation twin of v1
+    import json as _json
+
+    with open(os.path.join(mdir, "v00000001_e1-b0.json")) as fh:
+        entry = _json.load(fh)
+    with open(os.path.join(mdir, "v00000001g2_e1-b0.json"), "w") as fh:
+        _json.dump(entry, fh)
+    # the original gen-1 file is now the masked one
+    assert len(os.listdir(mdir)) == 2
+    assert mb.last_version(bus) == 1
+    bus_append(_batch(spark, 10, 2), bus, "e1-b1")
+    names = sorted(os.listdir(mdir))
+    assert names == ["v00000001g2_e1-b0.json", "v00000002_e1-b1.json"]
