@@ -205,27 +205,32 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     # warm runs: whole-stage-codegen compile amortized — the
     # steady-state engine throughput a long-running cluster sees.
-    # PINNED queries take the MEDIAN OF 3 INTERLEAVED warm passes
-    # (r13 verdict item #5, upgrading the r8 consecutive-triple):
-    # three full sweeps of the pinned suite, so the three samples of
-    # each query are spread across the whole bench window instead of
-    # back-to-back — machine-state drift (cache pressure, cron
-    # neighbors, thermal) decorrelates across samples, which is
-    # exactly the ±10% swing three consecutive rounds spent a day
-    # adjudicating by hand-run A/Bs.  The per-query [min, max] spread
-    # rides in the artifact so every cross-round comparison carries
-    # its own noise floor.  Basis note: r09–r13 medians were
-    # consecutive-triples — same estimator, tighter-correlated
-    # samples; totals remain comparable, spreads widen honestly.
+    # PINNED queries keep the r09 CONSECUTIVE-triple median as the
+    # cross-round series — an r14 attempt to interleave the triples
+    # measured the basis change itself: samples 2–3 of every query
+    # then see the WHOLE pinned suite's JVM state (code cache, GC)
+    # instead of only its prefix, and the series read +34% on a tree
+    # A/B where the r13 tree read -8% on the same machine.  The
+    # drift instrument (r13 verdict item #5) is ADDITIVE instead:
+    # one extra full interleaved sweep AFTER the series, whose
+    # samples widen the per-query [min, max] band — a cross-round
+    # delta inside the band is machine/JVM state, not a plan change,
+    # and the band is computed from samples spread across the whole
+    # bench window.
     runs_by_q: dict[str, list[float]] = {q: [] for q in pinned_in}
-    for _pass in range(3):
-        for name in pinned_in:
+    for name in pinned_in:
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             runs_by_q[name].append(time.perf_counter() - t0)
-    for name in pinned_in:
         runs = sorted(runs_by_q[name])
         warm[name] = round(runs[len(runs) // 2], 3)
+    for name in pinned_in:  # the band sweep (not in the medians)
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, sf_dir))
+        runs_by_q[name].append(time.perf_counter() - t0)
+    for name in pinned_in:
+        runs = sorted(runs_by_q[name])
         warm_spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
     for name in rest_in:
         fn = queries[name]
@@ -260,12 +265,12 @@ def main() -> None:
         # see module docstring): the cross-round drift signal
         "pinned_total": round(sum(timings[q] for q in pinned_run), 3),
         # warm totals for pinned rows are sums of per-query
-        # MEDIANS of 3 passes (see loop note); r02–r08 artifacts
-        # were single-sample, r09–r13 consecutive-triple medians,
-        # r14+ interleaved-triple medians — compare medians to
-        # medians, and read pinned_warm_spread for the floor
+        # MEDIANS of 3 consecutive passes (see loop note; the same
+        # basis as r09–r13, so the series stays comparable); the
+        # spread additionally folds in one trailing interleaved
+        # sweep — read pinned_warm_spread for the noise floor
         "pinned_warm_total": round(sum(warm[q] for q in pinned_run), 3),
-        "pinned_warm_basis": "median3_interleaved",
+        "pinned_warm_basis": "median3_consecutive+band_sweep",
         "pinned_warm": {q: warm[q] for q in pinned_run},
         "pinned_warm_spread": {
             q: warm_spread[q] for q in pinned_run if q in warm_spread
@@ -304,12 +309,13 @@ def compact_line(detail: dict) -> str:
             "pinned_total": detail["pinned_total"],
             "pinned_warm_total": detail["pinned_warm_total"],
             "pinned_n": detail["pinned_n"],
-            # interleaved-median basis + the suite-level noise floor
-            # (sum of per-query min / max warm samples): a cross-round
-            # delta inside this band is machine swing, not a plan
-            # change — the one-line answer to three rounds of manual
-            # A/B drift adjudication
-            "basis": "i3",
+            # series basis (consecutive-triple medians, r09-compatible)
+            # + the suite-level noise floor (sum of per-query min/max
+            # over triple + trailing interleaved band sweep): a
+            # cross-round delta inside this band is machine/JVM swing,
+            # not a plan change — the one-line answer to three rounds
+            # of manual A/B drift adjudication
+            "basis": "c3+band",
             "pinned_warm_band": [
                 round(
                     sum(

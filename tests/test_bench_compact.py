@@ -36,7 +36,7 @@ def _worst_case_detail() -> dict:
         "pinned_warm_spread": {
             name: [99999.999, 99999.999] for name in bench.PINNED
         },
-        "pinned_warm_basis": "median3_interleaved",
+        "pinned_warm_basis": "median3_consecutive+band_sweep",
         "pinned_n": len(bench.PINNED),
         "rotation_group": 9,
         "rotation_warm": {},
@@ -66,7 +66,7 @@ def test_compact_line_parses_and_carries_the_instruments():
     assert parsed["detail_file"] == "BENCH_full.json"
     # the noise band (sum of per-query min/max warm samples) rides in
     # the line — drift adjudication without a worktree A/B
-    assert parsed["basis"] == "i3"
+    assert parsed["basis"] == "c3+band"
     lo, hi = parsed["pinned_warm_band"]
     assert lo <= hi
     # band = sums of per-query min/max samples over the pinned set
