@@ -2460,8 +2460,21 @@ def ivf_index_fold(
     partitioned corpus. Returns a 1-row (n_vectors, n_clusters_hit)
     summary.  ``batch_key``: see :func:`bm25_index_fold` — with it the
     partitioned append commits idempotently under replay (the staged
-    hive subdirs are preserved on the per-file move)."""
-    from cherry_spark.ext.ivf import ivf_assign
+    hive subdirs are preserved on the per-file move).
+
+    When the index carries a PROBES table (r14, the v3
+    ``ivf_build_index`` layout) and its ``_centroids_v`` marker
+    matches the live centroids — always true here, this maintainer
+    never retrains centroids — the batch's probe ranks append in the
+    SAME commit loop, so ``knn_graph(index_dir=...)`` keeps serving
+    stored probes with no union gap as the corpus grows.  Probe ranks
+    against fixed centroids are deterministic per vector, so the
+    maintained table stays row-identical to a build-time table over
+    everything streamed (tested)."""
+    import os
+
+    from cherry_spark.ext.ivf import _probe_rank_table, ivf_assign
+    from cherry_spark.writers import fs as _fs, store as _st
 
     centroids = spark.read.parquet(_dd(f"{index_dir}/centroids"))
     assigned = batch_vectors.join(
@@ -2470,10 +2483,47 @@ def ivf_index_fold(
     # same co-location as ivf_build_index: one file per touched
     # partition dir per fold, not (tasks x clusters)
     co_located = assigned.repartition("centroid_id")
+
+    probes_root = f"{index_dir}/probes"
+    probe_rows = None
+    if _st.ready(probes_root):
+        pdir = _st.data_dir(probes_root)
+        marker = os.path.join(pdir, "_centroids_v")
+        ranks = [
+            int(d.split("=", 1)[1])
+            for d in _fs.list_dir(pdir)
+            if d.startswith("proberank=")
+        ]
+        try:
+            with open(marker) as fh:
+                built_against = fh.read().strip()
+        except OSError:
+            built_against = None
+        if ranks and built_against == (
+            _st.live_version(f"{index_dir}/centroids") or ""
+        ):
+            probe_rows = (
+                _probe_rank_table(
+                    batch_vectors.select(
+                        F.col(id_col).alias("query_id"), F.col(vec_col)
+                    ),
+                    centroids,
+                    max(ranks),
+                    vec_col,
+                    "query_id",
+                )
+                .select("query_id", "centroid_id", "proberank")
+                .repartition("proberank")
+            )
+
     if batch_key is None:
         co_located.write.partitionBy("centroid_id").mode("append").parquet(
             _dd(f"{index_dir}/corpus")
         )
+        if probe_rows is not None:
+            probe_rows.write.partitionBy("proberank").mode("append").parquet(
+                _st.data_dir(probes_root)
+            )
     else:
         import uuid as _uuid
 
@@ -2483,7 +2533,15 @@ def ivf_index_fold(
         co_located.write.partitionBy("centroid_id").mode(
             "overwrite"
         ).parquet(tmp)
-        _commit_stores([("append", tmp, f"{index_dir}/corpus", batch_key)])
+        staged = [("append", tmp, f"{index_dir}/corpus", batch_key)]
+        if probe_rows is not None:
+            _recover_store(probes_root)
+            ptmp = f"{probes_root}__tmp_{_uuid.uuid4().hex[:8]}"
+            probe_rows.write.partitionBy("proberank").mode(
+                "overwrite"
+            ).parquet(ptmp)
+            staged.append(("append", ptmp, probes_root, batch_key))
+        _commit_stores(staged)
     return assigned.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.countDistinct("centroid_id").cast("long").alias("n_clusters_hit"),

@@ -289,9 +289,18 @@ def _compact_versioned(
     if not ok:  # pragma: no cover - safety net
         _fs.remove_tree(vdir)
         raise RuntimeError(f"compaction row-count mismatch under {path}")
-    mk = os.path.join(ddir, "_merge_key")
-    if os.path.exists(mk):
-        _fs.copy_file(mk, os.path.join(vdir, "_merge_key"))
+    # underscore sidecars ride the rewrite into the new version: the
+    # ``_merge_key`` replay marker, the ivf probes table's
+    # ``_centroids_v`` validity marker, any future sibling.  Spark
+    # already wrote the new version's own _SUCCESS.
+    for side in _fs.list_dir(ddir):
+        full = os.path.join(ddir, side)
+        if (
+            side.startswith("_")
+            and side != "_SUCCESS"
+            and os.path.isfile(full)
+        ):
+            _fs.copy_file(full, os.path.join(vdir, side))
     _store.commit_version(path, vdir)
     stats["files_after"] = _n_parquet_files(_store.data_dir(path))
     return stats

@@ -2371,6 +2371,47 @@ def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
     )
     assert canon(spark.read.parquet(dd(f"{index}/corpus"))) == canon(ref)
 
+    # the probes table is co-maintained (r14): every streamed vector's
+    # probe ranks are stored, so knn_graph serves stored probes with
+    # NO union gap and equals an inline build over everything seen
+    from cherry_spark.ext.ivf import _stored_probes, knn_graph
+
+    stored = _stored_probes(
+        spark,
+        index,
+        spark.read.parquet(dd(f"{index}/corpus")),
+        2,
+        "vec_id",
+        "embedding",
+    )
+    assert stored is not None
+    _covered, uncovered = stored
+    assert uncovered.count() == 0
+    graph = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["vec_id"], r["sim"]) for r in df.collect()
+    )
+    served_graph = graph(
+        knn_graph(all_df, k=2, n_centroids=4, nprobe=2, index_dir=index)
+    )
+    assert served_graph == graph(knn_graph(all_df, k=2, n_centroids=4, nprobe=2))
+
+    # the _centroids_v marker survives a versioned self-compaction of
+    # the probes table (sidecars ride the rewrite)
+    from cherry_spark.streaming.continuous import _self_compact
+
+    _self_compact(spark, index, "bC")
+    assert (
+        _stored_probes(
+            spark,
+            index,
+            spark.read.parquet(dd(f"{index}/corpus")),
+            2,
+            "vec_id",
+            "embedding",
+        )
+        is not None
+    )
+
     # served search == search over a reference index built in one shot
     ref_index = str(tmp_path / "ivf_ref")
     ref.repartition("centroid_id").write.partitionBy("centroid_id").parquet(
