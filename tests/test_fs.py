@@ -381,3 +381,74 @@ def test_bus_exactly_once_under_object_store_semantics(spark, tmp_path):
         assert moves["n"] >= 3  # the shim actually carried the commits
     finally:
         fs.move_file, fs.move_dir = orig_move_file, orig_move_dir
+
+
+def test_bus_replace_generation_under_object_store_semantics(
+    spark, tmp_path
+):
+    """The r14 one-op generation replace under shimmed non-atomic
+    moves: replacement data files are per-generation deterministic
+    names invisible until the generation entry commits (put-if-absent
+    — the only atomicity used), so a crash on either side of the
+    commit leaves version N serving a complete entry, and the replay
+    corrects exactly once."""
+    from cherry_spark.writers import manifest_bus as mb
+
+    def rows(bus):
+        out = []
+        import pyarrow.parquet as pq
+
+        for f in mb.live_files(bus):
+            out += [tuple(r.values()) for r in pq.read_table(f).to_pylist()]
+        return sorted(out)
+
+    def batch(lo):
+        return spark.createDataFrame(
+            [(lo + i, f"doc {lo + i}") for i in range(3)],
+            "doc_id long, text string",
+        ).coalesce(1)
+
+    orig = _shim_nonatomic_moves()
+    real_commit = fs.commit_file
+    try:
+        bus = str(tmp_path / "bus")
+        mb.bus_append(batch(0), bus, "e1-b0")
+        mb.bus_append(batch(10), bus, "e1-b1")
+
+        # crash AFTER the generation commit, before the sweeps
+        def crash_after(src, dst):
+            real_commit(src, dst)
+            if "g2_" in os.path.basename(dst):
+                raise RuntimeError("crash after generation commit")
+
+        fs.commit_file = crash_after
+        with pytest.raises(RuntimeError, match="crash after"):
+            mb.bus_append(
+                batch(50), bus, "e1-b1", on_replay="replace_if_last"
+            )
+        fs.commit_file = real_commit
+        # new generation already serves, old files still masked-dead
+        assert rows(bus) == sorted(
+            [(i, f"doc {i}") for i in range(3)]
+            + [(50 + i, f"doc {50 + i}") for i in range(3)]
+        )
+        # replay replaces its own attempt at the next generation
+        v = mb.bus_append(
+            batch(60), bus, "e1-b1", on_replay="replace_if_last"
+        )
+        assert v == 2
+        assert rows(bus) == sorted(
+            [(i, f"doc {i}") for i in range(3)]
+            + [(60 + i, f"doc {60 + i}") for i in range(3)]
+        )
+        # compaction sweeps the retired files recorded across attempts
+        mb.bus_compact(spark, bus)
+        data = set(os.listdir(os.path.join(bus, "data")))
+        entries = mb.read_manifest(bus)
+        dead = {f for e in entries for f in e.get("replaces", [])}
+        live = {f for e in entries for f in e["files"]} - dead
+        assert live <= data
+        assert not (data - live)  # nothing stray or dead survives
+    finally:
+        fs.commit_file = real_commit
+        fs.move_file, fs.move_dir = orig
