@@ -348,7 +348,12 @@ def ivf_topk(
     """One-shot build + probe-limited search (ad-hoc/testing path; any
     repeated-query workload should ivf_build_index once and ivf_search
     the prebuilt index instead)."""
-    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    # two references below (corpus assign + query probe) — without
+    # materialization each re-executes the full Lloyd build (the
+    # CLAUDE.md index-op invariant)
+    centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     corpus = vectors.join(
         ivf_assign(vectors, centroids, id_col, vec_col), on=id_col
     )
