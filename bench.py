@@ -197,31 +197,27 @@ def main() -> None:
     warm_spread: dict[str, list[float]] = {}
     pinned_in = [q for q in headline if q in set(PINNED)]
     rest_in = [q for q in headline if q not in set(PINNED)]
-    # cold pass over the pinned prefix first (JVM state of any pinned
-    # query depends only on the pinned prefix — see module docstring)
-    for name in pinned_in:
-        t0 = time.perf_counter()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-    # warm runs: whole-stage-codegen compile amortized — the
-    # steady-state engine throughput a long-running cluster sees.
-    # PINNED queries keep the r09 CONSECUTIVE-triple median as the
-    # cross-round series — an r14 attempt to interleave the triples
-    # measured the basis change itself: samples 2–3 of every query
-    # then see the WHOLE pinned suite's JVM state (code cache, GC)
-    # instead of only its prefix, and the series read +34% on a tree
-    # A/B where the r13 tree read -8% on the same machine.  The
-    # drift instrument (r13 verdict item #5) is ADDITIVE instead:
-    # one extra full interleaved sweep AFTER the series, whose
-    # samples widen the per-query [min, max] band — a cross-round
-    # delta inside the band is machine/JVM state, not a plan change,
-    # and the band is computed from samples spread across the whole
-    # bench window.
+    # The pinned series keeps the EXACT r09–r13 execution order —
+    # per-query cold pass immediately followed by its consecutive
+    # warm triple — because the series is only cross-round-comparable
+    # on an identical JVM-state schedule: an r14 attempt to
+    # interleave the triples measured the basis change itself
+    # (samples 2–3 then see the whole pinned suite's code-cache/GC
+    # state instead of only the prefix; +34% on a same-machine tree
+    # A/B where the r13 tree read -8%).  The drift instrument (r13
+    # verdict item #5) is ADDITIVE instead: one trailing interleaved
+    # sweep AFTER the whole series, whose samples widen only the
+    # per-query [min, max] band — a cross-round delta inside the
+    # band is machine/JVM state, not a plan change.
     runs_by_q: dict[str, list[float]] = {q: [] for q in pinned_in}
     for name in pinned_in:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
         for _ in range(3):
             t0 = time.perf_counter()
-            materialize(queries[name](spark, sf_dir))
+            materialize(fn(spark, sf_dir))
             runs_by_q[name].append(time.perf_counter() - t0)
         runs = sorted(runs_by_q[name])
         warm[name] = round(runs[len(runs) // 2], 3)

@@ -461,38 +461,29 @@ def _replace_last_entry(
         "files": moved,
         "replaces": retired,
     }
-    # 2. one-op swap: put-if-absent at the target generation.  Single
-    # writer means a FileExistsError can only be a crashed attempt of
-    # our own that committed this generation between our listing and
-    # now — impossible within one process, but re-list and go one
-    # higher rather than fail (the entry's file NAMES are opaque, so
-    # committing gen G+1 naming gen-G-shaped files is fine).
-    gen = gen_target
-    for _attempt in range(50):
-        tmp_entry = os.path.join(mdir, f"__tmp_{uuid.uuid4().hex[:8]}")
-        with open(tmp_entry, "w") as fh:
-            json.dump(entry, fh)
-        dst = os.path.join(mdir, f"v{version:08d}g{gen}_{key}.json")
-        try:
-            fs.commit_file(tmp_entry, dst)
-            break
-        except FileExistsError:
-            fs.remove(tmp_entry)
-            gen = (
-                max(
-                    g
-                    for v, g, _n in _version_names_all(bus_dir)
-                    if v == version
-                )
-                + 1
-            )
-            continue
-    else:  # pragma: no cover - 50 own-crash generations is a storm
+    # 2. one-op swap: put-if-absent at the target generation.  The
+    # target was derived from a FRESH listing before staging and only
+    # this writer may act on the bus, so a FileExistsError here can
+    # only mean a SECOND writer replaced the entry concurrently — the
+    # same single-writer violation _commit_entry's twin check makes
+    # loud (silently bumping the generation would also mask that the
+    # racer overwrote our per-generation staged files in place).
+    tmp_entry = os.path.join(mdir, f"__tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp_entry, "w") as fh:
+        json.dump(entry, fh)
+    dst = os.path.join(mdir, f"v{version:08d}g{gen_target}_{key}.json")
+    try:
+        fs.commit_file(tmp_entry, dst)
+    except FileExistsError:
+        fs.remove(tmp_entry)
         raise RuntimeError(
-            f"bus replace at {bus_dir} lost 50 straight generation "
-            f"commits for version {version} — another writer is "
-            "replacing this entry (the bus is single-writer)"
-        )
+            f"manifest bus at {bus_dir}: generation {gen_target} of "
+            f"version {version} was committed by another writer between "
+            "this replace's listing and its commit — the bus is "
+            "single-writer (serial foreachBatch); a concurrent replacer "
+            "would silently corrupt the staged replacement files, so "
+            "this collision fails loudly instead"
+        ) from None
     # 3. superseded generation files and retired data files go only
     # after the commit (idempotent; a crash here leaves them masked —
     # readers already resolve to the new generation; _commit_entry's

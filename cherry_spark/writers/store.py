@@ -208,7 +208,11 @@ def publish(df, path: str) -> str:
     return data_dir(path)
 
 
-def sweep(path: str, orphans: bool = True) -> None:
+def sweep(
+    path: str,
+    orphans: bool = True,
+    stale_orphans_after_s: float | None = 24 * 3600.0,
+) -> None:
     """Delete what the live pointer does not reference: superseded
     ``v-*`` dirs (named by pointer files below the latest), those old
     pointer files, and — once a live version exists — the legacy
@@ -230,7 +234,20 @@ def sweep(path: str, orphans: bool = True) -> None:
     named by ANY pointer was fully written before its commit, so
     superseded-dir deletion never races a writer.
 
+    ``stale_orphans_after_s``: even in superseded-only mode, a
+    never-pointed ``v-*`` dir whose root mtime is older than this
+    grace is reclaimed — a crashed ``_ensure_*`` build's staging has
+    no fold-start full sweep to collect it, so without this every
+    crash would leak a table-sized directory forever (r14 review).
+    The grace (default 24 h) is orders of magnitude above any build's
+    staging window, so an in-flight concurrent builder is never
+    touched; a build that genuinely stages longer than the grace must
+    pass ``None`` here or raise it.  (Caveat: the root mtime of a
+    hive-partitioned staging stops advancing once its partition
+    subdirs exist — another reason the grace is a day, not minutes.)
+
     Idempotent; missing targets are fine."""
+    import time as _time
     ptrs = _pointers(path)
     lv = ptrs[-1][1] if ptrs else None
     superseded = {v for _seq, v in ptrs if v != lv}
@@ -248,6 +265,13 @@ def sweep(path: str, orphans: bool = True) -> None:
         if _VDIR_RE.match(entry):
             if orphans or entry in superseded:
                 fs.remove_tree(full)
+            elif stale_orphans_after_s is not None:
+                try:
+                    age = _time.time() - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age > stale_orphans_after_s:
+                    fs.remove_tree(full)
         elif lv is not None:
             # versioned store: the top level is dead legacy state
             if os.path.isdir(full):

@@ -1217,3 +1217,36 @@ def test_masked_generation_swept_at_next_commit(spark, tmp_path):
     bus_append(_batch(spark, 10, 2), bus, "e1-b1")
     names = sorted(os.listdir(mdir))
     assert names == ["v00000001g2_e1-b0.json", "v00000002_e1-b1.json"]
+
+
+def test_replace_generation_collision_raises_loudly(spark, tmp_path):
+    """A second writer committing the replace's target generation
+    inside the listing->commit window is a single-writer violation:
+    it must raise (like _commit_entry's twin check), never silently
+    bump the generation — the racer overwrote this replace's staged
+    per-generation files in place, so absorbing the collision would
+    commit foreign bytes."""
+    import pytest as _pytest
+
+    from cherry_spark.writers import fs, manifest_bus as mb
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 2), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 2), bus, "e1-b1")
+
+    real_commit = fs.commit_file
+
+    def racer_lands_first(src, dst):
+        if "g2_" in os.path.basename(dst) and not os.path.exists(dst):
+            with open(dst, "w") as fh:
+                fh.write("{}")  # the second writer's commit
+        real_commit(src, dst)
+
+    fs.commit_file = racer_lands_first
+    try:
+        with _pytest.raises(RuntimeError, match="single-writer"):
+            bus_append(
+                _batch(spark, 50, 2), bus, "e1-b1", on_replay="replace_if_last"
+            )
+    finally:
+        fs.commit_file = real_commit

@@ -392,3 +392,23 @@ def test_has_parquet_recurses_into_partitioned_versions(tmp_path):
     flat = str(tmp_path / "flat")
     _mkfile(os.path.join(flat, "sub", "x.parquet"))
     assert not store.has_parquet(flat)
+
+
+def test_stale_orphan_reclaimed_by_superseded_only_sweep(tmp_path):
+    """A crashed _ensure_* build's staging has no fold-start full
+    sweep to collect it; the post-commit superseded-only sweep
+    reclaims never-pointed version dirs past the staleness grace and
+    leaves fresh ones (a concurrent builder's in-flight staging)
+    alone."""
+    import time
+
+    root = str(tmp_path / "t")
+    stale = _stage(root, "crashed-long-ago")
+    old = time.time() - 48 * 3600
+    os.utime(stale, (old, old))
+    fresh = _stage(root, "in-flight")
+    v1 = _stage(root, "live")
+    store.commit_version(root, v1)  # post-commit sweep: superseded-only
+    assert not os.path.exists(stale)  # reclaimed past the grace
+    assert os.path.exists(fresh)  # in-flight staging untouched
+    assert store.live_version(root) == os.path.basename(v1)
