@@ -1250,3 +1250,29 @@ def test_replace_generation_collision_raises_loudly(spark, tmp_path):
             )
     finally:
         fs.commit_file = real_commit
+
+
+def test_stream_consumer_reads_replaced_generation(spark, tmp_path):
+    """Consumer-facing semantics of the r14 generation protocol: a
+    stream that has NOT yet consumed a version delivers the
+    REPLACEMENT rows for it (the corrected replay is the truth), and
+    a version's delivery is never empty mid-protocol."""
+    from cherry_spark.writers import manifest_bus as mb
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 3), bus, "e1-b0")
+    bus_append(_batch(spark, 10, 3), bus, "e1-b1")  # diverged attempt
+    # the producer's replay corrects version 2 before any consumer
+    mb.bus_append(_batch(spark, 50, 3), bus, "e1-b1", on_replay="replace_if_last")
+
+    got: list = []
+    _drain(spark, bus, str(tmp_path / "ck"), got)
+    assert sorted(got) == sorted(
+        _rows(_batch(spark, 0, 3)) + _rows(_batch(spark, 50, 3))
+    )
+
+    # a consumer checkpointed BEFORE the replaced version likewise
+    # sees the corrected rows when it catches up
+    got2: list = []
+    _drain(spark, bus, str(tmp_path / "ck2"), got2, starting="1")
+    assert sorted(got2) == _rows(_batch(spark, 50, 3))

@@ -121,3 +121,42 @@ def test_incremental_topn_with_skip_equals_global(batches, n):
         sample = sorted(sample + fresh, key=rank)[:n]
     expect = sorted(seen, key=rank)[:n]
     assert sorted(sample, key=rank) == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),  # version
+            st.integers(min_value=1, max_value=5),  # generation
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_manifest_name_roundtrip_and_resolution(entries):
+    """The bus filename kernel (writers/manifest_bus.py): every
+    (version, generation, key) the protocol can emit parses back
+    exactly, and the per-version resolution picks the HIGHEST
+    generation regardless of listing order."""
+    from cherry_spark.writers.manifest_bus import _parse_name
+
+    names = []
+    for v, g in entries:
+        n = (
+            f"v{v:08d}_e1-b{v}.json"
+            if g == 1
+            else f"v{v:08d}g{g}_e1-b{v}.json"
+        )
+        assert _parse_name(n) == (v, g), n
+        names.append((v, g, n))
+    # strays the listing may contain are never parsed as entries
+    for stray in ("__tmp_abc", "v0000000x.json", "vnope", "v1.json"):
+        assert _parse_name(stray) is None
+    # resolution model: max generation per version
+    expect: dict[int, int] = {}
+    for v, g in entries:
+        expect[v] = max(g, expect.get(v, 0))
+    latest: dict[int, int] = {}
+    for v, g, _n in sorted(names):
+        latest[v] = max(g, latest.get(v, 0))
+    assert latest == expect

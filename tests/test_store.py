@@ -177,10 +177,15 @@ def test_versioned_compaction_sizes_partitions_by_bytes(spark, tmp_path):
 
 def test_store_protocol_invariants_random_interleaving(tmp_path):
     """Property test (hypothesis): under ANY interleaving of
-    {successful commit, crashed staging (orphan), sweep}, the store
-    always resolves to the LAST successfully committed version, its
-    content is never lost or mixed, and a sweep leaves at most one
-    version dir and one pointer alive."""
+    {successful commit, crashed fresh staging (orphan), crashed STALE
+    staging (past the reclamation grace), sweep}, the store always
+    resolves to the LAST successfully committed version, its content
+    is never lost or mixed, a full sweep leaves at most one version
+    dir and one pointer alive, and a commit's superseded-only sweep
+    reclaims stale orphans while never touching fresh ones (a
+    concurrent builder's in-flight staging)."""
+    import time
+
     from hypothesis import given, settings, strategies as st
 
     counter = [0]
@@ -188,7 +193,7 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
     @settings(max_examples=30, deadline=None)
     @given(
         ops=st.lists(
-            st.sampled_from(["commit", "orphan", "sweep"]),
+            st.sampled_from(["commit", "orphan", "stale_orphan", "sweep"]),
             min_size=1,
             max_size=12,
         )
@@ -197,6 +202,7 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
         counter[0] += 1
         root = str(tmp_path / f"s{counter[0]}")
         committed = None  # content of the last committed version
+        fresh_orphans: set[str] = set()
         n_commits = 0
         for op in ops:
             if op == "commit":
@@ -204,10 +210,18 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
                 content = f"gen-{n_commits}"
                 store.commit_version(root, _stage(root, content))
                 committed = content
+                # the post-commit sweep is superseded-only + stale
+                # reclamation: fresh stagings must all survive it
+                assert all(os.path.isdir(v) for v in fresh_orphans)
             elif op == "orphan":
-                _stage(root, "crashed")  # staged, never committed
+                fresh_orphans.add(_stage(root, "crashed"))
+            elif op == "stale_orphan":
+                stale = _stage(root, "crashed-long-ago")
+                old = time.time() - 48 * 3600
+                os.utime(stale, (old, old))
             else:
                 store.sweep(root)
+                fresh_orphans.clear()
                 vdirs = [
                     d for d in os.listdir(root) if d.startswith("v-")
                 ] if os.path.isdir(root) else []
@@ -216,6 +230,16 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
                     os.listdir(ptr_dir) if os.path.isdir(ptr_dir) else []
                 )
                 assert len(vdirs) <= 1 and len(ptrs) <= 1
+            if op == "commit" or op == "sweep":
+                # no stale orphan survives any sweep-carrying op
+                assert not any(
+                    d.startswith("v-")
+                    and time.time() - os.path.getmtime(os.path.join(root, d))
+                    > 24 * 3600
+                    for d in (
+                        os.listdir(root) if os.path.isdir(root) else []
+                    )
+                )
             # resolution invariant after EVERY op
             if committed is None:
                 assert store.live_version(root) is None
