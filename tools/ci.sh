@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # Full local verification: unit/integration tests, the DuckDB
 # differential gate at driver scale, the physical-plan audit, and the
-# benchmark. Mirrors everything the driver checks. Takes ~50 minutes at the round-13 suite size.
+# benchmark. Mirrors everything the driver checks. Takes ~55 minutes at the round-14 suite size.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
