@@ -766,6 +766,19 @@ def bus_compact(
     ddir = _data_dir(bus_dir)
     for f in dead:
         fs.remove(os.path.join(ddir, f))
+    # ... and manifest generations a crashed replacement superseded
+    # but never swept (masked: readers resolve to the highest gen;
+    # _commit_entry also retires them at the next append, but a bus
+    # whose LAST producer op crashed mid-replacement only ever sees
+    # compactions from here on)
+    mdir = _manifest_dir(bus_dir)
+    raw = _version_names_all(bus_dir)
+    latest_gen: dict[int, int] = {}
+    for v, g, _n in raw:
+        latest_gen[v] = max(g, latest_gen.get(v, 0))
+    for v, g, n in raw:
+        if g < latest_gen[v]:
+            fs.remove(os.path.join(mdir, n))
     if not files:
         return {"files_before": 0, "files_after": 0, "bytes": 0}
     nbytes = sum(os.path.getsize(f) for f in files)

@@ -1276,3 +1276,26 @@ def test_stream_consumer_reads_replaced_generation(spark, tmp_path):
     got2: list = []
     _drain(spark, bus, str(tmp_path / "ck2"), got2, starting="1")
     assert sorted(got2) == _rows(_batch(spark, 50, 3))
+
+
+def test_bus_compact_retires_masked_generations(spark, tmp_path):
+    """A bus whose last producer op crashed after its generation
+    commit (old gen file masked, never swept) and then only ever
+    compacts: bus_compact retires the masked generation file."""
+    import json as _json
+
+    from cherry_spark.writers import manifest_bus as mb
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 2), bus, "e1-b0")
+    mdir = os.path.join(bus, "manifest")
+    with open(os.path.join(mdir, "v00000001_e1-b0.json")) as fh:
+        entry = _json.load(fh)
+    with open(os.path.join(mdir, "v00000001g2_e1-b0.json"), "w") as fh:
+        _json.dump(entry, fh)  # the crashed replacement's commit
+    assert len(os.listdir(mdir)) == 2
+    bus_compact(spark, bus, target_file_bytes=1)
+    names = [n for n in os.listdir(mdir) if mb._parse_name(n)]
+    vs = [mb._parse_name(n)[0] for n in names]
+    assert len(vs) == len(set(vs))  # one generation file per version
+    assert len(_rows(bus_snapshot(spark, bus))) == 2
