@@ -634,22 +634,12 @@ def knn_graph(
     )
 
 
-def _stored_probes(
-    spark,
-    index_dir: str,
-    corpus: DataFrame,
-    nprobe: int,
-    id_col: str,
-    vec_col: str,
-):
-    """Serve the corpus-as-queries probe relation from the persisted
-    ``probes`` table when it is usable: committed, ranked against the
-    LIVE centroids version (the ``_centroids_v`` marker — a reseed
-    supersedes the centroids and silently invalidates the table), and
-    covering the requested ``nprobe`` (rank partitions are listed, not
-    read).  Returns ``(covered_q_probe, uncovered_queries | None)`` —
-    the caller live-scores only the uncovered gap (vectors appended
-    to the corpus after the build) — or None for a full live fallback."""
+def probes_meta(index_dir: str) -> tuple[str, int] | None:
+    """(live probes data dir, max stored rank) when the persisted
+    ``probes`` table is USABLE — committed, and ranked against the
+    LIVE centroids version (the ``_centroids_v`` marker: a reseed
+    supersedes the centroids and silently invalidates the table) —
+    else None.  Rank partitions are listed, never read."""
     import os
 
     from cherry_spark.writers import fs, store
@@ -658,9 +648,8 @@ def _stored_probes(
     if not store.ready(root):
         return None
     pdir = store.data_dir(root)
-    marker = os.path.join(pdir, "_centroids_v")
     try:
-        with open(marker) as fh:
+        with open(os.path.join(pdir, "_centroids_v")) as fh:
             built_against = fh.read().strip()
     except OSError:
         return None
@@ -671,7 +660,32 @@ def _stored_probes(
         for d in fs.list_dir(pdir)
         if d.startswith("proberank=")
     ]
-    if not ranks or max(ranks) < nprobe:
+    if not ranks:
+        return None
+    return pdir, max(ranks)
+
+
+def _stored_probes(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Serve the corpus-as-queries probe relation from the persisted
+    ``probes`` table when :func:`probes_meta` deems it usable and it
+    covers the requested ``nprobe``.  Returns ``(covered_q_probe,
+    uncovered_queries | None)`` — the caller live-scores only the
+    uncovered gap (vectors appended to the corpus after the build) —
+    or None for a full live fallback."""
+    import os
+
+    meta = probes_meta(index_dir)
+    if meta is None:
+        return None
+    pdir, max_rank = meta
+    if max_rank < nprobe:
         return None
     stored = spark.read.parquet(pdir).filter(F.col("proberank") <= nprobe)
     qvecs = corpus.select(

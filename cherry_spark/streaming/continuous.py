@@ -2471,10 +2471,8 @@ def ivf_index_fold(
     against fixed centroids are deterministic per vector, so the
     maintained table stays row-identical to a build-time table over
     everything streamed (tested)."""
-    import os
-
-    from cherry_spark.ext.ivf import _probe_rank_table, ivf_assign
-    from cherry_spark.writers import fs as _fs, store as _st
+    from cherry_spark.ext.ivf import _probe_rank_table, ivf_assign, probes_meta
+    from cherry_spark.writers import store as _st
 
     centroids = spark.read.parquet(_dd(f"{index_dir}/centroids"))
     assigned = batch_vectors.join(
@@ -2486,35 +2484,22 @@ def ivf_index_fold(
 
     probes_root = f"{index_dir}/probes"
     probe_rows = None
-    if _st.ready(probes_root):
-        pdir = _st.data_dir(probes_root)
-        marker = os.path.join(pdir, "_centroids_v")
-        ranks = [
-            int(d.split("=", 1)[1])
-            for d in _fs.list_dir(pdir)
-            if d.startswith("proberank=")
-        ]
-        try:
-            with open(marker) as fh:
-                built_against = fh.read().strip()
-        except OSError:
-            built_against = None
-        if ranks and built_against == (
-            _st.live_version(f"{index_dir}/centroids") or ""
-        ):
-            probe_rows = (
-                _probe_rank_table(
-                    batch_vectors.select(
-                        F.col(id_col).alias("query_id"), F.col(vec_col)
-                    ),
-                    centroids,
-                    max(ranks),
-                    vec_col,
-                    "query_id",
-                )
-                .select("query_id", "centroid_id", "proberank")
-                .repartition("proberank")
+    meta = probes_meta(index_dir)
+    if meta is not None:
+        _pdir, max_rank = meta
+        probe_rows = (
+            _probe_rank_table(
+                batch_vectors.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col)
+                ),
+                centroids,
+                max_rank,
+                vec_col,
+                "query_id",
             )
+            .select("query_id", "centroid_id", "proberank")
+            .repartition("proberank")
+        )
 
     if batch_key is None:
         co_located.write.partitionBy("centroid_id").mode("append").parquet(

@@ -111,6 +111,22 @@ def _version_names_all(bus_dir: str) -> list[tuple[int, int, str]]:
     return sorted(out)
 
 
+def _sweep_masked_generations(bus_dir: str) -> None:
+    """Retire manifest files a committed replacement superseded
+    (lower generation than their version's highest).  Masked — every
+    reader resolves a version to its highest generation — so this is
+    pure cleanup, safe at any single-writer point; runs lazily at
+    every commit and at compaction."""
+    mdir = _manifest_dir(bus_dir)
+    raw = _version_names_all(bus_dir)
+    latest_gen: dict[int, int] = {}
+    for v, g, _n in raw:
+        latest_gen[v] = max(g, latest_gen.get(v, 0))
+    for v, g, n in raw:
+        if g < latest_gen[v]:
+            fs.remove(os.path.join(mdir, n))
+
+
 def _version_names(bus_dir: str) -> list[tuple[int, str]]:
     """(version, filename) for every committed entry, version order —
     parsed from filenames only (no JSON reads).  A version with
@@ -200,18 +216,11 @@ def _commit_entry(bus_dir: str, entry: dict) -> int:
     fs.ensure_dir(mdir)
     # crashed commits leave __tmp_* strays (never .json, so invisible
     # to read_manifest) — sweep them here, along with generations a
-    # crashed replacement superseded but never deleted (masked: every
-    # reader already resolves a version to its highest generation)
+    # crashed replacement superseded but never deleted
     for stray in fs.list_dir(mdir):
         if stray.startswith("__tmp_"):
             fs.remove(os.path.join(mdir, stray))
-    raw = _version_names_all(bus_dir)
-    latest_gen: dict[int, int] = {}
-    for v, g, _n in raw:
-        latest_gen[v] = max(g, latest_gen.get(v, 0))
-    for v, g, n in raw:
-        if g < latest_gen[v]:
-            fs.remove(os.path.join(mdir, n))
+    _sweep_masked_generations(bus_dir)
     version = last_version(bus_dir) + 1
     entry = {"version": version, **entry}
     tmp = os.path.join(mdir, f"__tmp_{uuid.uuid4().hex[:8]}")
@@ -486,11 +495,9 @@ def _replace_last_entry(
         ) from None
     # 3. superseded generation files and retired data files go only
     # after the commit (idempotent; a crash here leaves them masked —
-    # readers already resolve to the new generation; _commit_entry's
-    # stray sweep also retires masked generations at the next append)
-    for v, g, n in _version_names_all(bus_dir):
-        if v == version and n != os.path.basename(dst):
-            fs.remove(os.path.join(mdir, n))
+    # readers already resolve to the new generation; the next
+    # append/compaction also retires masked generations)
+    _sweep_masked_generations(bus_dir)
     for f in retired:
         fs.remove(os.path.join(ddir, f))
     return version
@@ -767,18 +774,10 @@ def bus_compact(
     for f in dead:
         fs.remove(os.path.join(ddir, f))
     # ... and manifest generations a crashed replacement superseded
-    # but never swept (masked: readers resolve to the highest gen;
-    # _commit_entry also retires them at the next append, but a bus
-    # whose LAST producer op crashed mid-replacement only ever sees
-    # compactions from here on)
-    mdir = _manifest_dir(bus_dir)
-    raw = _version_names_all(bus_dir)
-    latest_gen: dict[int, int] = {}
-    for v, g, _n in raw:
-        latest_gen[v] = max(g, latest_gen.get(v, 0))
-    for v, g, n in raw:
-        if g < latest_gen[v]:
-            fs.remove(os.path.join(mdir, n))
+    # but never swept (_commit_entry also retires them at the next
+    # append, but a bus whose LAST producer op crashed
+    # mid-replacement only ever sees compactions from here on)
+    _sweep_masked_generations(bus_dir)
     if not files:
         return {"files_before": 0, "files_after": 0, "bytes": 0}
     nbytes = sum(os.path.getsize(f) for f in files)
