@@ -1,8 +1,8 @@
 """Certification-window invariants (round-7 verdict items #1/#2,
-rotated to the ROUND-14 window per the round-13 verdict item #1).
+rotated to the ROUND-15 window per the round-14 verdict item #1).
 
 The driver certifies exactly the first 50 registered queries, so the
-window composition is load-bearing: these tests pin the round-14
+window composition is load-bearing: these tests pin the round-15
 contract against the archived driver artifacts — a reorder mistake
 fails HERE, not in the next driver round."""
 
@@ -27,28 +27,44 @@ def _round_order(n: int) -> list[str]:
         return list(json.load(f))
 
 
-def test_r14_window_is_r11_remaining_plus_r12_head():
+def test_r15_window_is_r12_remaining_plus_r13_head():
     window = list(REGISTRY)[:50]
-    r13 = _round_keys(13)
+    r14 = _round_keys(14)
     # no slot wasted on a row certified last round
-    assert not set(window) & r13
-    # the 49 r11-window rows not swept in r13 lead the window
-    assert window[: len(Q._R11_REMAINING_R14)] == Q._R11_REMAINING_R14
-    # then the oldest row of the archived r12 artifact
-    assert window[49:] == Q._R12_FIRST1_R14
-    assert Q._R12_FIRST1_R14 == _round_order(12)[:1]
-    # this sweep re-certifies the dedup/ANN/text cohort — the rows
-    # whose serving paths the r13 store-pointer port rewrote
+    assert not set(window) & r14
+    # the 49 r12-window rows not swept in r14 lead the window
+    assert window[: len(Q._R12_REMAINING_R15)] == Q._R12_REMAINING_R15
+    assert Q._R12_REMAINING_R15 == [
+        n for n in _round_order(12) if n not in set(Q._R12_FIRST1_R14)
+    ]
+    # then the oldest row of the archived r13 artifact
+    assert window[49:] == Q._R13_FIRST1_R15
+    assert Q._R13_FIRST1_R15 == _round_order(13)[:1]
+    # this sweep re-certifies the r12 cohort — BM25/hybrid/phrase
+    # retrieval, the sketches, and asof — whose last driver rows
+    # predate both the r13 pointer-store port and the r14 bus/IVF work
     assert {
-        "minhash_lsh_dedup",
-        "ann_ivf_topk",
-        "dedup_clusters",
-        "trained_quality_gate",
+        "bm25_topk",
+        "hybrid_rrf_topk",
+        "phrase_search_topk",
+        "bloom_membership_gate",
+        "cms_heavy_hitters",
+        "asof_join_latest_order",
     } <= set(window)
 
 
+def test_r14_window_archived_matches_artifact():
+    """The archived r14 window (the r16 plan derives from it) must be
+    exactly the two derived groups, in artifact order."""
+    assert (
+        _round_order(14)
+        == Q._R11_REMAINING_R14 + Q._R12_FIRST1_R14
+    )
+    assert Q._R12_FIRST1_R14 == _round_order(12)[:1]
+
+
 def test_r13_window_archived_matches_artifact():
-    """The archived r13 window (the r15 plan derives from it) must be
+    """The archived r13 window (the r15 window derives from it) must be
     exactly the two derived groups, in artifact order."""
     assert (
         _round_order(13)
@@ -57,15 +73,15 @@ def test_r13_window_archived_matches_artifact():
     assert Q._R11_FIRST1_R13 == _round_order(11)[:1]
 
 
-def test_r15_prestaged_window_matches_artifacts():
-    """The pre-staged r15 groups: the 49 r12-window rows not swept in
-    r14 (artifact order) + the oldest r13-window row."""
-    r12 = _round_order(12)
-    assert Q._R12_REMAINING_R15 == [
-        n for n in r12 if n not in set(Q._R12_FIRST1_R14)
+def test_r16_prestaged_window_matches_artifacts():
+    """The pre-staged r16 groups: the 49 r13-window rows not swept in
+    r15 (artifact order) + the oldest r14-window row."""
+    r13 = _round_order(13)
+    assert Q._R13_REMAINING_R16 == [
+        n for n in r13 if n not in set(Q._R13_FIRST1_R15)
     ]
-    assert Q._R13_FIRST1_R15 == _round_order(13)[:1]
-    assert len(Q._R12_REMAINING_R15) + len(Q._R13_FIRST1_R15) == 50
+    assert Q._R14_FIRST1_R16 == _round_order(14)[:1]
+    assert len(Q._R13_REMAINING_R16) + len(Q._R14_FIRST1_R16) == 50
 
 
 def test_r12_window_archived_matches_artifact():
