@@ -540,7 +540,15 @@ def knn_graph(
     apply the SemDeDup max_cluster_size guard upstream first.
     ``index_dir`` serves centroids + assigned corpus from a prebuilt
     ivf_build_index store (the repeated-run path — identical output,
-    the index is deterministic); inline build otherwise.
+    the index is deterministic); inline build otherwise.  In EVERY
+    lane the query set is ``vectors`` (r15, advice item: the stored-
+    probes lane used to run corpus-as-queries, silently changing the
+    query set when a caller passed a filtered ``vectors`` with
+    index_dir): stored centroid ranks are served BY ID via a semi-join
+    to ``vectors``' ids, and ids absent from the stored table (rows
+    appended after the build, or not in the index at all) are
+    live-scored against the index centroids.  Candidates always come
+    from the index corpus when index_dir is given.
     Returns (query_id, id_col, sim) — round(cosine, 6).
 
     ``method`` picks the candidate-scoring lane (r9, verdict item #4):
@@ -590,7 +598,7 @@ def knn_graph(
             id_col, vec_col, "centroid_id"
         )
         stored_probe = _stored_probes(
-            spark, index_dir, corpus, nprobe, id_col, vec_col
+            spark, index_dir, vectors, nprobe, id_col, vec_col
         )
         if stored_probe is not None:
             q_probe, uncovered = stored_probe
@@ -603,6 +611,9 @@ def knn_graph(
             return _knn_from_probe(
                 corpus,
                 q_probe,
+                vectors.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col)
+                ),
                 k,
                 id_col,
                 vec_col,
@@ -629,8 +640,8 @@ def knn_graph(
     # deliberately NOT broadcast below
     q_probe = _probe_centroids(queries, centroids, nprobe, vec_col, "query_id")
     return _knn_from_probe(
-        corpus, q_probe, k, id_col, vec_col, method, pad, probe_salt,
-        centroid_blocks,
+        corpus, q_probe, queries, k, id_col, vec_col, method, pad,
+        probe_salt, centroid_blocks,
     )
 
 
@@ -668,16 +679,21 @@ def probes_meta(index_dir: str) -> tuple[str, int] | None:
 def _stored_probes(
     spark,
     index_dir: str,
-    corpus: DataFrame,
+    queries: DataFrame,
     nprobe: int,
     id_col: str,
     vec_col: str,
 ):
-    """Serve the corpus-as-queries probe relation from the persisted
-    ``probes`` table when :func:`probes_meta` deems it usable and it
-    covers the requested ``nprobe``.  Returns ``(covered_q_probe,
-    uncovered_queries | None)`` — the caller live-scores only the
-    uncovered gap (vectors appended to the corpus after the build) —
+    """Serve the probe relation for ``queries`` (the caller's
+    ``vectors``, NOT corpus-as-queries; r15 advice item) from the
+    persisted ``probes`` table when :func:`probes_meta` deems it
+    usable and it covers the requested ``nprobe``.  Stored centroid
+    ranks are keyed by id: the inner join below restricts the stored
+    table to the query ids AND takes the query vector values from
+    ``queries`` itself, so a filtered query set gets exactly its own
+    rows.  Returns ``(covered_q_probe, uncovered_queries)`` — the
+    caller live-scores only the uncovered gap (ids absent from the
+    stored table: appended after the build or foreign to the index) —
     or None for a full live fallback."""
     import os
 
@@ -687,23 +703,19 @@ def _stored_probes(
     pdir, max_rank = meta
     if max_rank < nprobe:
         return None
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     stored = spark.read.parquet(pdir).filter(F.col("proberank") <= nprobe)
-    qvecs = corpus.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
+    qvecs = q.select("query_id", F.col(vec_col).alias("__qvec"))
     covered = stored.join(qvecs, on="query_id").select(
         "query_id", "__qvec", "centroid_id"
     )
     # coverage key set = the rank-1 rows (exactly one per covered id)
-    uncovered = (
-        corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-        .join(
-            spark.read.parquet(os.path.join(pdir, "proberank=1")).select(
-                "query_id"
-            ),
-            on="query_id",
-            how="left_anti",
-        )
+    uncovered = q.join(
+        spark.read.parquet(os.path.join(pdir, "proberank=1")).select(
+            "query_id"
+        ),
+        on="query_id",
+        how="left_anti",
     )
     return covered, uncovered
 
@@ -711,6 +723,7 @@ def _stored_probes(
 def _knn_from_probe(
     corpus: DataFrame,
     q_probe: DataFrame,
+    queries: DataFrame,
     k: int,
     id_col: str,
     vec_col: str,
@@ -721,7 +734,11 @@ def _knn_from_probe(
 ) -> DataFrame:
     """The knn_graph tail shared by the live-probe and stored-probe
     paths: candidate generation (numpy block matmul or JVM fold) +
-    certified exact rerank."""
+    certified exact rerank.  ``queries`` is the (query_id, vec_col)
+    relation the rerank fetches query vectors from — it must be the
+    caller's query set, NOT the corpus (r15: refetching from the
+    corpus silently dropped foreign query ids in the numpy lane while
+    the fold lane kept them)."""
     if method == "numpy":
         try:
             import numpy  # noqa: F401
@@ -739,7 +756,7 @@ def _knn_from_probe(
             probe_salt,
             centroid_blocks,
         )
-        return _exact_rerank(cand, corpus, k, id_col, vec_col)
+        return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
     corpus = corpus.withColumn("__vn", norm(F.col(vec_col)))
     q_probe = q_probe.withColumn("__qn", norm(F.col("__qvec")))
     # Repartition BOTH join inputs on the join key: the sortless
@@ -949,6 +966,7 @@ def _knn_candidates_numpy(
 def _exact_rerank(
     cand: DataFrame,
     corpus: DataFrame,
+    queries: DataFrame,
     k: int,
     id_col: str,
     vec_col: str,
@@ -956,12 +974,14 @@ def _exact_rerank(
     """Rank candidate pairs with the CERTIFIED fold cosine and the
     (round(sim,6) DESC, id ASC) total order — the arithmetic the
     DuckDB oracle replays. Per-query group size is ≤ nprobe·(k_buf)
-    rows by construction, so the rank window is bounded."""
+    rows by construction, so the rank window is bounded.  Query
+    vectors come from ``queries`` (query_id, vec_col), never the
+    corpus — an inner join on the corpus drops foreign query ids."""
     side = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "__vn", norm(F.col(vec_col))
     )
-    qside = corpus.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    qside = queries.select(
+        "query_id", F.col(vec_col).alias("__qvec")
     ).withColumn("__qn", norm(F.col("__qvec")))
     na, nb = F.col("__vn"), F.col("__qn")
     sim = F.when(

@@ -573,3 +573,57 @@ def test_knn_graph_stored_probes_paths(spark, tmp_path):
         ).collect()
     )
     assert got == inline
+
+
+def test_knn_graph_stored_lane_uses_vectors_as_queries(spark, tmp_path):
+    """r15 advice item: with index_dir, the query set is ``vectors``
+    in EVERY lane.  A filtered ``vectors`` must yield exactly its own
+    query rows from the stored-probes lane (semi-join by id), a
+    foreign id must be live-scored through the union gap, and the
+    stored lane must be row-identical to the live-fallback lane on the
+    same filtered query set."""
+    from cherry_spark.ext.ivf import ivf_build_index, knn_graph
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # idx_hot: stored probes usable; idx_cold: ranks < nprobe, so the
+    # same calls run the live-fallback index lane (same corpus)
+    idx_hot = str(tmp_path / "hot")
+    idx_cold = str(tmp_path / "cold")
+    ivf_build_index(df, idx_hot, n_centroids=4, store_probes=4)
+    ivf_build_index(df, idx_cold, n_centroids=4, store_probes=1)
+
+    graph = lambda d: sorted(  # noqa: E731
+        (r["query_id"], r["vec_id"], r["sim"]) for r in d.collect()
+    )
+    filtered = df.filter(df["vec_id"] < 10)
+    got_hot = graph(
+        knn_graph(filtered, k=2, n_centroids=4, nprobe=2, index_dir=idx_hot)
+    )
+    got_cold = graph(
+        knn_graph(filtered, k=2, n_centroids=4, nprobe=2, index_dir=idx_cold)
+    )
+    assert got_hot == got_cold
+    assert {q for q, _, _ in got_hot} == set(range(10))
+    # candidates still come from the FULL index corpus
+    assert any(v >= 10 for _, v, _ in got_hot)
+
+    # a foreign id (absent from the index) is live-scored via the gap
+    foreign = filtered.unionByName(
+        spark.createDataFrame(
+            [(100, [1.0, 2.0, 3.0, 4.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    got_hot = graph(
+        knn_graph(foreign, k=2, n_centroids=4, nprobe=2, index_dir=idx_hot)
+    )
+    got_cold = graph(
+        knn_graph(foreign, k=2, n_centroids=4, nprobe=2, index_dir=idx_cold)
+    )
+    assert got_hot == got_cold
+    assert {q for q, _, _ in got_hot} == set(range(10)) | {100}
