@@ -312,6 +312,9 @@ def compact_line(detail: dict) -> str:
             # not a plan change — the one-line answer to three rounds
             # of manual A/B drift adjudication
             "basis": "c3+band",
+            # null under a subset filter (no pinned query got a
+            # spread): a [0, 0] band would read as a zero noise floor
+            # in drift adjudication (r15 advice)
             "pinned_warm_band": [
                 round(
                     sum(
@@ -327,7 +330,9 @@ def compact_line(detail: dict) -> str:
                     ),
                     2,
                 ),
-            ],
+            ]
+            if detail["pinned_warm_spread"]
+            else None,
             # the frozen r02 series IS the cross-round instrument —
             # it rides in the parsed line so no round ever loses it
             "queries": detail.get("pinned_warm", {}),

@@ -35,6 +35,24 @@ finds orphan same-key data files without a manifest entry deletes
 them and re-appends.  Single writer per bus (the serial foreachBatch
 contract); compaction runs between folds like compact_state_dir.
 
+Second-writer recovery runbook (r14 verdict item; the drill lives in
+tests/test_manifest_bus.py::test_second_writer_collision_recovery):
+the bus is single-writer, and a violation fails LOUDLY — a
+``_commit_entry`` that loses the put-if-absent commit or the
+twin-version re-list retracts its own entry and raises RuntimeError
+instead of silently erasing an append.  WHO WINS: the entry (or
+generation) that is committed when the dust settles — it is fully
+readable and permanent; the loser never corrupts it.  WHAT THE LOSER
+LEFT: at most its ``__tmp_*`` stray (swept by the next commit), and
+its own keyed data files moved into ``data/`` but never manifested
+(invisible to every reader).  WHAT THE OPERATOR DOES: (1) stop the
+duplicate writer so exactly one remains — the raise is the signal
+that two exist; (2) re-run the failed fold/batch on the remaining
+writer.  No manual file surgery: ``bus_append``'s replay discipline
+adopts or cleans everything — a key already manifested skips (or
+replace-if-last re-enters its own swap), unmanifested same-key
+orphans are deleted and re-appended at the next version.
+
 Reference basis: the reference delegates this to its sink engines
 (src/cherry_etl/writers/delta_lake.py appends ride Delta's log);
 Spark-side raw-parquet pipelines need the log done here.
@@ -149,13 +167,16 @@ def last_version(bus_dir: str) -> int:
 
 def _read_entries(bus_dir: str, lo: int | None, hi: int | None) -> list[dict]:
     """Entries with lo < version <= hi (None bounds = unbounded),
-    version order.  Tolerates one listing/open race: a replacement
+    version order.  Tolerates listing/open races: a replacement
     commit sweeps the superseded generation file after the new one is
     live, so an entry listed just before the commit can vanish before
-    the open — re-list once and the resolution lands on the new
-    generation."""
+    the open — re-list and the resolution lands on the new
+    generation.  Several retries (r15 advice: a single legitimate
+    writer issuing back-to-back replace swaps can make a slow reader
+    hit more than one vanish — the listing is cheap, so retrying is
+    free and a raise here should mean something is actually wrong)."""
     mdir = _manifest_dir(bus_dir)
-    for _retry in range(2):
+    for _retry in range(6):
         out = []
         try:
             for v, n in _version_names(bus_dir):
@@ -165,10 +186,13 @@ def _read_entries(bus_dir: str, lo: int | None, hi: int | None) -> list[dict]:
             return out
         except FileNotFoundError:
             continue
-    raise RuntimeError(  # pragma: no cover - needs two racing sweeps
-        f"manifest bus at {bus_dir}: entry files keep vanishing "
-        "mid-read — more than one writer is replacing entries "
-        "(the bus is single-writer)"
+    raise RuntimeError(  # pragma: no cover - needs six racing sweeps
+        f"manifest bus at {bus_dir}: entry files kept vanishing "
+        "mid-read across 6 re-listings — either a writer is replacing "
+        "entries faster than this reader can list (retry the read), "
+        "or more than one writer is sweeping this bus (the bus is "
+        "single-writer; see the second-writer recovery runbook in "
+        "writers/manifest_bus.py)"
     )
 
 
@@ -233,7 +257,11 @@ def _commit_entry(bus_dir: str, entry: dict) -> int:
         "committed by another writer — the bus is single-writer "
         "(serial foreachBatch; compaction between folds); a second "
         "concurrent writer would silently erase an append, so this "
-        "collision fails loudly instead"
+        "collision fails loudly instead. Recovery: stop the duplicate "
+        "writer, then re-run this batch on the one remaining writer — "
+        "bus_append's replay discipline cleans this attempt's "
+        "unmanifested files and lands the rows at the next version "
+        "(runbook in writers/manifest_bus.py's module docstring)"
     )
     try:
         fs.commit_file(tmp, dst)

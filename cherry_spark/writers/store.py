@@ -124,7 +124,24 @@ def stage_version_dir(path: str) -> str:
     return os.path.join(path, f"v-{uuid.uuid4().hex[:12]}")
 
 
-def commit_version(path: str, staged_vdir: str) -> str:
+def heartbeat(staged_vdir: str) -> None:
+    """Touch a ``_heartbeat`` liveness marker inside an in-flight
+    staging (r15, verdict item #3).  The stale-orphan grace in
+    :func:`sweep` keys on the NEWEST mtime anywhere in the staged
+    tree, so a builder that is actively writing files refreshes its
+    own liveness for free; this helper covers a builder that stalls
+    between Spark jobs (long compute phases with no file writes) —
+    call it at phase boundaries and the grace tracks builder
+    liveness, not build start.  Spark readers ignore ``_``-prefixed
+    files, so a committed version carrying the marker is unaffected."""
+    open(os.path.join(staged_vdir, "_heartbeat"), "w").close()
+
+
+def commit_version(
+    path: str,
+    staged_vdir: str,
+    stale_orphans_after_s: float | None = 24 * 3600.0,
+) -> str:
     """Publish the fully-written ``staged_vdir`` as the store's live
     version: put-if-absent commit of the next-sequence pointer file.
     A sequence collision (another writer committed concurrently)
@@ -141,7 +158,11 @@ def commit_version(path: str, staged_vdir: str) -> str:
     post-commit, the just-committed pointer is retracted and
     ValueError raised so :func:`publish`'s race tolerance serves the
     surviving version instead of leaving a live pointer to a deleted
-    dir."""
+    dir.
+
+    ``stale_orphans_after_s`` is forwarded to the post-commit sweep
+    (r15 advice: callers with known long-idle concurrent builds can
+    pass ``None`` to disable stale-orphan reclamation entirely)."""
     name = os.path.basename(staged_vdir)
     m = _VDIR_RE.match(name)
     if not m or not os.path.isdir(staged_vdir):
@@ -178,11 +199,15 @@ def commit_version(path: str, staged_vdir: str) -> str:
             f"store pointer commit at {path} lost 50 straight races — "
             "more than one writer is updating this store"
         )
-    sweep(path, orphans=False)
+    sweep(path, orphans=False, stale_orphans_after_s=stale_orphans_after_s)
     return name
 
 
-def publish(df, path: str) -> str:
+def publish(
+    df,
+    path: str,
+    stale_orphans_after_s: float | None = 24 * 3600.0,
+) -> str:
     """Write ``df`` as a fully-staged version of the store at
     ``path`` and commit it — the one-call form of
     stage → write → :func:`commit_version` for build-once stores
@@ -201,7 +226,7 @@ def publish(df, path: str) -> str:
     vdir = stage_version_dir(path)
     df.write.mode("overwrite").parquet(vdir)
     try:
-        commit_version(path, vdir)
+        commit_version(path, vdir, stale_orphans_after_s)
     except ValueError:
         if live_version(path) is None:
             raise
@@ -235,16 +260,22 @@ def sweep(
     superseded-dir deletion never races a writer.
 
     ``stale_orphans_after_s``: even in superseded-only mode, a
-    never-pointed ``v-*`` dir whose root mtime is older than this
+    never-pointed ``v-*`` dir that has been IDLE longer than this
     grace is reclaimed — a crashed ``_ensure_*`` build's staging has
     no fold-start full sweep to collect it, so without this every
     crash would leak a table-sized directory forever (r14 review).
-    The grace (default 24 h) is orders of magnitude above any build's
-    staging window, so an in-flight concurrent builder is never
-    touched; a build that genuinely stages longer than the grace must
-    pass ``None`` here or raise it.  (Caveat: the root mtime of a
-    hive-partitioned staging stops advancing once its partition
-    subdirs exist — another reason the grace is a day, not minutes.)
+    Staleness keys on the NEWEST mtime anywhere in the staged tree
+    (r15, verdict item #3 — the root mtime of a hive-partitioned
+    staging freezes once its partition subdirs exist, and a long
+    build's start time says nothing about liveness): every file a
+    live builder writes — Spark task files mid-job included — and
+    every :func:`heartbeat` touch refreshes the grace, so the grace
+    tracks builder LIVENESS, not build start.  The root mtime is
+    checked first and the tree walked only when the root already
+    looks stale, so the hot path stays one stat per orphan.  A build
+    that genuinely idles longer than the grace between writes should
+    call :func:`heartbeat` at phase boundaries, or pass ``None`` here
+    (plumbed through :func:`commit_version` / :func:`publish`).
 
     Idempotent; missing targets are fine."""
     import time as _time
@@ -267,10 +298,24 @@ def sweep(
                 fs.remove_tree(full)
             elif stale_orphans_after_s is not None:
                 try:
-                    age = _time.time() - os.path.getmtime(full)
+                    newest = os.path.getmtime(full)
                 except OSError:
                     continue
-                if age > stale_orphans_after_s:
+                now = _time.time()
+                if now - newest > stale_orphans_after_s:
+                    # root looks stale — confirm against the newest
+                    # mtime in the whole tree (heartbeats, in-flight
+                    # Spark task files) before reclaiming
+                    for r, dirs, files in os.walk(full):
+                        for n in dirs + files:
+                            try:
+                                newest = max(
+                                    newest,
+                                    os.path.getmtime(os.path.join(r, n)),
+                                )
+                            except OSError:
+                                continue
+                if now - newest > stale_orphans_after_s:
                     fs.remove_tree(full)
         elif lv is not None:
             # versioned store: the top level is dead legacy state

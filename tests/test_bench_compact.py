@@ -83,3 +83,13 @@ def test_slowest5_are_the_actual_slowest():
     assert parsed["slowest5_warm"] == {
         n: float(i) for i, n in enumerate(names) if i >= 3
     }
+
+
+def test_empty_spread_emits_null_band_not_zero():
+    """r15 advice: under a subset filter no pinned query gets a
+    spread — the band must be null, not [0, 0] (which would read as a
+    zero noise floor in drift adjudication)."""
+    detail = _worst_case_detail()
+    detail["pinned_warm_spread"] = {}
+    parsed = json.loads(bench.compact_line(detail))
+    assert parsed["pinned_warm_band"] is None

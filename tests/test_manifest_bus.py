@@ -471,6 +471,61 @@ def test_second_writer_version_collision_is_loud(spark, tmp_path):
     ]
 
 
+def test_second_writer_collision_recovery(spark, tmp_path):
+    """The runbook drill (r14 verdict item #4): after a second-writer
+    collision raise, the operator stops the duplicate writer and
+    re-runs the batch on the one remaining writer — bus_append's
+    replay discipline sweeps the loser's unmanifested data files and
+    lands the rows at the next version, never corrupting the winner's
+    entries.  The raise's message points at the runbook."""
+    import pytest
+
+    from cherry_spark.writers import manifest_bus as mb
+
+    bus = str(tmp_path / "bus")
+    bus_append(_batch(spark, 0, 4), bus, "a-b0")
+    bus_append(_batch(spark, 10, 4), bus, "a-b1")  # winner's v2
+
+    # writer B raced: it read last_version=1, wrote + moved its data
+    # files, then lost the twin-version re-list and crashed
+    orig = mb.last_version
+    mb.last_version = lambda d: 1
+    try:
+        with pytest.raises(RuntimeError, match="Recovery"):
+            bus_append(_batch(spark, 20, 4), bus, "b-b0")
+    finally:
+        mb.last_version = orig
+    # the loser's data files are on disk but unmanifested: invisible
+    ddir = os.path.join(bus, "data")
+    assert [n for n in os.listdir(ddir) if n.startswith("b-b0-")]
+    assert [e["key"] for e in read_manifest(bus)] == ["a-b0", "a-b1"]
+    assert len(_rows(bus_snapshot(spark, bus))) == 8  # winner intact
+
+    # RECOVERY: duplicate writer stopped; re-run the batch on the one
+    # remaining writer — the replay path sweeps the orphans and lands
+    # the rows at the next version
+    assert bus_append(_batch(spark, 20, 4), bus, "b-b0") == 3
+    assert [e["key"] for e in read_manifest(bus)] == [
+        "a-b0", "a-b1", "b-b0",
+    ]
+    expect = (
+        _rows(_batch(spark, 0, 4))
+        + _rows(_batch(spark, 10, 4))
+        + _rows(_batch(spark, 20, 4))
+    )
+    assert _rows(bus_snapshot(spark, bus)) == sorted(expect)
+    # exactly one committed file set for the recovered key — the
+    # loser's orphans were swept, not double-served
+    files = sorted(n for n in os.listdir(ddir) if n.startswith("b-b0-"))
+    manifested = sorted(
+        f
+        for e in read_manifest(bus)
+        if e.get("key") == "b-b0"
+        for f in e["files"]
+    )
+    assert files == manifested
+
+
 def test_hyphen_prefix_key_cleanup_spares_sibling_committed_files(
     spark, tmp_path
 ):

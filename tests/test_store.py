@@ -175,15 +175,36 @@ def test_versioned_compaction_sizes_partitions_by_bytes(spark, tmp_path):
     assert got.filter("p = 1").count() == 10
 
 
+def _backdate_tree(vdir, seconds_ago=48 * 3600):
+    """Backdate EVERY entry in a staged tree — a crash that long ago."""
+    import time
+
+    old = time.time() - seconds_ago
+    for r, dirs, files in os.walk(vdir, topdown=False):
+        for n in dirs + files:
+            os.utime(os.path.join(r, n), (old, old))
+    os.utime(vdir, (old, old))
+
+
+def _tree_newest_mtime(vdir):
+    newest = os.path.getmtime(vdir)
+    for r, dirs, files in os.walk(vdir):
+        for n in dirs + files:
+            newest = max(newest, os.path.getmtime(os.path.join(r, n)))
+    return newest
+
+
 def test_store_protocol_invariants_random_interleaving(tmp_path):
     """Property test (hypothesis): under ANY interleaving of
     {successful commit, crashed fresh staging (orphan), crashed STALE
-    staging (past the reclamation grace), sweep}, the store always
-    resolves to the LAST successfully committed version, its content
-    is never lost or mixed, a full sweep leaves at most one version
-    dir and one pointer alive, and a commit's superseded-only sweep
-    reclaims stale orphans while never touching fresh ones (a
-    concurrent builder's in-flight staging)."""
+    staging (whole tree past the reclamation grace), LIVE staging with
+    a frozen root mtime (the hive-partition freeze — only inner writes
+    are fresh), sweep}, the store always resolves to the LAST
+    successfully committed version, its content is never lost or
+    mixed, a full sweep leaves at most one version dir and one pointer
+    alive, and a commit's superseded-only sweep reclaims stale orphans
+    while never touching LIVE ones (fresh stagings AND frozen-root
+    stagings with fresh inner writes — r15, verdict item #3)."""
     import time
 
     from hypothesis import given, settings, strategies as st
@@ -193,7 +214,9 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
     @settings(max_examples=30, deadline=None)
     @given(
         ops=st.lists(
-            st.sampled_from(["commit", "orphan", "stale_orphan", "sweep"]),
+            st.sampled_from(
+                ["commit", "orphan", "stale_orphan", "frozen_live", "sweep"]
+            ),
             min_size=1,
             max_size=12,
         )
@@ -202,7 +225,7 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
         counter[0] += 1
         root = str(tmp_path / f"s{counter[0]}")
         committed = None  # content of the last committed version
-        fresh_orphans: set[str] = set()
+        live_stagings: set[str] = set()
         n_commits = 0
         for op in ops:
             if op == "commit":
@@ -211,17 +234,24 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
                 store.commit_version(root, _stage(root, content))
                 committed = content
                 # the post-commit sweep is superseded-only + stale
-                # reclamation: fresh stagings must all survive it
-                assert all(os.path.isdir(v) for v in fresh_orphans)
+                # reclamation: LIVE stagings must all survive it
+                assert all(os.path.isdir(v) for v in live_stagings)
             elif op == "orphan":
-                fresh_orphans.add(_stage(root, "crashed"))
+                live_stagings.add(_stage(root, "crashed"))
             elif op == "stale_orphan":
                 stale = _stage(root, "crashed-long-ago")
-                old = time.time() - 48 * 3600
-                os.utime(stale, (old, old))
+                _backdate_tree(stale)
+            elif op == "frozen_live":
+                # a long build: root mtime frozen 48h ago, but the
+                # builder is still writing (fresh inner file) — must
+                # survive every superseded-only sweep
+                vdir = _stage(root, "long-build")
+                _backdate_tree(vdir)
+                _mkfile(os.path.join(vdir, "part-1.parquet"), "live")
+                live_stagings.add(vdir)
             else:
                 store.sweep(root)
-                fresh_orphans.clear()
+                live_stagings.clear()
                 vdirs = [
                     d for d in os.listdir(root) if d.startswith("v-")
                 ] if os.path.isdir(root) else []
@@ -231,10 +261,12 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
                 )
                 assert len(vdirs) <= 1 and len(ptrs) <= 1
             if op == "commit" or op == "sweep":
-                # no stale orphan survives any sweep-carrying op
+                # no stale orphan (tree-newest mtime past the grace)
+                # survives any sweep-carrying op
                 assert not any(
                     d.startswith("v-")
-                    and time.time() - os.path.getmtime(os.path.join(root, d))
+                    and time.time()
+                    - _tree_newest_mtime(os.path.join(root, d))
                     > 24 * 3600
                     for d in (
                         os.listdir(root) if os.path.isdir(root) else []
@@ -252,6 +284,43 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
     run()
 
 
+def test_heartbeat_keeps_long_staging_alive_past_the_grace(tmp_path):
+    """r15, verdict item #3: a slow builder whose whole staged tree
+    has gone idle past the 24h grace survives a concurrent commit's
+    sweep as long as it heartbeats (or writes anything); once truly
+    dead — heartbeat included — the staging is reclaimed.  Callers
+    can also disable reclamation per-commit with
+    ``stale_orphans_after_s=None``."""
+    root = str(tmp_path / "t")
+    slow = _stage(root, "slow-build")
+    _backdate_tree(slow)
+
+    # heartbeat refreshes liveness: the staging survives the sweep
+    store.heartbeat(slow)
+    store.commit_version(root, _stage(root, "gen-1"))
+    assert os.path.isdir(slow)
+
+    # builder dies: everything (heartbeat included) ages past the
+    # grace -> the next commit reclaims the orphan
+    _backdate_tree(slow)
+    store.commit_version(root, _stage(root, "gen-2"))
+    assert not os.path.exists(slow)
+
+    # opt-out lane: a stale orphan survives when the committing
+    # writer passes None (plumbed through commit_version, r15 advice)
+    dead = _stage(root, "opted-out")
+    _backdate_tree(dead)
+    store.commit_version(
+        root, _stage(root, "gen-3"), stale_orphans_after_s=None
+    )
+    assert os.path.isdir(dead)
+    # ...and is reclaimed by the next default-grace commit
+    store.commit_version(root, _stage(root, "gen-4"))
+    assert not os.path.exists(dead)
+    with open(os.path.join(store.data_dir(root), "part-0.parquet")) as fh:
+        assert fh.read() == "gen-4"
+
+
 def test_concurrent_ensure_race_is_structurally_safe(spark, tmp_path):
     """Two sessions build the same fingerprinted store concurrently.
     Since r14 the winner's post-commit sweep is superseded-ONLY, so
@@ -265,7 +334,7 @@ def test_concurrent_ensure_race_is_structurally_safe(spark, tmp_path):
 
     orig = store.commit_version
 
-    def winner_races_then_commit(path, vdir):
+    def winner_races_then_commit(path, vdir, *a):
         # the concurrent winner lands just before our commit runs
         store.commit_version = orig
         w = store.stage_version_dir(path)
@@ -294,7 +363,7 @@ def test_publish_tolerates_out_of_protocol_staging_deletion(spark, tmp_path):
 
     orig = store.commit_version
 
-    def full_sweep_then_commit(path, vdir):
+    def full_sweep_then_commit(path, vdir, *a):
         store.commit_version = orig
         w = store.stage_version_dir(path)
         df.write.mode("overwrite").parquet(w)
@@ -428,8 +497,7 @@ def test_stale_orphan_reclaimed_by_superseded_only_sweep(tmp_path):
 
     root = str(tmp_path / "t")
     stale = _stage(root, "crashed-long-ago")
-    old = time.time() - 48 * 3600
-    os.utime(stale, (old, old))
+    _backdate_tree(stale)  # whole tree idle past the grace (r15)
     fresh = _stage(root, "in-flight")
     v1 = _stage(root, "live")
     store.commit_version(root, v1)  # post-commit sweep: superseded-only
