@@ -120,6 +120,11 @@ def main() -> None:
 
     def scored_sink(verdicts, batch_id):
         n_model_rejected.append(verdicts.filter(F.col("keep") == 0).count())
+        # ONE file per fold: the downstream curation gate reads this
+        # dir with maxFilesPerTrigger=1, so the file count IS its fold
+        # count — an uncoalesced write turned the r14 10x probe into
+        # ~100 small folds and measured fold COUNT instead of batch
+        # size (r14 verdict item #2)
         verdicts.filter(F.col("keep") == 1).drop("n_tokens").join(
             staged, "doc_id"
         ).select(
@@ -128,7 +133,7 @@ def main() -> None:
             "embedding",
             (F.col("score_micro") / 1e6).alias("quality"),
             F.col("n_tokens"),
-        ).write.mode("append").parquet(scored_dir)
+        ).coalesce(1).write.mode("append").parquet(scored_dir)
 
     t0 = time.perf_counter()
     qt = run_streaming_trained_gate(
