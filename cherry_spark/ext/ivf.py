@@ -525,7 +525,7 @@ def knn_graph(
     method: str = "numpy",
     pad: int | None = None,
     probe_salt: int = 1,
-    centroid_blocks: int = 32,
+    centroid_blocks: int | None = None,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN GRAPH: every vector's k nearest
     neighbors (self excluded) through the IVF index — the artifact
@@ -558,7 +558,17 @@ def knn_graph(
       into ≤ ``centroid_blocks`` groups, r14 — per-group Arrow/pandas
       overhead no longer scales with n_centroids, so the ~sqrt(N)
       scaled quantizer pays the same fixed cost as the 16-centroid
-      fixture) — one Arrow batch per block, one BLAS matmul for the
+      fixture).  ``centroid_blocks=None`` (default) applies the
+      measured policy ``min(128, max(32, n_centroids // 8))`` —
+      identical to the r14 fixed 32 for every C ≤ 256 (all certified
+      paths), widening only for large quantizers where block WIDTH
+      (C/blocks packed centroids per block, masked-BLAS waste ∝
+      width) starts to cost more than the extra per-group overhead:
+      the r15 large-C grid on the 10x corpus (SCALE10_probe.json
+      ``knn_graph_largeC``) reads C=512 b32 2.99 s vs b64 2.65 s and
+      C=1024 b32 3.54 s vs b64 3.42 s warm, with no adverse blowup
+      anywhere (C=160→1024 at best-block is 2.0→3.4 s for 6.4× C)
+      — one Arrow batch per block, one BLAS matmul for the
       probed-masked block×probe similarity, per-query top-(k+pad)
       selection inside the batch. Only
       those ≤ nprobe·(k+pad) candidates per query reach the JVM rerank,
@@ -589,6 +599,12 @@ def knn_graph(
     - ``"fold"``: the original all-pairs JVM expression lane (also the
       automatic fallback when numpy/pandas are unavailable).
     """
+    if centroid_blocks is None:
+        # measured large-C policy (r15; SCALE10_probe knn_graph_largeC):
+        # == the r14 fixed 32 for every C <= 256, wider past that —
+        # resolved from the n_centroids ARGUMENT (callers serving an
+        # index built with a different C should pass blocks explicitly)
+        centroid_blocks = min(128, max(32, n_centroids // 8))
     if index_dir is not None:
         from cherry_spark.writers import store
 
