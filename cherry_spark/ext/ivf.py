@@ -548,7 +548,13 @@ def knn_graph(
     to ``vectors``' ids, and ids absent from the stored table (rows
     appended after the build, or not in the index at all) are
     live-scored against the index centroids.  Candidates always come
-    from the index corpus when index_dir is given.
+    from the index corpus when index_dir is given.  CONTRACT: an id
+    is the identity of an IMMUTABLE vector — the whole index layout
+    assumes it (the corpus table stores the vector values an id had
+    at build/append time, so re-embedding under the same ids makes
+    the stored CANDIDATES stale in every lane, not just the probe
+    ranks); to re-embed, rebuild the index (the reseed path — the
+    ``_centroids_v`` marker then invalidates the probes table too).
     Returns (query_id, id_col, sim) — round(cosine, 6).
 
     ``method`` picks the candidate-scoring lane (r9, verdict item #4):
@@ -559,16 +565,20 @@ def knn_graph(
       overhead no longer scales with n_centroids, so the ~sqrt(N)
       scaled quantizer pays the same fixed cost as the 16-centroid
       fixture).  ``centroid_blocks=None`` (default) applies the
-      measured policy ``min(128, max(32, n_centroids // 8))`` —
+      measured policy ``min(64, max(32, n_centroids // 8))`` —
       identical to the r14 fixed 32 for every C ≤ 256 (all certified
-      paths), widening only for large quantizers where block WIDTH
+      paths), widening to 64 for large quantizers where block WIDTH
       (C/blocks packed centroids per block, masked-BLAS waste ∝
-      width) starts to cost more than the extra per-group overhead:
-      the r15 large-C grid on the 10x corpus (SCALE10_probe.json
-      ``knn_graph_largeC``) reads C=512 b32 2.99 s vs b64 2.65 s and
-      C=1024 b32 3.54 s vs b64 3.42 s warm, with no adverse blowup
-      anywhere (C=160→1024 at best-block is 2.0→3.4 s for 6.4× C)
-      — one Arrow batch per block, one BLAS matmul for the
+      width) starts to cost more than the extra per-group overhead.
+      Basis: the r15 large-C grid on the 10x corpus run in BOTH
+      within-C cell orders (SCALE10_probe.json ``knn_graph_largeC``
+      forward + ``_reversed`` — a single order measures its own JVM
+      warmth; the forward-only read picked b64 at C=160 purely from
+      ordering bias): b64 wins at C=512 in both orders (2.65/2.56 s
+      vs b32's 2.99/3.45) and on average at C=1024 (≈3.5 vs ≈3.7),
+      b128 never wins, b32 ≈ b64 within noise at C=160, and there is
+      no adverse blowup anywhere (best-block warm grows ≈2.3→3.5 s
+      for 6.4× C) — one Arrow batch per block, one BLAS matmul for the
       probed-masked block×probe similarity, per-query top-(k+pad)
       selection inside the batch. Only
       those ≤ nprobe·(k+pad) candidates per query reach the JVM rerank,
@@ -600,11 +610,12 @@ def knn_graph(
       automatic fallback when numpy/pandas are unavailable).
     """
     if centroid_blocks is None:
-        # measured large-C policy (r15; SCALE10_probe knn_graph_largeC):
-        # == the r14 fixed 32 for every C <= 256, wider past that —
-        # resolved from the n_centroids ARGUMENT (callers serving an
-        # index built with a different C should pass blocks explicitly)
-        centroid_blocks = min(128, max(32, n_centroids // 8))
+        # measured large-C policy (r15; SCALE10_probe knn_graph_largeC,
+        # both cell orders): == the r14 fixed 32 for every C <= 256,
+        # 64 past that (b128 never won a cell) — resolved from the
+        # n_centroids ARGUMENT (callers serving an index built with a
+        # different C should pass blocks explicitly)
+        centroid_blocks = min(64, max(32, n_centroids // 8))
     if index_dir is not None:
         from cherry_spark.writers import store
 
@@ -707,7 +718,12 @@ def _stored_probes(
     ranks are keyed by id: the inner join below restricts the stored
     table to the query ids AND takes the query vector values from
     ``queries`` itself, so a filtered query set gets exactly its own
-    rows.  Returns ``(covered_q_probe, uncovered_queries)`` — the
+    rows.  Assumes the knn_graph id-immutability contract: an id
+    present in the stored table is served the ranks computed at
+    build time (a caller passing CHANGED vectors under existing ids
+    is out of contract in every index lane — the stored corpus
+    candidates would be stale too; rebuild instead).
+    Returns ``(covered_q_probe, uncovered_queries)`` — the
     caller live-scores only the uncovered gap (ids absent from the
     stored table: appended after the build or foreign to the index) —
     or None for a full live fallback."""

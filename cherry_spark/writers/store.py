@@ -132,8 +132,12 @@ def heartbeat(staged_vdir: str) -> None:
     own liveness for free; this helper covers a builder that stalls
     between Spark jobs (long compute phases with no file writes) —
     call it at phase boundaries and the grace tracks builder
-    liveness, not build start.  Spark readers ignore ``_``-prefixed
-    files, so a committed version carrying the marker is unaffected."""
+    liveness, not build start.  Safe at ANY phase boundary: the
+    staging dir is created if the first write has not materialized it
+    yet (stage_version_dir only names it).  Spark readers ignore
+    ``_``-prefixed files, so a committed version carrying the marker
+    is unaffected."""
+    os.makedirs(staged_vdir, exist_ok=True)
     open(os.path.join(staged_vdir, "_heartbeat"), "w").close()
 
 
@@ -305,7 +309,10 @@ def sweep(
                 if now - newest > stale_orphans_after_s:
                     # root looks stale — confirm against the newest
                     # mtime in the whole tree (heartbeats, in-flight
-                    # Spark task files) before reclaiming
+                    # Spark task files) before reclaiming; stop at
+                    # the FIRST fresh entry so a live table-sized
+                    # staging costs one stat-until-fresh, not a full
+                    # walk per concurrent commit
                     for r, dirs, files in os.walk(full):
                         for n in dirs + files:
                             try:
@@ -315,6 +322,8 @@ def sweep(
                                 )
                             except OSError:
                                 continue
+                        if now - newest <= stale_orphans_after_s:
+                            break
                 if now - newest > stale_orphans_after_s:
                     fs.remove_tree(full)
         elif lv is not None:

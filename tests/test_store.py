@@ -242,12 +242,21 @@ def test_store_protocol_invariants_random_interleaving(tmp_path):
                 stale = _stage(root, "crashed-long-ago")
                 _backdate_tree(stale)
             elif op == "frozen_live":
-                # a long build: root mtime frozen 48h ago, but the
-                # builder is still writing (fresh inner file) — must
-                # survive every superseded-only sweep
+                # a long hive-partitioned build: ROOT mtime frozen
+                # 48h ago, the builder's fresh write lands only in a
+                # partition SUBDIR (the freeze scenario that motivated
+                # the tree walk) — must survive every superseded-only
+                # sweep.  Re-backdate the root AFTER the subdir write:
+                # creating the entry refreshes the parent mtime, which
+                # would otherwise satisfy the cheap root stat and skip
+                # the walk branch entirely (r15 review).
                 vdir = _stage(root, "long-build")
+                _mkfile(os.path.join(vdir, "p=1", "part-1.parquet"), "live")
                 _backdate_tree(vdir)
-                _mkfile(os.path.join(vdir, "part-1.parquet"), "live")
+                now = time.time()
+                os.utime(
+                    os.path.join(vdir, "p=1", "part-1.parquet"), (now, now)
+                )
                 live_stagings.add(vdir)
             else:
                 store.sweep(root)
@@ -291,12 +300,27 @@ def test_heartbeat_keeps_long_staging_alive_past_the_grace(tmp_path):
     dead — heartbeat included — the staging is reclaimed.  Callers
     can also disable reclamation per-commit with
     ``stale_orphans_after_s=None``."""
+    import time
+
     root = str(tmp_path / "t")
+    # heartbeat is safe BEFORE the first write materializes the
+    # staging (stage_version_dir only names the dir — r15 review)
+    early = store.stage_version_dir(root)
+    store.heartbeat(early)
+    assert os.path.exists(os.path.join(early, "_heartbeat"))
+    fs.remove_tree(early)
+
     slow = _stage(root, "slow-build")
     _backdate_tree(slow)
 
-    # heartbeat refreshes liveness: the staging survives the sweep
+    # heartbeat refreshes liveness: the staging survives the sweep.
+    # Re-backdate the ROOT after the touch (creating _heartbeat
+    # refreshes the parent dir's mtime) so ONLY the walk branch can
+    # see the fresh marker — the r15 review caught the original test
+    # passing via the cheap root stat without exercising the walk.
     store.heartbeat(slow)
+    old = time.time() - 48 * 3600
+    os.utime(slow, (old, old))
     store.commit_version(root, _stage(root, "gen-1"))
     assert os.path.isdir(slow)
 

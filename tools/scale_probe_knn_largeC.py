@@ -11,8 +11,9 @@ the 10x corpus and records the grid in SCALE10_probe.json
 guesswork.
 
 Usage: python tools/scale_probe_knn_largeC.py [big_dir] [out_json]
-(defaults: /tmp/cherry_scale10x — build it with scale_probe_10x.py
-first — and SCALE10_probe.json).
+[blocks_csv] (defaults: /tmp/cherry_scale10x — build it with
+scale_probe_10x.py first — SCALE10_probe.json, and "32,64,128"; pass
+a reversed blocks_csv to de-bias within-C run-order effects).
 """
 
 from __future__ import annotations
@@ -35,12 +36,18 @@ def _time(fn) -> tuple[float, int]:
 def main() -> int:
     big_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cherry_scale10x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALE10_probe.json"
+    blocks_list = (
+        [int(b) for b in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [32, 64, 128]
+    )
 
     from pyspark.sql import functions as F
 
     from cherry_spark.ext.ivf import ivf_build_index, knn_graph
     from cherry_spark.session import get_spark
     from cherry_spark.sources.tables import load_table
+    from cherry_spark.writers import store
 
     spark = get_spark("knn_largeC_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,7 +59,9 @@ def main() -> int:
     expect_rows = None
     for n_c in (160, 512, 1024):
         idx = os.path.join(big_dir, f"ivf_c{n_c}")
-        if not os.path.exists(os.path.join(idx, "centroids")):
+        # ready(), not bare existence: a crashed prior build leaves
+        # the dir without a committed pointer (r15 review)
+        if not store.ready(os.path.join(idx, "centroids")):
             shutil.rmtree(idx, ignore_errors=True)
             build_s, _ = _time(
                 lambda: ivf_build_index(
@@ -62,7 +71,7 @@ def main() -> int:
             )
         else:
             build_s = None  # reused from a prior run
-        for blocks in (32, 64, 128):
+        for blocks in blocks_list:
             run = lambda: knn_graph(  # noqa: E731
                 emb,
                 k=3,
@@ -75,6 +84,8 @@ def main() -> int:
             warm, _ = _time(run)
             if expect_rows is None:
                 expect_rows = n
+            # the blocking lane must never change the output SIZE
+            assert n == expect_rows, (n_c, blocks, n, expect_rows)
             row = {"cold_s": cold, "warm_s": warm, "rows": n}
             if build_s is not None:
                 row["build_s"] = build_s
