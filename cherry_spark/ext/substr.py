@@ -108,8 +108,16 @@ def repeated_substring_spans(
     b = grams.select(
         F.col("h"), F.col("__doc").alias("doc_b"), F.col("pos").alias("pb")
     )
+    # SHUFFLE_HASH, not the default sort-merge (r15, measured on the
+    # 100x corpus): the join key is a 32-char md5 with ~no duplicate
+    # runs, so SMJ's two 23.6M-row string sorts dominate the whole
+    # query — full query 62-70 s plain vs 10-15 s hinted, identical
+    # output.  The per-partition hash build is postings/partitions,
+    # which stays bounded at scale because shuffle.partitions grows
+    # with the corpus; the hint is advisory (Spark falls back when it
+    # cannot apply it).
     hits = (
-        a.join(b, "h")
+        a.join(b.hint("SHUFFLE_HASH"), "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
     )
@@ -229,12 +237,16 @@ def delta_repeated_spans(
         if batch_grams is not None
         else _gram_postings(batch, min_len, doc_col, text_col)
     )
+    # SHUFFLE_HASH with the BATCH side as the build (r15, same basis
+    # as repeated_substring_spans): sorting the corpus-scale posting
+    # side for a sort-merge join is the dominant cost; hashing the
+    # bounded batch side per partition removes it
     hits = (
         cg.select("h", F.col("__doc").alias("doc_a"), F.col("pos").alias("pa"))
         .join(
             bg.select(
                 "h", F.col("__doc").alias("doc_b"), F.col("pos").alias("pb")
-            ),
+            ).hint("SHUFFLE_HASH"),
             "h",
         )
         .select(
