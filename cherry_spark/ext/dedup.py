@@ -1289,19 +1289,33 @@ def _first_occurrence_rewrite(
     given exploded ``rows`` = (id, idx, chunk), keep each chunk text's
     FIRST corpus occurrence (lowest doc id, then lowest chunk index)
     and reassemble every document from its surviving chunks in order.
-    Two hash aggregations + chunk-keyed equi-joins — no corpus-wide
+    One hash aggregation + one chunk-keyed equi-join — no corpus-wide
     window, no self-join (the chunker — fixed-stride or CDC — is the
-    only thing that differs between the rewrite variants)."""
-    first_doc = rows.groupBy("chunk").agg(F.min("id").alias("kd"))
-    first_idx = (
-        rows.join(first_doc, "chunk")
-        .filter(F.col("id") == F.col("kd"))
-        .groupBy("chunk", "kd")
-        .agg(F.min("idx").alias("ki"))
+    only thing that differs between the rewrite variants).
+
+    r15 optimization, same results by construction: the
+    first-occurrence key is ONE ``min(struct(id, idx))`` aggregate —
+    struct ordering is lexicographic, so the minimum is exactly
+    (lowest doc id, then lowest idx within that doc), replacing the
+    former two-aggregation chain (min doc, then min idx over the
+    winning doc's rows) and with it one full join + re-execution of
+    the exploded chunk stream (the pre-r15 plan carried 4 Generate
+    nodes for one chunker; this leaves 3). A repartition-on-chunk
+    shared materialization point (the shingle_postings(reuse=True)
+    trick) was ALSO measured here and left out: interleaved A/B at
+    sf0.1 read fused-no-barrier 1.92/2.65 s (stride/cdc medians)
+    vs fused+barrier 2.12/2.66 and two-step 2.02/2.77 — the barrier
+    ships the whole exploded stream to save re-running a chunker
+    whose map-side cost the groupBy references already reduce."""
+    first = rows.groupBy("chunk").agg(
+        F.min(F.struct("id", "idx")).alias("__first")
     )
     kept = (
-        rows.join(first_idx, "chunk")
-        .filter((F.col("id") == F.col("kd")) & (F.col("idx") == F.col("ki")))
+        rows.join(first, "chunk")
+        .filter(
+            (F.col("id") == F.col("__first.id"))
+            & (F.col("idx") == F.col("__first.idx"))
+        )
         .select("id", "idx", "chunk")
     )
     totals = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
