@@ -96,11 +96,22 @@ def unigram_logprob(
     Columns: ``(id_col, n_tokens, mean_logprob)`` — docs with no
     tokens return ``n_tokens = 0`` and NULL score.
 
-    Scale shape: tokenize once; unigram table via one hash agg on the
-    token (map-side partials make the shuffle O(vocab)); per-token
-    scores via an equi-join on the token (AQE broadcasts it when the
-    vocab is small); one more hash agg on the doc id. No arrays held
-    per document, no self-joins.
+    Scale shape (r15): tokenize once — the exploded token stream is
+    anchored in a per-(id, tok) multiplicity aggregate whose grouping
+    keys pin both columns, so the unigram table AND the scoring join
+    read the SAME exchange (a bare projection referenced twice
+    re-executes scan+tokenize per reference, and a repartition
+    barrier is defeated by column pruning narrowing one consumer's
+    subtree; grouping keys cannot be pruned). Everything downstream
+    then flows at distinct-(doc, token) volume instead of occurrence
+    volume: the unigram table is a rollup of the multiplicities, the
+    equi-join on the token (AQE broadcasts it when the vocab is
+    small) carries each (doc, token) once, and the per-doc score is
+    the multiplicity-weighted sum ``Σ lp·c`` — exact DECIMAL·BIGINT
+    products, so the sum is bit-identical to summing lp per
+    occurrence. Interleaved A/B at sf0.1: 1.79 → 1.50 s median
+    (1.54 → 1.42 min); a parallelize-repartition variant measured a
+    LOSS both ways (1.93 s).
 
     Cross-engine determinism: each per-token log-prob is ROUND(·, 6)
     FIRST, then summed as DECIMAL(18,6) — the aggregation is exact and
@@ -110,17 +121,22 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # shared anchor: one tokenize pass, occurrence multiplicities
+    tc = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("__c"))
+    freq = tc.groupBy("tok").agg(F.sum("__c").alias("c"))
     total = freq.agg(F.sum("c").alias("nt"))
     lp = F.round(
         F.log(F.col("c").cast("double") / F.col("nt").cast("double")), 6
     ).cast("decimal(18,6)")
     scores = (
-        toks.join(freq, on="tok")
+        tc.join(freq, on="tok")
         .crossJoin(F.broadcast(total))
-        .select("id", lp.alias("lp"))
+        .select("id", lp.alias("lp"), "__c")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("slp"))
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(F.col("lp") * F.col("__c")).alias("slp"),
+        )
     )
     return df.select(F.col(id_col)).join(
         scores, on=F.col(id_col) == F.col("id"), how="left"
@@ -210,8 +226,16 @@ def dsir_logratio(
     rt = raw.select(
         F.col(id_col).alias("id"), F.explode(tok_fn(F.col(text_col))).alias("tok")
     )
+    # shared anchor (r15, the unigram_logprob shape): the RAW side —
+    # the 100 TB side — is tokenized ONCE; the per-(id, tok)
+    # multiplicity aggregate's grouping keys pin both columns so the
+    # raw-LM rollup and the scoring join read the same exchange, and
+    # the scoring join carries each (doc, token) once with its count
+    # instead of every occurrence. Σ lr·c is exact DECIMAL·BIGINT, so
+    # scores are bit-identical to the per-occurrence sum.
+    rtc = rt.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("__c"))
     tt = target.select(F.explode(tok_fn(F.col(text_col))).alias("tok"))
-    rf = rt.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    rf = rtc.groupBy("tok").agg(F.sum("__c").alias("cr"))
     tf = tt.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
     vocab = rf.join(tf, on="tok", how="full_outer").select(
         "tok",
@@ -233,11 +257,14 @@ def dsir_logratio(
         6,
     ).cast("decimal(18,6)")
     scores = (
-        rt.join(vocab, on="tok")
+        rtc.join(vocab, on="tok")
         .crossJoin(F.broadcast(totals))
-        .select("id", lr.alias("lr"))
+        .select("id", lr.alias("lr"), "__c")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("slr"))
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(F.col("lr") * F.col("__c")).alias("slr"),
+        )
     )
     return (
         raw.select(F.col(id_col))
