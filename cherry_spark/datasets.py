@@ -115,42 +115,69 @@ def address_appearances(
     relationship): ``(address, relationship, n_appearances,
     first_block, last_block)``.
 
-    Scale shape: per-source projections union into ONE map-side-
+    Scale shape: ONE pass per source table — a table contributing
+    several address roles (transactions/traces: from AND to) emits
+    them through a single explode over (relationship, address) structs
+    instead of one union branch per role (r15: each branch was a
+    projection-only pipeline, so Spark re-executed the scan per role —
+    two full reads of the transactions table for from+to; now the
+    table is read once, plan 3 Scan/4 Exchange → 2 Scan/2 Exchange at
+    the registered query). The branches then union into ONE map-side-
     combinable groupBy — no joins, no windows; the block-range
-    predicate lands in each scan via the shared range filter."""
+    predicate lands in each scan via the shared range filter. The
+    explode emits exactly the rows the per-role branches did (per-role
+    null addresses are dropped by the same isNotNull, applied inside
+    the array filter), so the aggregate is unchanged."""
     sources: list[DataFrame] = []
 
-    def appearances(df, addr_col: str, block_col: str, rel: str):
-        return df.filter(
-            F.col(block_col).between(from_block, to_block)
-            & F.col(addr_col).isNotNull()
-        ).select(
-            F.col(addr_col).alias("address"),
+    def appearances(df, roles: list[tuple[str, str]], block_col: str):
+        """One scan of ``df`` emitting (address, block_number,
+        relationship) for every non-null role column; ``roles`` =
+        [(addr_col, relationship), ...]."""
+        in_range = df.filter(F.col(block_col).between(from_block, to_block))
+        if len(roles) == 1:
+            addr_col, rel = roles[0]
+            return in_range.filter(F.col(addr_col).isNotNull()).select(
+                F.col(addr_col).alias("address"),
+                F.col(block_col).alias("block_number"),
+                F.lit(rel).alias("relationship"),
+            )
+        pairs = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rel).alias("relationship"),
+                        F.col(addr_col).alias("address"),
+                    )
+                    for addr_col, rel in roles
+                ]
+            ),
+            lambda s: s["address"].isNotNull(),
+        )
+        return in_range.select(
             F.col(block_col).alias("block_number"),
-            F.lit(rel).alias("relationship"),
+            F.explode(pairs).alias("__p"),
+        ).select(
+            F.col("__p.address").alias("address"),
+            "block_number",
+            F.col("__p.relationship").alias("relationship"),
         )
 
     tx = tables.get("transactions")
     if tx is not None:
-        if "from" in tx.columns:
-            sources.append(appearances(tx, "from", "block_number", "tx_from"))
-        if "to" in tx.columns:
-            sources.append(appearances(tx, "to", "block_number", "tx_to"))
+        roles = [(c, f"tx_{c}") for c in ("from", "to") if c in tx.columns]
+        if roles:
+            sources.append(appearances(tx, roles, "block_number"))
     logs = tables.get("logs")
     if logs is not None and "address" in logs.columns:
         sources.append(
-            appearances(logs, "address", "block_number", "log_emitter")
+            appearances(logs, [("address", "log_emitter")], "block_number")
         )
     traces = tables.get("traces")
     if traces is not None:
-        if "from" in traces.columns:
-            sources.append(
-                appearances(traces, "from", "block_number", "trace_from")
-            )
-        if "to" in traces.columns:
-            sources.append(
-                appearances(traces, "to", "block_number", "trace_to")
-            )
+        roles = [(c, f"trace_{c}") for c in ("from", "to") if c in traces.columns]
+        if roles:
+            sources.append(appearances(traces, roles, "block_number"))
     if not sources:
         raise ValueError(
             "address_appearances needs at least one of "
