@@ -653,8 +653,19 @@ def delta_dedup(
         # job overheads dominate, but the pruned term is the one that
         # grows with the corpus. Verdicts identical (the semi-join
         # only drops rows the cid equi-join would drop).
+        #
+        # NO .distinct() on the semi-join input: the semi join dedups
+        # by construction, and a distinct here lets the optimizer
+        # collapse it with candidates' own (bid, cid) aggregate into a
+        # fresh Aggregate(cid) whose subtree no longer matches the
+        # other candidates reference — the ENTIRE batch-banding x
+        # corpus-bands pipeline then executes twice (Spark reuses
+        # exchanges, not projections; r15 before-plan: 22 scans).
+        # Leaving the rows as-is keeps both references on the same
+        # canonical aggregate, so the second consumer reads a
+        # ReusedExchange instead of recomputing the candidate join.
         corpus_cand = corpus.join(
-            candidates.select(F.col("cid").alias(id_col)).distinct(),
+            candidates.select(F.col("cid").alias(id_col)),
             id_col,
             "left_semi",
         )
