@@ -116,6 +116,33 @@ def test_quantized_rerank_numpy_equals_fold(spark, emb):
     assert fast == fold and len(fast) == 30
 
 
+def test_quantized_rerank_null_and_ragged_vectors(spark):
+    """The r15 in-row stats/codes rewrite must keep the explode form's
+    edge semantics: NULL-vector rows are dropped (posexplode emitted no
+    rows for them), and a ragged corpus neither throws under ANSI
+    (try_element_at in the stats pass) nor quantizes short vectors
+    against missing dims."""
+    from cherry_spark.ext.quantize import quantized_rerank_topk
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [4.0, 3.0, 2.0, 1.0]),
+        (3, None),  # must not appear anywhere in the output
+        (4, [2.0, 2.0]),  # shorter than the corpus max dim
+        (5, [0.5, 1.5, 2.5, 3.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = quantized_rerank_topk(df, q, k=5, rerank=5).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 3 not in ids
+    assert (1 in ids) and (5 in ids)
+    sims = {r["vec_id"]: r["sim"] for r in out}
+    assert sims[1] == 1.0  # self-similarity survives the rewrite
+
+
 def test_quantized_rerank_numpy_duplicate_ties_and_zero_norm(spark):
     from cherry_spark.ext.quantize import quantized_rerank_topk
 
