@@ -111,6 +111,39 @@ def shingle_postings(
     return out.repartition(F.col("id")) if reuse else out
 
 
+def shingle_postings_with_n(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, shingle, n) posting rows where ``n`` is the document's
+    distinct-shingle count — the |A| term of a Jaccard — carried on
+    every posting so consumers never need a second per-doc count
+    aggregate over a second shingle pass (r15, guide §2.4: the nb/nc
+    groupBy consumers re-executed the whole tokenize+shingle Generate).
+    The shingle array is bound as a lambda VARIABLE (the flatten-over-
+    singleton-array escape, see _stride_chunks) so the tokenizer runs
+    once per ROW; ``size`` on the bound variable is O(1) per element."""
+    sh = word_shingles(F.col(text_col), k)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.array(sh),
+                    lambda arr: F.transform(
+                        arr,
+                        lambda s: F.struct(
+                            s.alias("shingle"), F.size(arr).alias("n")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p"),
+    ).select("id", F.col("__p.shingle").alias("shingle"), F.col("__p.n").alias("n"))
+
+
 _PORTABLE_P = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
@@ -595,23 +628,28 @@ def delta_dedup(
         .select(F.col(id_col).alias("id"))
     )
     if candidate_gen == "exact":
-        bp = shingle_postings(batch, id_col, text_col, shingle_k).withColumnsRenamed(
-            {"id": "bid"}
-        )
-        cp = shingle_postings(corpus, id_col, text_col, shingle_k).withColumnsRenamed(
-            {"id": "cid"}
-        )
+        # postings carry the per-doc distinct-shingle count n on every
+        # row (shingle_postings_with_n), so |A| and |B| ride the
+        # shingle join itself — the former nb/nc count aggregates each
+        # re-executed the whole tokenize+shingle Generate for a number
+        # already in hand (r15; executed-plan Generates 4 -> 2)
+        bp = shingle_postings_with_n(
+            batch, id_col, text_col, shingle_k
+        ).withColumnsRenamed({"id": "bid", "n": "nb"})
+        cp = shingle_postings_with_n(
+            corpus, id_col, text_col, shingle_k
+        ).withColumnsRenamed({"id": "cid", "n": "nc"})
         shared = (
             bp.join(cp, "shingle")
             .groupBy("bid", "cid")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.max("nb").alias("nb"),
+                F.max("nc").alias("nc"),
+            )
         )
-        nb = bp.groupBy("bid").agg(F.count(F.lit(1)).alias("nb"))
-        nc = cp.groupBy("cid").agg(F.count(F.lit(1)).alias("nc"))
         near = (
-            shared.join(nb, "bid")
-            .join(nc, "cid")
-            .filter(
+            shared.filter(
                 F.col("c").cast("double")
                 / (F.col("nb") + F.col("nc") - F.col("c"))
                 >= jaccard_threshold
