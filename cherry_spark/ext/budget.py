@@ -81,6 +81,17 @@ def budget_select(
     Output columns: the input columns + ``cum_tokens`` (BIGINT).
     """
     df = _with_quality_bucket(docs, quality_col, n_buckets, boundaries)
+    # shared materialization point (r15, guide §2.4): df is referenced
+    # twice (bucket totals + the live rows), and a projection-only
+    # pipeline re-executes its whole upstream — here the quality/token
+    # expressions — once per reference. A repartition anchor does NOT
+    # work here: column pruning narrows the totals branch to
+    # (_bkt, n_tokens), so the two exchanges differ and neither is
+    # reused (the unigram/dsir lesson). The lazy localCheckpoint is
+    # the fan-out tool that survives pruning — it materializes the
+    # narrow post-projection rows once on first use and both consumers
+    # read the checkpointed partitions.
+    df = df.localCheckpoint(eager=False)
     totals = df.groupBy("_bkt").agg(F.sum(token_col).cast("long").alias("_tot"))
     # n_buckets rows: the only unpartitioned window runs over bucket
     # TOTALS, never over data (same bounded-window argument as
