@@ -55,26 +55,37 @@ def pagerank(
     src = F.col(src_col).cast("long")
     dst = F.col(dst_col).cast("long")
     e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    # lazy checkpoints (r15): Dataset.localCheckpoint truncates the
+    # LOGICAL plan immediately either way (the returned frame wraps a
+    # LogicalRDD over the marked RDD), so eager=False keeps the
+    # plan-depth invariant while deferring materialization — the
+    # nodes.count() below forces e and nodes in one job instead of
+    # two blocking checkpoint jobs.
+    e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is STATIC across rounds: join it onto the node set ONCE and
+    # carry it inside the ranks frame, instead of re-joining outdeg
+    # every iteration (r15 — one broadcast join per round removed)
+    nd = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select("node", "deg")
+        .localCheckpoint(eager=False)
+    )
 
     base = int(SCALE * (damping_den - damping_num) // damping_den) // n
-    ranks = nodes.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
+    ranks = nd.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
     for _ in range(n_iters):
-        with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
-        ).select("node", "rank_fp", "deg")
         # each node splits its mass over its out-edges: integer div —
         # identical truncation in Spark (`div`) and DuckDB (`//`)
         contrib = (
-            with_deg.filter(F.col("deg").isNotNull())
+            ranks.filter(F.col("deg").isNotNull())
             .join(e, F.col("node") == F.col("src"))
             .select(
                 F.col("dst").alias("node"),
@@ -85,15 +96,16 @@ def pagerank(
         )
         # dangling mass: one scalar, redistributed uniformly
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
+            ranks.filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("dm"))
         )
         share = F.expr(f"dm div {n}")
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nd.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling.select(share.alias("dshare"))))
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -102,9 +114,13 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: same logical-plan truncation per round, but
+            # the five rounds materialize inside the consumer's single
+            # action instead of five blocking driver jobs (r15 A/B:
+            # 3.13 -> see OPTIMIZATION_r15.md)
+            .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", "rank_fp")
 
 
 def pagerank_oracle_sql(
