@@ -1902,17 +1902,22 @@ def connected_components(
         return _cc_two_phase_star(edges, id1, id2, max_iter)
     if algorithm != "minlabel":
         raise ValueError(f"algorithm must be minlabel|star, got {algorithm!r}")
+    # lazy checkpoints (r15): localCheckpoint truncates the LOGICAL
+    # plan immediately either way, and every round already ends in a
+    # synchronous action (the changed-count probe) that materializes
+    # the marked RDDs — eager=True just added one blocking driver job
+    # per round on top of it.
     sym = (
         edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
         .unionAll(edges.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
@@ -1942,7 +1947,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             jumped.alias("n")
@@ -2044,21 +2049,23 @@ def _cc_two_phase_star(
         return (row["n"], row["h"], row["h2"])
 
     base = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    # lazy checkpoints (r15): the per-round _checksum .first() is the
+    # synchronous action that materializes them — see the minlabel note
     nodes = (
         base.select(F.col("src").alias("id"))
         .unionAll(base.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e = (
         base.filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = _checksum(e)
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             converged = True
