@@ -92,6 +92,7 @@ def cms_build(
     key_col: str = "token",
     depth: int = 4,
     width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: one row per touched cell.
 
@@ -99,7 +100,26 @@ def cms_build(
     ``depth * width`` rows regardless of input size. One explode +
     one bounded-cardinality hash aggregate (map-side combine makes
     the shuffle O(depth*width), not O(stream)).
+
+    ``weight_col``: build from PRE-AGGREGATED (key, weight) rows
+    instead of one row per occurrence — ``cnt`` becomes
+    ``sum(weight)``, which is integer-identical to counting the
+    occurrences (every occurrence of a key lands in the same cell per
+    depth), while hashing each distinct key ONCE instead of once per
+    occurrence (r15, guide §2.3: aggregate before you shuffle). A
+    caller that already has exact counts in hand gets the sketch for
+    one distinct-key pass.
     """
+    if weight_col is not None:
+        cells = df.select(
+            F.posexplode(_bucket_array(F.col(key_col), depth, width)).alias(
+                "depth", "bucket"
+            ),
+            F.col(weight_col).alias("__w"),
+        )
+        return cells.groupBy("depth", "bucket").agg(
+            F.sum("__w").cast("long").alias("cnt")
+        )
     cells = df.select(
         F.posexplode(_bucket_array(F.col(key_col), depth, width)).alias(
             "depth", "bucket"

@@ -82,13 +82,18 @@ def cms_freq_report(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
-    cms = cms_build(toks, "token", _FREQ_DEPTH, _FREQ_WIDTH)
-    top = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), "token")
-        .limit(20)
+    # ONE tokenize pass (r15): the sketch is built from the per-token
+    # exact counts the report needs anyway — sum(count) per cell is
+    # integer-identical to counting occurrences, the corpus is
+    # tokenized/exchanged once (both consumers share the aggregate's
+    # exchange), and md5 runs once per DISTINCT token
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
     )
+    cms = cms_build(
+        counts, "token", _FREQ_DEPTH, _FREQ_WIDTH, weight_col="exact_n"
+    )
+    top = counts.orderBy(F.col("exact_n").desc(), "token").limit(20)
     probed = cms_probe(top, cms, "token", _FREQ_DEPTH, _FREQ_WIDTH, "est_n")
     return probed.select(
         "token",
@@ -141,9 +146,13 @@ def cms_heavy_hitters(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     keys = events.select(_skew_key_spark().alias("token"))
-    cms = cms_build(keys, "token", _HH_DEPTH, _HH_WIDTH)
     counts = keys.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    # sketch built from the exact counts already in hand (r15): one
+    # key-synthesis pass, md5 per distinct key — integer-identical
+    cms = cms_build(
+        counts, "token", _HH_DEPTH, _HH_WIDTH, weight_col="exact_n"
     )
     total = counts.agg(F.sum("exact_n").cast("long").alias("n"))
     probed = cms_probe(counts, cms, "token", _HH_DEPTH, _HH_WIDTH, "est_n")
