@@ -219,15 +219,22 @@ def join_inner_eq(spark, sf_dir):
     "[block_slot, transaction_index], examples/jup_swap.py:55.",
 )
 def join_composite_key(spark, sf_dir):
+    # The per-(orderkey, suppkey) sum re-attached to every line is a
+    # window over the SAME partitioning the agg+join form needed twice
+    # (guide §2.4): one exchange + one sort replace agg + two sorted
+    # join sides. Row-identical to the join on the fixtures (keys are
+    # never null; exceptAll probe 0/0 at sf0.1) and the DECIMAL window
+    # sum is the same fold as the grouped sum. Quiet alternated A/B at
+    # sf0.1: 0.931 -> 0.620 s median.
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("supp_qty_dec")
-    )
-    return li.join(per_supp, on=["l_orderkey", "l_suppkey"], how="inner").select(
+    w = Window.partitionBy("l_orderkey", "l_suppkey")
+    return li.select(
         "l_orderkey",
         "l_suppkey",
         "l_linenumber",
-        F.col("supp_qty_dec").cast("double").alias("supp_qty"),
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double").alias("supp_qty"),
     )
 
 
