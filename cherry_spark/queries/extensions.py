@@ -1581,7 +1581,12 @@ def _substr_oracle() -> str:
 def repeated_substring_spans_q(spark, sf_dir):
     from cherry_spark.ext.substr import repeated_substring_spans
 
-    docs = load_table(spark, sf_dir, "documents")
+    # parallelize: the tokenize + per-position md5 gram pipeline is a
+    # map-heavy pre-shuffle stage over the single-row-group fixture
+    # scan — without the repartition it runs on 1 core of 32, TWICE
+    # (once per self-join side; the sides stay canonically identical,
+    # so AQE exchange reuse still executes the pipeline once)
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return repeated_substring_spans(docs, min_len=8)
 
 
