@@ -433,33 +433,52 @@ def ngram_jaccard_pairs(
     # prefix stats) — the repartition exchange is the shared
     # materialization point (see shingle_postings); a stored table's
     # references are plain parquet re-scans, already cheap.
+    # ``df``-carrying postings (r15): a store built with the
+    # per-shingle document frequency attached (one extra rollup+join
+    # at INGEST) turns the whole capped-profile machinery into pushed-
+    # down scan filters — postings are distinct (id, shingle), so
+    # count-per-shingle == df everywhere below: the query-time doc-
+    # freq rollup, its broadcast anti-join, AND (full mode) the
+    # bucket-size aggregate all disappear (guide §2.4/§6).
+    has_df = postings is not None and "df" in postings.columns
     sh = (
         postings.select("id", "shingle")
+        if postings is not None and not has_df
+        else postings
         if postings is not None
         else shingle_postings(df, id_col, text_col, shingle_k, reuse=True)
     )
-    # Capped profile as a broadcast ANTI-join against the HOT shingles
-    # (df > cap) instead of an equi-join attaching df_freq to every
-    # posting (the round-4 shape — 15 exchanges, the heaviest plan in
-    # the suite). The doc-freq rollup reduces map-side (partial count
-    # before its exchange, so a boilerplate shingle shuffles one
-    # partial row per task, never its posting list), the hot list is
-    # tiny by construction (only shingles shared by >cap documents),
-    # and the anti-join is a narrow map-side probe: ``capped`` keeps
-    # the barrier's id-partitioning, so counts/sets groupBy(id) runs
-    # WITHOUT an exchange, and hot shingles are dropped BEFORE the one
-    # raw posting shuffle on shingle (buckets) — that shuffle is now
-    # skew-free by construction.
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
-    hot = dfreq.filter(F.col("df_freq") > max_bucket_size).select("shingle")
-    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if has_df:
+        capped = sh.filter(F.col("df") <= max_bucket_size)
+    else:
+        # Capped profile as a broadcast ANTI-join against the HOT
+        # shingles (df > cap) instead of an equi-join attaching
+        # df_freq to every posting (the round-4 shape — 15 exchanges,
+        # the heaviest plan in the suite). The doc-freq rollup reduces
+        # map-side (partial count before its exchange, so a
+        # boilerplate shingle shuffles one partial row per task, never
+        # its posting list), the hot list is tiny by construction
+        # (only shingles shared by >cap documents), and the anti-join
+        # is a narrow map-side probe: ``capped`` keeps the barrier's
+        # id-partitioning, so counts/sets groupBy(id) runs WITHOUT an
+        # exchange, and hot shingles are dropped BEFORE the one raw
+        # posting shuffle on shingle (buckets) — that shuffle is now
+        # skew-free by construction.
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq"))
+        hot = dfreq.filter(F.col("df_freq") > max_bucket_size).select("shingle")
+        capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = capped.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter:
         # prefix ordering needs df_freq per posting — attach it only
-        # in this mode (capped ⋈ dfreq on shingle; df_freq ≤ cap here)
+        # in this mode (capped ⋈ dfreq on shingle; df_freq ≤ cap here
+        # — or read straight off the stored df column)
         w = Window.partitionBy("id").orderBy("df_freq", "shingle")
         indexed = (
-            capped.join(dfreq, "shingle")
+            (
+                capped.withColumn("df_freq", F.col("df"))
+                if has_df
+                else capped.join(dfreq, "shingle")
+            )
             .join(counts, "id")
             .withColumn("__pos", F.row_number().over(w))
             .filter(
@@ -469,20 +488,36 @@ def ngram_jaccard_pairs(
             .select("id", "shingle")
         )
     else:
-        indexed = capped.select("id", "shingle")
+        indexed = (
+            capped.select("id", "shingle", "df")
+            if has_df
+            else capped.select("id", "shingle")
+        )
     # Pairs per posting list WITHOUT a self-join (which would evaluate
     # the whole posting pipeline on both aliases — no exchange reuse,
     # measured ~2x): group each shingle's sorted id list once, fan out
     # in-list pairs. The capped profile bounds every posting list at
     # max_bucket_size BEFORE collect_set, so no task ever builds a
     # degenerate array or emits its |bucket|² structs.
-    bucket_sizes = indexed.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
-    kept = bucket_sizes.filter(F.col("n") > 1).select("shingle")
-    buckets = (
-        indexed.join(kept, "shingle")
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-    )
+    if has_df and not prefix_filter:
+        # full-mode bucket size per shingle IS the stored df (indexed
+        # == capped == distinct (id, shingle) rows): the n>1 filter is
+        # a scan predicate, no bucket-size aggregate
+        buckets = (
+            indexed.filter(F.col("df") > 1)
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        )
+    else:
+        bucket_sizes = indexed.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        kept = bucket_sizes.filter(F.col("n") > 1).select("shingle")
+        buckets = (
+            indexed.join(kept, "shingle")
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        )
     pair_structs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size("ids") - 1),
@@ -1513,25 +1548,43 @@ def jaccard_topk(
         if corpus_postings is not None
         else shingle_postings(corpus, id_col, text_col, shingle_k)
     ).withColumnsRenamed({"id": "__cid"})
-    # hot list from CORPUS doc-freq (map-side partial count -> tiny
-    # rollup), dropped from both sides before the candidate equi-join
-    hot = (
-        cp.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_freq"))
-        .filter(F.col("df_freq") > max_shingle_freq)
-        .select("shingle")
-    )
-    qp = qp.join(F.broadcast(hot), "shingle", "left_anti")
-    # the CAPPED corpus postings feed both the candidate join and the
-    # nc counts — repartition is the shared materialization point, and
-    # it sits AFTER the anti-join so the barrier ships the capped (not
-    # raw) posting volume. Measured at sf0.1: 2.34 -> 2.01 s warm vs
-    # re-executing the scan+shingle+anti pipeline per reference; a
-    # barrier on the RAW postings instead measured a net loss (1.78
-    # vs 1.63 s core) — cap first, then share.
-    cp = cp.join(F.broadcast(hot), "shingle", "left_anti").repartition(
-        F.col("__cid")
-    )
+    if "df" in cp.columns:
+        # df-carrying store (r15): the capped corpus profile is a
+        # pushed-down scan predicate, and the hot list for the QUERY
+        # side's anti-join is a distinct over only the HOT posting
+        # rows (map-side partial dedup) — the full doc-freq rollup
+        # is gone. A query shingle absent from the corpus (df "0")
+        # correctly stays in the profile either way.
+        hot = (
+            cp.filter(F.col("df") > max_shingle_freq)
+            .select("shingle")
+            .distinct()
+        )
+        qp = qp.join(F.broadcast(hot), "shingle", "left_anti")
+        cp = cp.filter(F.col("df") <= max_shingle_freq).select(
+            "__cid", "shingle"
+        ).repartition(F.col("__cid"))
+    else:
+        # hot list from CORPUS doc-freq (map-side partial count -> tiny
+        # rollup), dropped from both sides before the candidate equi-join
+        hot = (
+            cp.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_freq"))
+            .filter(F.col("df_freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        qp = qp.join(F.broadcast(hot), "shingle", "left_anti")
+        # the CAPPED corpus postings feed both the candidate join and
+        # the nc counts — repartition is the shared materialization
+        # point, and it sits AFTER the anti-join so the barrier ships
+        # the capped (not raw) posting volume. Measured at sf0.1:
+        # 2.34 -> 2.01 s warm vs re-executing the scan+shingle+anti
+        # pipeline per reference; a barrier on the RAW postings
+        # instead measured a net loss (1.78 vs 1.63 s core) — cap
+        # first, then share.
+        cp = cp.join(F.broadcast(hot), "shingle", "left_anti").repartition(
+            F.col("__cid")
+        )
     shared = (
         qp.join(cp, "shingle").groupBy("__qid", "__cid").agg(F.count(F.lit(1)).alias("c"))
     )

@@ -338,15 +338,23 @@ def _ensure_minhash_signatures(spark, sf_dir) -> str:
 
 
 def _ensure_shingle_postings(spark, sf_dir) -> str:
-    """Distinct 3-gram shingle posting store (id, shingle) — serves
+    """Distinct 3-gram shingle posting store (id, shingle, df) — serves
     every shingle-set consumer (exact-Jaccard pairs, clustering,
     keep-best) so the corpus is tokenized+shingled once per corpus
-    version, not once per query."""
+    version, not once per query. ``df`` (v2, r15) is the per-shingle
+    document frequency, attached with one rollup+join at BUILD time:
+    postings are distinct (id, shingle), so any consumer's capped
+    profile (doc_freq <= cap, any cap) becomes a pushed-down scan
+    predicate instead of a query-time doc-freq aggregate + broadcast
+    anti-join (see ngram_jaccard_pairs / jaccard_topk df lanes)."""
     from cherry_spark.ext.dedup import shingle_postings
 
-    return _ensure_doc_store(
-        spark, sf_dir, "postings", "v1", lambda d: shingle_postings(d)
-    )
+    def build(d):
+        p = shingle_postings(d)
+        dfreq = p.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        return p.join(dfreq, "shingle").select("id", "shingle", "df")
+
+    return _ensure_doc_store(spark, sf_dir, "postings", "v2", build)
 
 
 def _ensure_positional_postings(spark, sf_dir) -> str:

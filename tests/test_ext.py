@@ -315,6 +315,66 @@ def test_ngram_jaccard_precomputed_postings(spark, tmp_path):
         assert inline == reused and len(inline) > 0, prefix
 
 
+def test_df_carrying_postings_lanes_match_inline(spark, tmp_path):
+    """The r15 df-carrying postings store (id, shingle, df): the
+    pushed-down capped-profile lanes in ngram_jaccard_pairs (both
+    index modes — full mode also reads bucket sizes off df) and
+    jaccard_topk return exactly the inline paths' rows + values. A
+    low cap (5) makes the hot-shingle drop load-bearing on the
+    fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from cherry_spark.ext.dedup import (
+        jaccard_topk,
+        ngram_jaccard_pairs,
+        shingle_postings,
+    )
+    from cherry_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    p = shingle_postings(docs)
+    dfreq = p.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    p_path = str(tmp_path / "postings_df")
+    p.join(dfreq, "shingle").select("id", "shingle", "df").write.parquet(
+        p_path
+    )
+    stored = spark.read.parquet(p_path)
+
+    for prefix in (False, True):
+        inline = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.6, prefix_filter=prefix, max_bucket_size=5
+            ).collect()
+        }
+        via_df = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs,
+                threshold=0.6,
+                prefix_filter=prefix,
+                max_bucket_size=5,
+                postings=stored,
+            ).collect()
+        }
+        assert inline == via_df and len(inline) > 0, prefix
+
+    q = docs.filter(F.col("doc_id").isin([0, 1, 2])).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    t_inline = {
+        tuple(r)
+        for r in jaccard_topk(docs, q, k=5, max_shingle_freq=5).collect()
+    }
+    t_df = {
+        tuple(r)
+        for r in jaccard_topk(
+            None, q, k=5, max_shingle_freq=5, corpus_postings=stored
+        ).collect()
+    }
+    assert t_inline == t_df and len(t_inline) > 0
+
+
 def test_delta_dedup_stored_corpus_signatures(spark, tmp_path):
     """The incremental 100 TB shape: corpus signatures stored once at
     ingest and passed per batch — verdicts identical to the inline
