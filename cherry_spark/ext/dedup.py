@@ -246,6 +246,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 500,
     signatures: DataFrame | None = None,
     hash_family: str = "xxhash",
+    corpus_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash banding for candidates, exact
     shingle-set Jaccard verification of candidates only.
@@ -280,6 +281,14 @@ def minhash_lsh_pairs(
     side and ``semantic_dedup(assigned=...)`` treats the IVF
     assignment. Must cover the same corpus as ``df`` with matching
     n_hashes (ids absent from ``signatures`` produce no candidates).
+
+    ``corpus_postings`` (r15): optionally pass the stored distinct
+    (id, shingle) posting table (extra columns ignored) and the
+    VERIFICATION side's tokenize+shingle pipeline is skipped too —
+    the exact shingle sets aggregate straight off the store, which
+    with ``signatures`` removes the last live text pass from the
+    operator. Same full-profile rows (caps are a consumer concern),
+    so verification values are bit-identical.
     """
     rows = n_hashes // bands
     sig = (
@@ -357,10 +366,10 @@ def minhash_lsh_pairs(
     # the scale configuration; at bench scale the one-pass overlap
     # wins.
     sh = (
-        shingle_postings(df, id_col, text_col, shingle_k)
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("shingles"))
-    )
+        corpus_postings.select("id", "shingle")
+        if corpus_postings is not None
+        else shingle_postings(df, id_col, text_col, shingle_k)
+    ).groupBy("id").agg(F.collect_set("shingle").alias("shingles"))
     verified = (
         candidates.join(sh.withColumnsRenamed({"id": "id1", "shingles": "sh1"}), "id1")
         .join(sh.withColumnsRenamed({"id": "id2", "shingles": "sh2"}), "id2")

@@ -279,7 +279,14 @@ def ngram_jaccard_pairs_query(spark, sf_dir):
 def minhash_lsh_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     sigs = spark.read.parquet(_ensure_minhash_signatures(spark, sf_dir))
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.8, signatures=sigs)
+    # verification shingle sets served from the posting store too
+    # (r15): with both stores the query's only live text pass is gone
+    # — candidates from stored signatures, verification sets from
+    # stored postings, values bit-identical (full profile either way)
+    posts = spark.read.parquet(_ensure_shingle_postings(spark, sf_dir))
+    return minhash_lsh_pairs(
+        docs, jaccard_threshold=0.8, signatures=sigs, corpus_postings=posts
+    )
 
 
 def _fingerprinted_store_dir(

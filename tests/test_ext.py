@@ -374,6 +374,22 @@ def test_df_carrying_postings_lanes_match_inline(spark, tmp_path):
     }
     assert t_inline == t_df and len(t_inline) > 0
 
+    # minhash verification sets served from the same store (extra df
+    # column ignored) == live tokenize+shingle verification
+    from cherry_spark.ext.dedup import minhash_lsh_pairs
+
+    m_inline = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    m_stored = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.8, corpus_postings=stored
+        ).collect()
+    }
+    assert m_inline == m_stored and len(m_inline) > 0
+
 
 def test_delta_dedup_stored_corpus_signatures(spark, tmp_path):
     """The incremental 100 TB shape: corpus signatures stored once at
