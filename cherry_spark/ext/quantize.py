@@ -72,6 +72,29 @@ def quantize_vectors(
     )
 
 
+def dim_stats_table(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(i, mn, mx) per-dimension corpus stats — the ingest-time build
+    for the stats store :func:`quantized_rerank_topk` serves from."""
+    return _dim_stats(_explode(df, id_col, vec_col))
+
+
+def codes_against(
+    df: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, qvec) quantized against a GIVEN (i, mn, mx) stats table
+    — the ingest-time build for the code-table store.  Same `_codes`
+    expression tree as the live search path, so stored codes cannot
+    drift from live-quantized ones."""
+    return _codes(df, id_col, vec_col, stats).select(
+        F.col("id").alias(id_col), "qvec"
+    )
+
+
 def quantized_rerank_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -82,6 +105,8 @@ def quantized_rerank_topk(
     query_id_col: str = "query_id",
     method: str = "fold",
     buffer: int = 16,
+    corpus_codes: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage ANN: score CANDIDATES on int8 codes, rerank exactly.
 
@@ -124,12 +149,31 @@ def quantized_rerank_topk(
     knn_graph case is exactly nq = corpus): at nq=200 the same A/B
     reads numpy 4.9 s vs fold 5.9 s and diverging.  Default stays
     "fold"; switch per call for batch-query workloads.
+
+    ``corpus_codes`` / ``stats`` (r15): the ingest-served form of the
+    operator's own 100 TB contract — "stage 1 scans only the quantized
+    code table".  ``stats`` is a prebuilt (i, mn, mx) per-dimension
+    table (:func:`dim_stats_table`) and ``corpus_codes`` a prebuilt
+    (id_col, qvec) table quantized against those stats
+    (:func:`codes_against`); both are corpus state computed once per
+    corpus version (the `_ensure_minhash_signatures` pattern), so the
+    per-run cost drops the live stats pass (scan+explode+agg+collect)
+    and the live corpus code build (explode + broadcast-stats join +
+    groupBy(id) array rebuild — one full exchange of N×dim rows).
+    Stored codes are built by the SAME ``_codes`` expression the live
+    lane runs, so results are bit-identical (pinned by test).  The
+    query side is always quantized live (it is not corpus state).
     """
-    # ONE stats aggregation: collect the dim-bounded rows, then rebuild
-    # the broadcast side from them — the corpus is scanned once for
-    # stats, not once per consumer
-    pe = _explode(vectors, id_col, vec_col)
-    stat_rows = sorted(_dim_stats(pe).collect(), key=lambda r: r["i"])
+    if stats is not None:
+        # 64-row dim table: collecting it is the same driver-side
+        # constant-fold as the live lane, minus the corpus pass
+        stat_rows = sorted(stats.collect(), key=lambda r: r["i"])
+    else:
+        # ONE stats aggregation: collect the dim-bounded rows, then
+        # rebuild the broadcast side from them — the corpus is scanned
+        # once for stats, not once per consumer
+        pe = _explode(vectors, id_col, vec_col)
+        stat_rows = sorted(_dim_stats(pe).collect(), key=lambda r: r["i"])
     stats = vectors.sparkSession.createDataFrame(
         [(r["i"], float(r["mn"]), float(r["mx"])) for r in stat_rows],
         "i int, mn double, mx double",
@@ -187,7 +231,12 @@ def quantized_rerank_topk(
         # dequantized code arrays + norms ONCE per row, not once per
         # (row × query) pair — the HOF folds are interpreted, so
         # per-pair norms triple the hot loop (as brute_force_topk)
-        cor = codes(vectors, id_col).select(
+        base = (
+            corpus_codes.select(F.col(id_col).alias("id"), "qvec")
+            if corpus_codes is not None
+            else codes(vectors, id_col)
+        )
+        cor = base.select(
             "id", deq("qvec").alias("__d")
         ).withColumn("__dn", norm(F.col("__d")))
     qc = F.broadcast(

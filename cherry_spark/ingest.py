@@ -73,6 +73,8 @@ def _builders() -> dict[str, tuple[str, Callable[[SparkSession, str], str]]]:
         "trained_weights": ("documents", _trained_weights_store),
         "ivf_index": ("embeddings", ext._ensure_ivf_index),
         "lsh_buckets": ("embeddings", ext._ensure_lsh_buckets),
+        "quant_stats": ("embeddings", ext._ensure_quant_stats),
+        "quant_codes": ("embeddings", ext._ensure_quant_codes),
     }
 
 

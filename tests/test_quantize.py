@@ -143,6 +143,41 @@ def test_quantized_rerank_null_and_ragged_vectors(spark):
     assert sims[1] == 1.0  # self-similarity survives the rewrite
 
 
+def test_quantized_rerank_stored_codes_equal_inline(spark, emb, tmp_path):
+    """The r15 store lane (prebuilt stats + code table) must reproduce
+    the inline lane bit-for-bit — stage 1 reads the stored codes, the
+    exact rerank is unchanged; same contract as the minhash-signature
+    and LSH-bucket stores."""
+    from cherry_spark.ext.quantize import (
+        codes_against,
+        dim_stats_table,
+        quantized_rerank_topk,
+    )
+    from cherry_spark.writers import store
+
+    stats_dir = str(tmp_path / "qstats")
+    codes_dir = str(tmp_path / "qcodes")
+    store.publish(dim_stats_table(emb), stats_dir)
+    stats = spark.read.parquet(store.data_dir(stats_dir))
+    store.publish(codes_against(emb, stats), codes_dir)
+    qcodes = spark.read.parquet(store.data_dir(codes_dir))
+
+    q = emb.filter(F.col("vec_id").isin(3, 47, 111)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = sorted(
+        tuple(r)
+        for r in quantized_rerank_topk(emb, q, k=10, rerank=100).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in quantized_rerank_topk(
+            emb, q, k=10, rerank=100, corpus_codes=qcodes, stats=stats
+        ).collect()
+    )
+    assert stored == inline and len(stored) == 30
+
+
 def test_quantized_rerank_numpy_duplicate_ties_and_zero_norm(spark):
     from cherry_spark.ext.quantize import quantized_rerank_topk
 
