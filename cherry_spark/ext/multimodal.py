@@ -101,14 +101,56 @@ def _fake_image_decode(payload: bytes, dim: int = 8) -> tuple[int, int, int, lis
     return width, height, 3, feature
 
 
+def _fake_features_native(df: DataFrame, feature_dim: int) -> DataFrame:
+    """The fake codec compiled to native Spark expressions — the
+    ``codec="fake"`` lane is pure byte math (header words + sha256
+    digest bytes), so it needs no Python worker at all (r15, guide §4:
+    the mapInPandas form paid an ArrowEvalPython boundary plus a
+    per-row Python hashlib call for work sha2/substring/conv express
+    inside whole-stage codegen).  Bit-identical to the pandas lane:
+    same big-endian header words mod 4096, same sha256 hex bytes, and
+    ``b / 255.0`` is one exact double division + float cast in both.
+    """
+    payload = F.col("payload")
+    dh = F.sha2(payload, 256)  # 64-char lowercase hex of sha256(payload)
+
+    def word(pos: int) -> "F.Column":
+        # big-endian u32 from payload bytes [pos, pos+4)
+        return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("long")
+
+    has_hdr = F.octet_length(payload) >= 8
+    width = F.when(has_hdr, word(1) % 4096).otherwise(F.lit(0)).cast("int")
+    height = F.when(has_hdr, word(5) % 4096).otherwise(F.lit(0)).cast("int")
+    feature = F.array(
+        *[
+            (
+                F.conv(F.substring(dh, 2 * i + 1, 2), 16, 10).cast("int")
+                / F.lit(255.0)
+            ).cast("float")
+            for i in range(min(feature_dim, 32))  # digest[:dim], ≤32 bytes
+        ]
+    )
+    ok = payload.isNotNull()
+    return df.select(
+        F.col("media_id"),
+        F.when(ok, width).alias("width"),
+        F.when(ok, height).alias("height"),
+        F.when(ok, F.lit(3).cast("int")).alias("channels"),
+        F.when(ok, feature).alias("feature"),
+    )
+
+
 def decode_image_features(
     df: DataFrame, feature_dim: int = 8, codec: str = "auto"
 ) -> DataFrame:
-    """media rows -> image features via mapInPandas.
+    """media rows -> image features.
 
-    The UDF consumes an iterator of Arrow-backed pandas batches: memory
+    ``codec="fake"`` compiles to native expressions (no Python worker —
+    see ``_fake_features_native``).  "auto"/"real" run mapInPandas: the
+    UDF consumes an iterator of Arrow-backed pandas batches, so memory
     is bounded by spark.sql.execution.arrow.maxRecordsPerBatch, not by
-    partition size — the correct shape for 100 MB+ payload columns.
+    partition size — the correct shape for 100 MB+ payload columns and
+    the only shape a real PIL decode can take.
 
     ``codec``: "auto" uses the executor-side probe (real PIL decode
     when available), "fake"/"real" pin a path — oracle-gated queries
@@ -116,6 +158,8 @@ def decode_image_features(
     """
     if codec not in ("auto", "fake", "real"):
         raise ValueError(f"codec must be auto|fake|real, got {codec!r}")
+    if codec == "fake":
+        return _fake_features_native(df, feature_dim)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib  # re-import: runs on executors
@@ -200,20 +244,36 @@ def image_ahash(
     both engines compare exactly.
 
     Input: ``decode_image_features`` output. Appends ``out_col``
-    (BIGINT, low ``feature_dim`` bits)."""
-    bytes_i = [
-        F.round(F.element_at("feature", i + 1) * 255, 0).cast("long")
-        for i in range(feature_dim)
-    ]
-    total = bytes_i[0]
-    for b in bytes_i[1:]:
-        total = total + b
-    phash = F.lit(0).cast("long")
-    for i, b in enumerate(bytes_i):
-        phash = phash + F.when(b * feature_dim > total, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        ).cast("long")
-    return feats.withColumn(out_col, phash)
+    (BIGINT, low ``feature_dim`` bits).
+
+    The byte array is bound as a lambda VARIABLE (the
+    transform-over-array(expr) escape, CLAUDE.md): the fold references
+    each byte 1 + 2·dim times, and with the feature array now built by
+    native expressions (r15) CollapseProject would otherwise inline
+    the whole construction into every reference. The fold body is the
+    same literal chain as before — byte order, when/otherwise null
+    semantics (null feature → ahash 0), and OOB element_at behavior
+    are unchanged, so results are bit-identical."""
+    bytes_arr = F.transform(
+        F.col("feature"),
+        lambda x: F.round(x.cast("double") * 255, 0).cast("long"),
+    )
+
+    def _fold(ba):
+        bs = [F.element_at(ba, i + 1) for i in range(feature_dim)]
+        total = bs[0]
+        for b in bs[1:]:
+            total = total + b
+        phash = F.lit(0).cast("long")
+        for i, b in enumerate(bs):
+            phash = phash + F.when(
+                b * feature_dim > total, F.lit(1 << i)
+            ).otherwise(F.lit(0)).cast("long")
+        return phash
+
+    return feats.withColumn(
+        out_col, F.element_at(F.transform(F.array(bytes_arr), _fold), 1)
+    )
 
 
 def ahash_dup_groups(

@@ -165,6 +165,10 @@ def _ahash_oracle() -> str:
 def media_phash_dedup(spark, sf_dir):
     from cherry_spark.ext.multimodal import ahash_dup_groups
 
+    # parallelize measured a LOSS here even with the heavy native hash
+    # map (1.20 -> 1.71 s median at sf0.1): the map feeds a map-side
+    # partial agg, so the extra exchange outweighs the single-core scan
+    # (the repetition_stats lesson)
     docs = load_table(spark, sf_dir, "documents")
     media = _synth_media(docs, "image")
     feats = decode_image_features(media, feature_dim=_AHASH_DIM, codec="fake")

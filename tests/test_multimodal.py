@@ -67,6 +67,25 @@ def test_decode_pinned_fake_matches_auto_without_pil(spark):
         decode_image_features(df, codec="pil")
 
 
+def test_native_fake_codec_equals_python_fake(spark):
+    """codec="fake" now compiles to native expressions (r15, no Python
+    worker); it must stay BIT-identical to the mapInPandas fake lane —
+    in this codec-less container codec="auto" resolves to exactly that
+    Python lane, so the two collections must compare equal, including
+    the float32 feature bits, null payloads, and sub-header payloads."""
+    rows = _media_rows(12) + [
+        (100, "image", None, ("image/fake", 0, "s100")),  # null payload
+        (101, "image", b"abc", ("image/fake", 3, "s101")),  # < 8 bytes
+        (102, "image", b"", ("image/fake", 0, "s102")),  # empty
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    native = decode_image_features(df, codec="fake").orderBy("media_id").collect()
+    python = decode_image_features(df, codec="auto").orderBy("media_id").collect()
+    assert [tuple(r) for r in native] == [tuple(r) for r in python]
+    null_row = [r for r in native if r["media_id"] == 100][0]
+    assert null_row["width"] is None and null_row["feature"] is None
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
     frames = frame_sample_plan(df, every_nth=10).collect()
