@@ -113,19 +113,30 @@ def url_dedup(
     ``is_canonical = 1`` for the deduped corpus; keep all rows for the
     URL-level provenance map.
 
-    Scale shape: normalize in the scan projection, ONE map-side-
-    combinable min-agg per normalized URL, broadcast-friendly join
-    back on the URL hash — no windows, no corpus×corpus."""
-    normed = df.withColumn("url_norm", normalize_url(F.col(url_col)))
-    canon = normed.groupBy("url_norm").agg(
-        F.min(id_col).cast("long").alias("canonical_doc_id")
+    Scale shape (r15, guide §2.4): ONE min-window partitioned by the
+    normalized URL — one scan, one exchange, one sort, and the regex
+    normalization chain evaluates exactly once per row. The previous
+    agg + join-back form evaluated the chain FOUR times per row (both
+    join branches re-projected it, and the inner join's implied
+    isnotnull(url_norm) null filter inlined the whole chain again under
+    each branch) and paid the aggregate's exchange plus a broadcast
+    build on top of the join exchange. Null semantics preserved: the
+    inner join dropped null-url_norm rows; url_norm is null iff the
+    raw url is null (every normalization step is null-preserving and
+    null-introducing only from null input), so the cheap pre-normalize
+    ``url IS NOT NULL`` filter is exactly equivalent and keeps the
+    regex chain out of the filter expression."""
+    from pyspark.sql.window import Window
+
+    normed = df.where(F.col(url_col).isNotNull()).withColumn(
+        "url_norm", normalize_url(F.col(url_col))
     )
-    return (
-        normed.join(canon, "url_norm")
-        .withColumn(
-            "is_canonical",
-            (F.col(id_col) == F.col("canonical_doc_id")).cast("int"),
-        )
+    w = Window.partitionBy("url_norm")
+    return normed.withColumn(
+        "canonical_doc_id", F.min(F.col(id_col).cast("long")).over(w)
+    ).withColumn(
+        "is_canonical",
+        (F.col(id_col) == F.col("canonical_doc_id")).cast("int"),
     )
 
 

@@ -78,6 +78,9 @@ def _url_dedup_oracle() -> str:
 def url_dedup_canonical(spark, sf_dir):
     from cherry_spark.ext.web import url_dedup
 
+    # parallelize measured a large LOSS here (1.11 -> 3.55 s median at
+    # sf0.1) despite the heavy regex map — the extra exchange's cost
+    # dominates; the window rewrite alone already halved the work
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _synth_url_spark().alias("url")
     )
