@@ -264,7 +264,19 @@ def _semdedup_dup_ids_numpy(
                 )
         return pd.concat(out, ignore_index=True) if out else empty
 
-    res = src.groupBy("centroid_id").applyInPandas(score_cluster, out_schema)
+    # res is consumed twice (decided + checks); the Python stage runs
+    # AFTER the groupBy exchange, so exchange reuse cannot dedupe it —
+    # without an anchor the whole per-cluster matmul executes once per
+    # consumer (the r15 executed plan carried two FlatMapGroupsInPandas
+    # of score_cluster). The output is tiny (dup ids + the empty-on-
+    # real-data boundary pairs); a lazy localCheckpoint materializes it
+    # once and lets AQE collapse the checks branch (and its two corpus
+    # re-joins) to an empty relation when no boundary pair exists.
+    res = (
+        src.groupBy("centroid_id")
+        .applyInPandas(score_cluster, out_schema)
+        .localCheckpoint(eager=False)
+    )
     decided = res.filter(F.col("__kind") == 1).select(
         F.col("__bid").alias(id_col)
     )
