@@ -224,6 +224,16 @@ def train_then_gate(
             "y",
             F.lit(int(threshold_micro)).cast("long").alias("thr_micro"),
         )
+    # The calibration branch references j TWICE (the 1-row class-mean
+    # aggregate and the verdict rows); j's tail exchanges diverge under
+    # column pruning, so without an anchor the whole tokenize+score
+    # pipeline (and the label tokenize) executes once per reference —
+    # the r15 executed plan carried both Generates and all scans twice.
+    # j is narrow (4 numeric cols per doc): a lazy localCheckpoint
+    # scores the corpus once (guide §2.4; the budget_select_topq
+    # pattern). The fixed-threshold branch above references j once and
+    # stays checkpoint-free.
+    j = j.localCheckpoint(eager=False)
     cal = j.agg(
         F.sum(F.when(F.col("y") == 1, F.col("score_micro"))).alias("s1"),
         F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("long").alias("n1"),
