@@ -169,7 +169,11 @@ def main() -> None:
     from cherry_spark.catalog import REGISTRY, all_queries
     from cherry_spark.session import get_spark
 
-    queries = all_queries()
+    # contention stamp (r15 verdict item #7): the r15 driver capture's
+    # cross-round regression was machine contention (band [14.22,
+    # 22.32] vs r14's [11.03, 14.27]); recording the load average makes
+    # a contaminated capture machine-detectable without a re-run.
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
     spark = get_spark("cherry_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -276,6 +280,11 @@ def main() -> None:
         "rotation_warm": rot_warm,
         "rotation_total": round(sum(rot_warm.values()), 3),
         "sf": sf,
+        # 1/5/15-min load averages at bench start and end (the bench's
+        # own Spark work inflates the end sample — read the START 1-min
+        # sample, and the 15-min tail, for outside interference)
+        "loadavg_start": list(load_start),
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     with open(os.path.join(_REPO_DIR, "BENCH_full.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -339,6 +348,9 @@ def compact_line(detail: dict) -> str:
             "slowest5_warm": slowest,
             "rotation_group": detail["rotation_group"],
             "rotation_total": detail["rotation_total"],
+            # 1-min load average at bench START (before our own Spark
+            # work): >~1 means the capture was contended (r15 item #7)
+            "load1_start": (detail.get("loadavg_start") or [None])[0],
             "detail_file": "BENCH_full.json",
         }
     )

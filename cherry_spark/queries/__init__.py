@@ -3,7 +3,7 @@
 Registration order IS the driver's certification order: the correctness
 gate writes at most 50 rows taken in registry order.  After the module
 imports below, ``_reorder_for_certification`` rebuilds the registry dict
-for the ROUND-15 window (_R12_REMAINING_R15 + _R13_FIRST1_R15).
+for the ROUND-16 window (_R13_REMAINING_R16 + _R14_FIRST1_R16).
 
 Standing rotation policy (round-7 verdict item #2): the registry holds
 115 queries and the driver window holds 50, so a strict "no query more
@@ -24,20 +24,20 @@ shares its oracle and result-hash with in-window ``decode_dynamic_abi``
 and differs only in the Arrow execution lane (a driver row for it would
 duplicate an existing hash check while displacing a unique one).
 
-ROUND-15 window (live): ``_R12_REMAINING_R15`` (49, the r12-window
-rows not swept in r14, in archived-artifact order) +
-``_R13_FIRST1_R15`` (1, the oldest row of the archived r13 artifact)
+ROUND-16 window (live): ``_R13_REMAINING_R16`` (49, the r13-window
+rows not swept in r15, in archived-artifact order) +
+``_R14_FIRST1_R16`` (1, the oldest row of the archived r14 artifact)
 = 50 exactly, asserted at import (rounds 6 AND 7 each shipped a silent
 hand-recount bug — every group here is pinned or DERIVED data, and the
 window tests re-derive them from the archived driver artifacts).  This
-sweep re-certifies the r12 cohort — BM25/hybrid/phrase retrieval, the
-sketch family, and the asof/analytics rows — whose last driver rows
-predate both the r13 pointer-store port and the r14 bus/IVF changes.
-Every r15-window row has a DuckDB oracle — no rows-only query sits
-inside the window.
+sweep re-certifies the r13 cohort — the decode/dataset lanes, the
+dedup-cluster family and the curation rows — whose last driver rows
+predate the r14 bus/IVF changes and the r15 store work.  Every
+r16-window row has a DuckDB oracle — no rows-only query sits inside
+the window.
 
-ROUND-16 window (pre-staged below as ``_R13_REMAINING_R16`` +
-``_R14_FIRST1_R16`` = 49 + 1 = 50): at round-16 start, swap the group
+ROUND-17 window (pre-staged below as ``_R14_REMAINING_R17`` +
+``_R15_FIRST1_R17`` = 49 + 1 = 50): at round-17 start, swap the group
 tuple — nothing to recount.
 
 At 150 registered the 3-round guarantee is EXACTLY saturated
@@ -300,12 +300,12 @@ _R12_FIRST1_R14 = [
 ]
 
 # ---------------------------------------------------------------------
-# ROUND-15 window, LIVE: `_reorder_for_certification` leads with these
-# two groups.  The 49 r12-window rows not swept in r14 + the oldest
-# r13-window row (49 + 1 = 50).  Both groups are DERIVED from
-# already-pinned data (the archived r12 window is _R09_REMAINING_R12 +
-# _R10_FIRST1_R12 in artifact order, pinned and test-verified), so
-# there is no hand-recount surface.
+# ROUND-15 window, ARCHIVED (the r17 pre-stage derives from it).  The
+# 49 r12-window rows not swept in r14 + the oldest r13-window row
+# (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
+# (the archived r12 window is _R09_REMAINING_R12 + _R10_FIRST1_R12 in
+# artifact order, pinned and test-verified), so there is no
+# hand-recount surface.
 # ---------------------------------------------------------------------
 _R12_REMAINING_R15 = [
     n
@@ -317,14 +317,12 @@ _R13_FIRST1_R15 = [
 ]
 
 # ---------------------------------------------------------------------
-# ROUND-16 window, PRE-STAGED (swap `_reorder_for_certification`'s
-# group tuple to `(_R13_REMAINING_R16, _R14_FIRST1_R16,
-# _PAST_WINDOW_FIRST)` at the start of round 16 — nothing to recount).
-# The 49 r13-window rows not swept in r15 + the oldest r14-window row
-# (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
-# (the archived r13 window is _R10_REMAINING_R13 + _R11_FIRST1_R13 in
-# artifact order, pinned and test-verified), so there is no
-# hand-recount surface.
+# ROUND-16 window, LIVE: `_reorder_for_certification` leads with these
+# two groups.  The 49 r13-window rows not swept in r15 + the oldest
+# r14-window row (49 + 1 = 50).  Both groups are DERIVED from
+# already-pinned data (the archived r13 window is _R10_REMAINING_R13 +
+# _R11_FIRST1_R13 in artifact order, pinned and test-verified), so
+# there is no hand-recount surface.
 # ---------------------------------------------------------------------
 _R13_REMAINING_R16 = [
     n
@@ -333,6 +331,25 @@ _R13_REMAINING_R16 = [
 ]
 _R14_FIRST1_R16 = [
     "include_all_blocks_scan",
+]
+
+# ---------------------------------------------------------------------
+# ROUND-17 window, PRE-STAGED (swap `_reorder_for_certification`'s
+# group tuple to `(_R14_REMAINING_R17, _R15_FIRST1_R17,
+# _PAST_WINDOW_FIRST)` at the start of round 17 — nothing to recount).
+# The 49 r14-window rows not swept in r16 + the oldest r15-window row
+# (49 + 1 = 50).  Both groups are DERIVED from already-pinned data
+# (the archived r14 window is _R11_REMAINING_R14 + _R12_FIRST1_R14 in
+# artifact order, pinned and test-verified), so there is no
+# hand-recount surface.
+# ---------------------------------------------------------------------
+_R14_REMAINING_R17 = [
+    n
+    for n in (_R11_REMAINING_R14 + _R12_FIRST1_R14)
+    if n not in set(_R14_FIRST1_R16)
+]
+_R15_FIRST1_R17 = [
+    "zorder_curve_key",
 ]
 
 # ---------------------------------------------------------------------
@@ -368,13 +385,13 @@ _R14_FIRST1_R16 = [
 
 
 def _reorder_for_certification() -> None:
-    """Rebuild the registry in ROUND-15 certification order:
-    the 49 r12-window rows not swept in r14, then the oldest
-    r13-window row = 50 exactly; past-window rows follow."""
+    """Rebuild the registry in ROUND-16 certification order:
+    the 49 r13-window rows not swept in r15, then the oldest
+    r14-window row = 50 exactly; past-window rows follow."""
     ordered: list[str] = []
     for group in (
-        _R12_REMAINING_R15,
-        _R13_FIRST1_R15,
+        _R13_REMAINING_R16,
+        _R14_FIRST1_R16,
         _PAST_WINDOW_FIRST,
     ):
         ordered += [n for n in group if n in REGISTRY and n not in ordered]
@@ -409,8 +426,8 @@ assert len(_ADDED_R08) + len(_R06_STALE_R09) + len(_R07_FIRST3) == 50, (
 )
 assert (
     list(REGISTRY)[:50]
-    == _R12_REMAINING_R15 + _R13_FIRST1_R15
-), "round-15 window order must be exactly the two derived groups"
+    == _R13_REMAINING_R16 + _R14_FIRST1_R16
+), "round-16 window order must be exactly the two derived groups"
 assert set(_ADDED_R09) <= set(REGISTRY) and not (
     set(_ADDED_R09)
     & (
@@ -485,7 +502,16 @@ assert _R14_FIRST1_R16 == _R11_REMAINING_R14[:1], (
     "the r16 sweep head must be the oldest row of the r14 window"
 )
 assert set(_R13_REMAINING_R16) | set(_R14_FIRST1_R16) <= set(REGISTRY), (
-    "every pre-staged round-16 row must be registered"
+    "every round-16 window row must be registered"
+)
+assert (
+    len(_R14_REMAINING_R17) + len(_R15_FIRST1_R17) == 50
+), "round-17 window arithmetic: 49 remaining r14 rows + 1 r15 row"
+assert _R15_FIRST1_R17 == _R12_REMAINING_R15[:1], (
+    "the r17 sweep head must be the oldest row of the r15 window"
+)
+assert set(_R14_REMAINING_R17) | set(_R15_FIRST1_R17) <= set(REGISTRY), (
+    "every pre-staged round-17 row must be registered"
 )
 assert len(REGISTRY) <= 150, (
     f"registry holds {len(REGISTRY)} queries — the 3-round certification"

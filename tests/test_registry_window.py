@@ -1,8 +1,8 @@
 """Certification-window invariants (round-7 verdict items #1/#2,
-rotated to the ROUND-15 window per the round-14 verdict item #1).
+rotated to the ROUND-16 window per the round-15 verdict item #2).
 
 The driver certifies exactly the first 50 registered queries, so the
-window composition is load-bearing: these tests pin the round-15
+window composition is load-bearing: these tests pin the round-16
 contract against the archived driver artifacts — a reorder mistake
 fails HERE, not in the next driver round."""
 
@@ -27,30 +27,51 @@ def _round_order(n: int) -> list[str]:
         return list(json.load(f))
 
 
-def test_r15_window_is_r12_remaining_plus_r13_head():
+def test_r16_window_is_r13_remaining_plus_r14_head():
     window = list(REGISTRY)[:50]
-    r14 = _round_keys(14)
+    r15 = _round_keys(15)
     # no slot wasted on a row certified last round
-    assert not set(window) & r14
-    # the 49 r12-window rows not swept in r14 lead the window
-    assert window[: len(Q._R12_REMAINING_R15)] == Q._R12_REMAINING_R15
-    assert Q._R12_REMAINING_R15 == [
-        n for n in _round_order(12) if n not in set(Q._R12_FIRST1_R14)
+    assert not set(window) & r15
+    # the 49 r13-window rows not swept in r15 lead the window
+    assert window[: len(Q._R13_REMAINING_R16)] == Q._R13_REMAINING_R16
+    assert Q._R13_REMAINING_R16 == [
+        n for n in _round_order(13) if n not in set(Q._R13_FIRST1_R15)
     ]
-    # then the oldest row of the archived r13 artifact
-    assert window[49:] == Q._R13_FIRST1_R15
-    assert Q._R13_FIRST1_R15 == _round_order(13)[:1]
-    # this sweep re-certifies the r12 cohort — BM25/hybrid/phrase
-    # retrieval, the sketches, and asof — whose last driver rows
-    # predate both the r13 pointer-store port and the r14 bus/IVF work
+    # then the oldest row of the archived r14 artifact
+    assert window[49:] == Q._R14_FIRST1_R16
+    assert Q._R14_FIRST1_R16 == _round_order(14)[:1]
+    # this sweep re-certifies the r13 cohort — the decode/dataset
+    # lanes, the dedup-cluster family and the curation rows — whose
+    # last driver rows predate the r14 bus/IVF + r15 store work
     assert {
-        "bm25_topk",
-        "hybrid_rrf_topk",
-        "phrase_search_topk",
-        "bloom_membership_gate",
-        "cms_heavy_hitters",
-        "asof_join_latest_order",
+        "u256_sum",
+        "funnel_conversion",
+        "decode_dynamic_abi",
+        "budget_select_topq",
+        "decode_fixedwidth",
+        "include_all_blocks_scan",
     } <= set(window)
+
+
+def test_r15_window_archived_matches_artifact():
+    """The archived r15 window (the r17 plan derives from it) must be
+    exactly the two derived groups, in artifact order."""
+    assert (
+        _round_order(15)
+        == Q._R12_REMAINING_R15 + Q._R13_FIRST1_R15
+    )
+    assert Q._R13_FIRST1_R15 == _round_order(13)[:1]
+
+
+def test_r17_prestaged_window_matches_artifacts():
+    """The pre-staged r17 groups: the 49 r14-window rows not swept in
+    r16 (artifact order) + the oldest r15-window row."""
+    r14 = _round_order(14)
+    assert Q._R14_REMAINING_R17 == [
+        n for n in r14 if n not in set(Q._R14_FIRST1_R16)
+    ]
+    assert Q._R15_FIRST1_R17 == _round_order(15)[:1]
+    assert len(Q._R14_REMAINING_R17) + len(Q._R15_FIRST1_R17) == 50
 
 
 def test_r14_window_archived_matches_artifact():
@@ -197,6 +218,10 @@ def test_window_groups_contain_only_registered_names():
         Q._R12_FIRST1_R14,
         Q._R12_REMAINING_R15,
         Q._R13_FIRST1_R15,
+        Q._R13_REMAINING_R16,
+        Q._R14_FIRST1_R16,
+        Q._R14_REMAINING_R17,
+        Q._R15_FIRST1_R17,
     ):
         missing = [n for n in group if n not in REGISTRY]
         assert not missing, f"window group names not registered: {missing}"
