@@ -174,6 +174,8 @@ def main() -> None:
     # 22.32] vs r14's [11.03, 14.27]); recording the load average makes
     # a contaminated capture machine-detectable without a re-run.
     load_start = tuple(round(x, 2) for x in os.getloadavg())
+
+    queries = all_queries()
     spark = get_spark("cherry_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
