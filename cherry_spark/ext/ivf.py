@@ -580,11 +580,16 @@ def knn_graph(
       no adverse blowup anywhere (best-block warm grows ≈2.3→3.5 s
       for 6.4× C) — one Arrow batch per block, one BLAS matmul for the
       probed-masked block×probe similarity, per-query top-(k+pad)
-      selection inside the batch. Only
-      those ≤ nprobe·(k+pad) candidates per query reach the JVM rerank,
-      which recomputes their similarity with the CERTIFIED fold
-      expression and ranks with the same (round(sim,6) DESC, id) total
-      order as the fold lane. Output identity argument: global top-k
+      selection inside the batch. The selected ≤ nprobe·(k+pad)
+      candidates per query leave the batch WITH their exact similarity
+      (r16, §4): a strictly-sequential per-dimension accumulation
+      (``_seq_dot``) reproduces the CERTIFIED fold's IEEE operation
+      sequence bit-for-bit, so the JVM side is only round(·,6) and the
+      (round(sim,6) DESC, id) rank — the former rerank joins
+      (cand⋈corpus⋈queries) and the interpreted per-pair 64-dim HOF
+      fold are gone from this lane (bit-identity pinned by
+      test_ivf.py::test_seq_dot_bit_identical_to_jvm_fold and the
+      numpy≡fold graph tests). Output identity argument: global top-k
       under a total order is contained in the per-cluster top-k, so
       equality holds whenever each per-cluster numpy top-(k+pad) by
       ROUNDED proxy — round(matmul cosine, 6), ties broken by id via a
@@ -638,9 +643,6 @@ def knn_graph(
             return _knn_from_probe(
                 corpus,
                 q_probe,
-                vectors.select(
-                    F.col(id_col).alias("query_id"), F.col(vec_col)
-                ),
                 k,
                 id_col,
                 vec_col,
@@ -667,7 +669,7 @@ def knn_graph(
     # deliberately NOT broadcast below
     q_probe = _probe_centroids(queries, centroids, nprobe, vec_col, "query_id")
     return _knn_from_probe(
-        corpus, q_probe, queries, k, id_col, vec_col, method, pad,
+        corpus, q_probe, k, id_col, vec_col, method, pad,
         probe_salt, centroid_blocks,
     )
 
@@ -755,7 +757,6 @@ def _stored_probes(
 def _knn_from_probe(
     corpus: DataFrame,
     q_probe: DataFrame,
-    queries: DataFrame,
     k: int,
     id_col: str,
     vec_col: str,
@@ -765,12 +766,12 @@ def _knn_from_probe(
     centroid_blocks: int,
 ) -> DataFrame:
     """The knn_graph tail shared by the live-probe and stored-probe
-    paths: candidate generation (numpy block matmul or JVM fold) +
-    certified exact rerank.  ``queries`` is the (query_id, vec_col)
-    relation the rerank fetches query vectors from — it must be the
-    caller's query set, NOT the corpus (r15: refetching from the
+    paths: candidate generation + exact ranking.  Query vectors ride
+    ``q_probe.__qvec``, which every probe builder takes from the
+    CALLER's query set, never the corpus (r15: refetching from the
     corpus silently dropped foreign query ids in the numpy lane while
-    the fold lane kept them)."""
+    the fold lane kept them — _stored_probes joins the caller's
+    vectors by id for exactly this reason)."""
     if method == "numpy":
         try:
             import numpy  # noqa: F401
@@ -788,7 +789,27 @@ def _knn_from_probe(
             probe_salt,
             centroid_blocks,
         )
-        return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+        # r16 (§4): the exact fold cosine now rides OUT of the numpy
+        # block (bit-identical sequential fold — see _seq_dot), so the
+        # rerank is round(·,6) + the certified (sim DESC, id) window
+        # over ≤ nprobe·(k+pad) rows per query — the cand⋈corpus⋈
+        # queries joins and the interpreted per-pair 64-dim HOF fold
+        # of _exact_rerank are gone from this lane.
+        scored = cand.select(
+            "query_id",
+            F.col("__cand").alias(id_col),
+            F.when(F.col("__simtier") == 0, F.round(F.col("__sim"), 6))
+            .when(F.col("__simtier") == 2, F.lit(float("nan")))
+            .alias("sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
     corpus = corpus.withColumn("__vn", norm(F.col(vec_col)))
     q_probe = q_probe.withColumn("__qn", norm(F.col("__qvec")))
     # Repartition BOTH join inputs on the join key: the sortless
@@ -816,6 +837,24 @@ def _knn_from_probe(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _seq_dot(a, b):
+    """Σ aᵢ·bᵢ accumulated STRICTLY left-to-right per row — the exact
+    IEEE operation sequence of the JVM ``similarity.dot`` fold
+    ``(((0.0 + a₁·b₁) + a₂·b₂) + …)``.  numpy's ``(a*b).sum(axis=-1)``
+    and BLAS matmuls use pairwise/blocked summation, which differs in
+    the last ulps; this loop multiplies then adds dimension by
+    dimension (separate IEEE ops, no FMA), so the result is
+    bit-identical to the certified fold and the unrolled DuckDB
+    oracles.  Vectorized ACROSS rows, sequential across dims: 64
+    adds for the whole batch, not per pair.  Inputs float64 2-D."""
+    import numpy as np
+
+    acc = np.zeros(a.shape[:-1], dtype=np.float64)
+    for j in range(a.shape[-1]):
+        acc += a[..., j] * b[..., j]
+    return acc
 
 
 def _knn_candidates_numpy(
@@ -865,11 +904,24 @@ def _knn_candidates_numpy(
 
     from pyspark.sql.types import StructField, StructType
 
+    from pyspark.sql.types import ByteType, DoubleType
+
     id_type = corpus.schema[id_col].dataType
     out_schema = StructType(
         [
             StructField("query_id", id_type),
             StructField("__cand", id_type),
+            # exact fold cosine for the selected pair (r16): computed
+            # here with the bit-identical sequential fold (_seq_dot) so
+            # the JVM tail is round+rank only — no per-pair interpreted
+            # 64-dim HOF fold, no cand⋈corpus⋈queries rerank joins.
+            # __simtier disambiguates what the float column cannot
+            # carry across Arrow (from_pandas masks NaN to null):
+            # 0 = real value in __sim, 1 = zero-norm NULL (fold lane
+            # ranks it LAST), 2 = NaN sim (fold lane ranks it FIRST —
+            # Spark's double order puts NaN above every value).
+            StructField("__sim", DoubleType()),
+            StructField("__simtier", ByteType()),
         ]
     )
 
@@ -919,6 +971,8 @@ def _knn_candidates_numpy(
                 {
                     "query_id": pd.Series([], dtype=rpdf["query_id"].dtype),
                     "__cand": pd.Series([], dtype=lpdf["__cid"].dtype),
+                    "__sim": pd.Series([], dtype="float64"),
+                    "__simtier": pd.Series([], dtype="int8"),
                 }
             )
         lpdf = lpdf.sort_values("__cid", kind="mergesort")
@@ -984,52 +1038,41 @@ def _knn_candidates_numpy(
         # the exact rerank would score them for real and admit pairs
         # the probe semantics (and the oracle) exclude
         keep = (c_sel != q_rep) & mask[sel, m_idx]
+        # exact fold cosine for the kept pairs (r16): sequential
+        # accumulation (_seq_dot) is bit-identical to the certified
+        # JVM fold, so round(·,6)+rank downstream produce the same
+        # rows the _exact_rerank join lane did.  Norms are per-ROW
+        # sequential folds (n+m of them), the pair dots are one
+        # 64-step vectorized loop over the ≤ take·m kept pairs.
+        pr = sel[keep]
+        pq = m_idx[keep]
+        an_x = np.sqrt(_seq_dot(A, A))
+        bn_x = np.sqrt(_seq_dot(B, B))
+        d_x = _seq_dot(A[pr], B[pq])
+        na, nb2 = an_x[pr], bn_x[pq]
+        # Spark's `norm > 0` uses the SQL double order where NaN sorts
+        # ABOVE every value, so a NaN norm passes the guard and the
+        # sim propagates NaN (ranked FIRST); only a true zero norm
+        # yields NULL (ranked LAST).  Replicate both tiers.
+        ok = (np.isnan(na) | (na > 0)) & (np.isnan(nb2) | (nb2 > 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim_x = np.where(ok, d_x / np.where(ok, na * nb2, 1.0), np.nan)
+        tier = np.where(~ok, 1, np.where(np.isnan(sim_x), 2, 0)).astype(
+            "int8"
+        )
         return pd.DataFrame(
-            {"query_id": q_rep[keep], "__cand": c_sel[keep]}
+            {
+                "query_id": q_rep[keep],
+                "__cand": c_sel[keep],
+                "__sim": np.where(tier == 0, sim_x, 0.0),
+                "__simtier": tier,
+            }
         )
 
     return (
         left.groupBy(*group_keys)
         .cogroup(right.groupBy(*group_keys))
         .applyInPandas(score_block, schema=out_schema)
-    )
-
-
-def _exact_rerank(
-    cand: DataFrame,
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int,
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """Rank candidate pairs with the CERTIFIED fold cosine and the
-    (round(sim,6) DESC, id ASC) total order — the arithmetic the
-    DuckDB oracle replays. Per-query group size is ≤ nprobe·(k_buf)
-    rows by construction, so the rank window is bounded.  Query
-    vectors come from ``queries`` (query_id, vec_col), never the
-    corpus — an inner join on the corpus drops foreign query ids."""
-    side = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "__vn", norm(F.col(vec_col))
-    )
-    qside = queries.select(
-        "query_id", F.col(vec_col).alias("__qvec")
-    ).withColumn("__qn", norm(F.col("__qvec")))
-    na, nb = F.col("__vn"), F.col("__qn")
-    sim = F.when(
-        (na > 0) & (nb > 0), dot(F.col(vec_col), F.col("__qvec")) / (na * nb)
-    )
-    scored = (
-        cand.withColumnRenamed("__cand", id_col)
-        .join(side, on=id_col)
-        .join(qside, on="query_id")
-        .select("query_id", F.col(id_col), F.round(sim, 6).alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
     )
 
 

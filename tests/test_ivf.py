@@ -278,6 +278,51 @@ def test_knn_graph_numpy_equals_fold_adversarial_ties(spark):
     assert sorted(v for v, _ in got[19]) == [0, 1]
 
 
+def test_seq_dot_bit_identical_to_jvm_fold(spark):
+    """_seq_dot must reproduce the JVM ``similarity.dot`` fold's raw
+    double BIT-FOR-BIT (r16: the numpy knn lane now emits the exact
+    sim itself, so the fold's IEEE summation order is the contract —
+    pairwise/BLAS summation differs in the last ulps and would flip
+    round(·,6) at bucket edges).  Adversarial magnitudes spanning
+    1e-8..1e8 with sign flips make any reordering visible."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from cherry_spark.ext.ivf import _seq_dot
+    from cherry_spark.ext.similarity import dot
+
+    def comp(i, j, salt):
+        h = hashlib.sha256(f"seqdot:{salt}:{i}:{j}".encode()).digest()
+        mag = 10.0 ** (int.from_bytes(h[:2], "big") % 17 - 8)
+        frac = int.from_bytes(h[2:8], "big") / 2**48
+        sign = -1.0 if h[8] % 2 else 1.0
+        return sign * frac * mag
+
+    n, dim = 50, 64
+    a = [[comp(i, j, "a") for j in range(dim)] for i in range(n)]
+    b = [[comp(i, j, "b") for j in range(dim)] for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, a[i], b[i]) for i in range(n)],
+        "i long, a array<double>, b array<double>",
+    )
+    jvm = {
+        r["i"]: r["d"]
+        for r in df.select("i", dot(F.col("a"), F.col("b")).alias("d")).collect()
+    }
+    got = _seq_dot(np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64))
+    for i in range(n):
+        assert struct.pack("<d", jvm[i]) == struct.pack("<d", float(got[i])), i
+    # and the naive pairwise sum would NOT have matched everywhere —
+    # prove the test has teeth on at least one row
+    naive = (np.asarray(a) * np.asarray(b)).sum(axis=1)
+    assert any(
+        struct.pack("<d", float(naive[i])) != struct.pack("<d", jvm[i])
+        for i in range(n)
+    )
+
+
 def test_knn_graph_numpy_stored_index(spark, tmp_path):
     from cherry_spark.ext.ivf import ivf_build_index, knn_graph
 
